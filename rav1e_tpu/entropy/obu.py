@@ -1,0 +1,309 @@
+"""OBU framing + sequence/frame header writers (AV1 spec §5).
+
+Reference parity: rav1e src/header.rs (write_obus, sequence header,
+write_uncompressed_frame_header, ULEB sizes, tile group assembly).
+Toolset gating mirrors rav1e v0.5.1's sequence-header asserts
+(SURVEY.md Appendix A.4): no interintra/masked-compound/warped/dual-
+filter/jnt-comp/ref-frame-mvs; screen content tools off.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from rav1e_tpu.core.constants import FrameType, ObuType
+from rav1e_tpu.entropy.bitio import BitWriter, uleb128
+
+# (seq_level_idx, max_pic_size, max_h_size, max_v_size)
+_LEVELS = [
+    (0, 147456, 2048, 1152),
+    (1, 278784, 2816, 1584),
+    (4, 665856, 4352, 2448),
+    (5, 1065024, 5504, 3096),
+    (8, 2359296, 6144, 3456),
+    (12, 8912896, 8192, 4352),
+    (16, 35651584, 16384, 8704),
+]
+
+
+def choose_level(w: int, h: int) -> int:
+    for idx, pic, mw, mh in _LEVELS:
+        if w * h <= pic and w <= mw and h <= mh:
+            return idx
+    return 19  # 6.3
+
+
+@dataclass
+class Sequence:
+    """Sequence-level parameters (subset rav1e emits; SURVEY §2.1)."""
+
+    width: int
+    height: int
+    bit_depth: int = 8
+    mono: bool = False
+    subsampling_x: int = 1
+    subsampling_y: int = 1
+    still_picture: bool = False
+    enable_cdef: bool = False
+    enable_restoration: bool = False
+    enable_intra_edge_filter: bool = True
+    enable_order_hint: bool = True
+    order_hint_bits: int = 7
+    enable_superres: bool = False
+    film_grain_params_present: bool = False
+    timing_info_present: bool = False
+    color_range: int = 0
+    chroma_sample_position: int = 0
+    color_description: tuple | None = None  # (primaries, transfer, matrix)
+    profile: int = 0
+
+    @property
+    def frame_width_bits(self) -> int:
+        return max((self.width - 1).bit_length(), 1)
+
+    @property
+    def frame_height_bits(self) -> int:
+        return max((self.height - 1).bit_length(), 1)
+
+    def write(self) -> bytes:
+        """sequence_header_obu payload (spec 5.5)."""
+        b = BitWriter()
+        b.f(self.profile, 3)
+        b.bit(self.still_picture)
+        b.bit(0)  # reduced_still_picture_header
+        b.bit(self.timing_info_present)
+        assert not self.timing_info_present
+        b.bit(0)  # initial_display_delay_present_flag
+        b.f(0, 5)  # operating_points_cnt_minus_1
+        b.f(0, 12)  # operating_point_idc[0]
+        level = choose_level(self.width, self.height)
+        b.f(level, 5)
+        if level > 7:
+            b.bit(0)  # seq_tier
+        b.f(self.frame_width_bits - 1, 4)
+        b.f(self.frame_height_bits - 1, 4)
+        b.f(self.width - 1, self.frame_width_bits)
+        b.f(self.height - 1, self.frame_height_bits)
+        b.bit(0)  # frame_id_numbers_present_flag
+        b.bit(0)  # use_128x128_superblock: rav1e always 64x64
+        b.bit(0)  # enable_filter_intra
+        b.bit(self.enable_intra_edge_filter)
+        b.bit(0)  # enable_interintra_compound
+        b.bit(0)  # enable_masked_compound
+        b.bit(0)  # enable_warped_motion
+        b.bit(0)  # enable_dual_filter
+        b.bit(self.enable_order_hint)
+        if self.enable_order_hint:
+            b.bit(0)  # enable_jnt_comp
+            b.bit(0)  # enable_ref_frame_mvs
+        b.bit(1)  # seq_choose_screen_content_tools
+        # -> seq_force_screen_content_tools = SELECT (2); each frame
+        #    writes allow_screen_content_tools = 0.
+        b.bit(1)  # seq_choose_integer_mv -> force_integer_mv = SELECT
+        if self.enable_order_hint:
+            b.f(self.order_hint_bits - 1, 3)
+        b.bit(self.enable_superres)
+        b.bit(self.enable_cdef)
+        b.bit(self.enable_restoration)
+        self._color_config(b)
+        b.bit(self.film_grain_params_present)
+        b.trailing_bits()
+        return b.bytes()
+
+    def _color_config(self, b: BitWriter):
+        high = self.bit_depth > 8
+        b.bit(high)
+        if self.profile == 2 and high:
+            b.bit(self.bit_depth == 12)
+        if self.profile != 1:
+            b.bit(self.mono)
+        assert not self.mono, "monochrome not plumbed yet"
+        if self.color_description is not None:
+            b.bit(1)
+            cp, tc, mc = self.color_description
+            b.f(cp, 8)
+            b.f(tc, 8)
+            b.f(mc, 8)
+            identity = cp == 1 and tc == 13 and mc == 0
+        else:
+            b.bit(0)
+            identity = False
+        if not identity:
+            b.bit(self.color_range)
+            if self.profile == 0:
+                pass  # 4:2:0 implied
+            elif self.profile == 1:
+                pass  # 4:4:4 implied
+            if self.subsampling_x and self.subsampling_y:
+                b.f(self.chroma_sample_position, 2)
+        b.bit(0)  # separate_uv_delta_q
+
+
+@dataclass
+class FrameParams:
+    """Per-frame header fields for an intra (KEY) frame."""
+
+    frame_type: FrameType = FrameType.KEY
+    show_frame: bool = True
+    base_q_idx: int = 100
+    disable_cdf_update: bool = False
+    order_hint: int = 0
+    tx_mode_select: bool = False  # False => TX_MODE_LARGEST
+    reduced_tx_set: bool = True
+    tile_cols_log2: int = 0
+    tile_rows_log2: int = 0
+    context_update_tile_id: int = 0
+    tile_size_bytes: int = 4
+    loop_filter_levels: tuple = (0, 0, 0, 0)
+    loop_filter_sharpness: int = 0
+    loop_filter_delta_enabled: bool = False
+
+
+def _tile_log2(blk_size: int, target: int) -> int:
+    k = 0
+    while (blk_size << k) < target:
+        k += 1
+    return k
+
+
+class TileInfo:
+    """Uniform tile layout (spec 5.9.15). rav1e: uniform spacing only."""
+
+    def __init__(self, seq: Sequence, cols_log2: int = 0, rows_log2: int = 0):
+        mi_cols = 2 * ((seq.width + 7) >> 3)
+        mi_rows = 2 * ((seq.height + 7) >> 3)
+        self.sb_cols = (mi_cols + 15) >> 4
+        self.sb_rows = (mi_rows + 15) >> 4
+        sb_shift = 4  # 64x64 superblocks
+        sb_size = sb_shift + 2
+        max_tile_width_sb = 4096 >> sb_size
+        max_tile_area_sb = (4096 * 2304) >> (2 * sb_size)
+        self.min_log2_cols = _tile_log2(max_tile_width_sb, self.sb_cols)
+        self.max_log2_cols = _tile_log2(1, min(self.sb_cols, 64))
+        self.max_log2_rows = _tile_log2(1, min(self.sb_rows, 64))
+        self.min_log2_tiles = max(
+            self.min_log2_cols,
+            _tile_log2(max_tile_area_sb, self.sb_rows * self.sb_cols),
+        )
+        self.cols_log2 = max(cols_log2, self.min_log2_cols)
+        self.min_log2_rows = max(self.min_log2_tiles - self.cols_log2, 0)
+        self.rows_log2 = max(rows_log2, self.min_log2_rows)
+        assert self.cols_log2 <= self.max_log2_cols
+        assert self.rows_log2 <= self.max_log2_rows
+        # uniform spacing tile boundaries in SB units
+        self.col_starts = self._starts(self.sb_cols, self.cols_log2)
+        self.row_starts = self._starts(self.sb_rows, self.rows_log2)
+        self.n_cols = len(self.col_starts) - 1
+        self.n_rows = len(self.row_starts) - 1
+
+    @staticmethod
+    def _starts(sbs: int, log2: int) -> list[int]:
+        size_sb = (sbs + (1 << log2) - 1) >> log2
+        starts = list(range(0, sbs, size_sb)) + [sbs]
+        return starts
+
+    @property
+    def n_tiles(self) -> int:
+        return self.n_cols * self.n_rows
+
+    def write(self, b: BitWriter, fp: FrameParams):
+        b.bit(1)  # uniform_tile_spacing_flag
+        k = self.min_log2_cols
+        while k < self.cols_log2:
+            b.bit(1)
+            k += 1
+        if self.cols_log2 < self.max_log2_cols:
+            b.bit(0)
+        k = self.min_log2_rows
+        while k < self.rows_log2:
+            b.bit(1)
+            k += 1
+        if self.rows_log2 < self.max_log2_rows:
+            b.bit(0)
+        if self.cols_log2 > 0 or self.rows_log2 > 0:
+            b.f(fp.context_update_tile_id, self.rows_log2 + self.cols_log2)
+            b.f(fp.tile_size_bytes - 1, 2)
+
+
+def write_frame_header(seq: Sequence, fp: FrameParams, ti: TileInfo) -> BitWriter:
+    """uncompressed_header for a shown KEY frame (spec 5.9.2); returns
+    the writer (unaligned) so a FRAME OBU can continue with tile data."""
+    assert fp.frame_type == FrameType.KEY and fp.show_frame
+    b = BitWriter()
+    b.bit(0)  # show_existing_frame
+    b.f(fp.frame_type, 2)
+    b.bit(fp.show_frame)
+    # error_resilient_mode implied 1 for shown KEY frames
+    b.bit(fp.disable_cdf_update)
+    b.bit(0)  # allow_screen_content_tools (SELECT at seq level)
+    b.bit(0)  # frame_size_override_flag
+    b.f(fp.order_hint, seq.order_hint_bits)
+    # primary_ref_frame implied NONE; refresh implied 0xFF
+    # frame_size(): from sequence max; superres disabled -> nothing
+    b.bit(0)  # render_and_frame_size_different
+    # allow_intrabc: not coded (screen content off)
+    if not fp.disable_cdf_update:
+        b.bit(1)  # disable_frame_end_update_cdf
+    ti.write(b, fp)
+    # quantization_params
+    b.f(fp.base_q_idx, 8)
+    b.delta_q(0)  # y dc
+    b.delta_q(0)  # u dc
+    b.delta_q(0)  # u ac
+    b.bit(0)  # using_qmatrix
+    # segmentation_params
+    b.bit(0)  # segmentation_enabled
+    # delta_q_params
+    if fp.base_q_idx > 0:
+        b.bit(0)  # delta_q_present
+    # loop_filter_params (CodedLossless is false: base_q_idx > 0)
+    lf = fp.loop_filter_levels
+    b.f(lf[0], 6)
+    b.f(lf[1], 6)
+    if lf[0] or lf[1]:
+        b.f(lf[2], 6)
+        b.f(lf[3], 6)
+    b.f(fp.loop_filter_sharpness, 3)
+    b.bit(fp.loop_filter_delta_enabled)
+    assert not fp.loop_filter_delta_enabled
+    # cdef_params / lr_params: nothing (disabled at seq level)
+    assert not seq.enable_cdef and not seq.enable_restoration
+    # read_tx_mode
+    b.bit(fp.tx_mode_select)
+    # frame_reference_mode / skip_mode_params / warped: nothing (intra)
+    b.bit(fp.reduced_tx_set)
+    # global_motion / film_grain: nothing
+    return b
+
+
+def obu(obu_type: ObuType, payload: bytes) -> bytes:
+    """Wrap payload with an OBU header + uleb size."""
+    hdr = bytes([(int(obu_type) << 3) | 0x02])  # has_size_field
+    return hdr + uleb128(len(payload)) + payload
+
+
+def temporal_delimiter() -> bytes:
+    return obu(ObuType.TEMPORAL_DELIMITER, b"")
+
+
+def assemble_frame_obu(header: BitWriter, tiles: list[bytes],
+                       ti: TileInfo, fp: FrameParams) -> bytes:
+    """FRAME OBU = uncompressed header + tile group (spec 5.10/5.11)."""
+    b = header
+    if ti.n_tiles > 1:
+        b.bit(0)  # tile_start_and_end_present_flag (must be 0 in OBU_FRAME)
+    b.byte_align()
+    body = bytearray(b.bytes())
+    for i, t in enumerate(tiles):
+        if i < len(tiles) - 1:
+            body += (len(t) - 1).to_bytes(fp.tile_size_bytes, "little")
+        body += t
+    return obu(ObuType.FRAME, bytes(body))
+
+
+def keyframe_packet(seq: Sequence, fp: FrameParams, ti: TileInfo,
+                    tiles: list[bytes]) -> bytes:
+    """One temporal unit: TD + sequence header + FRAME OBU."""
+    hdr = write_frame_header(seq, fp, ti)
+    return (temporal_delimiter() + obu(ObuType.SEQUENCE_HEADER, seq.write())
+            + assemble_frame_obu(hdr, tiles, ti, fp))

@@ -1,0 +1,228 @@
+"""Per-tile syntax writer: partition tree + mode info + (later) coeffs.
+
+Reference parity: rav1e src/context/partition_unit.rs + block_unit.rs
+(context derivation) and src/encoder.rs encode_partition/encode_block.
+This is the serial "packing" half of the two-plane IR split (SURVEY
+§7.0): the TPU search emits decision grids; this writer runs the exact
+bitstream pass.
+
+Context model:
+- mode/skip tracked as per-MI numpy grids (tile-local; neighbors off
+  the tile edge are unavailable).
+- partition contexts as spec above/left bitmask arrays (above: per MI
+  col for the tile; left: 16 entries, reset each SB row).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from rav1e_tpu.core.constants import (
+    INTRA_MODE_CONTEXT,
+    BlockSize,
+    PartitionType,
+    PredictionMode,
+    subsize,
+)
+from rav1e_tpu.entropy.cdf import TileCDFs
+from rav1e_tpu.entropy.ec import ECEncoder
+
+PROB_TOP = 1 << 15
+
+
+@dataclass
+class BlockDecision:
+    """Everything the packer needs for one coded block."""
+
+    y_mode: PredictionMode = PredictionMode.DC_PRED
+    uv_mode: PredictionMode = PredictionMode.DC_PRED
+    skip: bool = True
+    angle_delta_y: int = 0
+    angle_delta_uv: int = 0
+    cfl_alpha_idx: int = 0  # joint alpha index when uv_mode == CFL
+    cfl_alpha_sign: int = 0
+    # residual planes are attached by the coefficient milestone
+    coeffs: dict = field(default_factory=dict)
+
+
+class TileWriter:
+    def __init__(self, mi_rows: int, mi_cols: int, base_q_idx: int,
+                 frame_mi_rows: int | None = None,
+                 frame_mi_cols: int | None = None):
+        # tile == frame until the tiling milestone
+        self.mi_rows = mi_rows
+        self.mi_cols = mi_cols
+        self.frame_mi_rows = frame_mi_rows or mi_rows
+        self.frame_mi_cols = frame_mi_cols or mi_cols
+        self.cdfs = TileCDFs(base_q_idx)
+        self.ec = ECEncoder()
+        self.above_part = np.zeros(mi_cols, np.uint8)
+        self.left_part = np.zeros(16, np.uint8)
+        self.skip_grid = np.zeros((mi_rows, mi_cols), np.uint8)
+        self.mode_grid = np.zeros((mi_rows, mi_cols), np.uint8)
+
+    # ---- partition coding --------------------------------------------------
+
+    def _partition_cdf(self, ctx: int, bsize: BlockSize):
+        if bsize == BlockSize.B8X8:
+            return self.cdfs.partition_8[ctx], 4
+        if bsize == BlockSize.B16X16:
+            return self.cdfs.partition_mid[0][ctx], 10
+        if bsize == BlockSize.B32X32:
+            return self.cdfs.partition_mid[1][ctx], 10
+        if bsize == BlockSize.B64X64:
+            return self.cdfs.partition_mid[2][ctx], 10
+        raise ValueError(bsize)
+
+    def _part_ctx(self, r: int, c: int, bsize: BlockSize) -> int:
+        # context bit index = mi_width_log2 - 1 (dav1d: 4 - bl): the bit
+        # is set only when the neighbor was partitioned SMALLER than
+        # this block size (verified empirically vs dav1d + libaom).
+        bit = bsize.width_mi.bit_length() - 2
+        above = (int(self.above_part[c]) >> bit) & 1
+        left = (int(self.left_part[r & 15]) >> bit) & 1
+        return left * 2 + above
+
+    def _update_part_ctx(self, r: int, c: int, sub: BlockSize,
+                         bsize: BlockSize):
+        bw, bh = bsize.width_mi, bsize.height_mi
+        aval = 31 & ~((1 << (sub.width_mi.bit_length() - 1)) - 1)
+        lval = 31 & ~((1 << (sub.height_mi.bit_length() - 1)) - 1)
+        self.above_part[c: c + bw] = aval
+        lo = r & 15
+        self.left_part[lo: lo + bh] = lval
+
+    @staticmethod
+    def _elem_prob(icdf, k: int) -> int:
+        prev = PROB_TOP if k == 0 else icdf[k - 1]
+        return prev - icdf[k]
+
+    def write_partition(self, r: int, c: int, bsize: BlockSize,
+                        part: PartitionType):
+        """Code the partition symbol for square block at MI (r, c)."""
+        has_rows = r + bsize.height_mi // 2 < self.mi_rows
+        has_cols = c + bsize.width_mi // 2 < self.mi_cols
+        ctx = self._part_ctx(r, c, bsize)
+        icdf, nsym = self._partition_cdf(ctx, bsize)
+        if has_rows and has_cols:
+            assert int(part) < nsym
+            self.ec.encode_symbol(int(part), icdf)
+        elif has_cols:
+            # bottom half out of frame: HORZ or SPLIT, derived bool
+            assert part in (PartitionType.HORZ, PartitionType.SPLIT)
+            p0 = PROB_TOP
+            for k in (PartitionType.HORZ, PartitionType.SPLIT,
+                      PartitionType.HORZ_A, PartitionType.HORZ_B,
+                      PartitionType.VERT_A, PartitionType.HORZ_4):
+                if int(k) < nsym:
+                    p0 -= self._elem_prob(icdf, int(k))
+            derived = [PROB_TOP - p0, 0, 0]
+            self.ec.encode_symbol(
+                1 if part == PartitionType.SPLIT else 0, derived, adapt=False)
+        elif has_rows:
+            assert part in (PartitionType.VERT, PartitionType.SPLIT)
+            p0 = PROB_TOP
+            for k in (PartitionType.VERT, PartitionType.SPLIT,
+                      PartitionType.HORZ_A, PartitionType.VERT_A,
+                      PartitionType.VERT_B, PartitionType.VERT_4):
+                if int(k) < nsym:
+                    p0 -= self._elem_prob(icdf, int(k))
+            derived = [PROB_TOP - p0, 0, 0]
+            self.ec.encode_symbol(
+                1 if part == PartitionType.SPLIT else 0, derived, adapt=False)
+        else:
+            assert part == PartitionType.SPLIT
+
+    # ---- mode info ---------------------------------------------------------
+
+    def write_intra_block(self, r: int, c: int, bsize: BlockSize,
+                          d: BlockDecision):
+        """intra_frame_mode_info for a KEY-frame block (spec 5.11.17),
+        under: segmentation off, cdef off, deltas off, palette off,
+        filter_intra off, TX_MODE_LARGEST."""
+        bw, bh = bsize.width_mi, bsize.height_mi
+        # skip
+        above_sk = int(self.skip_grid[r - 1, c]) if r > 0 else 0
+        left_sk = int(self.skip_grid[r, c - 1]) if c > 0 else 0
+        sctx = above_sk + left_sk
+        self.ec.encode_symbol(int(d.skip), self.cdfs.skip[sctx])
+        # intra_frame_y_mode
+        above_m = int(self.mode_grid[r - 1, c]) if r > 0 else 0
+        left_m = int(self.mode_grid[r, c - 1]) if c > 0 else 0
+        actx = INTRA_MODE_CONTEXT[above_m]
+        lctx = INTRA_MODE_CONTEXT[left_m]
+        self.ec.encode_symbol(int(d.y_mode), self.cdfs.kf_y_mode[actx][lctx])
+        # angle deltas only for directional modes on >=8x8 blocks
+        from rav1e_tpu.core.constants import ANGLE_BASE
+        if d.y_mode in ANGLE_BASE and bsize >= BlockSize.B8X8:
+            self.ec.encode_symbol(
+                d.angle_delta_y + 3,
+                self.cdfs.angle_delta[int(d.y_mode) - 1])
+        # chroma (always present for >=8x8 in 4:2:0)
+        cfl_allowed = bsize.width <= 32 and bsize.height <= 32
+        if cfl_allowed:
+            self.ec.encode_symbol(
+                int(d.uv_mode), self.cdfs.uv_mode_cfl[int(d.y_mode)])
+        else:
+            self.ec.encode_symbol(
+                int(d.uv_mode), self.cdfs.uv_mode[int(d.y_mode)])
+        if d.uv_mode == PredictionMode.UV_CFL_PRED:
+            self.ec.encode_symbol(d.cfl_alpha_sign, self.cdfs.cfl_sign)
+            raise NotImplementedError("cfl alpha coding lands with CfL")
+        if d.uv_mode in ANGLE_BASE and bsize >= BlockSize.B8X8:
+            self.ec.encode_symbol(
+                d.angle_delta_uv + 3,
+                self.cdfs.angle_delta[int(d.uv_mode) - 1])
+        # residual: M1a is all-skip; coefficient writing lands next
+        if not d.skip:
+            raise NotImplementedError("coefficients land in the next slice")
+        # update context grids
+        self.skip_grid[r: r + bh, c: c + bw] = int(d.skip)
+        self.mode_grid[r: r + bh, c: c + bw] = int(d.y_mode)
+
+    # ---- tree walking ------------------------------------------------------
+
+    def write_sb_tree(self, r: int, c: int, bsize: BlockSize,
+                      partitions: dict, blocks: dict):
+        """Recursively code one superblock's partition tree."""
+        if r >= self.mi_rows or c >= self.mi_cols:
+            return
+        part = partitions.get((r, c, int(bsize)), PartitionType.NONE)
+        self.write_partition(r, c, bsize, part)
+        sub = subsize(part, bsize)
+        half = bsize.width_mi // 2
+        if part == PartitionType.NONE:
+            self.write_intra_block(r, c, bsize, blocks[(r, c)])
+            self._update_part_ctx(r, c, sub, bsize)
+        elif part == PartitionType.SPLIT:
+            if sub == BlockSize.B4X4:
+                for (dr, dc) in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    rr, cc = r + dr, c + dc
+                    if rr < self.mi_rows and cc < self.mi_cols:
+                        self.write_intra_block(rr, cc, sub, blocks[(rr, cc)])
+                self._update_part_ctx(r, c, sub, bsize)
+            else:
+                for (dr, dc) in ((0, 0), (0, half), (half, 0), (half, half)):
+                    self.write_sb_tree(r + dr, c + dc, sub, partitions, blocks)
+        elif part == PartitionType.HORZ:
+            self.write_intra_block(r, c, sub, blocks[(r, c)])
+            if r + half < self.mi_rows:
+                self.write_intra_block(r + half, c, sub, blocks[(r + half, c)])
+            self._update_part_ctx(r, c, sub, bsize)
+        elif part == PartitionType.VERT:
+            self.write_intra_block(r, c, sub, blocks[(r, c)])
+            if c + half < self.mi_cols:
+                self.write_intra_block(r, c + half, sub, blocks[(r, c + half)])
+            self._update_part_ctx(r, c, sub, bsize)
+        else:
+            raise ValueError(part)
+
+    def write_tile(self, partitions: dict, blocks: dict) -> bytes:
+        """Walk all SBs in raster order and finalize the tile data."""
+        for r in range(0, self.mi_rows, 16):
+            self.left_part[:] = 0
+            for c in range(0, self.mi_cols, 16):
+                self.write_sb_tree(r, c, BlockSize.B64X64, partitions, blocks)
+        return self.ec.done()
