@@ -21,15 +21,77 @@ import numpy as np
 
 from rav1e_tpu.core.constants import (
     INTRA_MODE_CONTEXT,
+    MAX_TX_SIZE_RECT,
     BlockSize,
     PartitionType,
     PredictionMode,
+    TxSize,
+    TxType,
     subsize,
 )
+from rav1e_tpu.entropy import coeffs as coeffmod
 from rav1e_tpu.entropy.cdf import TileCDFs
 from rav1e_tpu.entropy.ec import ECEncoder
 
 PROB_TOP = 1 << 15
+
+# chroma (4:2:0) tx size for a luma block size (dims >> 1, capped 32)
+_TX_BY_DIMS = {(t.width, t.height): t for t in TxSize}
+
+
+def chroma_tx_size(bsize: BlockSize) -> TxSize:
+    cw = min(max(bsize.width >> 1, 4), 32)
+    ch = min(max(bsize.height >> 1, 4), 32)
+    # clamp to at most 2:1 aspect (all chroma sizes here exist)
+    return _TX_BY_DIMS[(cw, ch)]
+
+
+# tx set selection for intra (spec get_tx_set)
+def intra_tx_set(tx: TxSize, reduced: bool) -> int:
+    if _sqr_up_idx(tx) > 3:  # sqr_up > 32 -> DCT only
+        return 0
+    if _sqr_up_idx(tx) == 3:  # 32x32ish -> DCT only
+        return 0
+    if reduced:
+        return 2
+    return 2 if _sqr_up_idx(tx) == 2 else 1
+
+
+def _sqr_up_idx(tx: TxSize) -> int:
+    return [TxSize.TX_4X4, TxSize.TX_8X8, TxSize.TX_16X16,
+            TxSize.TX_32X32, TxSize.TX_64X64].index(tx.sqr_up)
+
+
+# symbol index of tx_type within each intra set (spec Tx_Type_Intra_Inv)
+INTRA_TX_SET1 = [TxType.IDTX, TxType.DCT_DCT, TxType.V_DCT, TxType.H_DCT,
+                 TxType.ADST_ADST, TxType.ADST_DCT, TxType.DCT_ADST]
+INTRA_TX_SET2 = [TxType.IDTX, TxType.DCT_DCT, TxType.ADST_ADST,
+                 TxType.ADST_DCT, TxType.DCT_ADST]
+
+# chroma tx type from uv prediction mode (spec Mode_To_Txfm)
+MODE_TO_TXFM = {
+    PredictionMode.DC_PRED: TxType.DCT_DCT,
+    PredictionMode.V_PRED: TxType.ADST_DCT,
+    PredictionMode.H_PRED: TxType.DCT_ADST,
+    PredictionMode.D45_PRED: TxType.DCT_DCT,
+    PredictionMode.D135_PRED: TxType.ADST_ADST,
+    PredictionMode.D113_PRED: TxType.ADST_DCT,
+    PredictionMode.D157_PRED: TxType.DCT_ADST,
+    PredictionMode.D203_PRED: TxType.DCT_ADST,
+    PredictionMode.D67_PRED: TxType.ADST_DCT,
+    PredictionMode.SMOOTH_PRED: TxType.ADST_ADST,
+    PredictionMode.SMOOTH_V_PRED: TxType.ADST_DCT,
+    PredictionMode.SMOOTH_H_PRED: TxType.DCT_ADST,
+    PredictionMode.PAETH_PRED: TxType.ADST_ADST,
+    PredictionMode.UV_CFL_PRED: TxType.DCT_DCT,
+}
+
+
+def chroma_tx_type(uv_mode: PredictionMode, tx: TxSize, reduced: bool) -> TxType:
+    tt = MODE_TO_TXFM[uv_mode]
+    s = intra_tx_set(tx, reduced)
+    allowed = (INTRA_TX_SET1, INTRA_TX_SET2)[s - 1] if s else [TxType.DCT_DCT]
+    return tt if tt in allowed else TxType.DCT_DCT
 
 
 @dataclass
@@ -50,18 +112,28 @@ class BlockDecision:
 class TileWriter:
     def __init__(self, mi_rows: int, mi_cols: int, base_q_idx: int,
                  frame_mi_rows: int | None = None,
-                 frame_mi_cols: int | None = None):
+                 frame_mi_cols: int | None = None,
+                 reduced_tx_set: bool = True):
         # tile == frame until the tiling milestone
         self.mi_rows = mi_rows
         self.mi_cols = mi_cols
         self.frame_mi_rows = frame_mi_rows or mi_rows
         self.frame_mi_cols = frame_mi_cols or mi_cols
+        self.base_q_idx = base_q_idx
+        self.reduced_tx_set = reduced_tx_set
         self.cdfs = TileCDFs(base_q_idx)
         self.ec = ECEncoder()
         self.above_part = np.zeros(mi_cols, np.uint8)
         self.left_part = np.zeros(16, np.uint8)
         self.skip_grid = np.zeros((mi_rows, mi_cols), np.uint8)
         self.mode_grid = np.zeros((mi_rows, mi_cols), np.uint8)
+        # per-plane coefficient entropy contexts, one byte per 4-px unit
+        self.above_coef = [np.zeros(mi_cols, np.uint8),
+                           np.zeros((mi_cols + 1) // 2, np.uint8),
+                           np.zeros((mi_cols + 1) // 2, np.uint8)]
+        self.left_coef = [np.zeros(mi_rows, np.uint8),
+                          np.zeros((mi_rows + 1) // 2, np.uint8),
+                          np.zeros((mi_rows + 1) // 2, np.uint8)]
 
     # ---- partition coding --------------------------------------------------
 
@@ -110,23 +182,26 @@ class TileWriter:
             assert int(part) < nsym
             self.ec.encode_symbol(int(part), icdf)
         elif has_cols:
-            # bottom half out of frame: HORZ or SPLIT, derived bool
+            # bottom half out of frame: HORZ or SPLIT. The split bool's
+            # probability gathers the partitions with a VERTICAL split
+            # edge (verified vs libaom partition_gather_vert_alike).
             assert part in (PartitionType.HORZ, PartitionType.SPLIT)
             p0 = PROB_TOP
-            for k in (PartitionType.HORZ, PartitionType.SPLIT,
-                      PartitionType.HORZ_A, PartitionType.HORZ_B,
-                      PartitionType.VERT_A, PartitionType.HORZ_4):
+            for k in (PartitionType.VERT, PartitionType.SPLIT,
+                      PartitionType.HORZ_A, PartitionType.VERT_A,
+                      PartitionType.VERT_B, PartitionType.VERT_4):
                 if int(k) < nsym:
                     p0 -= self._elem_prob(icdf, int(k))
             derived = [PROB_TOP - p0, 0, 0]
             self.ec.encode_symbol(
                 1 if part == PartitionType.SPLIT else 0, derived, adapt=False)
         elif has_rows:
+            # right half out of frame: VERT or SPLIT (HORZ-alike gather)
             assert part in (PartitionType.VERT, PartitionType.SPLIT)
             p0 = PROB_TOP
-            for k in (PartitionType.VERT, PartitionType.SPLIT,
-                      PartitionType.HORZ_A, PartitionType.VERT_A,
-                      PartitionType.VERT_B, PartitionType.VERT_4):
+            for k in (PartitionType.HORZ, PartitionType.SPLIT,
+                      PartitionType.HORZ_A, PartitionType.HORZ_B,
+                      PartitionType.VERT_A, PartitionType.HORZ_4):
                 if int(k) < nsym:
                     p0 -= self._elem_prob(icdf, int(k))
             derived = [PROB_TOP - p0, 0, 0]
@@ -175,12 +250,71 @@ class TileWriter:
             self.ec.encode_symbol(
                 d.angle_delta_uv + 3,
                 self.cdfs.angle_delta[int(d.uv_mode) - 1])
-        # residual: M1a is all-skip; coefficient writing lands next
+        # residual (spec residual(): per 64-chunk, plane 0 then 1 then 2)
         if not d.skip:
-            raise NotImplementedError("coefficients land in the next slice")
+            ytx = MAX_TX_SIZE_RECT[bsize]
+            ytt = d.coeffs.get("y_tx_type", TxType.DCT_DCT)
+            self._write_tu(0, r, c, ytx, ytt, d.coeffs[0], d.y_mode)
+            uvtx = chroma_tx_size(bsize)
+            uvtt = chroma_tx_type(d.uv_mode, uvtx, self.reduced_tx_set)
+            self._write_tu(1, r, c, uvtx, uvtt, d.coeffs[1], d.uv_mode)
+            self._write_tu(2, r, c, uvtx, uvtt, d.coeffs[2], d.uv_mode)
+        else:
+            # skip resets the coefficient contexts over the block extent
+            self.above_coef[0][c: c + bw] = 0
+            self.left_coef[0][r: r + bh] = 0
+            for p in (1, 2):
+                self.above_coef[p][c // 2: (c + bw + 1) // 2] = 0
+                self.left_coef[p][r // 2: (r + bh + 1) // 2] = 0
         # update context grids
         self.skip_grid[r: r + bh, c: c + bw] = int(d.skip)
         self.mode_grid[r: r + bh, c: c + bw] = int(d.y_mode)
+
+    def _write_tu(self, plane: int, mi_r: int, mi_c: int, tx: TxSize,
+                  tx_type: TxType, levels, mode: PredictionMode):
+        """Code one transform unit + maintain entropy contexts."""
+        ss = 0 if plane == 0 else 1
+        u_c = mi_c >> ss  # first 4-px unit column of this plane block
+        u_r = mi_r >> ss
+        uw = tx.width >> 2
+        uh = tx.height >> 2
+        above = self.above_coef[plane]
+        left = self.left_coef[plane]
+        a_span = above[u_c: u_c + uw]
+        l_span = left[u_r: u_r + uh]
+        if plane == 0:
+            skip_ctx = 0  # tx covers the whole block (TX_MODE_LARGEST)
+        else:
+            base = int(bool(a_span.any())) + int(bool(l_span.any()))
+            skip_ctx = 7 + base
+        # dc sign ctx from neighbor categories
+        dcs = 0
+        for b in a_span:
+            cat = int(b) >> 6
+            dcs += 1 if cat == 2 else (-1 if cat == 1 else 0)
+        for b in l_span:
+            cat = int(b) >> 6
+            dcs += 1 if cat == 2 else (-1 if cat == 1 else 0)
+        dc_sign_ctx = 0 if dcs == 0 else (1 if dcs < 0 else 2)
+
+        def tx_type_cb():
+            if plane != 0:
+                return
+            s = intra_tx_set(tx, self.reduced_tx_set)
+            if s == 0 or self.base_q_idx == 0:
+                return
+            order = INTRA_TX_SET1 if s == 1 else INTRA_TX_SET2
+            sym = order.index(tx_type)
+            sqr = _sqr_up_idx(tx.sqr)
+            table = (self.cdfs.intra_ext_tx1 if s == 1
+                     else self.cdfs.intra_ext_tx2)
+            self.ec.encode_symbol(sym, table[sqr][int(mode)])
+
+        cul = coeffmod.write_coeffs(
+            self.ec, self.cdfs, plane, tx, tx_type, levels,
+            skip_ctx, dc_sign_ctx, tx_type_cb)
+        above[u_c: u_c + uw] = cul
+        left[u_r: u_r + uh] = cul
 
     # ---- tree walking ------------------------------------------------------
 

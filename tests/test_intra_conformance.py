@@ -1,0 +1,50 @@
+"""M1 conformance: intra keyframes decode bit-exact on dav1d + libaom.
+
+This is the reference's core test discipline (rav1e
+src/test_encode_decode/): the decoder's output planes must equal the
+encoder's own reconstruction exactly.
+"""
+
+import numpy as np
+import pytest
+
+from rav1e_tpu.conform import aom, dav1d
+from rav1e_tpu.pipeline.intra import encode_keyframe
+
+
+def synth_frame(w, h, seed=7):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (100 + 50 * np.sin(xx / 17) + 40 * np.cos(yy / 11)
+         + rng.normal(0, 6, (h, w))).clip(0, 255).astype(np.uint8)
+    u = (128 + 30 * np.sin(xx[::2, ::2] / 23)).clip(0, 255).astype(np.uint8)
+    v = (128 - 25 * np.cos(yy[::2, ::2] / 19)).clip(0, 255).astype(np.uint8)
+    return [y, u, v]
+
+
+@pytest.mark.parametrize("w,h,q", [
+    (64, 64, 80),      # single SB
+    (96, 64, 80),      # partial SB column (derived partition bools)
+    (64, 96, 80),      # partial SB row
+    (352, 288, 100),   # BASELINE config 1 dims
+    (352, 288, 20),    # high quality (q-ctx 0 coefficient CDFs)
+    (352, 288, 220),   # low quality
+])
+def test_intra_bit_exact(w, h, q):
+    planes = synth_frame(w, h)
+    pkt, rec = encode_keyframe(planes, qindex=q)
+    fr = dav1d.decode_all([pkt])
+    assert len(fr) == 1
+    for i in range(3):
+        assert np.array_equal(fr[0].planes[i], rec[i]), f"dav1d plane {i}"
+    out = aom.decode_all([pkt])
+    for i in range(3):
+        assert np.array_equal(out[0][i], rec[i]), f"aom plane {i}"
+
+
+def test_psnr_reasonable():
+    planes = synth_frame(352, 288)
+    pkt, rec = encode_keyframe(planes, qindex=80)
+    mse = np.mean((rec[0].astype(float) - planes[0]) ** 2)
+    psnr = 10 * np.log10(255 ** 2 / mse)
+    assert psnr > 33, psnr
