@@ -15,3 +15,25 @@ the encoder's predicted reconstruction.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _setup_jax_cache():
+    """Persistent XLA compilation cache: TPU compiles of the big int32
+    transform graphs take minutes; cache them across processes."""
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "RAV1E_TPU_JAX_CACHE",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "rav1e_tpu_jax"),
+        )
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_setup_jax_cache()
