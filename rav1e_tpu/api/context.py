@@ -1,0 +1,132 @@
+"""Encoder session: Config -> Context, send_frame / receive_packet.
+
+Reference parity: rav1e src/api/context.rs + internal.rs. The state
+machine accepts frames, encodes (currently: every frame a KEY intra
+frame — the inter/GOP scheduler lands with the inter milestone), and
+emits packets in coded order. Key names mirror rav1e_config_parse
+(SURVEY Appendix A.3) where meaningful.
+"""
+
+from __future__ import annotations
+
+import enum
+from collections import deque
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+class EncoderStatus(enum.Enum):
+    SUCCESS = 0
+    NEED_MORE_DATA = 1
+    ENOUGH_DATA = 2
+    LIMIT_REACHED = 3
+    ENCODED = 4
+    FAILURE = -1
+
+
+@dataclass
+class Packet:
+    data: bytes
+    input_frameno: int
+    frame_type: str
+    qp: int
+
+
+@dataclass
+class Config:
+    width: int = 640
+    height: int = 480
+    speed: int = 6
+    quantizer: int = 100
+    bit_depth: int = 8
+    chroma_sampling: str = "420"
+    key_frame_interval: int = 240
+    min_key_frame_interval: int = 12
+    low_latency: bool = True
+    threads: int = 1
+    tiles: int = 1
+    extra: dict = field(default_factory=dict)
+
+    @classmethod
+    def parse(cls, kv: dict) -> "Config":
+        """rav1e_config_parse-style key/value configuration."""
+        cfg = cls()
+        for k, v in kv.items():
+            key = {"qp": "quantizer"}.get(k, k)
+            if hasattr(cfg, key):
+                cur = getattr(cfg, key)
+                if isinstance(cur, bool):
+                    v = str(v).lower() in ("1", "true", "yes")
+                elif isinstance(cur, int):
+                    v = int(v)
+                setattr(cfg, key, v)
+            else:
+                cfg.extra[k] = v
+        return cfg
+
+    def new_context(self) -> "Context":
+        return Context(self)
+
+
+class Context:
+    """send_frame / receive_packet state machine (rav1e-shaped)."""
+
+    def __init__(self, cfg: Config):
+        assert cfg.bit_depth == 8 and cfg.chroma_sampling == "420", (
+            "10/12-bit and 422/444 land with the bit-depth milestone")
+        self.cfg = cfg
+        self._q: deque = deque()
+        self._out: deque = deque()
+        self._input_frameno = 0
+        self._flushed = False
+        self._limit_emitted = False
+
+    # -- input side ----------------------------------------------------------
+
+    def send_frame(self, frame: list[np.ndarray] | None) -> EncoderStatus:
+        """frame: [y, u, v] uint8 planes, or None to signal flush."""
+        if frame is None:
+            self._flushed = True
+            return EncoderStatus.SUCCESS
+        if self._flushed:
+            return EncoderStatus.ENOUGH_DATA
+        y, u, v = frame
+        if y.shape != (self.cfg.height, self.cfg.width):
+            raise ValueError(
+                f"frame is {y.shape[::-1]}, config {self.cfg.width}x"
+                f"{self.cfg.height}")
+        self._q.append((self._input_frameno, [np.asarray(p) for p in frame]))
+        self._input_frameno += 1
+        return EncoderStatus.SUCCESS
+
+    # -- output side ---------------------------------------------------------
+
+    def receive_packet(self) -> tuple[EncoderStatus, Packet | None]:
+        if self._out:
+            return EncoderStatus.SUCCESS, self._out.popleft()
+        if not self._q:
+            if self._flushed:
+                if self._limit_emitted:
+                    return EncoderStatus.LIMIT_REACHED, None
+                self._limit_emitted = True
+                return EncoderStatus.LIMIT_REACHED, None
+            return EncoderStatus.NEED_MORE_DATA, None
+        frameno, planes = self._q.popleft()
+        pkt = self._encode_frame(frameno, planes)
+        return EncoderStatus.SUCCESS, pkt
+
+    def _encode_frame(self, frameno: int, planes) -> Packet:
+        q = self.cfg.quantizer
+        h, w = planes[0].shape
+        if w % 32 == 0 and h % 32 == 0:
+            from rav1e_tpu.pipeline.tpu_intra import encode_keyframe_tpu
+            data, _rec = encode_keyframe_tpu(planes, qindex=q)
+        else:
+            from rav1e_tpu.pipeline.intra import encode_keyframe
+            data, _rec = encode_keyframe(planes, qindex=q)
+        return Packet(data=data, input_frameno=frameno, frame_type="KEY",
+                      qp=q)
+
+    def flush(self):
+        self.send_frame(None)

@@ -1,0 +1,64 @@
+"""CLI: y4m in -> AV1 IVF out (reference parity: rav1e src/bin/rav1e.rs).
+
+Usage: python -m rav1e_tpu.cli.main input.y4m -o output.ivf
+           [--quantizer Q] [--speed S] [--limit N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from rav1e_tpu.api import Config, EncoderStatus
+from rav1e_tpu.cli.ivf import ivf_frame, ivf_header
+from rav1e_tpu.cli.y4m import Y4MReader
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="rav1e_tpu")
+    ap.add_argument("input", help="y4m input file (or - for stdin)")
+    ap.add_argument("-o", "--output", required=True, help="IVF output")
+    ap.add_argument("--quantizer", type=int, default=100)
+    ap.add_argument("--speed", type=int, default=6)
+    ap.add_argument("--limit", type=int, default=0, help="max frames")
+    args = ap.parse_args(argv)
+
+    src = sys.stdin.buffer if args.input == "-" else args.input
+    rd = Y4MReader(src)
+    info = rd.info
+    cfg = Config(width=info.width, height=info.height,
+                 quantizer=args.quantizer, speed=args.speed)
+    ctx = cfg.new_context()
+    t0 = time.time()
+    n_in = n_out = total = 0
+    with open(args.output, "wb") as out:
+        out.write(ivf_header(info.width, info.height,
+                             info.fps_num, info.fps_den))
+        for frame in rd:
+            ctx.send_frame([p for p in frame])
+            n_in += 1
+            while True:
+                st, pkt = ctx.receive_packet()
+                if st != EncoderStatus.SUCCESS:
+                    break
+                out.write(ivf_frame(pkt.data, pkt.input_frameno))
+                n_out += 1
+                total += len(pkt.data)
+            if args.limit and n_in >= args.limit:
+                break
+        ctx.flush()
+        while True:
+            st, pkt = ctx.receive_packet()
+            if st != EncoderStatus.SUCCESS:
+                break
+            out.write(ivf_frame(pkt.data, pkt.input_frameno))
+            n_out += 1
+            total += len(pkt.data)
+    dt = time.time() - t0
+    print(f"encoded {n_out} frames, {total} bytes, "
+          f"{n_out / dt:.3f} fps", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,254 @@
+"""ctypes bridge to the native (C++) tile packer.
+
+NativeTileWriter mirrors TileWriter exactly (byte-identical output,
+asserted by tests) but keeps the od_ec state and all coefficient
+coding in C++; mode-level symbols cross the FFI per symbol, while each
+transform unit's coefficients are packed in a single native call.
+
+CDF state lives in C++; the Python-side TileCDFs lists are kept
+adapted in lockstep so derived CDFs (partition split bools) and any
+Python-side rate estimation read correct values.
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from rav1e_tpu.core.constants import PartitionType, TxSize
+from rav1e_tpu.entropy import coeffs as coeffmod
+from rav1e_tpu.entropy.ec import update_cdf
+from rav1e_tpu.entropy.tile import (
+    INTRA_TX_SET1,
+    INTRA_TX_SET2,
+    TileWriter,
+    _sqr_up_idx,
+    intra_tx_set,
+)
+
+_DIR = Path(__file__).resolve().parent.parent / "native"
+_LIB = None
+
+
+def _load():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    so = _DIR / "libpacker.so"
+    if not so.exists():
+        subprocess.check_call(
+            ["g++", "-O2", "-shared", "-fPIC", "-o", str(so),
+             str(_DIR / "packer.cpp")])
+    lib = C.CDLL(str(so))
+    lib.packer_new.restype = C.c_void_p
+    lib.packer_add_family.argtypes = [C.c_void_p, C.POINTER(C.c_int32),
+                                      C.c_int, C.c_int]
+    lib.packer_symbol.argtypes = [C.c_void_p, C.c_int, C.c_int, C.c_int]
+    lib.packer_symbol_noadapt_raw.argtypes = [
+        C.c_void_p, C.c_int, C.POINTER(C.c_int32), C.c_int]
+    lib.packer_bool.argtypes = [C.c_void_p, C.c_int, C.c_int]
+    lib.packer_literal.argtypes = [C.c_void_p, C.c_int, C.c_int]
+    lib.packer_split_bool.argtypes = [C.c_void_p, C.c_int, C.c_int, C.c_int,
+                                      C.POINTER(C.c_int32), C.c_int]
+    lib.packer_coeffs.restype = C.c_int
+    lib.packer_coeffs.argtypes = [C.c_void_p] + [C.c_int] * 23 + [
+        C.POINTER(C.c_int32)]
+    lib.packer_done.restype = C.c_long
+    lib.packer_done.argtypes = [C.c_void_p, C.POINTER(C.c_uint8), C.c_long]
+    lib.packer_free.argtypes = [C.c_void_p]
+    _LIB = lib
+    return lib
+
+
+def _flatten_records(node, out):
+    """Yield leaf records (lists ending with counter) in nesting order."""
+    if isinstance(node, list) and node and isinstance(node[0], int):
+        out.append(node)
+    else:
+        for sub in node:
+            _flatten_records(sub, out)
+
+
+class _FamilyMap:
+    """Registers one TileCDFs table as a native family; maps Python
+    record identity -> (family id, record index)."""
+
+    def __init__(self, lib, handle, table, by_id: dict):
+        recs: list = []
+        _flatten_records(table, recs)
+        nsym = len(recs[0]) - 1  # drop counter slot
+        flat = np.zeros((len(recs), nsym), np.int32)
+        for i, r in enumerate(recs):
+            assert len(r) - 1 == nsym
+            flat[i] = r[:-1]
+        self.fam = lib.packer_add_family(
+            handle, flat.ctypes.data_as(C.POINTER(C.c_int32)),
+            len(recs), nsym)
+        for i, r in enumerate(recs):
+            by_id[id(r)] = (self.fam, i)
+
+
+class _NativeEC:
+    """Adapter with the ECEncoder interface, routing into C++."""
+
+    def __init__(self, lib, handle, by_id):
+        self._lib = lib
+        self._h = handle
+        self._by_id = by_id
+
+    def encode_symbol(self, s, icdf, adapt=True):
+        key = id(icdf)
+        fam = self._by_id.get(key)
+        if fam is not None and adapt:
+            self._lib.packer_symbol(self._h, fam[0], fam[1], int(s))
+            update_cdf(icdf, s)  # keep python mirror in lockstep
+        else:
+            arr = (C.c_int32 * (len(icdf) - 1))(*icdf[:-1])
+            self._lib.packer_symbol_noadapt_raw(
+                self._h, int(s), arr, len(icdf) - 1)
+            if adapt:
+                update_cdf(icdf, s)
+
+    def encode_bool(self, val, f):
+        self._lib.packer_bool(self._h, int(val), int(f))
+
+    def encode_literal(self, value, nbits):
+        self._lib.packer_literal(self._h, int(value), int(nbits))
+
+
+class NativeTileWriter(TileWriter):
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        lib = _load()
+        self._lib = lib
+        self._h = lib.packer_new()
+        by_id: dict = {}
+        c = self.cdfs
+        self._fam = {}
+        for name, table in [
+            ("partition_8", c.partition_8), ("partition_mid", c.partition_mid),
+            ("partition_128", c.partition_128), ("kf_y_mode", c.kf_y_mode),
+            ("y_mode", c.y_mode), ("uv_mode", c.uv_mode),
+            ("uv_mode_cfl", c.uv_mode_cfl), ("angle_delta", c.angle_delta),
+            ("skip", c.skip), ("cfl_sign", [c.cfl_sign]),
+            ("cfl_alpha", c.cfl_alpha), ("seg_tree", c.seg_tree),
+            ("tx_size_8", c.tx_size_8), ("tx_size", c.tx_size),
+            ("intra_ext_tx1", c.intra_ext_tx1),
+            ("intra_ext_tx2", c.intra_ext_tx2),
+            ("txb_skip", c.txb_skip),
+            ("eob_pt_16", c.eob_pt[16]), ("eob_pt_32", c.eob_pt[32]),
+            ("eob_pt_64", c.eob_pt[64]), ("eob_pt_128", c.eob_pt[128]),
+            ("eob_pt_256", c.eob_pt[256]), ("eob_pt_512", c.eob_pt[512]),
+            ("eob_pt_1024", c.eob_pt[1024]),
+            ("eob_hi_bit", c.eob_hi_bit),
+            ("coeff_base_eob", c.coeff_base_eob),
+            ("coeff_base", c.coeff_base), ("coeff_br", c.coeff_br),
+            ("dc_sign", c.dc_sign),
+        ]:
+            self._fam[name] = _FamilyMap(lib, self._h, table, by_id)
+        self._by_id = by_id
+        self.ec = _NativeEC(lib, self._h, by_id)
+
+    def _write_tu(self, plane, mi_r, mi_c, tx: TxSize, tx_type, levels, mode):
+        ss = 0 if plane == 0 else 1
+        u_c = mi_c >> ss
+        u_r = mi_r >> ss
+        uw = tx.width >> 2
+        uh = tx.height >> 2
+        above = self.above_coef[plane]
+        left = self.left_coef[plane]
+        a_span = above[u_c: u_c + uw]
+        l_span = left[u_r: u_r + uh]
+        if plane == 0:
+            skip_ctx = 0
+        else:
+            skip_ctx = 7 + int(bool(a_span.any())) + int(bool(l_span.any()))
+        dcs = 0
+        for b in a_span:
+            cat = int(b) >> 6
+            dcs += 1 if cat == 2 else (-1 if cat == 1 else 0)
+        for b in l_span:
+            cat = int(b) >> 6
+            dcs += 1 if cat == 2 else (-1 if cat == 1 else 0)
+        dc_sign_ctx = 0 if dcs == 0 else (1 if dcs < 0 else 2)
+
+        ptype = 0 if plane == 0 else 1
+        tctx = coeffmod.txs_ctx(tx)
+        tclass = coeffmod.tx_class(tx_type)
+        n_pels = min(tx.width, 32) * min(tx.height, 32)
+        eob_key = max(n_pels, 16)
+        eob_fam = self._fam[f"eob_pt_{eob_key}"].fam
+        # eob record index: [ptype][emctx] or [ptype] for 512/1024
+        emctx = 0 if tclass == coeffmod.TX_CLASS_2D else 1
+        if eob_key >= 512:
+            eob_rec = ptype
+        else:
+            eob_rec = ptype * 2 + emctx
+        txtype_fam = -1
+        txtype_rec = 0
+        txtype_sym = 0
+        if plane == 0:
+            s = intra_tx_set(tx, self.reduced_tx_set)
+            if s != 0 and self.base_q_idx != 0:
+                order = INTRA_TX_SET1 if s == 1 else INTRA_TX_SET2
+                txtype_sym = order.index(tx_type)
+                sqr = _sqr_up_idx(tx.sqr)
+                name = "intra_ext_tx1" if s == 1 else "intra_ext_tx2"
+                txtype_fam = self._fam[name].fam
+                txtype_rec = sqr * 13 + int(mode)
+        lv = np.ascontiguousarray(levels, np.int32)
+        cul = self._lib.packer_coeffs(
+            self._h, ptype, tx.width, tx.height, tctx, min(tctx, 3),
+            tclass, eob_fam, eob_rec,
+            self._fam["eob_hi_bit"].fam, (tctx * 2 + ptype) * 11,
+            self._fam["txb_skip"].fam, tctx * 13 + skip_ctx,
+            self._fam["coeff_base_eob"].fam, (tctx * 2 + ptype) * 4,
+            self._fam["coeff_base"].fam, (tctx * 2 + ptype) * 41,
+            self._fam["coeff_br"].fam, (min(tctx, 3) * 2 + ptype) * 21,
+            self._fam["dc_sign"].fam, ptype * 3 + dc_sign_ctx,
+            txtype_fam, txtype_rec, txtype_sym,
+            lv.ctypes.data_as(C.POINTER(C.c_int32)))
+        above[u_c: u_c + uw] = cul
+        left[u_r: u_r + uh] = cul
+
+    def write_partition(self, r, c, bsize, part):
+        has_rows = r + bsize.height_mi // 2 < self.mi_rows
+        has_cols = c + bsize.width_mi // 2 < self.mi_cols
+        if has_rows and has_cols:
+            return super().write_partition(r, c, bsize, part)
+        if not has_rows and not has_cols:
+            assert part == PartitionType.SPLIT
+            return
+        ctx = self._part_ctx(r, c, bsize)
+        icdf, nsym = self._partition_cdf(ctx, bsize)
+        fam, rec = self._by_id[id(icdf)]
+        if has_cols:
+            ks = [PartitionType.VERT, PartitionType.SPLIT,
+                  PartitionType.HORZ_A, PartitionType.VERT_A,
+                  PartitionType.VERT_B, PartitionType.VERT_4]
+        else:
+            ks = [PartitionType.HORZ, PartitionType.SPLIT,
+                  PartitionType.HORZ_A, PartitionType.HORZ_B,
+                  PartitionType.VERT_A, PartitionType.HORZ_4]
+        arr = (C.c_int32 * len(ks))(*[int(k) for k in ks])
+        bit = 1 if part == PartitionType.SPLIT else 0
+        self._lib.packer_split_bool(self._h, fam, rec, bit, arr, len(ks))
+
+    def write_tile(self, partitions, blocks) -> bytes:
+        for r in range(0, self.mi_rows, 16):
+            self.left_part[:] = 0
+            for c in range(0, self.mi_cols, 16):
+                from rav1e_tpu.core.constants import BlockSize
+                self.write_sb_tree(r, c, BlockSize.B64X64,
+                                   partitions, blocks)
+        cap = 1 << 24
+        buf = (C.c_uint8 * cap)()
+        n = self._lib.packer_done(self._h, buf, cap)
+        assert n > 0
+        out = bytes(buf[:n])
+        self._lib.packer_free(self._h)
+        self._h = None
+        return out

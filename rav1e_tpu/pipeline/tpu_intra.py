@@ -1,16 +1,18 @@
-"""TPU wavefront intra encoder (single chip).
+"""TPU wavefront intra encoder (single chip) with batched mode RDO.
 
 The TPU inversion of rav1e's serial SB loop (SURVEY §7.0): blocks on
-the same anti-diagonal have no prediction dependency (intra needs only
-above/left recon), so each wavefront step batches every block of one
-diagonal through shared jitted kernels: DC predict -> forward DCT
-(MXU) -> quantize -> dequantize -> bit-exact integer inverse ->
-reconstruct. Luma 32x32 and chroma 16x16 grids share the same block
-graph, so one step handles all three planes.
+the same anti-diagonal have no prediction dependency, so each step
+batches every block of one diagonal — and every candidate intra mode —
+through shared jitted kernels: predict (all modes) -> forward DCT
+(MXU) -> quantize -> dequantize -> bit-exact inverse -> reconstruct ->
+RD-cost argmin. Whole frame = one lax.fori_loop dispatch.
 
-The per-diagonal step is compiled ONCE (indices padded to the longest
-diagonal, masked); the Python loop over diagonals does no tracing.
-Entropy packing consumes the level grids afterwards (two-plane IR).
+Mirrors rav1e's rdo_mode_decision (src/rdo.rs) restructured as
+fixed-shape candidate evaluation; rate is estimated from level
+magnitudes (WriterCounter-style exact costing lands later).
+
+Entropy packing consumes the level/mode grids afterwards through the
+native C++ packer (two-plane IR, SURVEY §7.0).
 """
 
 from __future__ import annotations
@@ -33,55 +35,152 @@ from rav1e_tpu.entropy.obu import FrameParams, Sequence, TileInfo, keyframe_pack
 from rav1e_tpu.entropy.tile import BlockDecision, TileWriter
 from rav1e_tpu.ops.ref.quant import ac_q, dc_q
 from rav1e_tpu.ops.tpu import transforms as T
+from rav1e_tpu.ops.tpu.intra import predict_modes
 
 LB = 32  # luma block
 CB = 16  # chroma block
 
+P = PredictionMode
+MODES_FULL = (P.DC_PRED, P.V_PRED, P.H_PRED, P.SMOOTH_PRED,
+              P.SMOOTH_V_PRED, P.SMOOTH_H_PRED, P.PAETH_PRED)
+MODES_FAST = (P.DC_PRED,)
+MODES_UV = (P.DC_PRED, P.V_PRED, P.H_PRED, P.SMOOTH_PRED)
 
-def _plane_step(rec, src, lv_store, ii, jj, mask, tx_size, dqs, base):
-    """One wavefront step for one plane's block grid."""
-    n = ii.shape[0]
+
+def _rate_estimate(lv):
+    """Cheap per-candidate rate proxy (bits): nnz + magnitude bits."""
+    a = jnp.abs(lv).astype(jnp.float32)
+    nz = (a > 0).astype(jnp.float32)
+    mag = jnp.log2(1.0 + a)
+    return jnp.sum(2.0 * nz + 2.0 * mag, axis=(-2, -1))
+
+
+def _plane_step(rec, src, lv_store, mode_store, ii, jj, mask,
+                tx_size, dqs, modes, lam):
     blkh, blkw = tx_size.height, tx_size.width
+    n = ii.shape[0]
+    K = len(modes)
     srcb = src[ii, jj]  # [N, h, w]
     has_a = ii > 0
     has_l = jj > 0
-    above = rec[jnp.maximum(ii - 1, 0), jj][:, blkh - 1, :]  # [N, w]
-    left = rec[ii, jnp.maximum(jj - 1, 0)][:, :, blkw - 1]   # [N, h]
-    sum_a = above.sum(axis=-1)
-    sum_l = left.sum(axis=-1)
-    wlog, hlog = blkw.bit_length() - 1, blkh.bit_length() - 1
-    dc_both = (sum_a + sum_l + ((blkw + blkh) >> 1)) // (blkw + blkh)
-    dc_a = (sum_a + (blkw >> 1)) >> wlog
-    dc_l = (sum_l + (blkh >> 1)) >> hlog
-    dc = jnp.where(has_a & has_l, dc_both,
-                   jnp.where(has_a, dc_a,
-                             jnp.where(has_l, dc_l, base)))
-    pred = dc[:, None, None].astype(jnp.int32)
-    resid = srcb - pred
-    cf = T.forward_transform(resid, tx_size, TxType.DCT_DCT)
+    above = rec[jnp.maximum(ii - 1, 0), jj][:, blkh - 1, :]
+    left = rec[ii, jnp.maximum(jj - 1, 0)][:, :, blkw - 1]
+    tl = rec[jnp.maximum(ii - 1, 0), jnp.maximum(jj - 1, 0)][:, blkh - 1,
+                                                             blkw - 1]
+    preds = predict_modes(modes, above, left, tl, has_a, has_l, blkh, blkw)
+    resid = srcb[None] - preds  # [K, N, h, w]
+    flat = resid.reshape(K * n, blkh, blkw)
+    cf = T.forward_transform(flat, tx_size, TxType.DCT_DCT)
     lv = T.quantize(cf, tx_size, dqs[0], dqs[1])
     dq = T.dequantize(lv, tx_size, dqs[0], dqs[1])
     r2 = T.inverse_transform(dq, tx_size, TxType.DCT_DCT)
-    recb = jnp.clip(pred + r2, 0, 255).astype(jnp.int32)
+    recb = jnp.clip(preds.reshape(K * n, blkh, blkw) + r2, 0, 255)
+    recb = recb.astype(jnp.int32).reshape(K, n, blkh, blkw)
+    lvk = lv.reshape(K, n, blkh, blkw)
+    sse = jnp.sum((recb - srcb[None]).astype(jnp.float32) ** 2,
+                  axis=(-2, -1))
+    bits = _rate_estimate(lvk)
+    cost = sse + lam * bits  # [K, N]
+    best = jnp.argmin(cost, axis=0)  # [N]
+    sel = jnp.arange(n)
+    rec_sel = recb[best, sel]
+    lv_sel = lvk[best, sel]
     m = mask[:, None, None]
-    rec = rec.at[ii, jj].set(jnp.where(m, recb, rec[ii, jj]))
+    rec = rec.at[ii, jj].set(jnp.where(m, rec_sel, rec[ii, jj]))
     lv_store = lv_store.at[ii, jj].set(
-        jnp.where(m, lv.astype(jnp.int32), lv_store[ii, jj]))
-    del n
-    return rec, lv_store
+        jnp.where(m, lv_sel, lv_store[ii, jj]))
+    mode_tab = jnp.asarray(np.array([int(mm) for mm in modes], np.int32))
+    mode_store = mode_store.at[ii, jj].set(
+        jnp.where(mask, mode_tab[best], mode_store[ii, jj]))
+    return rec, lv_store, mode_store
 
 
+def _chroma_joint_step(ru, rv, su, sv, lu, lvv, mode_store, ii, jj, mask,
+                       tx_size, dqs, modes, lam):
+    """Chroma RDO: u and v share the single coded uv_mode, so the
+    candidate cost is joint (sse_u + sse_v + lam * rate)."""
+    blkh, blkw = tx_size.height, tx_size.width
+    n = ii.shape[0]
+    K = len(modes)
+
+    from rav1e_tpu.entropy.tile import chroma_tx_type
+
+    def plane_cands(rec, src):
+        srcb = src[ii, jj]
+        has_a = ii > 0
+        has_l = jj > 0
+        above = rec[jnp.maximum(ii - 1, 0), jj][:, blkh - 1, :]
+        left = rec[ii, jnp.maximum(jj - 1, 0)][:, :, blkw - 1]
+        tl = rec[jnp.maximum(ii - 1, 0),
+                 jnp.maximum(jj - 1, 0)][:, blkh - 1, blkw - 1]
+        preds = predict_modes(modes, above, left, tl, has_a, has_l,
+                              blkh, blkw)
+        # the decoder DERIVES the chroma tx type from uv_mode (spec
+        # Mode_To_Txfm), so each candidate transforms with its own type
+        recs, lvs = [], []
+        for k, m in enumerate(modes):
+            tt = chroma_tx_type(m, tx_size, True)
+            resid = srcb - preds[k]
+            cf = T.forward_transform(resid, tx_size, tt)
+            lv = T.quantize(cf, tx_size, dqs[0], dqs[1])
+            dq = T.dequantize(lv, tx_size, dqs[0], dqs[1])
+            r2 = T.inverse_transform(dq, tx_size, tt)
+            recs.append(jnp.clip(preds[k] + r2, 0, 255).astype(jnp.int32))
+            lvs.append(lv)
+        recb = jnp.stack(recs, axis=0)
+        lvk = jnp.stack(lvs, axis=0)
+        sse = jnp.sum((recb - srcb[None]).astype(jnp.float32) ** 2,
+                      axis=(-2, -1))
+        return recb, lvk, sse
+
+    rec_u, lv_u, sse_u = plane_cands(ru, su)
+    rec_v, lv_v, sse_v = plane_cands(rv, sv)
+    cost = sse_u + sse_v + lam * (_rate_estimate(lv_u) + _rate_estimate(lv_v))
+    best = jnp.argmin(cost, axis=0)
+    sel = jnp.arange(n)
+    m = mask[:, None, None]
+    ru = ru.at[ii, jj].set(jnp.where(m, rec_u[best, sel], ru[ii, jj]))
+    rv = rv.at[ii, jj].set(jnp.where(m, rec_v[best, sel], rv[ii, jj]))
+    lu = lu.at[ii, jj].set(jnp.where(m, lv_u[best, sel], lu[ii, jj]))
+    lvv = lvv.at[ii, jj].set(jnp.where(m, lv_v[best, sel], lvv[ii, jj]))
+    mode_tab = jnp.asarray(np.array([int(mm) for mm in modes], np.int32))
+    mode_store = mode_store.at[ii, jj].set(
+        jnp.where(mask, mode_tab[best], mode_store[ii, jj]))
+    return ru, rv, lu, lvv, mode_store
+
+
+@partial(jax.jit, static_argnames=("qdc", "qac", "qdc_c", "qac_c",
+                                   "modes_y", "modes_uv"))
+def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab,
+                    qdc, qac, qdc_c, qac_c, modes_y, modes_uv):
+    """Whole-frame wavefront: fori_loop over diagonals, one dispatch."""
+    qstep = qdc / 8.0
+    lam = 0.12 * qstep * qstep
+
+    def body(d, st):
+        (ry, ru, rv, ly, lu, lvv, my, mu) = st
+        ii, jj, mask = ii_tab[d], jj_tab[d], mask_tab[d]
+        ry, ly, my = _plane_step(ry, srcs[0], ly, my, ii, jj, mask,
+                                 TxSize.TX_32X32, (qdc, qac), modes_y, lam)
+        ru, rv, lu, lvv, mu = _chroma_joint_step(
+            ru, rv, srcs[1], srcs[2], lu, lvv, mu, ii, jj, mask,
+            TxSize.TX_16X16, (qdc_c, qac_c), modes_uv, lam)
+        return (ry, ru, rv, ly, lu, lvv, my, mu)
+
+    return jax.lax.fori_loop(0, ii_tab.shape[0], body, state)
+
+
+# kept for __graft_entry__: one diagonal as a standalone jittable step
 @partial(jax.jit, static_argnames=("qdc", "qac", "qdc_c", "qac_c"))
 def wavefront_step(state, srcs, ii, jj, mask, qdc, qac, qdc_c, qac_c):
-    (ry, ru, rv, ly, lu, lvv) = state
-    (sy, su, sv) = srcs
-    ry, ly = _plane_step(ry, sy, ly, ii, jj, mask,
-                         TxSize.TX_32X32, (qdc, qac), 128)
-    ru, lu = _plane_step(ru, su, lu, ii, jj, mask,
-                         TxSize.TX_16X16, (qdc_c, qac_c), 128)
-    rv, lvv = _plane_step(rv, sv, lvv, ii, jj, mask,
-                          TxSize.TX_16X16, (qdc_c, qac_c), 128)
-    return (ry, ru, rv, ly, lu, lvv)
+    (ry, ru, rv, ly, lu, lvv, my, mu) = state
+    lam = 0.12 * (qdc / 8.0) ** 2
+    ry, ly, my = _plane_step(ry, srcs[0], ly, my, ii, jj, mask,
+                             TxSize.TX_32X32, (qdc, qac), MODES_FULL, lam)
+    ru, rv, lu, lvv, mu = _chroma_joint_step(
+        ru, rv, srcs[1], srcs[2], lu, lvv, mu, ii, jj, mask,
+        TxSize.TX_16X16, (qdc_c, qac_c), MODES_UV, lam)
+    return (ry, ru, rv, ly, lu, lvv, my, mu)
 
 
 def _to_blocks(p: np.ndarray, b: int) -> np.ndarray:
@@ -95,7 +194,8 @@ def _from_blocks(a: np.ndarray) -> np.ndarray:
     return a.transpose(0, 2, 1, 3).reshape(bh * b, bw * b)
 
 
-def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100):
+def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
+                        speed: int = 6):
     """TPU-batched KEY frame encode; dims must be multiples of 32.
 
     Returns (packet, recon planes) — recon is bit-exact decoder output.
@@ -114,32 +214,39 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100):
         jnp.zeros((bh, bw, LB, LB), jnp.int32),
         jnp.zeros((bh, bw, CB, CB), jnp.int32),
         jnp.zeros((bh, bw, CB, CB), jnp.int32),
+        jnp.zeros((bh, bw), jnp.int32),
+        jnp.zeros((bh, bw), jnp.int32),
     )
     maxlen = min(bh, bw)
     qdc, qac = dc_q(qindex), ac_q(qindex)
-    for d in range(bh + bw - 1):
+    n_diag = bh + bw - 1
+    # padded lanes scatter out of bounds (dropped by XLA) so they can
+    # never clobber real blocks via duplicate indices
+    ii_tab = np.full((n_diag, maxlen), bh, np.int32)
+    jj_tab = np.full((n_diag, maxlen), bw, np.int32)
+    mask_tab = np.zeros((n_diag, maxlen), bool)
+    for d in range(n_diag):
         cells = [(i, d - i) for i in range(max(0, d - bw + 1),
                                            min(d, bh - 1) + 1)]
-        n = len(cells)
-        # padded lanes scatter out of bounds (dropped by XLA) so they
-        # can never clobber real blocks via duplicate indices
-        ii = np.full(maxlen, bh, np.int32)
-        jj = np.full(maxlen, bw, np.int32)
-        mask = np.zeros(maxlen, bool)
         for k, (i, j) in enumerate(cells):
-            ii[k], jj[k], mask[k] = i, j, True
-        state = wavefront_step(state, (sy, su, sv),
-                               jnp.asarray(ii), jnp.asarray(jj),
-                               jnp.asarray(mask), qdc, qac, qdc, qac)
-        del n
-    ry, ru, rv, ly, lu, lvv = [np.asarray(s) for s in state]
+            ii_tab[d, k], jj_tab[d, k], mask_tab[d, k] = i, j, True
+    modes_y = MODES_FULL if speed <= 8 else MODES_FAST
+    modes_uv = MODES_UV if speed <= 8 else MODES_FAST
+    state = wavefront_frame(state, (sy, su, sv), jnp.asarray(ii_tab),
+                            jnp.asarray(jj_tab), jnp.asarray(mask_tab),
+                            qdc, qac, qdc, qac, modes_y, modes_uv)
+    ry, ru, rv, ly, lu, lvv, my, mu = [np.asarray(s) for s in state]
 
-    # ---- pack (host, serial) ---------------------------------------------
+    # ---- pack (host, serial; C++ packer when available) -------------------
     seq = Sequence(width=w, height=h)
     fp = FrameParams(frame_type=FrameType.KEY, base_q_idx=qindex)
     ti = TileInfo(seq)
     mi_rows, mi_cols = h >> 2, w >> 2
-    tw = TileWriter(mi_rows, mi_cols, qindex)
+    try:
+        from rav1e_tpu.entropy.native import NativeTileWriter
+        tw = NativeTileWriter(mi_rows, mi_cols, qindex)
+    except Exception:
+        tw = TileWriter(mi_rows, mi_cols, qindex)
     partitions: dict = {}
     blocks: dict = {}
     for bi in range(bh):
@@ -148,8 +255,9 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100):
             yl = ly[bi, bj]
             ul = lu[bi, bj]
             vl = lvv[bi, bj]
-            d = BlockDecision(y_mode=PredictionMode.DC_PRED,
-                              uv_mode=PredictionMode.DC_PRED, skip=False)
+            d = BlockDecision(y_mode=PredictionMode(int(my[bi, bj])),
+                              uv_mode=PredictionMode(int(mu[bi, bj])),
+                              skip=False)
             if not yl.any() and not ul.any() and not vl.any():
                 d.skip = True
             else:

@@ -1,0 +1,101 @@
+"""TPU wavefront pipeline + native packer tests (virtual CPU devices).
+
+- wavefront encode must be bit-exact vs both decoder oracles
+- NativeTileWriter must be byte-identical to the Python TileWriter
+- CLI y4m -> IVF round trip decodes
+"""
+
+import numpy as np
+import pytest
+
+from rav1e_tpu.conform import aom, dav1d
+
+
+def synth(w, h, seed=7):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (100 + 50 * np.sin(xx / 17) + 40 * np.cos(yy / 11)
+         + rng.normal(0, 6, (h, w))).clip(0, 255).astype(np.uint8)
+    u = (128 + 30 * np.sin(xx[::2, ::2] / 23)).clip(0, 255).astype(np.uint8)
+    v = (128 - 25 * np.cos(yy[::2, ::2] / 19)).clip(0, 255).astype(np.uint8)
+    return [y, u, v]
+
+
+@pytest.mark.parametrize("speed", [6, 10])
+def test_tpu_wavefront_conformance(speed):
+    from rav1e_tpu.pipeline.tpu_intra import encode_keyframe_tpu
+
+    planes = synth(128, 96)
+    pkt, rec = encode_keyframe_tpu(planes, qindex=100, speed=speed)
+    fr = dav1d.decode_all([pkt])
+    for i in range(3):
+        assert np.array_equal(fr[0].planes[i], rec[i]), f"dav1d plane {i}"
+    out = aom.decode_all([pkt])
+    for i in range(3):
+        assert np.array_equal(out[0][i], rec[i]), f"aom plane {i}"
+
+
+def test_native_packer_byte_identical():
+    from rav1e_tpu.core.constants import (
+        BlockSize, PartitionType, TxType, subsize)
+    from rav1e_tpu.entropy.native import NativeTileWriter
+    from rav1e_tpu.entropy.tile import BlockDecision, TileWriter
+
+    mi_rows, mi_cols = 40, 56
+
+    def build(cls):
+        tw = cls(mi_rows, mi_cols, 100)
+        partitions, blocks = {}, {}
+
+        def plan(r, c, b):
+            if r >= mi_rows or c >= mi_cols:
+                return
+            half = b.width_mi // 2
+            inside = (r + b.height_mi <= mi_rows
+                      and c + b.width_mi <= mi_cols)
+            if inside and b.width_mi <= 8:
+                partitions[(r, c, int(b))] = PartitionType.NONE
+                rng = np.random.default_rng(r * 997 + c)
+                yl = (rng.integers(-20, 21, (32, 32))
+                      * (rng.random((32, 32)) < 0.2)).astype(np.int32)
+                ul = (rng.integers(-4, 5, (16, 16))
+                      * (rng.random((16, 16)) < 0.2)).astype(np.int32)
+                vl = np.zeros((16, 16), np.int32)
+                d = BlockDecision(skip=False)
+                if not yl.any() and not ul.any() and not vl.any():
+                    d.skip = True
+                else:
+                    d.coeffs = {0: yl, 1: ul, 2: vl,
+                                "y_tx_type": TxType.DCT_DCT}
+                blocks[(r, c)] = d
+                return
+            partitions[(r, c, int(b))] = PartitionType.SPLIT
+            sub = subsize(PartitionType.SPLIT, b)
+            for dr, dc in ((0, 0), (0, half), (half, 0), (half, half)):
+                plan(r + dr, c + dc, sub)
+
+        for r in range(0, mi_rows, 16):
+            for c in range(0, mi_cols, 16):
+                plan(r, c, BlockSize.B64X64)
+        return tw.write_tile(partitions, blocks)
+
+    assert build(TileWriter) == build(NativeTileWriter)
+
+
+def test_cli_roundtrip(tmp_path):
+    from rav1e_tpu.cli.ivf import read_ivf
+    from rav1e_tpu.cli.main import main
+    from rav1e_tpu.cli.y4m import write_y4m
+
+    frames = [synth(96, 64, seed=i) for i in range(2)]
+    src = tmp_path / "in.y4m"
+    out = tmp_path / "out.ivf"
+    write_y4m(src, frames)
+    main([str(src), "-o", str(out), "--quantizer", "90"])
+    pkts = [p for _, p in read_ivf(out)]
+    dec = dav1d.decode_all(pkts)
+    assert len(dec) == 2
+    for d, f in zip(dec, frames):
+        assert d.planes[0].shape == f[0].shape
+        mse = np.mean((d.planes[0].astype(float) - f[0]) ** 2)
+        assert 10 * np.log10(255 ** 2 / mse) > 30
