@@ -195,10 +195,11 @@ def _from_blocks(a: np.ndarray) -> np.ndarray:
 
 
 def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
-                        speed: int = 6):
+                        speed: int = 6, deblock: bool = True):
     """TPU-batched KEY frame encode; dims must be multiples of 32.
 
-    Returns (packet, recon planes) — recon is bit-exact decoder output.
+    Returns (packet, recon planes) — recon is bit-exact decoder output
+    (including deblocking when enabled).
     """
     y, u, v = planes
     h, w = y.shape
@@ -238,8 +239,11 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     ry, ru, rv, ly, lu, lvv, my, mu = [np.asarray(s) for s in state]
 
     # ---- pack (host, serial; C++ packer when available) -------------------
+    from rav1e_tpu.ops.ref.deblock import deblock_plane, level_from_qindex
+    lf = level_from_qindex(qindex) if deblock else 0
     seq = Sequence(width=w, height=h)
-    fp = FrameParams(frame_type=FrameType.KEY, base_q_idx=qindex)
+    fp = FrameParams(frame_type=FrameType.KEY, base_q_idx=qindex,
+                     loop_filter_levels=(lf, lf, lf, lf))
     ti = TileInfo(seq)
     mi_rows, mi_cols = h >> 2, w >> 2
     try:
@@ -271,4 +275,8 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     tile = tw.write_tile(partitions, blocks)
     pkt = keyframe_packet(seq, fp, ti, [tile])
     rec = [_from_blocks(ry), _from_blocks(ru), _from_blocks(rv)]
+    if lf > 0:
+        rec[0] = deblock_plane(rec[0], LB, lf, lf, True)
+        rec[1] = deblock_plane(rec[1], CB, lf, lf, False)
+        rec[2] = deblock_plane(rec[2], CB, lf, lf, False)
     return pkt, rec
