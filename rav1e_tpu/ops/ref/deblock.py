@@ -26,7 +26,7 @@ def _thresholds(level: int, sharpness: int = 0):
     return int(limit), int(blimit), int(thresh)
 
 
-def _filter_edge(p, q, limit, blimit, thresh, size, bd=8):
+def _filter_edge(p, q, limit, blimit, thresh, size, bd=8, row_mask=None):
     """Filter one edge. p: [...,: n] samples left/above of the edge in
     reverse order isn't used; layout: p[:, i] = p_i (p0 nearest edge),
     q[:, i] = q_i. Returns new (p, q) (modified up to taps)."""
@@ -37,6 +37,8 @@ def _filter_edge(p, q, limit, blimit, thresh, size, bd=8):
     q0, q1 = q[:, 0], q[:, 1]
     fmask = ((np.abs(p1 - p0) <= limit) & (np.abs(q1 - q0) <= limit)
              & (np.abs(p0 - q0) * 2 + np.abs(p1 - q1) // 2 <= blimit))
+    if row_mask is not None:
+        fmask = fmask & row_mask
     if size >= 6:
         p2, q2 = p[:, 2], q[:, 2]
         fmask &= (np.abs(p2 - p1) <= limit) & (np.abs(q2 - q1) <= limit)
@@ -133,22 +135,27 @@ def _filter_edge(p, q, limit, blimit, thresh, size, bd=8):
     flat2 = (np.maximum.reduce([
         np.abs(p4 - p0), np.abs(q4 - q0), np.abs(p5 - p0),
         np.abs(q5 - q0), np.abs(p6 - p0), np.abs(q6 - q0)]) <= F)
-    w_p5 = r4(p6 * 7 + p5 * 2 + p4 + p3 + p2 + p1 + p0 + q0)
-    w_p4 = r4(p6 * 5 + p5 + p4 * 2 + p3 + p2 + p1 + p0 + q0 + q1)
-    w_p3 = r4(p6 * 4 + p5 + p4 + p3 * 2 + p2 + p1 + p0 + q0 + q1 + q2)
-    w_p2 = r4(p6 * 3 + p5 + p4 + p3 + p2 * 2 + p1 + p0 + q0 + q1 + q2 + q3)
-    w_p1 = r4(p6 * 2 + p5 + p4 + p3 + p2 + p1 * 2 + p0 + q0 + q1 + q2
-              + q3 + q4)
-    w_p0 = r4(p6 + p5 + p4 + p3 + p2 + p1 + p0 * 2 + q0 + q1 + q2 + q3
-              + q4 + q5)
-    w_q0 = r4(q6 + q5 + q4 + q3 + q2 + q1 + q0 * 2 + p0 + p1 + p2 + p3
-              + p4 + p5)
-    w_q1 = r4(q6 * 2 + q5 + q4 + q3 + q2 + q1 * 2 + q0 + p0 + p1 + p2
-              + p3 + p4)
-    w_q2 = r4(q6 * 3 + q5 + q4 + q3 + q2 * 2 + q1 + q0 + p0 + p1 + p2 + p3)
-    w_q3 = r4(q6 * 4 + q5 + q4 + q3 * 2 + q2 + q1 + q0 + p0 + p1 + p2)
-    w_q4 = r4(q6 * 5 + q5 + q4 * 2 + q3 + q2 + q1 + q0 + p0 + p1)
-    w_q5 = r4(q6 * 7 + q5 * 2 + q4 + q3 + q2 + q1 + q0 + p0)
+    # 13-tap wide filter, weights sum to 16 (dav1d lf wd16)
+    w_p5 = r4(p6 * 7 + p5 * 2 + p4 * 2 + p3 + p2 + p1 + p0 + q0)
+    w_p4 = r4(p6 * 5 + p5 * 2 + p4 * 2 + p3 * 2 + p2 + p1 + p0 + q0 + q1)
+    w_p3 = r4(p6 * 4 + p5 + p4 * 2 + p3 * 2 + p2 * 2 + p1 + p0 + q0 + q1
+              + q2)
+    w_p2 = r4(p6 * 3 + p5 + p4 + p3 * 2 + p2 * 2 + p1 * 2 + p0 + q0 + q1
+              + q2 + q3)
+    w_p1 = r4(p6 * 2 + p5 + p4 + p3 + p2 * 2 + p1 * 2 + p0 * 2 + q0 + q1
+              + q2 + q3 + q4)
+    w_p0 = r4(p6 + p5 + p4 + p3 + p2 + p1 * 2 + p0 * 2 + q0 * 2 + q1 + q2
+              + q3 + q4 + q5)
+    w_q0 = r4(q6 + q5 + q4 + q3 + q2 + q1 * 2 + q0 * 2 + p0 * 2 + p1 + p2
+              + p3 + p4 + p5)
+    w_q1 = r4(q6 * 2 + q5 + q4 + q3 + q2 * 2 + q1 * 2 + q0 * 2 + p0 + p1
+              + p2 + p3 + p4)
+    w_q2 = r4(q6 * 3 + q5 + q4 + q3 * 2 + q2 * 2 + q1 * 2 + q0 + p0 + p1
+              + p2 + p3)
+    w_q3 = r4(q6 * 4 + q5 + q4 * 2 + q3 * 2 + q2 * 2 + q1 + q0 + p0 + p1
+              + p2)
+    w_q4 = r4(q6 * 5 + q5 * 2 + q4 * 2 + q3 * 2 + q2 + q1 + q0 + p0 + p1)
+    w_q5 = r4(q6 * 7 + q5 * 2 + q4 * 2 + q3 + q2 + q1 + q0 + p0)
 
     sel14 = fmask & flat & flat2
     sel8 = fmask & flat & ~flat2
@@ -175,28 +182,47 @@ def _filter_edge(p, q, limit, blimit, thresh, size, bd=8):
 
 def deblock_plane(plane: np.ndarray, block: int, level_v: int,
                   level_h: int, is_luma: bool, sharpness: int = 0,
-                  bd: int = 8) -> np.ndarray:
-    """Filter a plane with a uniform `block` transform grid."""
+                  bd: int = 8, split_map: np.ndarray | None = None,
+                  outer_block: int = 32) -> np.ndarray:
+    """Filter a plane. `block` is the (split) transform size; edges at
+    multiples of `block` inside an outer block are filtered only where
+    split_map (per outer block, [bh][bw]) is set; outer-block edges
+    always filter (they are prediction edges)."""
     out = plane.astype(np.int32).copy()
     size = 14 if is_luma else 6
+    ob = outer_block if is_luma else outer_block // 2
     if level_v > 0:
         limit, blimit, thresh = _thresholds(level_v, sharpness)
         for x in range(block, out.shape[1], block):
+            if split_map is not None and x % ob != 0:
+                bj = x // ob
+                rows = np.repeat(split_map[:, bj], ob)[: out.shape[0]]
+                if not rows.any():
+                    continue
+            else:
+                rows = None
             n = size // 2
             pcols = out[:, x - n: x][:, ::-1]  # p0 at edge
             qcols = out[:, x: x + n]
             np_, nq = _filter_edge(pcols, qcols, limit, blimit, thresh,
-                                   size, bd)
+                                   size, bd, rows)
             out[:, x - n: x] = np_[:, ::-1]
             out[:, x: x + n] = nq
     if level_h > 0:
         limit, blimit, thresh = _thresholds(level_h, sharpness)
         for y in range(block, out.shape[0], block):
+            if split_map is not None and y % ob != 0:
+                bi = y // ob
+                cols = np.repeat(split_map[bi, :], ob)[: out.shape[1]]
+                if not cols.any():
+                    continue
+            else:
+                cols = None
             n = size // 2
             prow = out[y - n: y, :][::-1, :].T
             qrow = out[y: y + n, :].T
             np_, nq = _filter_edge(prow, qrow, limit, blimit, thresh,
-                                   size, bd)
+                                   size, bd, cols)
             out[y - n: y, :] = np_.T[::-1, :]
             out[y: y + n, :] = nq.T
     return out

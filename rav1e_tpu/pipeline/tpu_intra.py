@@ -149,38 +149,276 @@ def _chroma_joint_step(ru, rv, su, sv, lu, lvv, mode_store, ii, jj, mask,
     return ru, rv, lu, lvv, mode_store
 
 
+def _cand_eval(preds, srcb, tx_size, dqs, tts):
+    """Evaluate K prediction candidates: returns (rec, lv, sse) stacked
+    [K, N, h, w] / [K, N]; tts: per-candidate TxType list."""
+    K, n, blkh, blkw = preds.shape
+    recs, lvs = [], []
+    if len(set(tts)) == 1:
+        resid = (srcb[None] - preds).reshape(K * n, blkh, blkw)
+        cf = T.forward_transform(resid, tx_size, tts[0])
+        lv = T.quantize(cf, tx_size, dqs[0], dqs[1])
+        dq = T.dequantize(lv, tx_size, dqs[0], dqs[1])
+        r2 = T.inverse_transform(dq, tx_size, tts[0])
+        recb = jnp.clip(preds.reshape(K * n, blkh, blkw) + r2, 0, 255)
+        recb = recb.astype(jnp.int32).reshape(K, n, blkh, blkw)
+        lvk = lv.reshape(K, n, blkh, blkw)
+    else:
+        for k in range(K):
+            resid = srcb - preds[k]
+            cf = T.forward_transform(resid, tx_size, tts[k])
+            lv = T.quantize(cf, tx_size, dqs[0], dqs[1])
+            dq = T.dequantize(lv, tx_size, dqs[0], dqs[1])
+            r2 = T.inverse_transform(dq, tx_size, tts[k])
+            recs.append(jnp.clip(preds[k] + r2, 0, 255).astype(jnp.int32))
+            lvs.append(lv)
+        recb = jnp.stack(recs, 0)
+        lvk = jnp.stack(lvs, 0)
+    sse = jnp.sum((recb - srcb[None]).astype(jnp.float32) ** 2,
+                  axis=(-2, -1))
+    return recb, lvk, sse
+
+
+def _quad_plane(edge_above, edge_left, edge_tl, has_a0, has_l0, srcb,
+                tx_size, dqs, modes, lam, tts):
+    """Evaluate the 4-way split of a block: each half-size sub-block
+    RDO'd sequentially (TL, TR, BL, BR) using in-progress recon.
+
+    edge_above: [N, B] bottom row of the block above (valid if has_a0);
+    edge_left: [N, B]; edge_tl: [N]. Returns (rec [N,B,B], lv [N,B,B],
+    modes [N,4], total cost [N])."""
+    half = tx_size.height
+    B = half * 2
+    n = srcb.shape[0]
+    cur_rec = jnp.zeros((n, B, B), jnp.int32)
+    cur_lv = jnp.zeros((n, B, B), jnp.int32)
+    sub_modes = []
+    total = jnp.zeros((n,), jnp.float32)
+    for (r0, c0) in ((0, 0), (0, half), (half, 0), (half, half)):
+        if r0 > 0:
+            above = cur_rec[:, r0 - 1, c0: c0 + half]
+            has_a = jnp.ones((n,), bool)
+        else:
+            above = edge_above[:, c0: c0 + half]
+            has_a = has_a0
+        if c0 > 0:
+            left = cur_rec[:, r0: r0 + half, c0 - 1]
+            has_l = jnp.ones((n,), bool)
+        else:
+            left = edge_left[:, r0: r0 + half]
+            has_l = has_l0
+        if r0 > 0 and c0 > 0:
+            tl = cur_rec[:, r0 - 1, c0 - 1]
+        elif r0 > 0:
+            tl = jnp.where(has_l0, edge_left[:, r0 - 1], 0)
+        elif c0 > 0:
+            tl = jnp.where(has_a0, edge_above[:, c0 - 1], 0)
+        else:
+            tl = edge_tl
+        preds = predict_modes(modes, above, left, tl, has_a, has_l,
+                              half, half)
+        sub_src = srcb[:, r0: r0 + half, c0: c0 + half]
+        recb, lvk, sse = _cand_eval(preds, sub_src, tx_size, dqs, tts)
+        cost = sse + lam * _rate_estimate(lvk)
+        best = jnp.argmin(cost, axis=0)
+        sel = jnp.arange(n)
+        cur_rec = cur_rec.at[:, r0: r0 + half, c0: c0 + half].set(
+            recb[best, sel])
+        cur_lv = cur_lv.at[:, r0: r0 + half, c0: c0 + half].set(
+            lvk[best, sel])
+        mode_tab = jnp.asarray(np.array([int(m) for m in modes], np.int32))
+        sub_modes.append(mode_tab[best])
+        total = total + cost[best, sel]
+    return cur_rec, cur_lv, jnp.stack(sub_modes, axis=-1), total
+
+
 @partial(jax.jit, static_argnames=("qdc", "qac", "qdc_c", "qac_c",
-                                   "modes_y", "modes_uv"))
+                                   "modes_y", "modes_uv", "split_rdo"))
 def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab,
-                    qdc, qac, qdc_c, qac_c, modes_y, modes_uv):
-    """Whole-frame wavefront: fori_loop over diagonals, one dispatch."""
+                    qdc, qac, qdc_c, qac_c, modes_y, modes_uv,
+                    split_rdo=False):
+    """Whole-frame wavefront: fori_loop over diagonals, one dispatch.
+
+    With split_rdo, each 32x32 node also evaluates the PARTITION_SPLIT
+    alternative (four 16x16 luma + four 8x8 chroma sub-blocks) and the
+    joint y+u+v cost decides, mirroring rav1e's rdo_partition_decision
+    restructured as two fixed-shape candidate sets.
+    """
     qstep = qdc / 8.0
     lam = 0.12 * qstep * qstep
+    from rav1e_tpu.entropy.tile import chroma_tx_type
+
+    def gather_edges(rec, ii, jj, blkh, blkw):
+        above = rec[jnp.maximum(ii - 1, 0), jj][:, blkh - 1, :]
+        left = rec[ii, jnp.maximum(jj - 1, 0)][:, :, blkw - 1]
+        tl = rec[jnp.maximum(ii - 1, 0),
+                 jnp.maximum(jj - 1, 0)][:, blkh - 1, blkw - 1]
+        return above, left, tl
 
     def body(d, st):
-        (ry, ru, rv, ly, lu, lvv, my, mu) = st
+        (ry, ru, rv, ly, lu, lvv, my, mu, sp) = st
         ii, jj, mask = ii_tab[d], jj_tab[d], mask_tab[d]
-        ry, ly, my = _plane_step(ry, srcs[0], ly, my, ii, jj, mask,
-                                 TxSize.TX_32X32, (qdc, qac), modes_y, lam)
-        ru, rv, lu, lvv, mu = _chroma_joint_step(
-            ru, rv, srcs[1], srcs[2], lu, lvv, mu, ii, jj, mask,
-            TxSize.TX_16X16, (qdc_c, qac_c), modes_uv, lam)
-        return (ry, ru, rv, ly, lu, lvv, my, mu)
+        n = ii.shape[0]
+        sel = jnp.arange(n)
+        has_a = ii > 0
+        has_l = jj > 0
+        m3 = mask[:, None, None]
+
+        # ---- luma 32 candidates ----
+        sy = srcs[0]
+        srcb_y = sy[ii, jj]
+        a_y, l_y, tl_y = gather_edges(ry, ii, jj, LB, LB)
+        preds32 = predict_modes(modes_y, a_y, l_y, tl_y, has_a, has_l,
+                                LB, LB)
+        rec32, lv32, sse32 = _cand_eval(
+            preds32, srcb_y, TxSize.TX_32X32, (qdc, qac),
+            [TxType.DCT_DCT] * len(modes_y))
+        cost32 = sse32 + lam * _rate_estimate(lv32)
+        b32 = jnp.argmin(cost32, axis=0)
+        y32_rec, y32_lv = rec32[b32, sel], lv32[b32, sel]
+        mode_tab = jnp.asarray(
+            np.array([int(m) for m in modes_y], np.int32))
+        y32_mode = mode_tab[b32]
+        y32_cost = cost32[b32, sel]
+
+        # ---- chroma 16 candidates (joint u+v mode) ----
+        su, sv = srcs[1], srcs[2]
+        cts16 = [chroma_tx_type(m, TxSize.TX_16X16, True)
+                 for m in modes_uv]
+
+        def chroma_cands(rec, src, tx, tts):
+            blk = tx.height
+            a, l_, tl = gather_edges(rec, ii, jj, blk, blk)
+            preds = predict_modes(modes_uv, a, l_, tl, has_a, has_l,
+                                  blk, blk)
+            return _cand_eval(preds, src[ii, jj], tx, (qdc_c, qac_c), tts)
+
+        ur, ulv, usse = chroma_cands(ru, su, TxSize.TX_16X16, cts16)
+        vr, vlv, vsse = chroma_cands(rv, sv, TxSize.TX_16X16, cts16)
+        ccost = (usse + vsse
+                 + lam * (_rate_estimate(ulv) + _rate_estimate(vlv)))
+        bc = jnp.argmin(ccost, axis=0)
+        mode_tab_uv = jnp.asarray(
+            np.array([int(m) for m in modes_uv], np.int32))
+        c16 = (ur[bc, sel], vr[bc, sel], ulv[bc, sel], vlv[bc, sel],
+               mode_tab_uv[bc], ccost[bc, sel])
+
+        if split_rdo:
+            # ---- luma 16-quad ----
+            yq_rec, yq_lv, yq_modes, yq_cost = _quad_plane(
+                a_y, l_y, tl_y, has_a, has_l, srcb_y, TxSize.TX_16X16,
+                (qdc, qac), modes_y, lam,
+                [TxType.DCT_DCT] * len(modes_y))
+            # ---- chroma 8-quad (joint u+v per sub-block is approximated
+            # by per-plane independent choice with shared mode argmin) --
+            cts8 = [chroma_tx_type(m, TxSize.TX_8X8, True)
+                    for m in modes_uv]
+
+            def chroma_quad(rec, src):
+                blk = CB
+                a, l_, tl = gather_edges(rec, ii, jj, blk, blk)
+                return a, l_, tl, src[ii, jj]
+
+            au, lu_, tlu, srcu = chroma_quad(ru, su)
+            av, lv_, tlv, srcv = chroma_quad(rv, sv)
+            # joint u+v quad: run subs in lockstep with shared mode pick
+            half = CB // 2
+            cur_u = jnp.zeros((n, CB, CB), jnp.int32)
+            cur_v = jnp.zeros((n, CB, CB), jnp.int32)
+            cu_lv = jnp.zeros((n, CB, CB), jnp.int32)
+            cv_lv = jnp.zeros((n, CB, CB), jnp.int32)
+            cq_modes = []
+            cq_cost = jnp.zeros((n,), jnp.float32)
+            for (r0, c0) in ((0, 0), (0, half), (half, 0), (half, half)):
+                def sub_edges(cur, ea, el, etl):
+                    if r0 > 0:
+                        sa = cur[:, r0 - 1, c0: c0 + half]
+                        ha = jnp.ones((n,), bool)
+                    else:
+                        sa = ea[:, c0: c0 + half]
+                        ha = has_a
+                    if c0 > 0:
+                        sl = cur[:, r0: r0 + half, c0 - 1]
+                        hl = jnp.ones((n,), bool)
+                    else:
+                        sl = el[:, r0: r0 + half]
+                        hl = has_l
+                    if r0 > 0 and c0 > 0:
+                        st_ = cur[:, r0 - 1, c0 - 1]
+                    elif r0 > 0:
+                        st_ = jnp.where(has_l, el[:, r0 - 1], 0)
+                    elif c0 > 0:
+                        st_ = jnp.where(has_a, ea[:, c0 - 1], 0)
+                    else:
+                        st_ = etl
+                    return sa, sl, st_, ha, hl
+
+                sau, slu, stu, hau, hlu = sub_edges(cur_u, au, lu_, tlu)
+                sav, slv, stv, hav, hlv = sub_edges(cur_v, av, lv_, tlv)
+                pu = predict_modes(modes_uv, sau, slu, stu, hau, hlu,
+                                   half, half)
+                pv = predict_modes(modes_uv, sav, slv, stv, hav, hlv,
+                                   half, half)
+                ssub_u = srcu[:, r0: r0 + half, c0: c0 + half]
+                ssub_v = srcv[:, r0: r0 + half, c0: c0 + half]
+                ru8, lu8, su8 = _cand_eval(pu, ssub_u, TxSize.TX_8X8,
+                                           (qdc_c, qac_c), cts8)
+                rv8, lv8, sv8 = _cand_eval(pv, ssub_v, TxSize.TX_8X8,
+                                           (qdc_c, qac_c), cts8)
+                cst = (su8 + sv8 + lam * (_rate_estimate(lu8)
+                                          + _rate_estimate(lv8)))
+                bq = jnp.argmin(cst, axis=0)
+                cur_u = cur_u.at[:, r0: r0 + half, c0: c0 + half].set(
+                    ru8[bq, sel])
+                cur_v = cur_v.at[:, r0: r0 + half, c0: c0 + half].set(
+                    rv8[bq, sel])
+                cu_lv = cu_lv.at[:, r0: r0 + half, c0: c0 + half].set(
+                    lu8[bq, sel])
+                cv_lv = cv_lv.at[:, r0: r0 + half, c0: c0 + half].set(
+                    lv8[bq, sel])
+                cq_modes.append(mode_tab_uv[bq])
+                cq_cost = cq_cost + cst[bq, sel]
+            cq_modes = jnp.stack(cq_modes, axis=-1)
+
+            split_cost = yq_cost + cq_cost + lam * 4.0
+            none_cost = y32_cost + c16[5]
+            split = split_cost < none_cost
+            s3 = split[:, None, None]
+            y_rec = jnp.where(s3, yq_rec, y32_rec)
+            y_lv = jnp.where(s3, yq_lv, y32_lv)
+            u_rec = jnp.where(s3, cur_u, c16[0])
+            v_rec = jnp.where(s3, cur_v, c16[1])
+            u_lv = jnp.where(s3, cu_lv, c16[2])
+            v_lv = jnp.where(s3, cv_lv, c16[3])
+            # mode stores: [bh, bw, 5]: slot 0 = 32-mode, 1..4 = quad
+            y_modes = jnp.concatenate(
+                [y32_mode[:, None], yq_modes], axis=-1)
+            uv_modes = jnp.concatenate(
+                [c16[4][:, None], cq_modes], axis=-1)
+        else:
+            split = jnp.zeros((n,), bool)
+            y_rec, y_lv = y32_rec, y32_lv
+            u_rec, v_rec = c16[0], c16[1]
+            u_lv, v_lv = c16[2], c16[3]
+            y_modes = jnp.concatenate(
+                [y32_mode[:, None]] + [y32_mode[:, None]] * 4, axis=-1)
+            uv_modes = jnp.concatenate(
+                [c16[4][:, None]] + [c16[4][:, None]] * 4, axis=-1)
+
+        ry = ry.at[ii, jj].set(jnp.where(m3, y_rec, ry[ii, jj]))
+        ru = ru.at[ii, jj].set(jnp.where(m3, u_rec, ru[ii, jj]))
+        rv = rv.at[ii, jj].set(jnp.where(m3, v_rec, rv[ii, jj]))
+        ly = ly.at[ii, jj].set(jnp.where(m3, y_lv, ly[ii, jj]))
+        lu = lu.at[ii, jj].set(jnp.where(m3, u_lv, lu[ii, jj]))
+        lvv = lvv.at[ii, jj].set(jnp.where(m3, v_lv, lvv[ii, jj]))
+        my = my.at[ii, jj].set(
+            jnp.where(mask[:, None], y_modes, my[ii, jj]))
+        mu = mu.at[ii, jj].set(
+            jnp.where(mask[:, None], uv_modes, mu[ii, jj]))
+        sp = sp.at[ii, jj].set(jnp.where(mask, split, sp[ii, jj]))
+        return (ry, ru, rv, ly, lu, lvv, my, mu, sp)
 
     return jax.lax.fori_loop(0, ii_tab.shape[0], body, state)
-
-
-# kept for __graft_entry__: one diagonal as a standalone jittable step
-@partial(jax.jit, static_argnames=("qdc", "qac", "qdc_c", "qac_c"))
-def wavefront_step(state, srcs, ii, jj, mask, qdc, qac, qdc_c, qac_c):
-    (ry, ru, rv, ly, lu, lvv, my, mu) = state
-    lam = 0.12 * (qdc / 8.0) ** 2
-    ry, ly, my = _plane_step(ry, srcs[0], ly, my, ii, jj, mask,
-                             TxSize.TX_32X32, (qdc, qac), MODES_FULL, lam)
-    ru, rv, lu, lvv, mu = _chroma_joint_step(
-        ru, rv, srcs[1], srcs[2], lu, lvv, mu, ii, jj, mask,
-        TxSize.TX_16X16, (qdc_c, qac_c), MODES_UV, lam)
-    return (ry, ru, rv, ly, lu, lvv, my, mu)
 
 
 def _to_blocks(p: np.ndarray, b: int) -> np.ndarray:
@@ -215,8 +453,9 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
         jnp.zeros((bh, bw, LB, LB), jnp.int32),
         jnp.zeros((bh, bw, CB, CB), jnp.int32),
         jnp.zeros((bh, bw, CB, CB), jnp.int32),
-        jnp.zeros((bh, bw), jnp.int32),
-        jnp.zeros((bh, bw), jnp.int32),
+        jnp.zeros((bh, bw, 5), jnp.int32),
+        jnp.zeros((bh, bw, 5), jnp.int32),
+        jnp.zeros((bh, bw), bool),
     )
     maxlen = min(bh, bw)
     qdc, qac = dc_q(qindex), ac_q(qindex)
@@ -233,10 +472,12 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
             ii_tab[d, k], jj_tab[d, k], mask_tab[d, k] = i, j, True
     modes_y = MODES_FULL if speed <= 8 else MODES_FAST
     modes_uv = MODES_UV if speed <= 8 else MODES_FAST
+    split_rdo = speed <= 7
     state = wavefront_frame(state, (sy, su, sv), jnp.asarray(ii_tab),
                             jnp.asarray(jj_tab), jnp.asarray(mask_tab),
-                            qdc, qac, qdc, qac, modes_y, modes_uv)
-    ry, ru, rv, ly, lu, lvv, my, mu = [np.asarray(s) for s in state]
+                            qdc, qac, qdc, qac, modes_y, modes_uv,
+                            split_rdo)
+    ry, ru, rv, ly, lu, lvv, my, mu, sp = [np.asarray(s) for s in state]
 
     # ---- pack (host, serial; C++ packer when available) -------------------
     from rav1e_tpu.ops.ref.deblock import deblock_plane, level_from_qindex
@@ -259,8 +500,31 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
             yl = ly[bi, bj]
             ul = lu[bi, bj]
             vl = lvv[bi, bj]
-            d = BlockDecision(y_mode=PredictionMode(int(my[bi, bj])),
-                              uv_mode=PredictionMode(int(mu[bi, bj])),
+            if sp[bi, bj]:
+                partitions[(r, c, int(BlockSize.B32X32))] = \
+                    PartitionType.SPLIT
+                for q, (dr, dc) in enumerate(
+                        ((0, 0), (0, 4), (4, 0), (4, 4))):
+                    py, px = dr * 4, dc * 4       # luma pixel offsets
+                    cy, cx = dr * 2, dc * 2       # chroma pixel offsets
+                    syl = yl[py: py + 16, px: px + 16]
+                    sul = ul[cy: cy + 8, cx: cx + 8]
+                    svl = vl[cy: cy + 8, cx: cx + 8]
+                    d = BlockDecision(
+                        y_mode=PredictionMode(int(my[bi, bj, 1 + q])),
+                        uv_mode=PredictionMode(int(mu[bi, bj, 1 + q])),
+                        skip=False)
+                    if not syl.any() and not sul.any() and not svl.any():
+                        d.skip = True
+                    else:
+                        d.coeffs = {0: syl, 1: sul, 2: svl,
+                                    "y_tx_type": TxType.DCT_DCT}
+                    blocks[(r + dr, c + dc)] = d
+                    partitions[(r + dr, c + dc,
+                                int(BlockSize.B16X16))] = PartitionType.NONE
+                continue
+            d = BlockDecision(y_mode=PredictionMode(int(my[bi, bj, 0])),
+                              uv_mode=PredictionMode(int(mu[bi, bj, 0])),
                               skip=False)
             if not yl.any() and not ul.any() and not vl.any():
                 d.skip = True
@@ -276,7 +540,13 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     pkt = keyframe_packet(seq, fp, ti, [tile])
     rec = [_from_blocks(ry), _from_blocks(ru), _from_blocks(rv)]
     if lf > 0:
-        rec[0] = deblock_plane(rec[0], LB, lf, lf, True)
-        rec[1] = deblock_plane(rec[1], CB, lf, lf, False)
-        rec[2] = deblock_plane(rec[2], CB, lf, lf, False)
+        sp_map = sp if split_rdo else None
+        blk_y = 16 if split_rdo else LB
+        blk_c = 8 if split_rdo else CB
+        rec[0] = deblock_plane(rec[0], blk_y, lf, lf, True,
+                               split_map=sp_map)
+        rec[1] = deblock_plane(rec[1], blk_c, lf, lf, False,
+                               split_map=sp_map)
+        rec[2] = deblock_plane(rec[2], blk_c, lf, lf, False,
+                               split_map=sp_map)
     return pkt, rec
