@@ -76,6 +76,16 @@ class TileCDFs:
         self.tx_size = _to_lists(t["tx_size"])
         self.intra_ext_tx1 = _to_lists(t["intra_ext_tx1"])
         self.intra_ext_tx2 = _to_lists(t["intra_ext_tx2"])
+        self.inter_ext_tx1 = _to_lists(t["inter_ext_tx1"])
+        self.inter_ext_tx2 = _to_lists(t["inter_ext_tx2"])
+        self.inter_ext_tx3 = _to_lists(t["inter_ext_tx3"])
+        # inter mode tables
+        self.intra_inter = _to_lists(t["intra_inter"])
+        self.newmv = _to_lists(t["newmv"])
+        self.zeromv = _to_lists(t["zeromv"])
+        self.refmv = _to_lists(t["refmv"])
+        self.drl = _to_lists(t["drl"])
+        self.single_ref = _to_lists(t["single_ref"])
         # coefficient tables (q-bucketed)
         self.txb_skip = _to_lists(t["txb_skip"][q])
         self.eob_pt = {

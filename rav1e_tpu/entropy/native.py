@@ -22,9 +22,13 @@ from rav1e_tpu.core.constants import PartitionType, TxSize
 from rav1e_tpu.entropy import coeffs as coeffmod
 from rav1e_tpu.entropy.ec import update_cdf
 from rav1e_tpu.entropy.tile import (
+    INTER_TX_SET1,
+    INTER_TX_SET2,
+    INTER_TX_SET3,
     INTRA_TX_SET1,
     INTRA_TX_SET2,
     TileWriter,
+    _sqr_idx,
     _sqr_up_idx,
     intra_tx_set,
 )
@@ -138,6 +142,12 @@ class NativeTileWriter(TileWriter):
             ("tx_size_8", c.tx_size_8), ("tx_size", c.tx_size),
             ("intra_ext_tx1", c.intra_ext_tx1),
             ("intra_ext_tx2", c.intra_ext_tx2),
+            ("inter_ext_tx1", c.inter_ext_tx1),
+            ("inter_ext_tx2", c.inter_ext_tx2),
+            ("inter_ext_tx3", c.inter_ext_tx3),
+            ("intra_inter", c.intra_inter), ("newmv", c.newmv),
+            ("zeromv", c.zeromv), ("refmv", c.refmv), ("drl", c.drl),
+            ("single_ref", c.single_ref),
             ("txb_skip", c.txb_skip),
             ("eob_pt_16", c.eob_pt[16]), ("eob_pt_32", c.eob_pt[32]),
             ("eob_pt_64", c.eob_pt[64]), ("eob_pt_128", c.eob_pt[128]),
@@ -152,7 +162,8 @@ class NativeTileWriter(TileWriter):
         self._by_id = by_id
         self.ec = _NativeEC(lib, self._h, by_id)
 
-    def _write_tu(self, plane, mi_r, mi_c, tx: TxSize, tx_type, levels, mode):
+    def _write_tu(self, plane, mi_r, mi_c, tx: TxSize, tx_type, levels,
+                  mode, is_inter: bool = False):
         ss = 0 if plane == 0 else 1
         u_c = mi_c >> ss
         u_r = mi_r >> ss
@@ -190,7 +201,19 @@ class NativeTileWriter(TileWriter):
         txtype_fam = -1
         txtype_rec = 0
         txtype_sym = 0
-        if plane == 0:
+        if plane == 0 and is_inter:
+            # spec get_tx_set (inter) + read_tx_type (see tile.py)
+            if self.base_q_idx != 0 and _sqr_up_idx(tx) <= 3:
+                if self.reduced_tx_set or _sqr_up_idx(tx) == 3:
+                    order, name = INTER_TX_SET3, "inter_ext_tx3"
+                elif tx.sqr == TxSize.TX_16X16:
+                    order, name = INTER_TX_SET2, "inter_ext_tx2"
+                else:
+                    order, name = INTER_TX_SET1, "inter_ext_tx1"
+                txtype_sym = order.index(tx_type)
+                txtype_fam = self._fam[name].fam
+                txtype_rec = _sqr_idx(tx)
+        elif plane == 0:
             s = intra_tx_set(tx, self.reduced_tx_set)
             if s != 0 and self.base_q_idx != 0:
                 order = INTRA_TX_SET1 if s == 1 else INTRA_TX_SET2

@@ -276,6 +276,74 @@ def write_frame_header(seq: Sequence, fp: FrameParams, ti: TileInfo) -> BitWrite
     return b
 
 
+def write_inter_frame_header(seq: Sequence, fp: FrameParams, ti: TileInfo,
+                             order_hint: int = 0,
+                             refresh_flags: int = 0x01,
+                             ref_idx: list | None = None) -> BitWriter:
+    """uncompressed_header for a shown INTER frame (single ref path,
+    PRIMARY_REF_NONE, no superres, filters per fp)."""
+    b = BitWriter()
+    b.bit(0)  # show_existing_frame
+    b.f(int(FrameType.INTER), 2)
+    b.bit(1)  # show_frame
+    b.bit(0)  # error_resilient_mode
+    b.bit(fp.disable_cdf_update)
+    b.bit(0)  # allow_screen_content_tools (seq SELECT)
+    b.bit(0)  # frame_size_override_flag
+    b.f(order_hint & ((1 << seq.order_hint_bits) - 1), seq.order_hint_bits)
+    b.f(7, 3)  # primary_ref_frame = PRIMARY_REF_NONE
+    b.f(refresh_flags, 8)
+    # frame_refs_short_signaling not used (enable_order_hint -> flag)
+    if seq.enable_order_hint:
+        b.bit(0)  # frame_refs_short_signaling
+    ref_idx = ref_idx or [0] * 7
+    for i in range(7):
+        b.f(ref_idx[i], 3)
+    # frame size: size_override=0 -> from sequence; superres off
+    b.bit(0)  # render_and_frame_size_different
+    b.bit(0)  # allow_high_precision_mv (quarter-pel MVs)
+    # interpolation filter: not switchable, EIGHTTAP_REGULAR
+    b.bit(0)  # is_filter_switchable
+    b.f(0, 2)  # interpolation_filter
+    b.bit(0)  # is_motion_mode_switchable
+    # use_ref_frame_mvs: only coded when seq enable_ref_frame_mvs (off)
+    if not fp.disable_cdf_update:
+        b.bit(1)  # disable_frame_end_update_cdf
+    ti.write(b, fp)
+    b.f(fp.base_q_idx, 8)
+    b.delta_q(0)
+    b.delta_q(0)
+    b.delta_q(0)
+    b.bit(0)  # using_qmatrix
+    b.bit(0)  # segmentation_enabled
+    if fp.base_q_idx > 0:
+        b.bit(0)  # delta_q_present
+    lf = fp.loop_filter_levels
+    b.f(lf[0], 6)
+    b.f(lf[1], 6)
+    if lf[0] or lf[1]:
+        b.f(lf[2], 6)
+        b.f(lf[3], 6)
+    b.f(fp.loop_filter_sharpness, 3)
+    b.bit(0)  # loop_filter_delta_enabled
+    assert not seq.enable_cdef and not seq.enable_restoration
+    b.bit(fp.tx_mode_select)
+    b.bit(0)  # reference_select (single reference mode)
+    # skip_mode_params: skipModeAllowed = 0 (no compound refs) -> no bit
+    # allow_warped_motion: implied 0 (seq enable_warped_motion == 0)
+    b.bit(fp.reduced_tx_set)
+    # global_motion_params: is_global = 0 per ref
+    for _ in range(7):
+        b.bit(0)
+    return b
+
+
+def interframe_packet(seq: Sequence, fp: FrameParams, ti: TileInfo,
+                      tiles: list[bytes], order_hint: int) -> bytes:
+    hdr = write_inter_frame_header(seq, fp, ti, order_hint)
+    return temporal_delimiter() + assemble_frame_obu(hdr, tiles, ti, fp)
+
+
 def obu(obu_type: ObuType, payload: bytes) -> bytes:
     """Wrap payload with an OBU header + uleb size."""
     hdr = bytes([(int(obu_type) << 3) | 0x02])  # has_size_field

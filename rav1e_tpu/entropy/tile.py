@@ -68,6 +68,28 @@ INTRA_TX_SET1 = [TxType.IDTX, TxType.DCT_DCT, TxType.V_DCT, TxType.H_DCT,
 INTRA_TX_SET2 = [TxType.IDTX, TxType.DCT_DCT, TxType.ADST_ADST,
                  TxType.ADST_DCT, TxType.DCT_ADST]
 
+# inter set symbol orders (spec Tx_Type_In_Set_Inter). Set 3 is oracle-
+# verified ({IDTX, DCT}); sets 1/2 orders are provisional until non-DCT
+# inter tx types land (only DCT is coded today).
+INTER_TX_SET3 = [TxType.IDTX, TxType.DCT_DCT]
+INTER_TX_SET2 = [TxType.IDTX, TxType.V_DCT, TxType.H_DCT, TxType.DCT_DCT,
+                 TxType.ADST_ADST, TxType.ADST_DCT, TxType.DCT_ADST,
+                 TxType.FLIPADST_FLIPADST, TxType.FLIPADST_DCT,
+                 TxType.DCT_FLIPADST, TxType.ADST_FLIPADST,
+                 TxType.FLIPADST_ADST]
+INTER_TX_SET1 = [TxType.IDTX, TxType.V_DCT, TxType.H_DCT, TxType.V_ADST,
+                 TxType.H_ADST, TxType.V_FLIPADST, TxType.H_FLIPADST,
+                 TxType.DCT_DCT, TxType.ADST_ADST, TxType.ADST_DCT,
+                 TxType.DCT_ADST, TxType.FLIPADST_FLIPADST,
+                 TxType.FLIPADST_DCT, TxType.DCT_FLIPADST,
+                 TxType.ADST_FLIPADST, TxType.FLIPADST_ADST]
+
+
+def _sqr_idx(tx: TxSize) -> int:
+    """EXT_TX_SIZES index by Tx_Size_Sqr (inter_ext_tx row index)."""
+    return [TxSize.TX_4X4, TxSize.TX_8X8, TxSize.TX_16X16,
+            TxSize.TX_32X32].index(tx.sqr)
+
 # chroma tx type from uv prediction mode (spec Mode_To_Txfm)
 MODE_TO_TXFM = {
     PredictionMode.DC_PRED: TxType.DCT_DCT,
@@ -113,7 +135,8 @@ class TileWriter:
     def __init__(self, mi_rows: int, mi_cols: int, base_q_idx: int,
                  frame_mi_rows: int | None = None,
                  frame_mi_cols: int | None = None,
-                 reduced_tx_set: bool = True):
+                 reduced_tx_set: bool = True,
+                 inter_frame: bool = False):
         # tile == frame until the tiling milestone
         self.mi_rows = mi_rows
         self.mi_cols = mi_cols
@@ -127,6 +150,10 @@ class TileWriter:
         self.left_part = np.zeros(16, np.uint8)
         self.skip_grid = np.zeros((mi_rows, mi_cols), np.uint8)
         self.mode_grid = np.zeros((mi_rows, mi_cols), np.uint8)
+        self.inter_frame = inter_frame
+        if inter_frame:
+            from rav1e_tpu.entropy.inter import InterCtx
+            self.inter_ctx = InterCtx(mi_rows, mi_cols)
         # per-plane coefficient entropy contexts, one byte per 4-px unit
         self.above_coef = [np.zeros(mi_cols, np.uint8),
                            np.zeros((mi_cols + 1) // 2, np.uint8),
@@ -271,7 +298,8 @@ class TileWriter:
         self.mode_grid[r: r + bh, c: c + bw] = int(d.y_mode)
 
     def _write_tu(self, plane: int, mi_r: int, mi_c: int, tx: TxSize,
-                  tx_type: TxType, levels, mode: PredictionMode):
+                  tx_type: TxType, levels, mode: PredictionMode,
+                  is_inter: bool = False):
         """Code one transform unit + maintain entropy contexts."""
         ss = 0 if plane == 0 else 1
         u_c = mi_c >> ss  # first 4-px unit column of this plane block
@@ -300,6 +328,21 @@ class TileWriter:
         def tx_type_cb():
             if plane != 0:
                 return
+            if is_inter:
+                # spec get_tx_set (inter) + read_tx_type: a symbol IS
+                # coded for every luma TU with sqr_up <= 32 (set 3 =
+                # {IDTX, DCT} at 32x32, unlike intra's DCT-only).
+                if self.base_q_idx == 0 or _sqr_up_idx(tx) > 3:
+                    return
+                if self.reduced_tx_set or _sqr_up_idx(tx) == 3:
+                    order, table = INTER_TX_SET3, self.cdfs.inter_ext_tx3
+                elif tx.sqr == TxSize.TX_16X16:
+                    order, table = INTER_TX_SET2, self.cdfs.inter_ext_tx2
+                else:
+                    order, table = INTER_TX_SET1, self.cdfs.inter_ext_tx1
+                self.ec.encode_symbol(order.index(tx_type),
+                                      table[_sqr_idx(tx)])
+                return
             s = intra_tx_set(tx, self.reduced_tx_set)
             if s == 0 or self.base_q_idx == 0:
                 return
@@ -316,6 +359,66 @@ class TileWriter:
         above[u_c: u_c + uw] = cul
         left[u_r: u_r + uh] = cul
 
+    # ---- inter blocks ------------------------------------------------------
+
+    def write_inter_block(self, r: int, c: int, bsize: BlockSize, d):
+        """inter_frame_mode_info for a P-frame block (single LAST ref,
+        zero-MV GLOBALMV path; segmentation/cdef/deltas off)."""
+        from rav1e_tpu.entropy.inter import LAST_FRAME, InterBlockInfo
+        bw, bh = bsize.width_mi, bsize.height_mi
+        ictx = self.inter_ctx
+        # skip
+        above_sk = int(self.skip_grid[r - 1, c]) if r > 0 else 0
+        left_sk = int(self.skip_grid[r, c - 1]) if c > 0 else 0
+        self.ec.encode_symbol(int(d.skip), self.cdfs.skip[above_sk + left_sk])
+        # is_inter
+        ii_ctx = ictx.intra_inter_ctx(r, c)
+        self.ec.encode_symbol(1, self.cdfs.intra_inter[ii_ctx])
+        # single ref tree -> LAST_FRAME: p1=0 (fwd), p3=0, p4=0
+        self.ec.encode_symbol(0, self.cdfs.single_ref[
+            ictx.single_ref_ctx(r, c, 0)][0])
+        self.ec.encode_symbol(0, self.cdfs.single_ref[
+            ictx.single_ref_ctx(r, c, 2)][2])
+        self.ec.encode_symbol(0, self.cdfs.single_ref[
+            ictx.single_ref_ctx(r, c, 3)][3])
+        # mv stack + inter mode
+        stack, mctx = ictx.find_mv_stack(r, c, bsize, LAST_FRAME)
+        mode = d.y_mode  # inter mode stored in y_mode slot
+        if mode == PredictionMode.NEWMV:
+            self.ec.encode_symbol(0, self.cdfs.newmv[mctx["new"]])
+            raise NotImplementedError("NEWMV mv coding lands with ME")
+        self.ec.encode_symbol(1, self.cdfs.newmv[mctx["new"]])
+        if mode == PredictionMode.GLOBALMV:
+            self.ec.encode_symbol(0, self.cdfs.zeromv[mctx["zero"]])
+        else:
+            self.ec.encode_symbol(1, self.cdfs.zeromv[mctx["zero"]])
+            raise NotImplementedError("NEAREST/NEARMV land with ME")
+        # residual (same plane order; inter tx type: DCT only at >=32)
+        if not d.skip:
+            ytx = MAX_TX_SIZE_RECT[bsize]
+            self._write_tu(0, r, c, ytx, TxType.DCT_DCT, d.coeffs[0],
+                           PredictionMode.DC_PRED, is_inter=True)
+            uvtx = chroma_tx_size(bsize)
+            self._write_tu(1, r, c, uvtx, TxType.DCT_DCT, d.coeffs[1],
+                           PredictionMode.DC_PRED, is_inter=True)
+            self._write_tu(2, r, c, uvtx, TxType.DCT_DCT, d.coeffs[2],
+                           PredictionMode.DC_PRED, is_inter=True)
+        else:
+            self.above_coef[0][c: c + bw] = 0
+            self.left_coef[0][r: r + bh] = 0
+            for p in (1, 2):
+                self.above_coef[p][c // 2: (c + bw + 1) // 2] = 0
+                self.left_coef[p][r // 2: (r + bh + 1) // 2] = 0
+        self.skip_grid[r: r + bh, c: c + bw] = int(d.skip)
+        ictx.set_block(r, c, bsize, InterBlockInfo(
+            is_inter=True, ref=LAST_FRAME, mode=mode, mv=(0, 0)))
+
+    def _write_block(self, r, c, bsize, d):
+        if self.inter_frame:
+            self.write_inter_block(r, c, bsize, d)
+        else:
+            self.write_intra_block(r, c, bsize, d)
+
     # ---- tree walking ------------------------------------------------------
 
     def write_sb_tree(self, r: int, c: int, bsize: BlockSize,
@@ -328,27 +431,27 @@ class TileWriter:
         sub = subsize(part, bsize)
         half = bsize.width_mi // 2
         if part == PartitionType.NONE:
-            self.write_intra_block(r, c, bsize, blocks[(r, c)])
+            self._write_block(r, c, bsize, blocks[(r, c)])
             self._update_part_ctx(r, c, sub, bsize)
         elif part == PartitionType.SPLIT:
             if sub == BlockSize.B4X4:
                 for (dr, dc) in ((0, 0), (0, 1), (1, 0), (1, 1)):
                     rr, cc = r + dr, c + dc
                     if rr < self.mi_rows and cc < self.mi_cols:
-                        self.write_intra_block(rr, cc, sub, blocks[(rr, cc)])
+                        self._write_block(rr, cc, sub, blocks[(rr, cc)])
                 self._update_part_ctx(r, c, sub, bsize)
             else:
                 for (dr, dc) in ((0, 0), (0, half), (half, 0), (half, half)):
                     self.write_sb_tree(r + dr, c + dc, sub, partitions, blocks)
         elif part == PartitionType.HORZ:
-            self.write_intra_block(r, c, sub, blocks[(r, c)])
+            self._write_block(r, c, sub, blocks[(r, c)])
             if r + half < self.mi_rows:
-                self.write_intra_block(r + half, c, sub, blocks[(r + half, c)])
+                self._write_block(r + half, c, sub, blocks[(r + half, c)])
             self._update_part_ctx(r, c, sub, bsize)
         elif part == PartitionType.VERT:
-            self.write_intra_block(r, c, sub, blocks[(r, c)])
+            self._write_block(r, c, sub, blocks[(r, c)])
             if c + half < self.mi_cols:
-                self.write_intra_block(r, c + half, sub, blocks[(r, c + half)])
+                self._write_block(r, c + half, sub, blocks[(r, c + half)])
             self._update_part_ctx(r, c, sub, bsize)
         else:
             raise ValueError(part)

