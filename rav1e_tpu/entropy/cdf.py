@@ -86,6 +86,21 @@ class TileCDFs:
         self.refmv = _to_lists(t["refmv"])
         self.drl = _to_lists(t["drl"])
         self.single_ref = _to_lists(t["single_ref"])
+        # MV coding (nmv_context): component 0 = row, 1 = col
+        self.mv_joint = _to_lists(t["mv_joint"])
+        self.mv_comp = []
+        for ci in (0, 1):
+            p = f"mv{ci}_"
+            self.mv_comp.append({
+                "sign": _to_lists(t[p + "sign"]),
+                "classes": _to_lists(t[p + "classes"]),
+                "class0": _to_lists(t[p + "class0"]),
+                "class0_fr": _to_lists(t[p + "class0_fr"]),
+                "class0_hp": _to_lists(t[p + "class0_hp"]),
+                "bits": _to_lists(t[p + "bits"]),
+                "fr": _to_lists(t[p + "fr"]),
+                "hp": _to_lists(t[p + "hp"]),
+            })
         # coefficient tables (q-bucketed)
         self.txb_skip = _to_lists(t["txb_skip"][q])
         self.eob_pt = {

@@ -95,23 +95,32 @@ class InterCtx:
         a, b = groups[pos]
         return 1 if a == b else (0 if a < b else 2)
 
-    def find_mv_stack(self, r, c, bsize: BlockSize, ref: int):
-        """Build the ref-MV stack + mode contexts (spec 7.10.2 subset:
-        no temporal, no compound). Returns (stack, mode_ctx) where
-        mode_ctx = {'new':, 'zero':, 'ref':} contexts."""
+    def find_mv_stack(self, r, c, bsize: BlockSize, ref: int,
+                      allow_hp: bool = False):
+        """Build the ref-MV stack + mode contexts (spec 7.10.2, no
+        temporal/compound). Returns (stack, mctx) with mctx keys:
+        new/zero/ref contexts, n_found, drl_ctx[2], pred_mv."""
         bw4, bh4 = bsize.width_mi, bsize.height_mi
         stack: list = []  # [mv, weight]
         newmv_count = 0
-        found_row = {}
-        found_col = {}
+        REF_CAT = 640  # REF_CAT_LEVEL
 
-        def add_cand(rr, cc, weight):
+        def lower(mv):
+            rr, cc = mv
+            if not allow_hp:
+                if rr & 1:
+                    rr += 1 if rr < 0 else -1
+                if cc & 1:
+                    cc += 1 if cc < 0 else -1
+            return (rr, cc)
+
+        def add_cand(rr, cc, weight, count_newmv=True):
             nonlocal newmv_count
             if not (0 <= rr < self.mi_rows and 0 <= cc < self.mi_cols):
                 return False
             if not self.is_inter[rr, cc] or self.ref[rr, cc] != ref:
                 return False
-            mv = (int(self.mv[rr, cc, 0]), int(self.mv[rr, cc, 1]))
+            mv = lower((int(self.mv[rr, cc, 0]), int(self.mv[rr, cc, 1])))
             for ent in stack:
                 if ent[0] == mv:
                     ent[1] += weight
@@ -119,8 +128,7 @@ class InterCtx:
             else:
                 if len(stack) < 8:
                     stack.append([mv, weight])
-            mode = self.mode[rr, cc]
-            if mode in (int(PredictionMode.NEWMV),):
+            if count_newmv and self.mode[rr, cc] == int(PredictionMode.NEWMV):
                 newmv_count += 1
             return True
 
@@ -134,7 +142,9 @@ class InterCtx:
             while i < end:
                 cc = c + i
                 ln = max(1, min(int(self.bw4[rr, cc]), bw4))
-                if add_cand(rr, cc, 2 * ln):
+                if not close:
+                    ln = max(ln, 2)  # outer rows step >= 8x8
+                if add_cand(rr, cc, 2 * ln, count_newmv=close):
                     found = True
                 i += ln
             return found
@@ -149,27 +159,36 @@ class InterCtx:
             while i < end:
                 rr = r + i
                 ln = max(1, min(int(self.bh4[rr, cc]), bh4))
-                if add_cand(rr, cc, 2 * ln):
+                if not close:
+                    ln = max(ln, 2)
+                if add_cand(rr, cc, 2 * ln, count_newmv=close):
                     found = True
                 i += ln
             return found
 
-        found_row[1] = scan_row(-1, True)
-        found_col[1] = scan_col(-1, True)
-        # top-right point
+        # ---- close scans (these feed nearest_match + newmv_count) ----
+        found_row = scan_row(-1, True)
+        found_col = scan_col(-1, True)
         tr = False
         if r > 0 and c + bw4 < self.mi_cols and self._has_tr(r, c, bsize):
             tr = add_cand(r - 1, c + bw4, 4)
-        nearest_match = int(found_row[1] or tr) + int(found_col[1])
-        # outer passes (rows/cols -3, -5)
+        nearest_match = int(found_row or tr) + int(found_col)
+        n_nearest = len(stack)
+        for ent in stack:
+            ent[1] += REF_CAT
+        # (temporal scan disabled at sequence level)
+        # top-left point, then outer rows/cols (none count newmv)
+        tl = False
+        if r > 0 and c > 0:
+            tl = add_cand(r - 1, c - 1, 4, count_newmv=False)
         far_row = far_col = False
         for idx in (3, 5):
             if r - idx >= 0:
                 far_row |= scan_row(-idx, False)
             if c - idx >= 0:
                 far_col |= scan_col(-idx, False)
-        total_match = (int(found_row[1] or tr or far_row)
-                       + int(found_col[1] or far_col))
+        total_match = (int(found_row or tr or tl or far_row)
+                       + int(found_col or far_col))
         # mode contexts (libaom setup_ref_mv_list switch)
         new_ctx = ref_ctx = 0
         if nearest_match == 0:
@@ -183,11 +202,29 @@ class InterCtx:
         else:
             new_ctx = 4 if newmv_count > 0 else 5
             ref_ctx = 5
-        stack.sort(key=lambda e: -e[1])
-        # pad with global mv (identity => (0,0))
+        # sort: nearest segment then outer segment, both desc by weight
+        # (stable bubble passes, matching the spec's sort)
+        n_found = len(stack)
+        stack[:n_nearest] = sorted(stack[:n_nearest], key=lambda e: -e[1])
+        stack[n_nearest:] = sorted(stack[n_nearest:], key=lambda e: -e[1])
+        # pad with the global mv (identity => (0,0)); count unchanged
         while len(stack) < 2:
             stack.append([(0, 0), 0])
-        return stack, {"new": new_ctx, "zero": 0, "ref": ref_ctx}
+        drl_ctx = []
+        for idx in range(2):
+            w0 = stack[idx][1] if idx < len(stack) else 0
+            w1 = stack[idx + 1][1] if idx + 1 < len(stack) else 0
+            if w0 >= REF_CAT and w1 >= REF_CAT:
+                drl_ctx.append(0)
+            elif w0 >= REF_CAT:
+                drl_ctx.append(1)
+            elif w1 < REF_CAT:
+                drl_ctx.append(2)
+            else:
+                drl_ctx.append(0)
+        return stack, {"new": new_ctx, "zero": 0, "ref": ref_ctx,
+                       "n_found": n_found, "drl_ctx": drl_ctx,
+                       "pred_mv": lower(tuple(stack[0][0]))}
 
     def _has_tr(self, r, c, bsize: BlockSize) -> bool:
         """Top-right availability for the uniform grids we emit

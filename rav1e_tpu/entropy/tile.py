@@ -127,6 +127,7 @@ class BlockDecision:
     angle_delta_uv: int = 0
     cfl_alpha_idx: int = 0  # joint alpha index when uv_mode == CFL
     cfl_alpha_sign: int = 0
+    mv: tuple = (0, 0)      # (row, col) 1/8-pel, inter blocks only
     # residual planes are attached by the coefficient milestone
     coeffs: dict = field(default_factory=dict)
 
@@ -361,6 +362,42 @@ class TileWriter:
 
     # ---- inter blocks ------------------------------------------------------
 
+    def write_mv(self, mv, pred, allow_hp: bool = False):
+        """mv_residual coding (spec read_mv inverse): joint symbol then
+        per-component sign/class/offset. allow_hp=0 means the hp bit is
+        implied 1, so diffs must be even (1/4-pel)."""
+        dr = int(mv[0]) - int(pred[0])
+        dc = int(mv[1]) - int(pred[1])
+        joint = (2 if dr != 0 else 0) | (1 if dc != 0 else 0)
+        self.ec.encode_symbol(joint, self.cdfs.mv_joint)
+        for ci, d in ((0, dr), (1, dc)):
+            if d == 0:
+                continue
+            t = self.cdfs.mv_comp[ci]
+            sign = 1 if d < 0 else 0
+            z = abs(d) - 1
+            self.ec.encode_symbol(sign, t["sign"])
+            if z < 16:
+                cls = 0
+            else:
+                cls = z.bit_length() - 4
+            self.ec.encode_symbol(cls, t["classes"])
+            if cls == 0:
+                assert z & 1, "hp bit is implied 1 when allow_hp=0"
+                self.ec.encode_symbol(z >> 3, t["class0"])
+                self.ec.encode_symbol((z >> 1) & 3,
+                                      t["class0_fr"][z >> 3])
+                if allow_hp:
+                    self.ec.encode_symbol(z & 1, t["class0_hp"])
+            else:
+                o = z - (2 << (cls + 2))
+                assert o & 1 or allow_hp, "hp bit implied 1"
+                for i in range(cls):
+                    self.ec.encode_symbol((o >> (i + 3)) & 1, t["bits"][i])
+                self.ec.encode_symbol((o >> 1) & 3, t["fr"])
+                if allow_hp:
+                    self.ec.encode_symbol(o & 1, t["hp"])
+
     def write_inter_block(self, r: int, c: int, bsize: BlockSize, d):
         """inter_frame_mode_info for a P-frame block (single LAST ref,
         zero-MV GLOBALMV path; segmentation/cdef/deltas off)."""
@@ -386,13 +423,22 @@ class TileWriter:
         mode = d.y_mode  # inter mode stored in y_mode slot
         if mode == PredictionMode.NEWMV:
             self.ec.encode_symbol(0, self.cdfs.newmv[mctx["new"]])
-            raise NotImplementedError("NEWMV mv coding lands with ME")
-        self.ec.encode_symbol(1, self.cdfs.newmv[mctx["new"]])
-        if mode == PredictionMode.GLOBALMV:
-            self.ec.encode_symbol(0, self.cdfs.zeromv[mctx["zero"]])
+            # drl (spec read_drl_idx): RefMvIdx 0 for now; bits are
+            # present only while NumMvFound exceeds idx+1
+            for idx in range(2):
+                if mctx["n_found"] > idx + 1:
+                    self.ec.encode_symbol(
+                        0, self.cdfs.drl[mctx["drl_ctx"][idx]])
+                    break
+            pred = mctx["pred_mv"]
+            self.write_mv(d.mv, pred)
         else:
-            self.ec.encode_symbol(1, self.cdfs.zeromv[mctx["zero"]])
-            raise NotImplementedError("NEAREST/NEARMV land with ME")
+            self.ec.encode_symbol(1, self.cdfs.newmv[mctx["new"]])
+            if mode == PredictionMode.GLOBALMV:
+                self.ec.encode_symbol(0, self.cdfs.zeromv[mctx["zero"]])
+            else:
+                self.ec.encode_symbol(1, self.cdfs.zeromv[mctx["zero"]])
+                raise NotImplementedError("NEAREST/NEARMV land next")
         # residual (same plane order; inter tx type: DCT only at >=32)
         if not d.skip:
             ytx = MAX_TX_SIZE_RECT[bsize]
@@ -411,7 +457,7 @@ class TileWriter:
                 self.left_coef[p][r // 2: (r + bh + 1) // 2] = 0
         self.skip_grid[r: r + bh, c: c + bw] = int(d.skip)
         ictx.set_block(r, c, bsize, InterBlockInfo(
-            is_inter=True, ref=LAST_FRAME, mode=mode, mv=(0, 0)))
+            is_inter=True, ref=LAST_FRAME, mode=mode, mv=tuple(d.mv)))
 
     def _write_block(self, r, c, bsize, d):
         if self.inter_frame:

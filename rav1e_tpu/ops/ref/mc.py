@@ -1,0 +1,121 @@
+"""Motion compensation: spec-exact sub-pel inter prediction (8-bit).
+
+Reference parity: rav1e src/mc.rs (put_8tap paths). Semantics follow
+AV1 spec 7.11.3 (block_inter_predict, no reference scaling):
+
+- MVs are (row, col) in 1/8 luma pel. For a plane with subsampling ss,
+  the 1/16-pel position is ``(pos << 4) + (mv << (1 - ss))``.
+- Two 1D passes with 8-tap filters (16 phases, FILTER_BITS=7):
+  horizontal first, intermediate = Round2(sum, InterRound0=3), then
+  vertical, result = Round2(sum, InterRound1=11), clipped to 8-bit.
+  Integer positions use the impulse phase, making the cascade exact.
+- Out-of-frame taps replicate the edge pixels (spec clamping).
+
+Filter coefficients are the spec constants (verified against the
+libaom build's .rodata; REGULAR at i16 offset 159104).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+FILTER_BITS = 7
+INTER_ROUND0 = 3    # 8-bit intermediate downshift
+INTER_ROUND1 = 11   # 2*FILTER_BITS - INTER_ROUND0
+
+# interp_filter enum order from the frame header: EIGHTTAP, SMOOTH,
+# SHARP (BILINEAR only via the never-signaled 4th value).
+SUBPEL_FILTERS = {
+    "REGULAR": np.array([
+        [0, 0, 0, 128, 0, 0, 0, 0],
+        [0, 2, -6, 126, 8, -2, 0, 0],
+        [0, 2, -10, 122, 18, -4, 0, 0],
+        [0, 2, -12, 116, 28, -8, 2, 0],
+        [0, 2, -14, 110, 38, -10, 2, 0],
+        [0, 2, -14, 102, 48, -12, 2, 0],
+        [0, 2, -16, 94, 58, -12, 2, 0],
+        [0, 2, -14, 84, 66, -12, 2, 0],
+        [0, 2, -14, 76, 76, -14, 2, 0],
+        [0, 2, -12, 66, 84, -14, 2, 0],
+        [0, 2, -12, 58, 94, -16, 2, 0],
+        [0, 2, -12, 48, 102, -14, 2, 0],
+        [0, 2, -10, 38, 110, -14, 2, 0],
+        [0, 2, -8, 28, 116, -12, 2, 0],
+        [0, 0, -4, 18, 122, -10, 2, 0],
+        [0, 0, -2, 8, 126, -6, 2, 0],
+    ], np.int32),
+    "SMOOTH": np.array([
+        [0, 0, 0, 128, 0, 0, 0, 0],
+        [0, 2, 28, 62, 34, 2, 0, 0],
+        [0, 0, 26, 62, 36, 4, 0, 0],
+        [0, 0, 22, 62, 40, 4, 0, 0],
+        [0, 0, 20, 60, 42, 6, 0, 0],
+        [0, 0, 18, 58, 44, 8, 0, 0],
+        [0, 0, 16, 56, 46, 10, 0, 0],
+        [0, -2, 16, 54, 48, 12, 0, 0],
+        [0, -2, 14, 52, 52, 14, -2, 0],
+        [0, 0, 12, 48, 54, 16, -2, 0],
+        [0, 0, 10, 46, 56, 16, 0, 0],
+        [0, 0, 8, 44, 58, 18, 0, 0],
+        [0, 0, 6, 42, 60, 20, 0, 0],
+        [0, 0, 4, 40, 62, 22, 0, 0],
+        [0, 0, 4, 36, 62, 26, 0, 0],
+        [0, 0, 2, 34, 62, 28, 2, 0],
+    ], np.int32),
+    "SHARP": np.array([
+        [0, 0, 0, 128, 0, 0, 0, 0],
+        [-2, 2, -6, 126, 8, -2, 2, 0],
+        [-2, 6, -12, 124, 16, -6, 4, -2],
+        [-2, 8, -18, 120, 26, -10, 6, -2],
+        [-4, 10, -22, 116, 38, -14, 6, -2],
+        [-4, 10, -22, 108, 48, -18, 8, -2],
+        [-4, 10, -24, 100, 60, -20, 8, -2],
+        [-4, 10, -24, 90, 70, -22, 10, -2],
+        [-4, 12, -24, 80, 80, -24, 12, -4],
+        [-2, 10, -22, 70, 90, -24, 10, -4],
+        [-2, 8, -20, 60, 100, -24, 10, -4],
+        [-2, 8, -18, 48, 108, -22, 10, -4],
+        [-2, 6, -14, 38, 116, -22, 10, -4],
+        [-2, 6, -10, 26, 120, -18, 8, -2],
+        [-2, 4, -6, 16, 124, -12, 6, -2],
+        [0, 2, -2, 8, 126, -6, 2, -2],
+    ], np.int32),
+    "BILINEAR": np.array([
+        [0, 0, 0, 128 - 8 * p, 8 * p, 0, 0, 0] for p in range(16)
+    ], np.int32),
+}
+
+
+def _round2(x, n):
+    return (x + (1 << (n - 1))) >> n
+
+
+def mc_predict(ref: np.ndarray, y0: int, x0: int, h: int, w: int,
+               mv: tuple, ss: int = 0,
+               filt: str = "REGULAR") -> np.ndarray:
+    """Predict an h x w block of a plane from `ref` at plane position
+    (y0, x0) displaced by luma-scale 1/8-pel `mv` (row, col)."""
+    f = SUBPEL_FILTERS[filt]
+    rh, rw = ref.shape
+    # 1/16-pel plane-scale positions
+    py = (y0 << 4) + (int(mv[0]) << (1 - ss))
+    px = (x0 << 4) + (int(mv[1]) << (1 - ss))
+    iy, fy = py >> 4, py & 15
+    ix, fx = px >> 4, px & 15
+    fh = f[fx]
+    fv = f[fy]
+    # gather source rows/cols with edge replication
+    rows = np.clip(np.arange(iy - 3, iy + h + 4), 0, rh - 1)
+    cols = np.clip(np.arange(ix - 3, ix + w + 4), 0, rw - 1)
+    src = ref[np.ix_(rows, cols)].astype(np.int64)  # (h+7, w+7)
+    # horizontal pass -> (h+7, w)
+    interm = np.zeros((h + 7, w), np.int64)
+    for t in range(8):
+        interm += fh[t] * src[:, t: t + w]
+    interm = _round2(interm, INTER_ROUND0)
+    # vertical pass -> (h, w)
+    out = np.zeros((h, w), np.int64)
+    for t in range(8):
+        out += fv[t] * interm[t: t + h]
+    out = _round2(out, INTER_ROUND1)
+    return np.clip(out, 0, 255).astype(np.int32)

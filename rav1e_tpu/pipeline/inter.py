@@ -30,13 +30,61 @@ from rav1e_tpu.entropy.obu import (
     interframe_packet,
 )
 from rav1e_tpu.entropy.tile import BlockDecision, TileWriter, chroma_tx_size
+from rav1e_tpu.ops.ref.mc import mc_predict
 from rav1e_tpu.ops.ref.quant import dequantize, quantize
 from rav1e_tpu.ops.ref.transforms import forward_transform, inverse_transform
 
 
+def _fullpel_search(src, ref, by, bx, rng_px=16):
+    """Exhaustive full-pel SAD search over a +-rng_px window (clamped
+    in-frame). Returns (mv_row, mv_col) in whole pixels."""
+    h, w = ref.shape
+    blk = src[by: by + 32, bx: bx + 32]
+    y_lo, y_hi = max(0, by - rng_px), min(h - 32, by + rng_px)
+    x_lo, x_hi = max(0, bx - rng_px), min(w - 32, bx + rng_px)
+    win = ref[y_lo: y_hi + 32, x_lo: x_hi + 32]
+    views = np.lib.stride_tricks.sliding_window_view(win, (32, 32))
+    sads = np.abs(views.astype(np.int32)
+                  - blk[None, None]).sum(axis=(2, 3))
+    iy, ix = np.unravel_index(np.argmin(sads), sads.shape)
+    best = int(sads[iy, ix])
+    zero = int(sads[by - y_lo, bx - x_lo])
+    if best + 1024 >= zero:  # cheap mv-cost bias toward (0,0)
+        return (0, 0), zero
+    return (y_lo + int(iy) - by, x_lo + int(ix) - bx), best
+
+
+def _subpel_refine(src, ref, by, bx, mv_fp, steps=(4, 2)):
+    """Quarter-pel refinement (hp bit implied 1 => even 1/8 units)."""
+    best_mv = (mv_fp[0] * 8, mv_fp[1] * 8)
+    blk = src[by: by + 32, bx: bx + 32]
+
+    def cost(mv):
+        p = mc_predict(ref, by, bx, 32, 32, mv)
+        return int(np.abs(p - blk).sum())
+
+    best = cost(best_mv)
+    for step in steps:
+        improved = True
+        while improved:
+            improved = False
+            for dmv in ((-step, 0), (step, 0), (0, -step), (0, step)):
+                cand = (best_mv[0] + dmv[0], best_mv[1] + dmv[1])
+                cc = cost(cand)
+                if cc < best:
+                    best, best_mv, improved = cc, cand, True
+    return best_mv
+
+
 def encode_pframe(planes, ref_planes, qindex: int = 100,
-                  order_hint: int = 1, use_native: bool = True):
-    """Encode one P frame against ref_planes. Returns (packet, recon)."""
+                  order_hint: int = 1, use_native: bool = True,
+                  search_px: int = 16, subpel: bool = True):
+    """Encode one P frame against ref_planes. Returns (packet, recon).
+
+    Per 32x32 block: full-pel SAD search (+- search_px) with quarter-pel
+    refinement; (0,0) codes as GLOBALMV, otherwise NEWMV. Residual DCT
+    at TX_32X32 luma / TX_16X16 chroma; all-zero => skip.
+    """
     y, u, v = [p.astype(np.int32) for p in planes]
     ry, ru, rv = [p.astype(np.int32) for p in ref_planes]
     h, w = y.shape
@@ -61,35 +109,43 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
             r, c = by >> 2, bx >> 2
             partitions[(r, c, int(BlockSize.B64X64))] = PartitionType.SPLIT
             partitions[(r, c, int(BlockSize.B32X32))] = PartitionType.NONE
+            mv_fp, _ = _fullpel_search(y, ry, by, bx, search_px)
+            if mv_fp != (0, 0) and subpel:
+                mv = _subpel_refine(y, ry, by, bx, mv_fp)
+            else:
+                mv = (mv_fp[0] * 8, mv_fp[1] * 8)
+            mode = (PredictionMode.GLOBALMV if mv == (0, 0)
+                    else PredictionMode.NEWMV)
             lvls = []
-            for pi, (src, ref, out, tx) in enumerate([
-                    (y, ry, rec[0], TxSize.TX_32X32),
-                    (u, ru, rec[1], TxSize.TX_16X16),
-                    (v, rv, rec[2], TxSize.TX_16X16)]):
+            preds = []
+            for pi, (src, ref, tx) in enumerate([
+                    (y, ry, TxSize.TX_32X32),
+                    (u, ru, TxSize.TX_16X16),
+                    (v, rv, TxSize.TX_16X16)]):
                 ss = 0 if pi == 0 else 1
                 px, py = bx >> ss, by >> ss
                 n = 32 >> ss
-                pred = ref[py: py + n, px: px + n]
+                pred = mc_predict(ref, py, px, n, n, mv, ss=ss)
+                preds.append(pred)
                 resid = src[py: py + n, px: px + n] - pred
                 cf = forward_transform(resid, tx, TxType.DCT_DCT)
                 lv = quantize(cf, qindex, tx)
                 dq = dequantize(lv, qindex, tx)
                 r2 = inverse_transform(dq, tx, TxType.DCT_DCT)
+                out = rec[pi]
                 out[py: py + n, px: px + n] = np.clip(pred + r2, 0, 255)
                 lvls.append(lv)
-            d = BlockDecision(y_mode=PredictionMode.GLOBALMV,
-                              uv_mode=PredictionMode.DC_PRED, skip=False)
+            d = BlockDecision(y_mode=mode,
+                              uv_mode=PredictionMode.DC_PRED, skip=False,
+                              mv=mv)
             if not any(lv.any() for lv in lvls):
                 d.skip = True
                 # skip: recon = prediction exactly
-                for pi, (ref, out) in enumerate([(ry, rec[0]),
-                                                 (ru, rec[1]),
-                                                 (rv, rec[2])]):
+                for pi in range(3):
                     ss = 0 if pi == 0 else 1
                     px, py = bx >> ss, by >> ss
                     n = 32 >> ss
-                    out[py: py + n, px: px + n] = ref[py: py + n,
-                                                      px: px + n]
+                    rec[pi][py: py + n, px: px + n] = preds[pi]
             else:
                 d.coeffs = {0: lvls[0], 1: lvls[1], 2: lvls[2]}
             blocks[(r, c)] = d

@@ -1,0 +1,256 @@
+"""TPU-batched P-frame encoding.
+
+Unlike intra (wavefront-serialized by prediction deps), inter blocks are
+independent given the reference frame, so the whole frame batches:
+
+- full-pel motion search as ONE grouped cross-correlation on the MXU
+  (SSD decomposed as ||w||^2 - 2 w.b + ||b||^2; the w.b term is a
+  feature_group_count=B conv with each block as its own filter),
+- quarter-pel refinement with the spec 8-tap filters as batched int32
+  einsums (fixed-trip-count descent, compiler-friendly),
+- DCT + quantize + bit-exact inverse over the [B, 32, 32] batch,
+- entropy packing on host via the native C packer.
+
+Reference parity: rav1e src/me.rs (full/sub-pel search) and
+src/encoder.rs motion_compensate, redesigned for XLA batching.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rav1e_tpu.core.constants import (
+    BlockSize,
+    FrameType,
+    PartitionType,
+    PredictionMode,
+    TxSize,
+    TxType,
+)
+from rav1e_tpu.entropy.obu import (
+    FrameParams,
+    Sequence,
+    TileInfo,
+    interframe_packet,
+)
+from rav1e_tpu.entropy.tile import BlockDecision, TileWriter
+from rav1e_tpu.ops.ref.mc import SUBPEL_FILTERS
+from rav1e_tpu.ops.ref.quant import ac_q as ac_q_lut, dc_q as dc_q_lut
+from rav1e_tpu.ops.tpu import transforms as T
+
+PAD = 32          # ref padding: search 16 + subpel drift + filter taps
+SEARCH = 16       # full-pel search radius (px)
+
+_FILT = jnp.asarray(SUBPEL_FILTERS["REGULAR"], jnp.int32)  # [16, 8]
+
+
+def _round2(x, n):
+    return (x + (1 << (n - 1))) >> n
+
+
+def _mc_batch(ref_pad, pos_r, pos_c, mv8, n, ss):
+    """Batched sub-pel prediction. ref_pad padded by PAD>>ss with edge
+    replication; pos_r/pos_c [B] plane-scale block origins; mv8 [B,2]
+    luma-scale 1/8-pel MVs; n = block size. Returns [B, n, n] int32."""
+    p = PAD >> ss
+    p16r = (pos_r << 4) + mv8[:, 0] * (2 >> ss)
+    p16c = (pos_c << 4) + mv8[:, 1] * (2 >> ss)
+    ir, fr = p16r >> 4, p16r & 15
+    ic, fc = p16c >> 4, p16c & 15
+
+    def slice_one(r0, c0):
+        return jax.lax.dynamic_slice(ref_pad, (r0 + p - 3, c0 + p - 3),
+                                     (n + 7, n + 7))
+
+    patch = jax.vmap(slice_one)(ir, ic)          # [B, n+7, n+7]
+    fh = _FILT[fc]                               # [B, 8]
+    fv = _FILT[fr]
+    hstk = jnp.stack([patch[:, :, t: t + n] for t in range(8)], 0)
+    interm = _round2(jnp.einsum("bt,tbrc->brc", fh, hstk), 3)
+    vstk = jnp.stack([interm[:, t: t + n, :] for t in range(8)], 0)
+    out = _round2(jnp.einsum("bt,tbrc->brc", fv, vstk), 11)
+    return jnp.clip(out, 0, 255)
+
+
+@lru_cache(maxsize=8)
+def _core(h: int, w: int, qindex: int):
+    nby, nbx = h // 32, w // 32
+    B = nby * nbx
+    by = (np.repeat(np.arange(nby), nbx) * 32).astype(np.int32)
+    bx = (np.tile(np.arange(nbx), nby) * 32).astype(np.int32)
+    dcq_y, acq_y = dc_q_lut(qindex), ac_q_lut(qindex)
+
+    def to_blocks(plane, n):
+        return (plane.reshape(-1, n, plane.shape[1] // n, n)
+                .transpose(0, 2, 1, 3).reshape(-1, n, n))
+
+    def from_blocks(blks, ph, pw, n):
+        return (blks.reshape(ph // n, pw // n, n, n)
+                .transpose(0, 2, 1, 3).reshape(ph, pw))
+
+    @jax.jit
+    def step(y, ry, u, ru, v, rv):
+        y = y.astype(jnp.int32)
+        ry = ry.astype(jnp.int32)
+        ryp = jnp.pad(ry, PAD, mode="edge")
+        rup = jnp.pad(ru.astype(jnp.int32), PAD // 2, mode="edge")
+        rvp = jnp.pad(rv.astype(jnp.int32), PAD // 2, mode="edge")
+        blks = to_blocks(y, 32)                       # [B,32,32]
+
+        # ---- full-pel SSD search (grouped conv on the MXU) ----------
+        win_sz = 2 * SEARCH + 32
+        sq_sums = jax.lax.reduce_window(
+            (ryp * ryp).astype(jnp.float32), 0.0, jax.lax.add,
+            (32, 32), (1, 1), "valid")                # sliding 32x32 sums
+
+        def win_one(r0, c0):
+            return jax.lax.dynamic_slice(
+                ryp, (r0 + PAD - SEARCH, c0 + PAD - SEARCH),
+                (win_sz, win_sz))
+
+        wins = jax.vmap(win_one)(by, bx).astype(jnp.float32)
+
+        def sums_one(r0, c0):
+            return jax.lax.dynamic_slice(
+                sq_sums, (r0 + PAD - SEARCH, c0 + PAD - SEARCH),
+                (2 * SEARCH + 1, 2 * SEARCH + 1))
+
+        wsq = jax.vmap(sums_one)(by, bx)              # [B,33,33]
+        corr = jax.lax.conv_general_dilated(
+            wins[None], blks.astype(jnp.float32)[:, None],
+            (1, 1), "VALID", feature_group_count=B,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=jax.lax.Precision.HIGHEST)[0]   # [B,33,33]
+        ssd = wsq - 2.0 * corr + jnp.sum(
+            (blks * blks).astype(jnp.float32), axis=(1, 2))[:, None, None]
+        dy = jnp.arange(-SEARCH, SEARCH + 1, dtype=jnp.float32)
+        mv_cost = 8.0 * (jnp.abs(dy)[None, :, None]
+                         + jnp.abs(dy)[None, None, :])
+        zero_bias = jnp.full((2 * SEARCH + 1,) * 2, 1024.0
+                             ).at[SEARCH, SEARCH].set(0.0)[None]
+        cost = ssd + mv_cost + zero_bias
+        flat = jnp.argmin(cost.reshape(B, -1), axis=1)
+        mv_fp = jnp.stack([flat // (2 * SEARCH + 1) - SEARCH,
+                           flat % (2 * SEARCH + 1) - SEARCH], 1)
+
+        # ---- quarter-pel refinement (fixed-trip descent) ------------
+        def ssd8(mv8):
+            pred = _mc_batch(ryp, by, bx, mv8, 32, 0)
+            d = (pred - blks).astype(jnp.float32)
+            return jnp.sum(d * d, axis=(1, 2))
+
+        mv8 = mv_fp * 8
+        best = ssd8(mv8)
+        for step_sz in (4, 2, 2):
+            cands = jnp.stack([
+                mv8 + jnp.array([-step_sz, 0]),
+                mv8 + jnp.array([step_sz, 0]),
+                mv8 + jnp.array([0, -step_sz]),
+                mv8 + jnp.array([0, step_sz])], 0)    # [4,B,2]
+            costs = jnp.stack([ssd8(c) for c in cands], 0)  # [4,B]
+            k = jnp.argmin(costs, axis=0)
+            cbest = jnp.take_along_axis(costs, k[None], 0)[0]
+            cmv = jnp.take_along_axis(
+                cands, k[None, :, None].repeat(2, -1), 0)[0]
+            better = cbest < best
+            mv8 = jnp.where(better[:, None], cmv, mv8)
+            best = jnp.where(better, cbest, best)
+        # zero-MV blocks stay GLOBALMV-zero
+        is_zero = jnp.all(mv_fp == 0, axis=1)
+        mv8 = jnp.where(is_zero[:, None], 0, mv8)
+
+        # ---- final prediction + residual coding ---------------------
+        pred_y = _mc_batch(ryp, by, bx, mv8, 32, 0)
+        pred_u = _mc_batch(rup, by // 2, bx // 2, mv8, 16, 1)
+        pred_v = _mc_batch(rvp, by // 2, bx // 2, mv8, 16, 1)
+        ub = to_blocks(u.astype(jnp.int32), 16)
+        vb = to_blocks(v.astype(jnp.int32), 16)
+
+        def code(resid, tx):
+            cf = T.forward_transform(resid, tx, TxType.DCT_DCT)
+            lv = T.quantize(cf, tx, dcq_y, acq_y)
+            dq = T.dequantize(lv, tx, dcq_y, acq_y)
+            r2 = T.inverse_transform(dq, tx, TxType.DCT_DCT)
+            return lv, r2
+
+        lv_y, r2_y = code(blks - pred_y, TxSize.TX_32X32)
+        lv_u, r2_u = code(ub - pred_u, TxSize.TX_16X16)
+        lv_v, r2_v = code(vb - pred_v, TxSize.TX_16X16)
+        skip = ((lv_y == 0).all(axis=(1, 2)) & (lv_u == 0).all(axis=(1, 2))
+                & (lv_v == 0).all(axis=(1, 2)))
+        sk3 = skip[:, None, None]
+        rec_y = jnp.where(sk3, pred_y, jnp.clip(pred_y + r2_y, 0, 255))
+        rec_u = jnp.where(sk3, pred_u, jnp.clip(pred_u + r2_u, 0, 255))
+        rec_v = jnp.where(sk3, pred_v, jnp.clip(pred_v + r2_v, 0, 255))
+        return (mv8, skip, lv_y, lv_u, lv_v,
+                from_blocks(rec_y, h, w, 32),
+                from_blocks(rec_u, h // 2, w // 2, 16),
+                from_blocks(rec_v, h // 2, w // 2, 16))
+
+    return step, (nby, nbx)
+
+
+def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
+                      order_hint: int = 1, use_native: bool = True):
+    """TPU-batched P frame. Same bitstream contract as encode_pframe."""
+    y, u, v = planes
+    h, w = y.shape[0], y.shape[1]
+    assert h % 32 == 0 and w % 32 == 0
+    step, (nby, nbx) = _core(h, w, qindex)
+    mv8, skip, lv_y, lv_u, lv_v, rec_y, rec_u, rec_v = [
+        np.asarray(o) for o in step(
+            jnp.asarray(y), jnp.asarray(ref_planes[0]),
+            jnp.asarray(u), jnp.asarray(ref_planes[1]),
+            jnp.asarray(v), jnp.asarray(ref_planes[2]))]
+    seq = Sequence(width=w, height=h)
+    fp = FrameParams(frame_type=FrameType.INTER, base_q_idx=qindex)
+    ti = TileInfo(seq)
+    mi_rows, mi_cols = h >> 2, w >> 2
+    cls = TileWriter
+    if use_native:
+        try:
+            from rav1e_tpu.entropy.native import NativeTileWriter
+            cls = NativeTileWriter
+        except Exception:
+            pass
+    tw = cls(mi_rows, mi_cols, qindex, inter_frame=True)
+    partitions: dict = {}
+    blocks: dict = {}
+    for b in range(nby * nbx):
+        by, bx = (b // nbx) * 32, (b % nbx) * 32
+        r, c = by >> 2, bx >> 2
+        partitions[(r, c, int(BlockSize.B64X64))] = PartitionType.SPLIT
+        partitions[(r, c, int(BlockSize.B32X32))] = PartitionType.NONE
+        mv = (int(mv8[b, 0]), int(mv8[b, 1]))
+        mode = (PredictionMode.GLOBALMV if mv == (0, 0)
+                else PredictionMode.NEWMV)
+        d = BlockDecision(y_mode=mode, uv_mode=PredictionMode.DC_PRED,
+                          skip=bool(skip[b]), mv=mv)
+        if not d.skip:
+            d.coeffs = {0: lv_y[b], 1: lv_u[b], 2: lv_v[b]}
+        blocks[(r, c)] = d
+    tile = tw.write_tile(partitions, blocks)
+    pkt = interframe_packet(seq, fp, ti, [tile], order_hint)
+    return pkt, [rec_y.astype(np.int32), rec_u.astype(np.int32),
+                 rec_v.astype(np.int32)]
+
+
+def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8):
+    """KEY + P chain with the TPU-batched pipelines."""
+    from rav1e_tpu.pipeline.tpu_intra import encode_keyframe_tpu
+
+    pkts, recs = [], []
+    pkt, rec = encode_keyframe_tpu(frames[0], qindex=qindex, speed=speed,
+                                   deblock=False)
+    pkts.append(pkt)
+    recs.append(rec)
+    for i, f in enumerate(frames[1:], start=1):
+        pkt, rec = encode_pframe_tpu(f, recs[-1], qindex=qindex,
+                                     order_hint=i)
+        pkts.append(pkt)
+        recs.append(rec)
+    return pkts, recs

@@ -61,6 +61,44 @@ def test_all_skip_pframe():
     _check_gop([kf_pkt, pkt], [kf_rec, rec])
 
 
+def test_motion_gop_conformance():
+    """Translating texture -> NEWMV with sub-pel MVs everywhere."""
+    from scipy.ndimage import gaussian_filter
+    rng = np.random.default_rng(11)
+    w, h, n = 192, 128, 4
+    tex = gaussian_filter(rng.normal(0, 40, (h + 100, w + 100)), 2.5)
+    frames = []
+    for t in range(n):
+        oy, ox = int(30 + 2.5 * t), int(30 - 1.5 * t)
+        y = (128 + tex[oy:oy + h, ox:ox + w]).clip(0, 255).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 120, np.uint8)
+        v = np.full((h // 2, w // 2), 135, np.uint8)
+        frames.append([y, u, v])
+    pkts, recs = encode_gop(frames, qindex=100)
+    _check_gop(pkts, recs)
+    # motion compensation should beat 35 dB easily on this content
+    mse = np.mean((recs[-1][0].astype(float) - frames[-1][0]) ** 2)
+    assert 10 * np.log10(255 ** 2 / mse) > 35
+
+
+def test_tpu_inter_pipeline_conformance():
+    """Batched TPU P-frame pipeline (grouped-conv ME + batched MC)."""
+    from scipy.ndimage import gaussian_filter
+
+    from rav1e_tpu.pipeline.tpu_inter import encode_gop_tpu
+    rng = np.random.default_rng(11)
+    w, h, n = 192, 128, 3
+    tex = gaussian_filter(rng.normal(0, 40, (h + 100, w + 100)), 2.5)
+    frames = []
+    for t in range(n):
+        oy, ox = int(30 + 2.5 * t), int(30 - 1.5 * t)
+        y = (128 + tex[oy:oy + h, ox:ox + w]).clip(0, 255).astype(np.uint8)
+        frames.append([y, np.full((h // 2, w // 2), 120, np.uint8),
+                       np.full((h // 2, w // 2), 135, np.uint8)])
+    pkts, recs = encode_gop_tpu(frames, qindex=100)
+    _check_gop(pkts, recs)
+
+
 def test_native_matches_python_packer():
     rng = np.random.default_rng(5)
     frames = [_mk(64, 64, t, rng) for t in range(2)]
