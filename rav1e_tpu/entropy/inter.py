@@ -211,7 +211,7 @@ class InterCtx:
         while len(stack) < 2:
             stack.append([(0, 0), 0])
         drl_ctx = []
-        for idx in range(2):
+        for idx in range(3):
             w0 = stack[idx][1] if idx < len(stack) else 0
             w1 = stack[idx + 1][1] if idx + 1 < len(stack) else 0
             if w0 >= REF_CAT and w1 >= REF_CAT:

@@ -421,24 +421,40 @@ class TileWriter:
         # mv stack + inter mode
         stack, mctx = ictx.find_mv_stack(r, c, bsize, LAST_FRAME)
         mode = d.y_mode  # inter mode stored in y_mode slot
+        mv = tuple(d.mv)
+        if mode == PredictionMode.NEWMV:
+            # alias to NEAREST/NEARMV when the stack already holds this
+            # exact mv (same prediction, cheaper syntax)
+            if mv == tuple(stack[0][0]):
+                mode = PredictionMode.NEARESTMV
+            elif mctx["n_found"] >= 2 and mv == tuple(stack[1][0]):
+                mode = PredictionMode.NEARMV
         if mode == PredictionMode.NEWMV:
             self.ec.encode_symbol(0, self.cdfs.newmv[mctx["new"]])
-            # drl (spec read_drl_idx): RefMvIdx 0 for now; bits are
-            # present only while NumMvFound exceeds idx+1
+            # drl (spec read_drl_idx): RefMvIdx 0; bits are present
+            # only while NumMvFound exceeds idx+1
             for idx in range(2):
                 if mctx["n_found"] > idx + 1:
                     self.ec.encode_symbol(
                         0, self.cdfs.drl[mctx["drl_ctx"][idx]])
                     break
-            pred = mctx["pred_mv"]
-            self.write_mv(d.mv, pred)
+            self.write_mv(mv, mctx["pred_mv"])
         else:
             self.ec.encode_symbol(1, self.cdfs.newmv[mctx["new"]])
             if mode == PredictionMode.GLOBALMV:
                 self.ec.encode_symbol(0, self.cdfs.zeromv[mctx["zero"]])
             else:
                 self.ec.encode_symbol(1, self.cdfs.zeromv[mctx["zero"]])
-                raise NotImplementedError("NEAREST/NEARMV land next")
+                nearest = mode == PredictionMode.NEARESTMV
+                self.ec.encode_symbol(0 if nearest else 1,
+                                      self.cdfs.refmv[mctx["ref"]])
+                if not nearest:
+                    # RefMvIdx = 1: drl loop starts at idx 1
+                    for idx in (1, 2):
+                        if mctx["n_found"] > idx + 1:
+                            self.ec.encode_symbol(
+                                0, self.cdfs.drl[mctx["drl_ctx"][idx]])
+                            break
         # residual (same plane order; inter tx type: DCT only at >=32)
         if not d.skip:
             ytx = MAX_TX_SIZE_RECT[bsize]
