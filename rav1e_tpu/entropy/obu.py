@@ -46,7 +46,9 @@ class Sequence:
     still_picture: bool = False
     enable_cdef: bool = False
     enable_restoration: bool = False
-    enable_intra_edge_filter: bool = True
+    # off: directional prediction then skips edge filtering/upsampling
+    # (spec 7.11.2.4); flips on when the filter lands in ops/ref/intra
+    enable_intra_edge_filter: bool = False
     enable_order_hint: bool = True
     order_hint_bits: int = 7
     enable_superres: bool = False

@@ -38,15 +38,71 @@ class PlaneState:
     def __init__(self, src: np.ndarray):
         self.src = src.astype(np.int32)
         self.rec = np.zeros_like(self.src)
+        # decoded bitmap at 4-px-unit resolution (spec BlockDecoded):
+        # edge availability (above-right / below-left) follows decode
+        # order exactly, which this map reproduces
+        self.dec = np.zeros(((self.src.shape[0] + 3) // 4,
+                             (self.src.shape[1] + 3) // 4), bool)
+
+
+def _edges(ps: PlaneState, x: int, y: int, w: int, h: int, bd: int = 8):
+    """Spec 7.11.2 edge assembly: above/left extended to w+h with
+    above-right / below-left availability from the decoded map, frame
+    clamping, and replication."""
+    ph, pw = ps.src.shape
+    have_a, have_l = y > 0, x > 0
+    above = left = None
+    top_left = None
+    if have_a:
+        n = min(w, pw - x)
+        a = ps.rec[y - 1, x: x + n].astype(np.int32)
+        if n < w:
+            a = np.concatenate([a, np.full(w - n, a[-1])])
+        # above-right: one flag for the whole extension
+        uy, ux = y // 4 - 1, (x + w) // 4
+        has_tr = (ux < ps.dec.shape[1] and ps.dec[uy, ux])
+        if has_tr:
+            n2 = min(h, pw - (x + w))
+            if n2 > 0:
+                a = np.concatenate(
+                    [a, ps.rec[y - 1, x + w: x + w + n2]])
+        a = np.concatenate([a, np.full(w + h - len(a), a[-1])])
+        above = a
+    if have_l:
+        n = min(h, ph - y)
+        ll = ps.rec[y: y + n, x - 1].astype(np.int32)
+        if n < h:
+            ll = np.concatenate([ll, np.full(h - n, ll[-1])])
+        uy, ux = (y + h) // 4, x // 4 - 1
+        has_bl = (uy < ps.dec.shape[0] and ps.dec[uy, ux])
+        if has_bl:
+            n2 = min(w, ph - (y + h))
+            if n2 > 0:
+                ll = np.concatenate(
+                    [ll, ps.rec[y + h: y + h + n2, x - 1]])
+        ll = np.concatenate([ll, np.full(w + h - len(ll), ll[-1])])
+        left = ll
+    # spec fill for missing edges: replicate the other edge's first
+    # pixel (proven against both oracles in the TPU wavefront path).
+    # DC must still average only truly-available sides, hence the
+    # explicit availability flags in the return.
+    if above is None and left is not None:
+        above = np.full(w + h, left[0], np.int32)
+    if left is None and above is not None:
+        left = np.full(w + h, above[0], np.int32)
+    if have_a and have_l:
+        top_left = int(ps.rec[y - 1, x - 1])
+    elif have_a or have_l:
+        top_left = int(above[0] if have_a else left[0])
+    return above, left, top_left, have_a, have_l
 
 
 def _encode_block_plane(ps: PlaneState, x: int, y: int, tx, tx_type,
                         mode: PredictionMode, qindex: int, bd: int = 8):
     h, w = tx.height, tx.width
-    above = ps.rec[y - 1, x: x + w] if y > 0 else None
-    left = ps.rec[y: y + h, x - 1] if x > 0 else None
-    top_left = int(ps.rec[y - 1, x - 1]) if (y > 0 and x > 0) else None
-    pred = predict(mode, w, h, above, left, top_left, bd)
+    above, left, top_left, av_a, av_l = _edges(ps, x, y, w, h, bd)
+    pred = predict(mode, w, h, above, left, top_left, bd,
+                   have_above=av_a, have_left=av_l)
     resid = ps.src[y: y + h, x: x + w] - pred
     cf = forward_transform(resid, tx, tx_type)
     levels = quantize(cf, qindex, tx)
@@ -54,6 +110,7 @@ def _encode_block_plane(ps: PlaneState, x: int, y: int, tx, tx_type,
     r2 = inverse_transform(dq, tx, tx_type)
     rec = np.clip(pred + r2, 0, (1 << bd) - 1)
     ps.rec[y: y + h, x: x + w] = rec
+    ps.dec[y // 4: (y + h) // 4, x // 4: (x + w) // 4] = True
     return levels, pred
 
 
@@ -73,6 +130,16 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
     mi_rows, mi_cols = h >> 2, w >> 2
     tw = TileWriter(mi_rows, mi_cols, qindex)
     states = [PlaneState(y), PlaneState(u), PlaneState(v)]
+    y_modes = [
+        PredictionMode.DC_PRED, PredictionMode.V_PRED,
+        PredictionMode.H_PRED, PredictionMode.D45_PRED,
+        PredictionMode.D135_PRED, PredictionMode.D113_PRED,
+        PredictionMode.D157_PRED, PredictionMode.D203_PRED,
+        PredictionMode.D67_PRED, PredictionMode.SMOOTH_PRED,
+        PredictionMode.SMOOTH_V_PRED, PredictionMode.SMOOTH_H_PRED,
+        PredictionMode.PAETH_PRED,
+    ]
+    uv_modes = y_modes
 
     partitions: dict = {}
     blocks: dict = {}
@@ -95,19 +162,52 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
         for (dr, dc) in ((0, 0), (0, half), (half, 0), (half, half)):
             plan(r + dr, c + dc, sub)
 
+    def trial(ps, x, yy, tx, tx_type, mode):
+        h2, w2 = tx.height, tx.width
+        above, left, top_left, av_a, av_l = _edges(ps, x, yy, w2, h2)
+        pred = predict(mode, w2, h2, above, left, top_left,
+                       have_above=av_a, have_left=av_l)
+        resid = ps.src[yy: yy + h2, x: x + w2] - pred
+        cf = forward_transform(resid, tx, tx_type)
+        lv = quantize(cf, qindex, tx)
+        dq = dequantize(lv, qindex, tx)
+        r2 = inverse_transform(dq, tx, tx_type)
+        rec = np.clip(pred + r2, 0, 255)
+        sse = int(((ps.src[yy: yy + h2, x: x + w2] - rec) ** 2).sum())
+        return lv, rec, sse
+
+    def commit(ps, x, yy, rec):
+        h2, w2 = rec.shape
+        ps.rec[yy: yy + h2, x: x + w2] = rec
+        ps.dec[yy // 4: (yy + h2) // 4, x // 4: (x + w2) // 4] = True
+
     def encode_block(r: int, c: int, bsize: BlockSize):
-        d = BlockDecision(y_mode=PredictionMode.DC_PRED,
-                          uv_mode=PredictionMode.DC_PRED, skip=False)
         ytx = MAX_TX_SIZE_RECT[bsize]
         uvtx = chroma_tx_size(bsize)
         ytt = TxType.DCT_DCT
-        uvtt = chroma_tx_type(d.uv_mode, uvtx, True)
-        ylv, _ = _encode_block_plane(
-            states[0], c * 4, r * 4, ytx, ytt, d.y_mode, qindex)
-        ulv, _ = _encode_block_plane(
-            states[1], c * 2, r * 2, uvtx, uvtt, d.uv_mode, qindex)
-        vlv, _ = _encode_block_plane(
-            states[2], c * 2, r * 2, uvtx, uvtt, d.uv_mode, qindex)
+        # luma mode RDO over all 13 single-delta-0 modes
+        best = None
+        for m in y_modes:
+            lv, rec, sse = trial(states[0], c * 4, r * 4, ytx, ytt, m)
+            cost = sse  # SSE-only decision (rate folded in later)
+            if best is None or cost < best[0]:
+                best = (cost, m, lv, rec)
+        _, y_mode, ylv, yrec = best
+        commit(states[0], c * 4, r * 4, yrec)
+        # joint chroma RDO (u+v share one coded uv_mode; the chroma tx
+        # type follows uv_mode, so each candidate transforms with its
+        # own type)
+        bestc = None
+        for m in uv_modes:
+            uvtt = chroma_tx_type(m, uvtx, True)
+            ulv, urec, usse = trial(states[1], c * 2, r * 2, uvtx, uvtt, m)
+            vlv, vrec, vsse = trial(states[2], c * 2, r * 2, uvtx, uvtt, m)
+            if bestc is None or usse + vsse < bestc[0]:
+                bestc = (usse + vsse, m, ulv, urec, vlv, vrec)
+        _, uv_mode, ulv, urec, vlv, vrec = bestc
+        commit(states[1], c * 2, r * 2, urec)
+        commit(states[2], c * 2, r * 2, vrec)
+        d = BlockDecision(y_mode=y_mode, uv_mode=uv_mode, skip=False)
         if not ylv.any() and not ulv.any() and not vlv.any():
             d.skip = True
         else:
