@@ -107,7 +107,8 @@ def predict(mode: PredictionMode, w: int, h: int,
             above: np.ndarray | None, left: np.ndarray | None,
             top_left: int | None, bd: int = 8,
             have_above: bool | None = None,
-            have_left: bool | None = None) -> np.ndarray:
+            have_left: bool | None = None,
+            angle_delta: int = 0) -> np.ndarray:
     """Predict a w x h block from neighbor arrays.
 
     above: length >= w (may be longer for directional), or None if the
@@ -134,12 +135,25 @@ def predict(mode: PredictionMode, w: int, h: int,
         else:
             avg = base
         return np.full((h, w), avg, np.int32)
-    if mode == PredictionMode.V_PRED:
+    if mode == PredictionMode.V_PRED and angle_delta == 0:
         a = above if have_a else np.full(w, base - 1, np.int32)
         return np.tile(a[:w].astype(np.int32), (h, 1))
-    if mode == PredictionMode.H_PRED:
+    if mode == PredictionMode.H_PRED and angle_delta == 0:
         ll = left if have_l else np.full(h, base + 1, np.int32)
         return np.tile(ll[:h].astype(np.int32)[:, None], (1, w))
+    if mode in (PredictionMode.V_PRED, PredictionMode.H_PRED):
+        base_angle = (90 if mode == PredictionMode.V_PRED
+                      else 180) + 3 * angle_delta
+        a = (above.astype(np.int32) if have_a
+             else np.full(w + h, base - 1, np.int32))
+        if len(a) < w + h:
+            a = np.concatenate([a, np.full(w + h - len(a), a[-1])])
+        ll = (left.astype(np.int32) if have_l
+              else np.full(w + h, base + 1, np.int32))
+        if len(ll) < w + h:
+            ll = np.concatenate([ll, np.full(w + h - len(ll), ll[-1])])
+        tl = int(top_left) if top_left is not None else base
+        return predict_directional(base_angle, w, h, a, ll, tl, bd)
     if mode == PredictionMode.PAETH_PRED:
         a = (above[:w].astype(np.int32) if have_a
              else np.full(w, base - 1, np.int32))
@@ -153,7 +167,7 @@ def predict(mode: PredictionMode, w: int, h: int,
                        np.where(pl <= ptl, np.tile(ll[:, None], (1, w)), tl))
         return out.astype(np.int32)
     if mode in _DIRECTIONAL:
-        base_angle = _DIRECTIONAL[mode]
+        base_angle = _DIRECTIONAL[mode] + 3 * angle_delta
         a = (above.astype(np.int32) if have_a
              else np.full(w + h, base - 1, np.int32))
         if len(a) < w + h:

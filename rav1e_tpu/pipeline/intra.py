@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 
 from rav1e_tpu.core.constants import (
+    ANGLE_BASE,
     MAX_TX_SIZE_RECT,
     BlockSize,
     FrameType,
@@ -162,11 +163,12 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
         for (dr, dc) in ((0, 0), (0, half), (half, 0), (half, half)):
             plan(r + dr, c + dc, sub)
 
-    def trial(ps, x, yy, tx, tx_type, mode):
+    def trial(ps, x, yy, tx, tx_type, mode, delta=0):
         h2, w2 = tx.height, tx.width
         above, left, top_left, av_a, av_l = _edges(ps, x, yy, w2, h2)
         pred = predict(mode, w2, h2, above, left, top_left,
-                       have_above=av_a, have_left=av_l)
+                       have_above=av_a, have_left=av_l,
+                       angle_delta=delta)
         resid = ps.src[yy: yy + h2, x: x + w2] - pred
         cf = forward_transform(resid, tx, tx_type)
         lv = quantize(cf, qindex, tx)
@@ -191,8 +193,15 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
             lv, rec, sse = trial(states[0], c * 4, r * 4, ytx, ytt, m)
             cost = sse  # SSE-only decision (rate folded in later)
             if best is None or cost < best[0]:
-                best = (cost, m, lv, rec)
-        _, y_mode, ylv, yrec = best
+                best = (cost, m, 0, lv, rec)
+        # angle-delta refinement for angular winners (V/H/D*)
+        if best[1] in ANGLE_BASE and bsize >= BlockSize.B8X8:
+            for delta in (-3, -2, -1, 1, 2, 3):
+                lv, rec, sse = trial(states[0], c * 4, r * 4, ytx, ytt,
+                                     best[1], delta)
+                if sse < best[0]:
+                    best = (sse, best[1], delta, lv, rec)
+        _, y_mode, y_delta, ylv, yrec = best
         commit(states[0], c * 4, r * 4, yrec)
         # joint chroma RDO (u+v share one coded uv_mode; the chroma tx
         # type follows uv_mode, so each candidate transforms with its
@@ -207,7 +216,8 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
         _, uv_mode, ulv, urec, vlv, vrec = bestc
         commit(states[1], c * 2, r * 2, urec)
         commit(states[2], c * 2, r * 2, vrec)
-        d = BlockDecision(y_mode=y_mode, uv_mode=uv_mode, skip=False)
+        d = BlockDecision(y_mode=y_mode, uv_mode=uv_mode, skip=False,
+                          angle_delta_y=y_delta)
         if not ylv.any() and not ulv.any() and not vlv.any():
             d.skip = True
         else:

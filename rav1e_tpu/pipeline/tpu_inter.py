@@ -186,26 +186,38 @@ def _core(h: int, w: int, qindex: int):
         rec_y = jnp.where(sk3, pred_y, jnp.clip(pred_y + r2_y, 0, 255))
         rec_u = jnp.where(sk3, pred_u, jnp.clip(pred_u + r2_u, 0, 255))
         rec_v = jnp.where(sk3, pred_v, jnp.clip(pred_v + r2_v, 0, 255))
-        return (mv8, skip, lv_y, lv_u, lv_v,
-                from_blocks(rec_y, h, w, 32),
-                from_blocks(rec_u, h // 2, w // 2, 16),
-                from_blocks(rec_v, h // 2, w // 2, 16))
+        # narrow dtypes: device->host transfer is the bottleneck on a
+        # tunneled chip (levels fit int16 by the quantizer clamp)
+        return (mv8, skip,
+                lv_y.astype(jnp.int16), lv_u.astype(jnp.int16),
+                lv_v.astype(jnp.int16),
+                from_blocks(rec_y, h, w, 32).astype(jnp.uint8),
+                from_blocks(rec_u, h // 2, w // 2, 16).astype(jnp.uint8),
+                from_blocks(rec_v, h // 2, w // 2, 16).astype(jnp.uint8))
 
     return step, (nby, nbx)
 
 
 def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
-                      order_hint: int = 1, use_native: bool = True):
-    """TPU-batched P frame. Same bitstream contract as encode_pframe."""
+                      order_hint: int = 1, use_native: bool = True,
+                      ref_dev=None, return_device: bool = False):
+    """TPU-batched P frame. Same bitstream contract as encode_pframe.
+
+    ref_dev: optional device-resident reference planes (from a prior
+    call with return_device=True) — skips the host->device upload."""
     y, u, v = planes
     h, w = y.shape[0], y.shape[1]
     assert h % 32 == 0 and w % 32 == 0
     step, (nby, nbx) = _core(h, w, qindex)
+    if ref_dev is None:
+        ref_dev = tuple(jnp.asarray(np.asarray(p, np.uint8))
+                        for p in ref_planes)
+    outs = step(jnp.asarray(y), ref_dev[0],
+                jnp.asarray(u), ref_dev[1],
+                jnp.asarray(v), ref_dev[2])
+    rec_dev = outs[5:8]
     mv8, skip, lv_y, lv_u, lv_v, rec_y, rec_u, rec_v = [
-        np.asarray(o) for o in step(
-            jnp.asarray(y), jnp.asarray(ref_planes[0]),
-            jnp.asarray(u), jnp.asarray(ref_planes[1]),
-            jnp.asarray(v), jnp.asarray(ref_planes[2]))]
+        np.asarray(o) for o in outs]
     seq = Sequence(width=w, height=h)
     fp = FrameParams(frame_type=FrameType.INTER, base_q_idx=qindex)
     ti = TileInfo(seq)
@@ -235,8 +247,11 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
         blocks[(r, c)] = d
     tile = tw.write_tile(partitions, blocks)
     pkt = interframe_packet(seq, fp, ti, [tile], order_hint)
-    return pkt, [rec_y.astype(np.int32), rec_u.astype(np.int32),
-                 rec_v.astype(np.int32)]
+    rec = [rec_y.astype(np.int32), rec_u.astype(np.int32),
+           rec_v.astype(np.int32)]
+    if return_device:
+        return pkt, rec, rec_dev
+    return pkt, rec
 
 
 def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8):
@@ -248,9 +263,11 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8):
                                    deblock=False)
     pkts.append(pkt)
     recs.append(rec)
+    ref_dev = None
     for i, f in enumerate(frames[1:], start=1):
-        pkt, rec = encode_pframe_tpu(f, recs[-1], qindex=qindex,
-                                     order_hint=i)
+        pkt, rec, ref_dev = encode_pframe_tpu(
+            f, recs[-1], qindex=qindex, order_hint=i,
+            ref_dev=ref_dev, return_device=True)
         pkts.append(pkt)
         recs.append(rec)
     return pkts, recs

@@ -48,3 +48,42 @@ def test_psnr_reasonable():
     mse = np.mean((rec[0].astype(float) - planes[0]) ** 2)
     psnr = 10 * np.log10(255 ** 2 / mse)
     assert psnr > 33, psnr
+
+
+def test_directional_modes_bit_exact():
+    """Diagonal content drives the 6 directional modes + angle deltas
+    through the 13-mode RDO; streams must stay bit-exact on both
+    decoders (spec 7.11.2.4 zones, no edge filter)."""
+    rng = np.random.default_rng(5)
+    w, h = 160, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (120 + 60 * np.sin((xx + yy) / 9) + 40 * np.cos((2 * xx - yy) / 17)
+         + rng.normal(0, 4, (h, w))).clip(0, 255).astype(np.uint8)
+    u = (120 + 40 * np.sin((xx[::2, ::2] - yy[::2, ::2]) / 13)
+         ).clip(0, 255).astype(np.uint8)
+    v = (135 + 30 * np.cos((xx[::2, ::2] + 2 * yy[::2, ::2]) / 11)
+         ).clip(0, 255).astype(np.uint8)
+    from rav1e_tpu.core.constants import PredictionMode
+    from rav1e_tpu.entropy import tile as tilemod
+    seen = set()
+    orig = tilemod.TileWriter.write_intra_block
+
+    def spy(self, r, c, bsize, d):
+        seen.add(d.y_mode)
+        return orig(self, r, c, bsize, d)
+
+    tilemod.TileWriter.write_intra_block = spy
+    try:
+        pkt, rec = encode_keyframe([y, u, v], qindex=100)
+    finally:
+        tilemod.TileWriter.write_intra_block = orig
+    assert any(m in seen for m in (
+        PredictionMode.D45_PRED, PredictionMode.D67_PRED,
+        PredictionMode.D135_PRED, PredictionMode.D113_PRED,
+        PredictionMode.D157_PRED, PredictionMode.D203_PRED)), seen
+    fr = dav1d.decode_all([pkt])
+    for i in range(3):
+        assert np.array_equal(fr[0].planes[i], rec[i]), f"dav1d plane {i}"
+    out = aom.decode_all([pkt])
+    for i in range(3):
+        assert np.array_equal(out[0][i], rec[i]), f"aom plane {i}"
