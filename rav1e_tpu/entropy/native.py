@@ -42,10 +42,10 @@ def _load():
     if _LIB is not None:
         return _LIB
     so = _DIR / "libpacker.so"
-    if not so.exists():
+    src = _DIR / "packer.cpp"
+    if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
         subprocess.check_call(
-            ["g++", "-O2", "-shared", "-fPIC", "-o", str(so),
-             str(_DIR / "packer.cpp")])
+            ["g++", "-O2", "-shared", "-fPIC", "-o", str(so), str(src)])
     lib = C.CDLL(str(so))
     lib.packer_new.restype = C.c_void_p
     lib.packer_add_family.argtypes = [C.c_void_p, C.POINTER(C.c_int32),
@@ -60,6 +60,12 @@ def _load():
     lib.packer_coeffs.restype = C.c_int
     lib.packer_coeffs.argtypes = [C.c_void_p] + [C.c_int] * 23 + [
         C.POINTER(C.c_int32)]
+    lib.packer_inter_tile.restype = C.c_long
+    lib.packer_inter_tile.argtypes = [
+        C.c_void_p, C.c_int, C.c_int, C.POINTER(C.c_int32),
+        C.POINTER(C.c_int32), C.POINTER(C.c_uint8),
+        C.POINTER(C.c_int16), C.POINTER(C.c_int16),
+        C.POINTER(C.c_int16), C.POINTER(C.c_uint8), C.c_long]
     lib.packer_done.restype = C.c_long
     lib.packer_done.argtypes = [C.c_void_p, C.POINTER(C.c_uint8), C.c_long]
     lib.packer_free.argtypes = [C.c_void_p]
@@ -148,6 +154,19 @@ class NativeTileWriter(TileWriter):
             ("intra_inter", c.intra_inter), ("newmv", c.newmv),
             ("zeromv", c.zeromv), ("refmv", c.refmv), ("drl", c.drl),
             ("single_ref", c.single_ref),
+            ("mv_joint", [c.mv_joint]),
+            ("mv0_sign", [c.mv_comp[0]["sign"]]),
+            ("mv0_classes", [c.mv_comp[0]["classes"]]),
+            ("mv0_class0", [c.mv_comp[0]["class0"]]),
+            ("mv0_class0_fr", c.mv_comp[0]["class0_fr"]),
+            ("mv0_bits", c.mv_comp[0]["bits"]),
+            ("mv0_fr", [c.mv_comp[0]["fr"]]),
+            ("mv1_sign", [c.mv_comp[1]["sign"]]),
+            ("mv1_classes", [c.mv_comp[1]["classes"]]),
+            ("mv1_class0", [c.mv_comp[1]["class0"]]),
+            ("mv1_class0_fr", c.mv_comp[1]["class0_fr"]),
+            ("mv1_bits", c.mv_comp[1]["bits"]),
+            ("mv1_fr", [c.mv_comp[1]["fr"]]),
             ("txb_skip", c.txb_skip),
             ("eob_pt_16", c.eob_pt[16]), ("eob_pt_32", c.eob_pt[32]),
             ("eob_pt_64", c.eob_pt[64]), ("eob_pt_128", c.eob_pt[128]),
@@ -259,6 +278,45 @@ class NativeTileWriter(TileWriter):
         arr = (C.c_int32 * len(ks))(*[int(k) for k in ks])
         bit = 1 if part == PartitionType.SPLIT else 0
         self._lib.packer_split_bool(self._h, fam, rec, bit, arr, len(ks))
+
+    def write_inter_tile_fast(self, mv8: np.ndarray, skip: np.ndarray,
+                              lv_y: np.ndarray, lv_u: np.ndarray,
+                              lv_v: np.ndarray) -> bytes:
+        """One-call C++ pack of a uniform-32x32-block P-frame tile
+        (the batched TPU pipeline's output). Byte-identical to
+        write_tile over the equivalent partitions/blocks dicts."""
+        fam = self._fam
+        order = ["partition_mid", "skip", "intra_inter", "single_ref",
+                 "newmv", "zeromv", "refmv", "drl", "mv_joint",
+                 "mv0_sign", "mv0_classes", "mv0_class0",
+                 "mv0_class0_fr", "mv0_bits", "mv0_fr",
+                 "mv1_sign", "mv1_classes", "mv1_class0",
+                 "mv1_class0_fr", "mv1_bits", "mv1_fr",
+                 "inter_ext_tx3", "eob_pt_256", "eob_pt_1024",
+                 "eob_hi_bit", "txb_skip", "coeff_base_eob",
+                 "coeff_base", "coeff_br", "dc_sign"]
+        fam_ids = np.asarray([fam[n].fam for n in order], np.int32)
+        mv8 = np.ascontiguousarray(mv8, np.int32)
+        skip = np.ascontiguousarray(skip, np.uint8)
+        lv_y = np.ascontiguousarray(lv_y, np.int16)
+        lv_u = np.ascontiguousarray(lv_u, np.int16)
+        lv_v = np.ascontiguousarray(lv_v, np.int16)
+        cap = 1 << 24
+        buf = (C.c_uint8 * cap)()
+        n = self._lib.packer_inter_tile(
+            self._h, self.mi_rows, self.mi_cols,
+            fam_ids.ctypes.data_as(C.POINTER(C.c_int32)),
+            mv8.ctypes.data_as(C.POINTER(C.c_int32)),
+            skip.ctypes.data_as(C.POINTER(C.c_uint8)),
+            lv_y.ctypes.data_as(C.POINTER(C.c_int16)),
+            lv_u.ctypes.data_as(C.POINTER(C.c_int16)),
+            lv_v.ctypes.data_as(C.POINTER(C.c_int16)),
+            buf, cap)
+        assert n > 0
+        out = bytes(buf[:n])
+        self._lib.packer_free(self._h)
+        self._h = None
+        return out
 
     def write_tile(self, partitions, blocks) -> bytes:
         for r in range(0, self.mi_rows, 16):

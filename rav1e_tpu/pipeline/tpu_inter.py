@@ -198,6 +198,43 @@ def _core(h: int, w: int, qindex: int):
     return step, (nby, nbx)
 
 
+def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
+                 use_native=True):
+    """Entropy-pack one P frame from batched pipeline outputs."""
+    seq = Sequence(width=w, height=h)
+    fp = FrameParams(frame_type=FrameType.INTER, base_q_idx=qindex)
+    ti = TileInfo(seq)
+    mi_rows, mi_cols = h >> 2, w >> 2
+    nbx = w // 32
+    if use_native:
+        try:
+            from rav1e_tpu.entropy.native import NativeTileWriter
+            tw = NativeTileWriter(mi_rows, mi_cols, qindex,
+                                  inter_frame=True)
+            tile = tw.write_inter_tile_fast(mv8, skip, lv_y, lv_u, lv_v)
+            return interframe_packet(seq, fp, ti, [tile], order_hint)
+        except Exception:
+            pass
+    tw = TileWriter(mi_rows, mi_cols, qindex, inter_frame=True)
+    partitions: dict = {}
+    blocks: dict = {}
+    for b in range(mv8.shape[0]):
+        by, bx = (b // nbx) * 32, (b % nbx) * 32
+        r, c = by >> 2, bx >> 2
+        partitions[(r, c, int(BlockSize.B64X64))] = PartitionType.SPLIT
+        partitions[(r, c, int(BlockSize.B32X32))] = PartitionType.NONE
+        mv = (int(mv8[b, 0]), int(mv8[b, 1]))
+        mode = (PredictionMode.GLOBALMV if mv == (0, 0)
+                else PredictionMode.NEWMV)
+        d = BlockDecision(y_mode=mode, uv_mode=PredictionMode.DC_PRED,
+                          skip=bool(skip[b]), mv=mv)
+        if not d.skip:
+            d.coeffs = {0: lv_y[b], 1: lv_u[b], 2: lv_v[b]}
+        blocks[(r, c)] = d
+    tile = tw.write_tile(partitions, blocks)
+    return interframe_packet(seq, fp, ti, [tile], order_hint)
+
+
 def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
                       order_hint: int = 1, use_native: bool = True,
                       ref_dev=None, return_device: bool = False):
@@ -218,35 +255,8 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
     rec_dev = outs[5:8]
     mv8, skip, lv_y, lv_u, lv_v, rec_y, rec_u, rec_v = [
         np.asarray(o) for o in outs]
-    seq = Sequence(width=w, height=h)
-    fp = FrameParams(frame_type=FrameType.INTER, base_q_idx=qindex)
-    ti = TileInfo(seq)
-    mi_rows, mi_cols = h >> 2, w >> 2
-    cls = TileWriter
-    if use_native:
-        try:
-            from rav1e_tpu.entropy.native import NativeTileWriter
-            cls = NativeTileWriter
-        except Exception:
-            pass
-    tw = cls(mi_rows, mi_cols, qindex, inter_frame=True)
-    partitions: dict = {}
-    blocks: dict = {}
-    for b in range(nby * nbx):
-        by, bx = (b // nbx) * 32, (b % nbx) * 32
-        r, c = by >> 2, bx >> 2
-        partitions[(r, c, int(BlockSize.B64X64))] = PartitionType.SPLIT
-        partitions[(r, c, int(BlockSize.B32X32))] = PartitionType.NONE
-        mv = (int(mv8[b, 0]), int(mv8[b, 1]))
-        mode = (PredictionMode.GLOBALMV if mv == (0, 0)
-                else PredictionMode.NEWMV)
-        d = BlockDecision(y_mode=mode, uv_mode=PredictionMode.DC_PRED,
-                          skip=bool(skip[b]), mv=mv)
-        if not d.skip:
-            d.coeffs = {0: lv_y[b], 1: lv_u[b], 2: lv_v[b]}
-        blocks[(r, c)] = d
-    tile = tw.write_tile(partitions, blocks)
-    pkt = interframe_packet(seq, fp, ti, [tile], order_hint)
+    pkt = _pack_pframe(h, w, qindex, order_hint, mv8, skip,
+                       lv_y, lv_u, lv_v, use_native)
     rec = [rec_y.astype(np.int32), rec_u.astype(np.int32),
            rec_v.astype(np.int32)]
     if return_device:
@@ -263,11 +273,26 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8):
                                    deblock=False)
     pkts.append(pkt)
     recs.append(rec)
-    ref_dev = None
-    for i, f in enumerate(frames[1:], start=1):
-        pkt, rec, ref_dev = encode_pframe_tpu(
-            f, recs[-1], qindex=qindex, order_hint=i,
-            ref_dev=ref_dev, return_device=True)
-        pkts.append(pkt)
-        recs.append(rec)
+    if len(frames) == 1:
+        return pkts, recs
+    h, w = frames[0][0].shape
+    step, _ = _core(h, w, qindex)
+    # dispatch every P step up front (jax async dispatch): the device
+    # crunches frame i+1 while the host transfers + entropy-packs
+    # frame i
+    ref_dev = tuple(jnp.asarray(np.asarray(p, np.uint8)) for p in rec)
+    outs = []
+    for f in frames[1:]:
+        o = step(jnp.asarray(f[0]), ref_dev[0],
+                 jnp.asarray(f[1]), ref_dev[1],
+                 jnp.asarray(f[2]), ref_dev[2])
+        ref_dev = o[5:8]
+        outs.append(o)
+    for i, o in enumerate(outs, start=1):
+        mv8, skip, lv_y, lv_u, lv_v = [np.asarray(x) for x in o[:5]]
+        pkts.append(_pack_pframe(h, w, qindex, i, mv8, skip,
+                                 lv_y, lv_u, lv_v))
+        recs.append([np.asarray(o[5]).astype(np.int32),
+                     np.asarray(o[6]).astype(np.int32),
+                     np.asarray(o[7]).astype(np.int32)])
     return pkts, recs
