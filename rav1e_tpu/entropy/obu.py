@@ -360,9 +360,12 @@ def assemble_frame_obu(header: BitWriter, tiles: list[bytes],
                        ti: TileInfo, fp: FrameParams) -> bytes:
     """FRAME OBU = uncompressed header + tile group (spec 5.10/5.11)."""
     b = header
+    # spec 5.10.1: frame_obu = frame_header + byte_alignment() +
+    # tile_group_obu; the tile group header starts byte-aligned
+    b.byte_align()
     if ti.n_tiles > 1:
         b.bit(0)  # tile_start_and_end_present_flag (must be 0 in OBU_FRAME)
-    b.byte_align()
+        b.byte_align()
     body = bytearray(b.bytes())
     for i, t in enumerate(tiles):
         if i < len(tiles) - 1:

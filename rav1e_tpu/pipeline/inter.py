@@ -78,7 +78,8 @@ def _subpel_refine(src, ref, by, bx, mv_fp, steps=(4, 2)):
 
 def encode_pframe(planes, ref_planes, qindex: int = 100,
                   order_hint: int = 1, use_native: bool = True,
-                  search_px: int = 16, subpel: bool = True):
+                  search_px: int = 16, subpel: bool = True,
+                  tile_cols_log2: int = 0, tile_rows_log2: int = 0):
     """Encode one P frame against ref_planes. Returns (packet, recon).
 
     Per 32x32 block: full-pel SAD search (+- search_px) with quarter-pel
@@ -91,7 +92,7 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
     assert h % 32 == 0 and w % 32 == 0
     seq = Sequence(width=w, height=h)
     fp = FrameParams(frame_type=FrameType.INTER, base_q_idx=qindex)
-    ti = TileInfo(seq)
+    ti = TileInfo(seq, tile_cols_log2, tile_rows_log2)
     mi_rows, mi_cols = h >> 2, w >> 2
     cls = TileWriter
     if use_native:
@@ -100,7 +101,6 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
             cls = NativeTileWriter
         except Exception:
             pass
-    tw = cls(mi_rows, mi_cols, qindex, inter_frame=True)
     rec = [np.zeros_like(y), np.zeros_like(u), np.zeros_like(v)]
     partitions: dict = {}
     blocks: dict = {}
@@ -150,13 +150,24 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
                 d.coeffs = {0: lvls[0], 1: lvls[1], 2: lvls[2]}
             blocks[(r, c)] = d
 
-    # partitions at 64 may be implicit at frame edges; fill explicit
-    for r in range(0, mi_rows, 16):
-        for c in range(0, mi_cols, 16):
-            partitions.setdefault((r, c, int(BlockSize.B64X64)),
-                                  PartitionType.SPLIT)
-    tile = tw.write_tile(partitions, blocks)
-    pkt = interframe_packet(seq, fp, ti, [tile], order_hint)
+    # pack per tile (ME/MC are frame-global; entropy state is
+    # tile-local, so each tile gets its own writer and local coords)
+    tiles = []
+    for t_r in range(ti.n_rows):
+        for t_c in range(ti.n_cols):
+            r0 = min(ti.row_starts[t_r] * 16, mi_rows)
+            r1 = min(ti.row_starts[t_r + 1] * 16, mi_rows)
+            c0 = min(ti.col_starts[t_c] * 16, mi_cols)
+            c1 = min(ti.col_starts[t_c + 1] * 16, mi_cols)
+            tw = cls(r1 - r0, c1 - c0, qindex, inter_frame=True)
+            tparts = {(r - r0, c - c0, bs): p
+                      for (r, c, bs), p in partitions.items()
+                      if r0 <= r < r1 and c0 <= c < c1}
+            tblocks = {(r - r0, c - c0): d
+                       for (r, c), d in blocks.items()
+                       if r0 <= r < r1 and c0 <= c < c1}
+            tiles.append(tw.write_tile(tparts, tblocks))
+    pkt = interframe_packet(seq, fp, ti, tiles, order_hint)
     return pkt, rec
 
 

@@ -116,18 +116,51 @@ def _encode_block_plane(ps: PlaneState, x: int, y: int, tx, tx_type,
 
 
 def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
-                    block: BlockSize = BlockSize.B32X32):
+                    block: BlockSize = BlockSize.B32X32,
+                    tile_cols_log2: int = 0, tile_rows_log2: int = 0):
     """Encode one 8-bit 4:2:0 KEY frame. Returns (packet, recon planes).
 
-    planes: [y (h,w), u, v] uint8, dims multiples of 8.
+    planes: [y (h,w), u, v] uint8, dims multiples of 8. Tile counts are
+    powers of two (uniform spacing, spec 5.9.15); each tile encodes
+    independently.
     """
     y, u, v = planes
     h, w = y.shape
     assert h % 8 == 0 and w % 8 == 0
     seq = Sequence(width=w, height=h)
     fp = FrameParams(frame_type=FrameType.KEY, base_q_idx=qindex)
-    ti = TileInfo(seq)
-    assert ti.n_tiles == 1
+    ti = TileInfo(seq, tile_cols_log2, tile_rows_log2)
+    frame_rec = [np.zeros(y.shape, np.int32),
+                 np.zeros(u.shape, np.int32),
+                 np.zeros(v.shape, np.int32)]
+    tiles = []
+    for t_r in range(ti.n_rows):
+        for t_c in range(ti.n_cols):
+            mi_r0 = min(ti.row_starts[t_r] * 16, h >> 2)
+            mi_r1 = min(ti.row_starts[t_r + 1] * 16, h >> 2)
+            mi_c0 = min(ti.col_starts[t_c] * 16, w >> 2)
+            mi_c1 = min(ti.col_starts[t_c + 1] * 16, w >> 2)
+            py0, py1 = mi_r0 * 4, mi_r1 * 4
+            px0, px1 = mi_c0 * 4, mi_c1 * 4
+            tile, recs = _encode_keyframe_tile(
+                [y[py0:py1, px0:px1], u[py0 // 2:py1 // 2,
+                                        px0 // 2:px1 // 2],
+                 v[py0 // 2:py1 // 2, px0 // 2:px1 // 2]],
+                qindex, block)
+            tiles.append(tile)
+            frame_rec[0][py0:py1, px0:px1] = recs[0]
+            frame_rec[1][py0 // 2:py1 // 2, px0 // 2:px1 // 2] = recs[1]
+            frame_rec[2][py0 // 2:py1 // 2, px0 // 2:px1 // 2] = recs[2]
+    pkt = keyframe_packet(seq, fp, ti, tiles)
+    return pkt, frame_rec
+
+
+def _encode_keyframe_tile(planes, qindex: int, block: BlockSize):
+    """Encode one tile (tiles are fully independent: prediction and
+    entropy context never cross the boundary, so a tile encodes exactly
+    like a small frame). Returns (tile bytes, recon planes)."""
+    y, u, v = planes
+    h, w = y.shape
     mi_rows, mi_cols = h >> 2, w >> 2
     tw = TileWriter(mi_rows, mi_cols, qindex)
     states = [PlaneState(y), PlaneState(u), PlaneState(v)]
@@ -229,5 +262,4 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
             plan(r, c, BlockSize.B64X64)
 
     tile = tw.write_tile(partitions, blocks)
-    pkt = keyframe_packet(seq, fp, ti, [tile])
-    return pkt, [s.rec for s in states]
+    return tile, [s.rec for s in states]

@@ -187,8 +187,16 @@ def _core(h: int, w: int, qindex: int):
         rec_u = jnp.where(sk3, pred_u, jnp.clip(pred_u + r2_u, 0, 255))
         rec_v = jnp.where(sk3, pred_v, jnp.clip(pred_v + r2_v, 0, 255))
         # narrow dtypes: device->host transfer is the bottleneck on a
-        # tunneled chip (levels fit int16 by the quantizer clamp)
-        return (mv8, skip,
+        # tunneled chip. Levels ship as int8 plus a per-block overflow
+        # flag; the (rare) saturated blocks are re-fetched at full
+        # precision host-side.
+        sat = ((jnp.abs(lv_y) > 127).any(axis=(1, 2))
+               | (jnp.abs(lv_u) > 127).any(axis=(1, 2))
+               | (jnp.abs(lv_v) > 127).any(axis=(1, 2)))
+        return (mv8, skip, sat,
+                jnp.clip(lv_y, -127, 127).astype(jnp.int8),
+                jnp.clip(lv_u, -127, 127).astype(jnp.int8),
+                jnp.clip(lv_v, -127, 127).astype(jnp.int8),
                 lv_y.astype(jnp.int16), lv_u.astype(jnp.int16),
                 lv_v.astype(jnp.int16),
                 from_blocks(rec_y, h, w, 32).astype(jnp.uint8),
@@ -196,6 +204,22 @@ def _core(h: int, w: int, qindex: int):
                 from_blocks(rec_v, h // 2, w // 2, 16).astype(jnp.uint8))
 
     return step, (nby, nbx)
+
+
+def _fetch_outputs(o):
+    """Pull one frame's pipeline outputs to host: int8 levels + sparse
+    full-precision re-fetch for saturated blocks."""
+    mv8 = np.asarray(o[0])
+    skip = np.asarray(o[1])
+    sat = np.asarray(o[2])
+    lv_y = np.asarray(o[3]).astype(np.int16)
+    lv_u = np.asarray(o[4]).astype(np.int16)
+    lv_v = np.asarray(o[5]).astype(np.int16)
+    for b in np.nonzero(sat)[0]:
+        lv_y[b] = np.asarray(o[6][b])
+        lv_u[b] = np.asarray(o[7][b])
+        lv_v[b] = np.asarray(o[8][b])
+    return mv8, skip, lv_y, lv_u, lv_v
 
 
 def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
@@ -252,9 +276,9 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
     outs = step(jnp.asarray(y), ref_dev[0],
                 jnp.asarray(u), ref_dev[1],
                 jnp.asarray(v), ref_dev[2])
-    rec_dev = outs[5:8]
-    mv8, skip, lv_y, lv_u, lv_v, rec_y, rec_u, rec_v = [
-        np.asarray(o) for o in outs]
+    rec_dev = outs[9:12]
+    mv8, skip, lv_y, lv_u, lv_v = _fetch_outputs(outs)
+    rec_y, rec_u, rec_v = [np.asarray(o) for o in rec_dev]
     pkt = _pack_pframe(h, w, qindex, order_hint, mv8, skip,
                        lv_y, lv_u, lv_v, use_native)
     rec = [rec_y.astype(np.int32), rec_u.astype(np.int32),
@@ -286,13 +310,13 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8):
         o = step(jnp.asarray(f[0]), ref_dev[0],
                  jnp.asarray(f[1]), ref_dev[1],
                  jnp.asarray(f[2]), ref_dev[2])
-        ref_dev = o[5:8]
+        ref_dev = o[9:12]
         outs.append(o)
     for i, o in enumerate(outs, start=1):
-        mv8, skip, lv_y, lv_u, lv_v = [np.asarray(x) for x in o[:5]]
+        mv8, skip, lv_y, lv_u, lv_v = _fetch_outputs(o)
         pkts.append(_pack_pframe(h, w, qindex, i, mv8, skip,
                                  lv_y, lv_u, lv_v))
-        recs.append([np.asarray(o[5]).astype(np.int32),
-                     np.asarray(o[6]).astype(np.int32),
-                     np.asarray(o[7]).astype(np.int32)])
+        # recons stay device-resident (uint8); consumers that need
+        # them host-side (conformance checks) convert lazily
+        recs.append([o[9], o[10], o[11]])
     return pkts, recs

@@ -87,3 +87,35 @@ def test_directional_modes_bit_exact():
     out = aom.decode_all([pkt])
     for i in range(3):
         assert np.array_equal(out[0][i], rec[i]), f"aom plane {i}"
+
+
+@pytest.mark.parametrize("tc,tr", [(1, 0), (1, 1), (2, 1)])
+def test_multi_tile_bit_exact(tc, tr):
+    """Uniform multi-tile frames (spec 5.9.15): each tile's entropy and
+    prediction state is independent; both oracles must match."""
+    planes = synth_frame(352, 288)
+    pkt, rec = encode_keyframe(planes, qindex=100,
+                               tile_cols_log2=tc, tile_rows_log2=tr)
+    fr = dav1d.decode_all([pkt])
+    for i in range(3):
+        assert np.array_equal(fr[0].planes[i], rec[i])
+    out = aom.decode_all([pkt])
+    for i in range(3):
+        assert np.array_equal(out[0][i], rec[i])
+
+
+def test_multi_tile_inter_bit_exact():
+    from rav1e_tpu.pipeline.inter import encode_pframe
+    planes = synth_frame(352, 288)
+    kp, kr = encode_keyframe(planes, qindex=100,
+                             tile_cols_log2=1, tile_rows_log2=1)
+    y1 = (kr[0] + 25).clip(0, 255).astype(np.uint8)
+    pf = [y1, kr[1].astype(np.uint8), kr[2].astype(np.uint8)]
+    pkt, rec = encode_pframe(pf, kr, qindex=100, order_hint=1,
+                             tile_cols_log2=1, tile_rows_log2=1)
+    d = dav1d.decode_all([kp, pkt])
+    for i in range(3):
+        assert np.array_equal(d[1].planes[i], rec[i])
+    out = aom.decode_all([kp, pkt])
+    for i in range(3):
+        assert np.array_equal(out[1][i], rec[i])
