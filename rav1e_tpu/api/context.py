@@ -70,17 +70,33 @@ class Config:
 
 
 class Context:
-    """send_frame / receive_packet state machine (rav1e-shaped)."""
+    """send_frame / receive_packet state machine (rav1e-shaped).
+
+    Low-latency IPPP: scene detection + key_frame_interval place
+    keyframes; P frames reference the previous reconstruction; rate
+    control picks per-frame qindex when bitrate > 0."""
 
     def __init__(self, cfg: Config):
         assert cfg.bit_depth == 8 and cfg.chroma_sampling == "420", (
             "10/12-bit and 422/444 land with the bit-depth milestone")
+        from rav1e_tpu.analysis.scenechange import SceneChangeDetector
+        from rav1e_tpu.rate.rc import RCConfig, RCState
         self.cfg = cfg
         self._q: deque = deque()
         self._out: deque = deque()
         self._input_frameno = 0
         self._flushed = False
         self._limit_emitted = False
+        self._detector = SceneChangeDetector(
+            bit_depth=cfg.bit_depth,
+            min_kf_interval=cfg.min_key_frame_interval,
+            max_kf_interval=cfg.key_frame_interval)
+        self._rc = RCState(RCConfig(
+            target_bitrate=int(cfg.extra.get("bitrate", 0) or 0),
+            framerate=float(cfg.extra.get("framerate", 30.0) or 30.0),
+            quantizer=cfg.quantizer))
+        self._ref_rec = None      # previous reconstruction (numpy int32)
+        self._order_hint = 0
 
     # -- input side ----------------------------------------------------------
 
@@ -117,15 +133,35 @@ class Context:
         return EncoderStatus.SUCCESS, pkt
 
     def _encode_frame(self, frameno: int, planes) -> Packet:
-        q = self.cfg.quantizer
         h, w = planes[0].shape
-        if w % 32 == 0 and h % 32 == 0:
-            from rav1e_tpu.pipeline.tpu_intra import encode_keyframe_tpu
-            data, _rec = encode_keyframe_tpu(planes, qindex=q)
+        aligned = (w % 32 == 0 and h % 32 == 0)
+        is_key = (self._detector.analyze_next_frame(planes[0])
+                  or self._ref_rec is None)
+        ftype = "KEY" if is_key else "INTER"
+        q = self._rc.select_qi(ftype)
+        if is_key:
+            if aligned:
+                from rav1e_tpu.pipeline.tpu_intra import encode_keyframe_tpu
+                data, rec = encode_keyframe_tpu(planes, qindex=q)
+            else:
+                from rav1e_tpu.pipeline.intra import encode_keyframe
+                data, rec = encode_keyframe(planes, qindex=q)
+            self._order_hint = 0
         else:
-            from rav1e_tpu.pipeline.intra import encode_keyframe
-            data, _rec = encode_keyframe(planes, qindex=q)
-        return Packet(data=data, input_frameno=frameno, frame_type="KEY",
+            self._order_hint += 1
+            if aligned:
+                from rav1e_tpu.pipeline.tpu_inter import encode_pframe_tpu
+                data, rec = encode_pframe_tpu(
+                    planes, self._ref_rec, qindex=q,
+                    order_hint=self._order_hint & 127)
+            else:
+                from rav1e_tpu.pipeline.inter import encode_pframe
+                data, rec = encode_pframe(
+                    planes, self._ref_rec, qindex=q,
+                    order_hint=self._order_hint & 127)
+        self._ref_rec = [np.asarray(p).astype(np.int32) for p in rec]
+        self._rc.update(ftype, q, len(data) * 8)
+        return Packet(data=data, input_frameno=frameno, frame_type=ftype,
                       qp=q)
 
     def flush(self):

@@ -77,12 +77,14 @@ def _mc_batch(ref_pad, pos_r, pos_c, mv8, n, ss):
 
 
 @lru_cache(maxsize=8)
-def _core(h: int, w: int, qindex: int):
+def _core(h: int, w: int):
+    """Batched P-frame step for an h x w frame. qindex enters as a
+    traced argument (dcq/acq scalars) so rate control never triggers a
+    recompile."""
     nby, nbx = h // 32, w // 32
     B = nby * nbx
     by = (np.repeat(np.arange(nby), nbx) * 32).astype(np.int32)
     bx = (np.tile(np.arange(nbx), nby) * 32).astype(np.int32)
-    dcq_y, acq_y = dc_q_lut(qindex), ac_q_lut(qindex)
 
     def to_blocks(plane, n):
         return (plane.reshape(-1, n, plane.shape[1] // n, n)
@@ -93,7 +95,7 @@ def _core(h: int, w: int, qindex: int):
                 .transpose(0, 2, 1, 3).reshape(ph, pw))
 
     @jax.jit
-    def step(y, ry, u, ru, v, rv):
+    def step(y, ry, u, ru, v, rv, dcq, acq):
         y = y.astype(jnp.int32)
         ry = ry.astype(jnp.int32)
         ryp = jnp.pad(ry, PAD, mode="edge")
@@ -171,9 +173,21 @@ def _core(h: int, w: int, qindex: int):
         vb = to_blocks(v.astype(jnp.int32), 16)
 
         def code(resid, tx):
+            # dynamic-q quantize/dequant (ops.ref.quant semantics with
+            # dcq/acq as traced scalars)
             cf = T.forward_transform(resid, tx, TxType.DCT_DCT)
-            lv = T.quantize(cf, tx, dcq_y, acq_y)
-            dq = T.dequantize(lv, tx, dcq_y, acq_y)
+            n = tx.width
+            shift = 1 if n * n > 256 else 0
+            dc_mask = np.zeros((n, n), bool)
+            dc_mask[0, 0] = True
+            dc_mask = jnp.asarray(dc_mask)
+            q = jnp.where(dc_mask, dcq, acq).astype(jnp.int32)
+            bias = jnp.where(dc_mask, 21, 17)
+            a = jnp.abs(cf) << shift
+            lv = jnp.minimum((a + (q * bias) // 64) // q, (1 << 15) - 1)
+            lv = jnp.sign(cf) * lv
+            dqv = ((jnp.abs(lv) * q) & 0xFFFFFF) >> shift
+            dq = jnp.sign(lv) * dqv
             r2 = T.inverse_transform(dq, tx, TxType.DCT_DCT)
             return lv, r2
 
@@ -269,13 +283,14 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
     y, u, v = planes
     h, w = y.shape[0], y.shape[1]
     assert h % 32 == 0 and w % 32 == 0
-    step, (nby, nbx) = _core(h, w, qindex)
+    step, (nby, nbx) = _core(h, w)
     if ref_dev is None:
         ref_dev = tuple(jnp.asarray(np.asarray(p, np.uint8))
                         for p in ref_planes)
     outs = step(jnp.asarray(y), ref_dev[0],
                 jnp.asarray(u), ref_dev[1],
-                jnp.asarray(v), ref_dev[2])
+                jnp.asarray(v), ref_dev[2],
+                jnp.int32(dc_q_lut(qindex)), jnp.int32(ac_q_lut(qindex)))
     rec_dev = outs[9:12]
     mv8, skip, lv_y, lv_u, lv_v = _fetch_outputs(outs)
     rec_y, rec_u, rec_v = [np.asarray(o) for o in rec_dev]
@@ -300,7 +315,9 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8):
     if len(frames) == 1:
         return pkts, recs
     h, w = frames[0][0].shape
-    step, _ = _core(h, w, qindex)
+    step, _ = _core(h, w)
+    dcq = jnp.int32(dc_q_lut(qindex))
+    acq = jnp.int32(ac_q_lut(qindex))
     # dispatch every P step up front (jax async dispatch): the device
     # crunches frame i+1 while the host transfers + entropy-packs
     # frame i
@@ -309,7 +326,7 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8):
     for f in frames[1:]:
         o = step(jnp.asarray(f[0]), ref_dev[0],
                  jnp.asarray(f[1]), ref_dev[1],
-                 jnp.asarray(f[2]), ref_dev[2])
+                 jnp.asarray(f[2]), ref_dev[2], dcq, acq)
         ref_dev = o[9:12]
         outs.append(o)
     for i, o in enumerate(outs, start=1):

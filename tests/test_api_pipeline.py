@@ -1,0 +1,77 @@
+"""Session-level behavior: IPPP scheduling, scene cuts, rate control.
+
+Reference parity: rav1e src/api/context.rs state machine +
+src/scenechange + src/rate.rs (behavioral contracts, not bit-exact).
+"""
+
+import numpy as np
+from scipy.ndimage import gaussian_filter
+
+from rav1e_tpu.api.context import Config
+from rav1e_tpu.conform import dav1d
+
+
+def _run(ctx, frames):
+    for f in frames:
+        ctx.send_frame(f)
+    ctx.flush()
+    pkts = []
+    while True:
+        _, p = ctx.receive_packet()
+        if p is None:
+            break
+        pkts.append(p)
+    return pkts
+
+
+def _cut_sequence(w=192, h=128, n=24, cut=12):
+    rng = np.random.default_rng(4)
+    tex1 = gaussian_filter(rng.normal(0, 40, (h + 100, w + 100)), 2.5)
+    tex2 = gaussian_filter(rng.normal(0, 40, (h + 100, w + 100)), 2.5)
+    frames = []
+    for t in range(n):
+        tex = tex1 if t < cut else tex2
+        oy, ox = int(30 + 2 * t), int(30 + t)
+        y = (128 + tex[oy:oy + h, ox:ox + w]).clip(0, 255).astype(np.uint8)
+        frames.append([y, np.full((h // 2, w // 2), 120, np.uint8),
+                       np.full((h // 2, w // 2), 135, np.uint8)])
+    return frames
+
+
+def test_ippp_with_scene_cut():
+    frames = _cut_sequence()
+    ctx = Config(width=192, height=128, quantizer=100,
+                 min_key_frame_interval=4).new_context()
+    pkts = _run(ctx, frames)
+    types = [p.frame_type for p in pkts]
+    assert types[0] == "KEY"
+    assert types[12] == "KEY", types  # the cut
+    assert types.count("KEY") == 2
+    # stream must decode all the way through
+    dec = dav1d.decode_all([p.data for p in pkts])
+    assert len(dec) == len(frames)
+
+
+def test_max_kf_interval():
+    frames = _cut_sequence(n=20, cut=99)
+    ctx = Config(width=192, height=128, quantizer=100,
+                 key_frame_interval=8).new_context()
+    pkts = _run(ctx, frames)
+    types = [p.frame_type for p in pkts]
+    assert types[0] == "KEY" and types[8] == "KEY" and types[16] == "KEY"
+
+
+def test_rate_control_hits_target():
+    frames = _cut_sequence(n=30, cut=99)
+    target = 200_000
+    ctx = Config.parse({"width": 192, "height": 128,
+                        "bitrate": str(target),
+                        "framerate": "30"}).new_context()
+    pkts = _run(ctx, frames)
+    bits = sum(len(p.data) * 8 for p in pkts)
+    actual = bits / (len(frames) / 30.0)
+    assert 0.6 * target < actual < 1.4 * target, actual
+    qs = {p.qp for p in pkts}
+    assert len(qs) > 1  # rate control actually moved the quantizer
+    dec = dav1d.decode_all([p.data for p in pkts])
+    assert len(dec) == len(frames)
