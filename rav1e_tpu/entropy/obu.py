@@ -159,6 +159,13 @@ class FrameParams:
     loop_filter_levels: tuple = (0, 0, 0, 0)
     loop_filter_sharpness: int = 0
     loop_filter_delta_enabled: bool = False
+    # CDEF (written only when seq.enable_cdef): uniform strength set,
+    # cdef_bits = 0 so the per-SB index costs zero tile bits
+    cdef_damping: int = 3      # 3..6
+    cdef_y_pri: int = 0
+    cdef_y_sec: int = 0        # {0, 1, 2, 4}
+    cdef_uv_pri: int = 0
+    cdef_uv_sec: int = 0
 
 
 def _tile_log2(blk_size: int, target: int) -> int:
@@ -268,14 +275,25 @@ def write_frame_header(seq: Sequence, fp: FrameParams, ti: TileInfo) -> BitWrite
     b.f(fp.loop_filter_sharpness, 3)
     b.bit(fp.loop_filter_delta_enabled)
     assert not fp.loop_filter_delta_enabled
-    # cdef_params / lr_params: nothing (disabled at seq level)
-    assert not seq.enable_cdef and not seq.enable_restoration
+    _write_cdef_lr(b, seq, fp)
     # read_tx_mode
     b.bit(fp.tx_mode_select)
     # frame_reference_mode / skip_mode_params / warped: nothing (intra)
     b.bit(fp.reduced_tx_set)
     # global_motion / film_grain: nothing
     return b
+
+
+def _write_cdef_lr(b: BitWriter, seq: Sequence, fp: FrameParams):
+    """cdef_params (spec 5.9.19) + lr_params (off)."""
+    if seq.enable_cdef:
+        b.f(fp.cdef_damping - 3, 2)
+        b.f(0, 2)  # cdef_bits = 0 -> one uniform strength, free per-SB
+        b.f(fp.cdef_y_pri, 4)
+        b.f(min(fp.cdef_y_sec, 3), 2)   # coded 3 means strength 4
+        b.f(fp.cdef_uv_pri, 4)
+        b.f(min(fp.cdef_uv_sec, 3), 2)
+    assert not seq.enable_restoration
 
 
 def write_inter_frame_header(seq: Sequence, fp: FrameParams, ti: TileInfo,
@@ -328,7 +346,7 @@ def write_inter_frame_header(seq: Sequence, fp: FrameParams, ti: TileInfo,
         b.f(lf[3], 6)
     b.f(fp.loop_filter_sharpness, 3)
     b.bit(0)  # loop_filter_delta_enabled
-    assert not seq.enable_cdef and not seq.enable_restoration
+    _write_cdef_lr(b, seq, fp)
     b.bit(fp.tx_mode_select)
     b.bit(0)  # reference_select (single reference mode)
     # skip_mode_params: skipModeAllowed = 0 (no compound refs) -> no bit

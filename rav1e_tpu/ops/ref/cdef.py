@@ -84,18 +84,22 @@ def cdef_filter_block(padded: np.ndarray, py: int, px: int, n: int,
     padded coordinates. Returns the filtered block."""
     x = padded[py: py + n, px: px + n].astype(np.int64)
     if is_luma and pri:
-        # luma primary strength scales with the direction variance
+        # spec: luma primary strength scales with direction variance;
+        # flat blocks (var == 0) get no primary filtering
         if var:
-            msb = int(var).bit_length() - 1
-            pri_adj = (pri * (4 + min(msb - 6, 12)) + 8) >> 4 \
-                if var >> 6 else pri  # msb(var>>6) = msb - 6
+            vs = (min((var >> 6).bit_length() - 1, 12)
+                  if (var >> 6) else 0)
+            pri_adj = (pri * (4 + vs) + 8) >> 4
         else:
             pri_adj = 0
     else:
         pri_adj = pri
+    # plane damping: CdefDamping (luma) / CdefDamping-1 (chroma), used
+    # by both primary and secondary constrain (oracle-fitted)
     pdamp = damping if is_luma else damping - 1
     sdamp = pdamp
-    taps = PRI_TAPS[(pri >> (bd - 8)) & 1]
+    # tap weights follow the (variance-adjusted) strength parity
+    taps = PRI_TAPS[(pri_adj >> (bd - 8)) & 1]
     out = np.zeros((n, n), np.int64)
     mx = x.copy()
     mn = x.copy()
@@ -153,18 +157,22 @@ def cdef_filter_frame(planes, skip_8x8: np.ndarray, y_pri: int,
                 continue
             blk = y[by * 8: by * 8 + 8, bx * 8: bx * 8 + 8]
             d, var = cdef_direction(blk, bd)
+            # spec: a plane with zero primary strength filters its
+            # secondary taps around direction 0
             if y_pri or y_sec:
+                dy_ = d if y_pri else 0
                 planes[0][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
                     cdef_filter_block(py, by * 8 + pad, bx * 8 + pad, 8,
-                                      y_pri, y_sec, damping, d, var,
+                                      y_pri, y_sec, damping, dy_, var,
                                       True, bd)
             if pu is not None and (uv_pri or uv_sec):
+                duv = d if uv_pri else 0
                 planes[1][by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
                     cdef_filter_block(pu, by * 4 + pad, bx * 4 + pad, 4,
-                                      uv_pri, uv_sec, damping, d, 0,
+                                      uv_pri, uv_sec, damping, duv, 0,
                                       False, bd)
                 planes[2][by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
                     cdef_filter_block(pv, by * 4 + pad, bx * 4 + pad, 4,
-                                      uv_pri, uv_sec, damping, d, 0,
+                                      uv_pri, uv_sec, damping, duv, 0,
                                       False, bd)
     return planes

@@ -79,7 +79,8 @@ def _subpel_refine(src, ref, by, bx, mv_fp, steps=(4, 2)):
 def encode_pframe(planes, ref_planes, qindex: int = 100,
                   order_hint: int = 1, use_native: bool = True,
                   search_px: int = 16, subpel: bool = True,
-                  tile_cols_log2: int = 0, tile_rows_log2: int = 0):
+                  tile_cols_log2: int = 0, tile_rows_log2: int = 0,
+                  cdef: tuple | None = None):
     """Encode one P frame against ref_planes. Returns (packet, recon).
 
     Per 32x32 block: full-pel SAD search (+- search_px) with quarter-pel
@@ -90,8 +91,11 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
     ry, ru, rv = [p.astype(np.int32) for p in ref_planes]
     h, w = y.shape
     assert h % 32 == 0 and w % 32 == 0
-    seq = Sequence(width=w, height=h)
+    seq = Sequence(width=w, height=h, enable_cdef=cdef is not None)
     fp = FrameParams(frame_type=FrameType.INTER, base_q_idx=qindex)
+    if cdef is not None:
+        (fp.cdef_y_pri, fp.cdef_y_sec, fp.cdef_uv_pri,
+         fp.cdef_uv_sec, fp.cdef_damping) = cdef
     ti = TileInfo(seq, tile_cols_log2, tile_rows_log2)
     mi_rows, mi_cols = h >> 2, w >> 2
     cls = TileWriter
@@ -167,6 +171,14 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
                        for (r, c), d in blocks.items()
                        if r0 <= r < r1 and c0 <= c < c1}
             tiles.append(tw.write_tile(tparts, tblocks))
+    if cdef is not None:
+        from rav1e_tpu.ops.ref.cdef import cdef_filter_frame
+        skip8 = np.zeros((h // 8, w // 8), bool)
+        for (r, c), d in blocks.items():
+            skip8[r // 2: r // 2 + 4, c // 2: c // 2 + 4] = d.skip
+        cdef_filter_frame(rec, skip8, fp.cdef_y_pri, fp.cdef_y_sec,
+                          fp.cdef_uv_pri, fp.cdef_uv_sec,
+                          fp.cdef_damping)
     pkt = interframe_packet(seq, fp, ti, tiles, order_hint)
     return pkt, rec
 

@@ -117,7 +117,8 @@ def _encode_block_plane(ps: PlaneState, x: int, y: int, tx, tx_type,
 
 def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
                     block: BlockSize = BlockSize.B32X32,
-                    tile_cols_log2: int = 0, tile_rows_log2: int = 0):
+                    tile_cols_log2: int = 0, tile_rows_log2: int = 0,
+                    cdef: tuple | None = None):
     """Encode one 8-bit 4:2:0 KEY frame. Returns (packet, recon planes).
 
     planes: [y (h,w), u, v] uint8, dims multiples of 8. Tile counts are
@@ -127,12 +128,16 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
     y, u, v = planes
     h, w = y.shape
     assert h % 8 == 0 and w % 8 == 0
-    seq = Sequence(width=w, height=h)
+    seq = Sequence(width=w, height=h, enable_cdef=cdef is not None)
     fp = FrameParams(frame_type=FrameType.KEY, base_q_idx=qindex)
+    if cdef is not None:
+        (fp.cdef_y_pri, fp.cdef_y_sec, fp.cdef_uv_pri,
+         fp.cdef_uv_sec, fp.cdef_damping) = cdef
     ti = TileInfo(seq, tile_cols_log2, tile_rows_log2)
     frame_rec = [np.zeros(y.shape, np.int32),
                  np.zeros(u.shape, np.int32),
                  np.zeros(v.shape, np.int32)]
+    skip_mi = np.zeros((h >> 2, w >> 2), bool)
     tiles = []
     for t_r in range(ti.n_rows):
         for t_c in range(ti.n_cols):
@@ -142,7 +147,7 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
             mi_c1 = min(ti.col_starts[t_c + 1] * 16, w >> 2)
             py0, py1 = mi_r0 * 4, mi_r1 * 4
             px0, px1 = mi_c0 * 4, mi_c1 * 4
-            tile, recs = _encode_keyframe_tile(
+            tile, recs, tskip = _encode_keyframe_tile(
                 [y[py0:py1, px0:px1], u[py0 // 2:py1 // 2,
                                         px0 // 2:px1 // 2],
                  v[py0 // 2:py1 // 2, px0 // 2:px1 // 2]],
@@ -151,6 +156,14 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
             frame_rec[0][py0:py1, px0:px1] = recs[0]
             frame_rec[1][py0 // 2:py1 // 2, px0 // 2:px1 // 2] = recs[1]
             frame_rec[2][py0 // 2:py1 // 2, px0 // 2:px1 // 2] = recs[2]
+            skip_mi[mi_r0:mi_r1, mi_c0:mi_c1] = tskip
+    if cdef is not None:
+        from rav1e_tpu.ops.ref.cdef import cdef_filter_frame
+        skip8 = skip_mi[::2, ::2] & skip_mi[1::2, ::2] \
+            & skip_mi[::2, 1::2] & skip_mi[1::2, 1::2]
+        cdef_filter_frame(frame_rec, skip8, fp.cdef_y_pri, fp.cdef_y_sec,
+                          fp.cdef_uv_pri, fp.cdef_uv_sec,
+                          fp.cdef_damping)
     pkt = keyframe_packet(seq, fp, ti, tiles)
     return pkt, frame_rec
 
@@ -262,4 +275,4 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize):
             plan(r, c, BlockSize.B64X64)
 
     tile = tw.write_tile(partitions, blocks)
-    return tile, [s.rec for s in states]
+    return tile, [s.rec for s in states], tw.skip_grid.astype(bool)
