@@ -139,13 +139,26 @@ class Context:
                   or self._ref_rec is None)
         ftype = "KEY" if is_key else "INTER"
         q = self._rc.select_qi(ftype)
+        cdef = None
+        if str(self.cfg.extra.get("cdef", "auto")) != "off":
+            from rav1e_tpu.ops.ref.cdef import cdef_strengths_for_q
+            cdef = cdef_strengths_for_q(q)
+        # seq.enable_cdef is fixed at the keyframe for the whole GOP;
+        # P frames may vary strengths but not presence
+        if is_key:
+            self._cdef_enabled = cdef is not None
+        elif getattr(self, "_cdef_enabled", False):
+            cdef = cdef or (0, 0, 0, 0, 3)
+        else:
+            cdef = None
         if is_key:
             if aligned:
                 from rav1e_tpu.pipeline.tpu_intra import encode_keyframe_tpu
-                data, rec = encode_keyframe_tpu(planes, qindex=q)
+                data, rec = encode_keyframe_tpu(planes, qindex=q,
+                                                cdef=cdef)
             else:
                 from rav1e_tpu.pipeline.intra import encode_keyframe
-                data, rec = encode_keyframe(planes, qindex=q)
+                data, rec = encode_keyframe(planes, qindex=q, cdef=cdef)
             self._order_hint = 0
         else:
             self._order_hint += 1
@@ -153,12 +166,12 @@ class Context:
                 from rav1e_tpu.pipeline.tpu_inter import encode_pframe_tpu
                 data, rec = encode_pframe_tpu(
                     planes, self._ref_rec, qindex=q,
-                    order_hint=self._order_hint & 127)
+                    order_hint=self._order_hint & 127, cdef=cdef)
             else:
                 from rav1e_tpu.pipeline.inter import encode_pframe
                 data, rec = encode_pframe(
                     planes, self._ref_rec, qindex=q,
-                    order_hint=self._order_hint & 127)
+                    order_hint=self._order_hint & 127, cdef=cdef)
         self._ref_rec = [np.asarray(p).astype(np.int32) for p in rec]
         self._rc.update(ftype, q, len(data) * 8)
         return Packet(data=data, input_frameno=frameno, frame_type=ftype,

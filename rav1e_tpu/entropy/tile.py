@@ -272,8 +272,20 @@ class TileWriter:
             self.ec.encode_symbol(
                 int(d.uv_mode), self.cdfs.uv_mode[int(d.y_mode)])
         if d.uv_mode == PredictionMode.UV_CFL_PRED:
-            self.ec.encode_symbol(d.cfl_alpha_sign, self.cdfs.cfl_sign)
-            raise NotImplementedError("cfl alpha coding lands with CfL")
+            # spec read_cfl_alphas: joint sign symbol then per-plane
+            # alphabet index with sign-derived contexts
+            au, av = d.cfl_alpha_idx  # signed alphas -16..16
+            su = 0 if au == 0 else (1 if au < 0 else 2)
+            sv = 0 if av == 0 else (1 if av < 0 else 2)
+            js = su * 3 + sv - 1
+            assert js >= 0, "CFL with both alphas zero is not coded"
+            self.ec.encode_symbol(js, self.cdfs.cfl_sign)
+            if su:
+                self.ec.encode_symbol(abs(au) - 1,
+                                      self.cdfs.cfl_alpha[js - 2])
+            if sv:
+                self.ec.encode_symbol(abs(av) - 1,
+                                      self.cdfs.cfl_alpha[sv * 3 + su - 3])
         if d.uv_mode in ANGLE_BASE and bsize >= BlockSize.B8X8:
             self.ec.encode_symbol(
                 d.angle_delta_uv + 3,

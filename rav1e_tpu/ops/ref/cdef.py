@@ -35,6 +35,21 @@ DIV_TABLE = [0, 840, 420, 280, 210, 168, 140, 120, 105]
 LARGE = 1 << 14  # out-of-frame sentinel (unavailable pixels)
 
 
+def cdef_strengths_for_q(qindex: int):
+    """Heuristic uniform strength set (None = leave CDEF off).
+
+    Without per-SB strength RDO (rav1e rdo_loop_decision), CDEF only
+    pays off at higher quantizers where ringing dominates."""
+    if qindex < 120:
+        return None
+    y_pri = min(15, max(1, qindex // 48))
+    y_sec = 2 if qindex >= 180 else 1
+    uv_pri = max(0, y_pri - 1)
+    uv_sec = max(0, y_sec - 1)
+    damping = 3 + (qindex >= 64) + (qindex >= 160)
+    return (y_pri, y_sec, uv_pri, uv_sec, damping)
+
+
 def cdef_direction(block8: np.ndarray, bd: int = 8) -> tuple[int, int]:
     """Spec 7.15.2: 8-direction search on one 8x8 block of the
     pre-CDEF recon. Returns (dir, var)."""

@@ -96,6 +96,25 @@ def predict_directional(p_angle: int, w: int, h: int, above: np.ndarray,
     return np.where(base_a >= -1, out_a, out_l).astype(np.int32)
 
 
+def cfl_ac(luma_rec: np.ndarray, cw: int, ch: int) -> np.ndarray:
+    """Spec 7.11.5 luma AC for 4:2:0: 2x2-averaged recon luma scaled by
+    8 (sum << 1), mean-subtracted with round-half-up."""
+    l2 = luma_rec[: ch * 2, : cw * 2].astype(np.int32)
+    L = (l2[0::2, 0::2] + l2[0::2, 1::2]
+         + l2[1::2, 0::2] + l2[1::2, 1::2]) << 1
+    n = (cw * ch).bit_length() - 1
+    avg = (int(L.sum()) + (1 << (n - 1))) >> n
+    return L - avg
+
+
+def cfl_predict(dc_pred: np.ndarray, ac: np.ndarray, alpha: int,
+                bd: int = 8) -> np.ndarray:
+    """pred = DC + Round2Signed(alpha * ac, 6), clipped."""
+    scaled = alpha * ac
+    out = dc_pred + np.sign(scaled) * ((np.abs(scaled) + 32) >> 6)
+    return np.clip(out, 0, (1 << bd) - 1).astype(np.int32)
+
+
 _DIRECTIONAL = {
     PredictionMode.D45_PRED: 45, PredictionMode.D67_PRED: 67,
     PredictionMode.D113_PRED: 113, PredictionMode.D135_PRED: 135,

@@ -67,7 +67,7 @@ def _tap_tables(n: int):
                     sec[d, t] = ((base_r + sgn * dy) * span
                                  + base_c + sgn * dx).ravel()
                     t += 1
-    return jnp.asarray(pri), jnp.asarray(sec)
+    return pri, sec  # numpy (converted per-trace at the use site)
 
 
 def _msb(x):
@@ -84,19 +84,38 @@ def _constrain(diff, strength, damping):
 
 
 def cdef_directions_jax(yblks):
-    """yblks [B,8,8] int32 -> (dir [B], var [B])."""
+    """yblks [B,8,8] int32 -> (dir [B], var [B]).
+
+    Costs reach ~2^34, past float32 exactness and int32 range, so each
+    direction's cost is kept as two int32 limbs (hi = cost >> 15,
+    lo = cost & 32767); argmax and the variance are computed exactly
+    from the limbs (spec keeps the first maximum on ties)."""
     mats, wts = _dir_matrices()
     x = (yblks.reshape(-1, 64) - 128).astype(jnp.float32)
-    costs = []
+    his, los = [], []
     for d in range(8):
-        part = x @ jnp.asarray(mats[d])          # [B, nbins]
-        costs.append(jnp.sum(part * part * jnp.asarray(wts[d]), axis=1))
-    cost = jnp.stack(costs, axis=1)              # [B, 8]
-    best = jnp.argmax(cost, axis=1).astype(jnp.int32)
+        part = (x @ jnp.asarray(mats[d])).astype(jnp.int32)  # exact
+        terms = part * part * jnp.asarray(wts[d], jnp.int32)  # < 2^31
+        hi = jnp.sum(terms >> 15, axis=1)
+        lo = jnp.sum(terms & 32767, axis=1)
+        hi = hi + (lo >> 15)
+        lo = lo & 32767
+        his.append(hi)
+        los.append(lo)
+    best = jnp.zeros(x.shape[0], jnp.int32)
+    bh, bl = his[0], los[0]
+    for d in range(1, 8):
+        gt = (his[d] > bh) | ((his[d] == bh) & (los[d] > bl))
+        best = jnp.where(gt, d, best)
+        bh = jnp.where(gt, his[d], bh)
+        bl = jnp.where(gt, los[d], bl)
+    hi_s = jnp.stack(his, 1)
+    lo_s = jnp.stack(los, 1)
     opp = (best + 4) % 8
-    var = ((jnp.take_along_axis(cost, best[:, None], 1)
-            - jnp.take_along_axis(cost, opp[:, None], 1))[:, 0]
-           ).astype(jnp.int64) >> 10
+    oh = jnp.take_along_axis(hi_s, opp[:, None], 1)[:, 0]
+    ol = jnp.take_along_axis(lo_s, opp[:, None], 1)[:, 0]
+    # var = (cost_best - cost_opp) >> 10, exactly from limbs
+    var = (bh - oh) * 32 + ((bl - ol) >> 10)
     return best, var.astype(jnp.int32)
 
 
@@ -115,8 +134,9 @@ def _filter_plane(plane, skip8, pri, sec, damping, dirs, var, n,
 
     patch = jax.vmap(patch_one)(by, bx).reshape(B, -1)  # [B,(n+4)^2]
     x = patch.reshape(B, n + 4, n + 4)[:, 2:2 + n, 2:2 + n] \
-        .reshape(B, n * n).astype(jnp.int64)
-    pri_t, sec_t = _tap_tables(n)
+        .reshape(B, n * n).astype(jnp.int32)
+    pri_np, sec_np = _tap_tables(n)
+    pri_t, sec_t = jnp.asarray(pri_np), jnp.asarray(sec_np)
     # per-plane primary strength / dir handling
     if is_luma:
         vs = jnp.where((var >> 6) > 0,
@@ -133,12 +153,12 @@ def _filter_plane(plane, skip8, pri, sec, damping, dirs, var, n,
     # tap order in _tap_tables: (k0,+), (k0,-), (k1,+), (k1,-)
     pri_taps = jnp.stack([taps0[parity], taps0[parity],
                           taps1[parity], taps1[parity]], 1)  # [B,4]
-    s = jnp.zeros((B, n * n), jnp.int64)
+    s = jnp.zeros((B, n * n), jnp.int32)
     mx = x
     mn = x
     pidx = pri_t[d_eff]                           # [B, 4, n*n]
     for t in range(4):
-        p = jnp.take_along_axis(patch, pidx[:, t], 1).astype(jnp.int64)
+        p = jnp.take_along_axis(patch, pidx[:, t], 1).astype(jnp.int32)
         valid = p != LARGE
         c = _constrain(p - x, pri_adj[:, None], pdamp)
         s = s + jnp.where(valid, pri_taps[:, t, None] * c, 0)
@@ -146,7 +166,7 @@ def _filter_plane(plane, skip8, pri, sec, damping, dirs, var, n,
         mn = jnp.where(valid, jnp.minimum(mn, p), mn)
     sidx = sec_t[d_eff]                           # [B, 8, n*n]
     for t in range(8):
-        p = jnp.take_along_axis(patch, sidx[:, t], 1).astype(jnp.int64)
+        p = jnp.take_along_axis(patch, sidx[:, t], 1).astype(jnp.int32)
         valid = (p != LARGE) & (sec > 0)
         c = _constrain(p - x, sec, pdamp)
         s = s + jnp.where(valid, SEC_TAPS[t // 4] * c, 0)

@@ -209,12 +209,8 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize):
         for (dr, dc) in ((0, 0), (0, half), (half, 0), (half, half)):
             plan(r + dr, c + dc, sub)
 
-    def trial(ps, x, yy, tx, tx_type, mode, delta=0):
+    def trial_pred(ps, x, yy, tx, tx_type, pred):
         h2, w2 = tx.height, tx.width
-        above, left, top_left, av_a, av_l = _edges(ps, x, yy, w2, h2)
-        pred = predict(mode, w2, h2, above, left, top_left,
-                       have_above=av_a, have_left=av_l,
-                       angle_delta=delta)
         resid = ps.src[yy: yy + h2, x: x + w2] - pred
         cf = forward_transform(resid, tx, tx_type)
         lv = quantize(cf, qindex, tx)
@@ -223,6 +219,20 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize):
         rec = np.clip(pred + r2, 0, 255)
         sse = int(((ps.src[yy: yy + h2, x: x + w2] - rec) ** 2).sum())
         return lv, rec, sse
+
+    def trial(ps, x, yy, tx, tx_type, mode, delta=0):
+        h2, w2 = tx.height, tx.width
+        above, left, top_left, av_a, av_l = _edges(ps, x, yy, w2, h2)
+        pred = predict(mode, w2, h2, above, left, top_left,
+                       have_above=av_a, have_left=av_l,
+                       angle_delta=delta)
+        return trial_pred(ps, x, yy, tx, tx_type, pred)
+
+    def dc_pred_of(ps, x, yy, tx):
+        h2, w2 = tx.height, tx.width
+        above, left, top_left, av_a, av_l = _edges(ps, x, yy, w2, h2)
+        return predict(PredictionMode.DC_PRED, w2, h2, above, left,
+                       top_left, have_above=av_a, have_left=av_l)
 
     def commit(ps, x, yy, rec):
         h2, w2 = rec.shape
@@ -259,11 +269,49 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize):
             vlv, vrec, vsse = trial(states[2], c * 2, r * 2, uvtx, uvtt, m)
             if bestc is None or usse + vsse < bestc[0]:
                 bestc = (usse + vsse, m, ulv, urec, vlv, vrec)
+        # CfL candidate (allowed <= 32x32): alpha per plane minimizing
+        # prediction SSE against the source, then a full trial
+        cfl_alphas = None
+        if bsize.width <= 32 and bsize.height <= 32:
+            from rav1e_tpu.ops.ref.intra import cfl_ac, cfl_predict
+            cw, ch2 = uvtx.width, uvtx.height
+            ac = cfl_ac(states[0].rec[r * 4: r * 4 + ch2 * 2,
+                                      c * 4: c * 4 + cw * 2], cw, ch2)
+            alphas = []
+            preds = []
+            for pi in (1, 2):
+                dc = dc_pred_of(states[pi], c * 2, r * 2, uvtx)
+                src = states[pi].src[r * 2: r * 2 + ch2,
+                                     c * 2: c * 2 + cw]
+                best_a, best_sse, best_pred = 0, int(((src - dc) ** 2)
+                                                     .sum()), dc
+                for a in range(-16, 17):
+                    if a == 0:
+                        continue
+                    p = cfl_predict(dc, ac, a)
+                    sse = int(((src - p) ** 2).sum())
+                    if sse < best_sse:
+                        best_a, best_sse, best_pred = a, sse, p
+                alphas.append(best_a)
+                preds.append(best_pred)
+            if alphas != [0, 0]:
+                uvtt_cfl = chroma_tx_type(PredictionMode.UV_CFL_PRED,
+                                          uvtx, True)
+                ulv2, urec2, usse2 = trial_pred(
+                    states[1], c * 2, r * 2, uvtx, uvtt_cfl, preds[0])
+                vlv2, vrec2, vsse2 = trial_pred(
+                    states[2], c * 2, r * 2, uvtx, uvtt_cfl, preds[1])
+                if usse2 + vsse2 < bestc[0]:
+                    bestc = (usse2 + vsse2, PredictionMode.UV_CFL_PRED,
+                             ulv2, urec2, vlv2, vrec2)
+                    cfl_alphas = (alphas[0], alphas[1])
         _, uv_mode, ulv, urec, vlv, vrec = bestc
         commit(states[1], c * 2, r * 2, urec)
         commit(states[2], c * 2, r * 2, vrec)
         d = BlockDecision(y_mode=y_mode, uv_mode=uv_mode, skip=False,
                           angle_delta_y=y_delta)
+        if cfl_alphas is not None and uv_mode == PredictionMode.UV_CFL_PRED:
+            d.cfl_alpha_idx = cfl_alphas
         if not ylv.any() and not ulv.any() and not vlv.any():
             d.skip = True
         else:

@@ -95,7 +95,7 @@ def _core(h: int, w: int):
                 .transpose(0, 2, 1, 3).reshape(ph, pw))
 
     @jax.jit
-    def step(y, ry, u, ru, v, rv, dcq, acq):
+    def step(y, ry, u, ru, v, rv, dcq, acq, cdef_prm):
         y = y.astype(jnp.int32)
         ry = ry.astype(jnp.int32)
         ryp = jnp.pad(ry, PAD, mode="edge")
@@ -200,6 +200,16 @@ def _core(h: int, w: int):
         rec_y = jnp.where(sk3, pred_y, jnp.clip(pred_y + r2_y, 0, 255))
         rec_u = jnp.where(sk3, pred_u, jnp.clip(pred_u + r2_u, 0, 255))
         rec_v = jnp.where(sk3, pred_v, jnp.clip(pred_v + r2_v, 0, 255))
+        # in-loop CDEF on the reconstruction (cdef_prm all zero => off;
+        # active masking keeps it a no-op then)
+        from rav1e_tpu.ops.tpu.cdef import cdef_filter_frame_jax
+        fry = from_blocks(rec_y, h, w, 32)
+        fru = from_blocks(rec_u, h // 2, w // 2, 16)
+        frv = from_blocks(rec_v, h // 2, w // 2, 16)
+        skip8 = jnp.repeat(jnp.repeat(skip.reshape(nby, nbx), 4, 0), 4, 1)
+        fry, fru, frv = cdef_filter_frame_jax(
+            [fry, fru, frv], skip8, cdef_prm[0], cdef_prm[1],
+            cdef_prm[2], cdef_prm[3], cdef_prm[4])
         # narrow dtypes: device->host transfer is the bottleneck on a
         # tunneled chip. Levels ship as int8 plus a per-block overflow
         # flag; the (rare) saturated blocks are re-fetched at full
@@ -213,9 +223,8 @@ def _core(h: int, w: int):
                 jnp.clip(lv_v, -127, 127).astype(jnp.int8),
                 lv_y.astype(jnp.int16), lv_u.astype(jnp.int16),
                 lv_v.astype(jnp.int16),
-                from_blocks(rec_y, h, w, 32).astype(jnp.uint8),
-                from_blocks(rec_u, h // 2, w // 2, 16).astype(jnp.uint8),
-                from_blocks(rec_v, h // 2, w // 2, 16).astype(jnp.uint8))
+                fry.astype(jnp.uint8), fru.astype(jnp.uint8),
+                frv.astype(jnp.uint8))
 
     return step, (nby, nbx)
 
@@ -237,10 +246,13 @@ def _fetch_outputs(o):
 
 
 def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
-                 use_native=True):
+                 use_native=True, cdef=None):
     """Entropy-pack one P frame from batched pipeline outputs."""
-    seq = Sequence(width=w, height=h)
+    seq = Sequence(width=w, height=h, enable_cdef=cdef is not None)
     fp = FrameParams(frame_type=FrameType.INTER, base_q_idx=qindex)
+    if cdef is not None:
+        (fp.cdef_y_pri, fp.cdef_y_sec, fp.cdef_uv_pri,
+         fp.cdef_uv_sec, fp.cdef_damping) = cdef
     ti = TileInfo(seq)
     mi_rows, mi_cols = h >> 2, w >> 2
     nbx = w // 32
@@ -275,7 +287,8 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
 
 def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
                       order_hint: int = 1, use_native: bool = True,
-                      ref_dev=None, return_device: bool = False):
+                      ref_dev=None, return_device: bool = False,
+                      cdef: tuple | None = None):
     """TPU-batched P frame. Same bitstream contract as encode_pframe.
 
     ref_dev: optional device-resident reference planes (from a prior
@@ -287,15 +300,18 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
     if ref_dev is None:
         ref_dev = tuple(jnp.asarray(np.asarray(p, np.uint8))
                         for p in ref_planes)
+    cdef_prm = jnp.asarray(
+        list(cdef) if cdef is not None else [0, 0, 0, 0, 3], jnp.int32)
     outs = step(jnp.asarray(y), ref_dev[0],
                 jnp.asarray(u), ref_dev[1],
                 jnp.asarray(v), ref_dev[2],
-                jnp.int32(dc_q_lut(qindex)), jnp.int32(ac_q_lut(qindex)))
+                jnp.int32(dc_q_lut(qindex)), jnp.int32(ac_q_lut(qindex)),
+                cdef_prm)
     rec_dev = outs[9:12]
     mv8, skip, lv_y, lv_u, lv_v = _fetch_outputs(outs)
     rec_y, rec_u, rec_v = [np.asarray(o) for o in rec_dev]
     pkt = _pack_pframe(h, w, qindex, order_hint, mv8, skip,
-                       lv_y, lv_u, lv_v, use_native)
+                       lv_y, lv_u, lv_v, use_native, cdef)
     rec = [rec_y.astype(np.int32), rec_u.astype(np.int32),
            rec_v.astype(np.int32)]
     if return_device:
@@ -303,13 +319,14 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
     return pkt, rec
 
 
-def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8):
+def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
+                   cdef: tuple | None = None):
     """KEY + P chain with the TPU-batched pipelines."""
     from rav1e_tpu.pipeline.tpu_intra import encode_keyframe_tpu
 
     pkts, recs = [], []
     pkt, rec = encode_keyframe_tpu(frames[0], qindex=qindex, speed=speed,
-                                   deblock=False)
+                                   deblock=False, cdef=cdef)
     pkts.append(pkt)
     recs.append(rec)
     if len(frames) == 1:
@@ -318,6 +335,8 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8):
     step, _ = _core(h, w)
     dcq = jnp.int32(dc_q_lut(qindex))
     acq = jnp.int32(ac_q_lut(qindex))
+    cdef_prm = jnp.asarray(
+        list(cdef) if cdef is not None else [0, 0, 0, 0, 3], jnp.int32)
     # dispatch every P step up front (jax async dispatch): the device
     # crunches frame i+1 while the host transfers + entropy-packs
     # frame i
@@ -326,13 +345,13 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8):
     for f in frames[1:]:
         o = step(jnp.asarray(f[0]), ref_dev[0],
                  jnp.asarray(f[1]), ref_dev[1],
-                 jnp.asarray(f[2]), ref_dev[2], dcq, acq)
+                 jnp.asarray(f[2]), ref_dev[2], dcq, acq, cdef_prm)
         ref_dev = o[9:12]
         outs.append(o)
     for i, o in enumerate(outs, start=1):
         mv8, skip, lv_y, lv_u, lv_v = _fetch_outputs(o)
         pkts.append(_pack_pframe(h, w, qindex, i, mv8, skip,
-                                 lv_y, lv_u, lv_v))
+                                 lv_y, lv_u, lv_v, cdef=cdef))
         # recons stay device-resident (uint8); consumers that need
         # them host-side (conformance checks) convert lazily
         recs.append([o[9], o[10], o[11]])

@@ -433,7 +433,8 @@ def _from_blocks(a: np.ndarray) -> np.ndarray:
 
 
 def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
-                        speed: int = 6, deblock: bool = True):
+                        speed: int = 6, deblock: bool = True,
+                        cdef: tuple | None = None):
     """TPU-batched KEY frame encode; dims must be multiples of 32.
 
     Returns (packet, recon planes) — recon is bit-exact decoder output
@@ -482,9 +483,12 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     # ---- pack (host, serial; C++ packer when available) -------------------
     from rav1e_tpu.ops.ref.deblock import deblock_plane, level_from_qindex
     lf = level_from_qindex(qindex) if deblock else 0
-    seq = Sequence(width=w, height=h)
+    seq = Sequence(width=w, height=h, enable_cdef=cdef is not None)
     fp = FrameParams(frame_type=FrameType.KEY, base_q_idx=qindex,
                      loop_filter_levels=(lf, lf, lf, lf))
+    if cdef is not None:
+        (fp.cdef_y_pri, fp.cdef_y_sec, fp.cdef_uv_pri,
+         fp.cdef_uv_sec, fp.cdef_damping) = cdef
     ti = TileInfo(seq)
     mi_rows, mi_cols = h >> 2, w >> 2
     try:
@@ -549,4 +553,27 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
                                split_map=sp_map)
         rec[2] = deblock_plane(rec[2], blk_c, lf, lf, False,
                                split_map=sp_map)
+    if cdef is not None:
+        from rav1e_tpu.ops.tpu.cdef import cdef_filter_frame_jax
+        skip_blk = np.array(
+            [[blocks[(bi * 8, bj * 8)].skip
+              if (bi * 8, bj * 8) in blocks else
+              all(blocks[(bi * 8 + dr, bj * 8 + dc)].skip
+                  for dr, dc in ((0, 0), (0, 4), (4, 0), (4, 4)))
+              for bj in range(bw)] for bi in range(bh)])
+        skip8 = np.repeat(np.repeat(skip_blk, 4, 0), 4, 1)
+        # per-16 split blocks: use each quadrant's own skip flag
+        for bi in range(bh):
+            for bj in range(bw):
+                if sp[bi, bj]:
+                    for q, (dr, dc) in enumerate(
+                            ((0, 0), (0, 4), (4, 0), (4, 4))):
+                        s = blocks[(bi * 8 + dr, bj * 8 + dc)].skip
+                        skip8[bi * 4 + dr // 2: bi * 4 + dr // 2 + 2,
+                              bj * 4 + dc // 2: bj * 4 + dc // 2 + 2] = s
+        out = cdef_filter_frame_jax(
+            [jnp.asarray(rec[0]), jnp.asarray(rec[1]),
+             jnp.asarray(rec[2])], jnp.asarray(skip8),
+            *[jnp.int32(xv) for xv in cdef])
+        rec = [np.asarray(p) for p in out]
     return pkt, rec

@@ -119,3 +119,36 @@ def test_multi_tile_inter_bit_exact():
     out = aom.decode_all([kp, pkt])
     for i in range(3):
         assert np.array_equal(out[1][i], rec[i])
+
+
+def test_cfl_bit_exact():
+    """Chroma-from-luma: correlated chroma drives CFL through RDO; the
+    alpha search + joint-sign/index coding must stay bit-exact."""
+    from rav1e_tpu.core.constants import PredictionMode
+    from rav1e_tpu.entropy import tile as tilemod
+    rng = np.random.default_rng(7)
+    w, h = 128, 96
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 60 * np.sin((xx + yy) / 9) + 30 * np.cos(xx / 7)
+    y = (128 + base + rng.normal(0, 3, (h, w))).clip(0, 255).astype(np.uint8)
+    u = (120 + 0.6 * base[::2, ::2]).clip(0, 255).astype(np.uint8)
+    v = (130 - 0.4 * base[::2, ::2]).clip(0, 255).astype(np.uint8)
+    seen = set()
+    orig = tilemod.TileWriter.write_intra_block
+
+    def spy(self, r, c, bsize, d):
+        seen.add(d.uv_mode)
+        return orig(self, r, c, bsize, d)
+
+    tilemod.TileWriter.write_intra_block = spy
+    try:
+        pkt, rec = encode_keyframe([y, u, v], qindex=100)
+    finally:
+        tilemod.TileWriter.write_intra_block = orig
+    assert PredictionMode.UV_CFL_PRED in seen
+    fr = dav1d.decode_all([pkt])
+    for i in range(3):
+        assert np.array_equal(fr[0].planes[i], rec[i])
+    out = aom.decode_all([pkt])
+    for i in range(3):
+        assert np.array_equal(out[0][i], rec[i])
