@@ -136,6 +136,13 @@ class Sequence:
                 pass  # 4:2:0 implied
             elif self.profile == 1:
                 pass  # 4:4:4 implied
+            else:
+                # profile 2: 12-bit signals subsampling explicitly;
+                # 8/10-bit implies 4:2:2
+                if self.bit_depth == 12:
+                    b.bit(self.subsampling_x)
+                    if self.subsampling_x:
+                        b.bit(self.subsampling_y)
             if self.subsampling_x and self.subsampling_y:
                 b.f(self.chroma_sample_position, 2)
         b.bit(0)  # separate_uv_delta_q

@@ -92,10 +92,13 @@ def _round2(x, n):
 
 def mc_predict(ref: np.ndarray, y0: int, x0: int, h: int, w: int,
                mv: tuple, ss: int = 0,
-               filt: str = "REGULAR") -> np.ndarray:
+               filt: str = "REGULAR", bd: int = 8) -> np.ndarray:
     """Predict an h x w block of a plane from `ref` at plane position
-    (y0, x0) displaced by luma-scale 1/8-pel `mv` (row, col)."""
+    (y0, x0) displaced by luma-scale 1/8-pel `mv` (row, col).
+
+    8/10-bit share InterRound0/1 = 3/11; 12-bit would use 5/9."""
     f = SUBPEL_FILTERS[filt]
+    r0, r1 = (5, 9) if bd == 12 else (INTER_ROUND0, INTER_ROUND1)
     rh, rw = ref.shape
     # 1/16-pel plane-scale positions
     py = (y0 << 4) + (int(mv[0]) << (1 - ss))
@@ -112,10 +115,10 @@ def mc_predict(ref: np.ndarray, y0: int, x0: int, h: int, w: int,
     interm = np.zeros((h + 7, w), np.int64)
     for t in range(8):
         interm += fh[t] * src[:, t: t + w]
-    interm = _round2(interm, INTER_ROUND0)
+    interm = _round2(interm, r0)
     # vertical pass -> (h, w)
     out = np.zeros((h, w), np.int64)
     for t in range(8):
         out += fv[t] * interm[t: t + h]
-    out = _round2(out, INTER_ROUND1)
-    return np.clip(out, 0, 255).astype(np.int32)
+    out = _round2(out, r1)
+    return np.clip(out, 0, (1 << bd) - 1).astype(np.int32)

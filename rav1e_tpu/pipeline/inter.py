@@ -80,7 +80,7 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
                   order_hint: int = 1, use_native: bool = True,
                   search_px: int = 16, subpel: bool = True,
                   tile_cols_log2: int = 0, tile_rows_log2: int = 0,
-                  cdef: tuple | None = None):
+                  cdef: tuple | None = None, bit_depth: int = 8):
     """Encode one P frame against ref_planes. Returns (packet, recon).
 
     Per 32x32 block: full-pel SAD search (+- search_px) with quarter-pel
@@ -91,7 +91,9 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
     ry, ru, rv = [p.astype(np.int32) for p in ref_planes]
     h, w = y.shape
     assert h % 32 == 0 and w % 32 == 0
-    seq = Sequence(width=w, height=h, enable_cdef=cdef is not None)
+    seq = Sequence(width=w, height=h, enable_cdef=cdef is not None,
+                   bit_depth=bit_depth,
+                   profile=2 if bit_depth == 12 else 0)
     fp = FrameParams(frame_type=FrameType.INTER, base_q_idx=qindex)
     if cdef is not None:
         (fp.cdef_y_pri, fp.cdef_y_sec, fp.cdef_uv_pri,
@@ -129,15 +131,18 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
                 ss = 0 if pi == 0 else 1
                 px, py = bx >> ss, by >> ss
                 n = 32 >> ss
-                pred = mc_predict(ref, py, px, n, n, mv, ss=ss)
+                pred = mc_predict(ref, py, px, n, n, mv, ss=ss,
+                                  bd=bit_depth)
                 preds.append(pred)
                 resid = src[py: py + n, px: px + n] - pred
                 cf = forward_transform(resid, tx, TxType.DCT_DCT)
-                lv = quantize(cf, qindex, tx)
-                dq = dequantize(lv, qindex, tx)
-                r2 = inverse_transform(dq, tx, TxType.DCT_DCT)
+                lv = quantize(cf, qindex, tx, bd=bit_depth)
+                dq = dequantize(lv, qindex, tx, bd=bit_depth)
+                r2 = inverse_transform(dq, tx, TxType.DCT_DCT,
+                                       bd=bit_depth)
                 out = rec[pi]
-                out[py: py + n, px: px + n] = np.clip(pred + r2, 0, 255)
+                out[py: py + n, px: px + n] = np.clip(
+                    pred + r2, 0, (1 << bit_depth) - 1)
                 lvls.append(lv)
             d = BlockDecision(y_mode=mode,
                               uv_mode=PredictionMode.DC_PRED, skip=False,
@@ -178,7 +183,7 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
             skip8[r // 2: r // 2 + 4, c // 2: c // 2 + 4] = d.skip
         cdef_filter_frame(rec, skip8, fp.cdef_y_pri, fp.cdef_y_sec,
                           fp.cdef_uv_pri, fp.cdef_uv_sec,
-                          fp.cdef_damping)
+                          fp.cdef_damping, bd=bit_depth)
     pkt = interframe_packet(seq, fp, ti, tiles, order_hint)
     return pkt, rec
 

@@ -118,7 +118,7 @@ def _encode_block_plane(ps: PlaneState, x: int, y: int, tx, tx_type,
 def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
                     block: BlockSize = BlockSize.B32X32,
                     tile_cols_log2: int = 0, tile_rows_log2: int = 0,
-                    cdef: tuple | None = None):
+                    cdef: tuple | None = None, bit_depth: int = 8):
     """Encode one 8-bit 4:2:0 KEY frame. Returns (packet, recon planes).
 
     planes: [y (h,w), u, v] uint8, dims multiples of 8. Tile counts are
@@ -128,7 +128,9 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
     y, u, v = planes
     h, w = y.shape
     assert h % 8 == 0 and w % 8 == 0
-    seq = Sequence(width=w, height=h, enable_cdef=cdef is not None)
+    seq = Sequence(width=w, height=h, enable_cdef=cdef is not None,
+                   bit_depth=bit_depth,
+                   profile=2 if bit_depth == 12 else 0)
     fp = FrameParams(frame_type=FrameType.KEY, base_q_idx=qindex)
     if cdef is not None:
         (fp.cdef_y_pri, fp.cdef_y_sec, fp.cdef_uv_pri,
@@ -151,7 +153,7 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
                 [y[py0:py1, px0:px1], u[py0 // 2:py1 // 2,
                                         px0 // 2:px1 // 2],
                  v[py0 // 2:py1 // 2, px0 // 2:px1 // 2]],
-                qindex, block)
+                qindex, block, bit_depth)
             tiles.append(tile)
             frame_rec[0][py0:py1, px0:px1] = recs[0]
             frame_rec[1][py0 // 2:py1 // 2, px0 // 2:px1 // 2] = recs[1]
@@ -163,12 +165,13 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
             & skip_mi[::2, 1::2] & skip_mi[1::2, 1::2]
         cdef_filter_frame(frame_rec, skip8, fp.cdef_y_pri, fp.cdef_y_sec,
                           fp.cdef_uv_pri, fp.cdef_uv_sec,
-                          fp.cdef_damping)
+                          fp.cdef_damping, bd=bit_depth)
     pkt = keyframe_packet(seq, fp, ti, tiles)
     return pkt, frame_rec
 
 
-def _encode_keyframe_tile(planes, qindex: int, block: BlockSize):
+def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
+                          bit_depth: int = 8):
     """Encode one tile (tiles are fully independent: prediction and
     entropy context never cross the boundary, so a tile encodes exactly
     like a small frame). Returns (tile bytes, recon planes)."""
@@ -209,14 +212,16 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize):
         for (dr, dc) in ((0, 0), (0, half), (half, 0), (half, half)):
             plan(r + dr, c + dc, sub)
 
+    maxpx = (1 << bit_depth) - 1
+
     def trial_pred(ps, x, yy, tx, tx_type, pred):
         h2, w2 = tx.height, tx.width
         resid = ps.src[yy: yy + h2, x: x + w2] - pred
         cf = forward_transform(resid, tx, tx_type)
-        lv = quantize(cf, qindex, tx)
-        dq = dequantize(lv, qindex, tx)
-        r2 = inverse_transform(dq, tx, tx_type)
-        rec = np.clip(pred + r2, 0, 255)
+        lv = quantize(cf, qindex, tx, bd=bit_depth)
+        dq = dequantize(lv, qindex, tx, bd=bit_depth)
+        r2 = inverse_transform(dq, tx, tx_type, bd=bit_depth)
+        rec = np.clip(pred + r2, 0, maxpx)
         sse = int(((ps.src[yy: yy + h2, x: x + w2] - rec) ** 2).sum())
         return lv, rec, sse
 
@@ -224,7 +229,7 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize):
         h2, w2 = tx.height, tx.width
         above, left, top_left, av_a, av_l = _edges(ps, x, yy, w2, h2)
         pred = predict(mode, w2, h2, above, left, top_left,
-                       have_above=av_a, have_left=av_l,
+                       bd=bit_depth, have_above=av_a, have_left=av_l,
                        angle_delta=delta)
         return trial_pred(ps, x, yy, tx, tx_type, pred)
 
@@ -232,7 +237,8 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize):
         h2, w2 = tx.height, tx.width
         above, left, top_left, av_a, av_l = _edges(ps, x, yy, w2, h2)
         return predict(PredictionMode.DC_PRED, w2, h2, above, left,
-                       top_left, have_above=av_a, have_left=av_l)
+                       top_left, bd=bit_depth,
+                       have_above=av_a, have_left=av_l)
 
     def commit(ps, x, yy, rec):
         h2, w2 = rec.shape
@@ -288,7 +294,7 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize):
                 for a in range(-16, 17):
                     if a == 0:
                         continue
-                    p = cfl_predict(dc, ac, a)
+                    p = cfl_predict(dc, ac, a, bd=bit_depth)
                     sse = int(((src - p) ** 2).sum())
                     if sse < best_sse:
                         best_a, best_sse, best_pred = a, sse, p

@@ -152,3 +152,28 @@ def test_cfl_bit_exact():
     out = aom.decode_all([pkt])
     for i in range(3):
         assert np.array_equal(out[0][i], rec[i])
+
+
+@pytest.mark.parametrize("bd,maxv", [(10, 1023), (12, 4095)])
+def test_high_bitdepth_bit_exact(bd, maxv):
+    """10/12-bit 4:2:0 KEY + P chain (profile 2 for 12-bit)."""
+    from rav1e_tpu.pipeline.inter import encode_pframe
+    rng = np.random.default_rng(7)
+    w, h = 96, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    mid = (maxv + 1) // 2
+    y = (mid + mid * 0.45 * np.sin((xx + yy) / 9)
+         + rng.normal(0, maxv / 100, (h, w))).clip(0, maxv).astype(np.uint16)
+    u = np.full((h // 2, w // 2), int(mid * 0.94), np.uint16)
+    v = np.full((h // 2, w // 2), int(mid * 1.05), np.uint16)
+    kp, kr = encode_keyframe([y, u, v], qindex=100, bit_depth=bd)
+    pp, pr = encode_pframe([np.roll(y, 2, axis=1), u, v], kr, qindex=100,
+                           order_hint=1, bit_depth=bd)
+    d = dav1d.decode_all([kp, pp])
+    for i, rec in enumerate([kr, pr]):
+        for j in range(3):
+            assert np.array_equal(d[i].planes[j], rec[j]), (bd, i, j)
+    a = aom.decode_all([kp, pp])
+    for i, rec in enumerate([kr, pr]):
+        for j in range(3):
+            assert np.array_equal(a[i][j], rec[j]), (bd, i, j)
