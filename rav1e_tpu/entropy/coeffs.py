@@ -59,7 +59,10 @@ def scan_order(w: int, h: int, tclass: int) -> np.ndarray:
             lo = max(0, d - w + 1)
             hi = min(d, h - 1)
             cells = [(r, d - r) for r in range(lo, hi + 1)]
-            if d % 2 == 0:
+            # square: zigzag (even diagonals bottom-left -> top-right);
+            # rect: no alternation - tall scans each diagonal top-down,
+            # wide bottom-up (verified vs libdav1d/libaom scan tables)
+            if (w == h and d % 2 == 0) or (w > h):
                 cells = cells[::-1]
             out.extend(r * w + c for r, c in cells)
         return np.array(out, np.int32)
@@ -76,18 +79,21 @@ _LO_OFF_SQ = np.array([
     [6, 6, 21, 21, 21],
     [6, 21, 21, 21, 21],
     [21, 21, 21, 21, 21]], np.int32)
+# oracle-verified assignment (tall 16x32 fitted empirically): the
+# 11-offset table applies when h == 2*w, the 16-offset table when
+# w == 2*h
 _LO_OFF_TALL = np.array([  # h == 2*w
+    [0, 11, 11, 11, 11],
+    [11, 11, 11, 11, 11],
+    [6, 6, 21, 21, 21],
+    [6, 21, 21, 21, 21],
+    [21, 21, 21, 21, 21]], np.int32)
+_LO_OFF_WIDE = np.array([  # w == 2*h
     [0, 16, 6, 6, 21],
     [16, 16, 6, 21, 21],
     [16, 16, 21, 21, 21],
     [16, 16, 21, 21, 21],
     [16, 16, 21, 21, 21]], np.int32)
-_LO_OFF_WIDE = np.array([  # w == 2*h
-    [0, 11, 11, 11, 21],
-    [11, 11, 11, 11, 21],
-    [6, 6, 21, 21, 21],
-    [6, 21, 21, 21, 21],
-    [21, 21, 21, 21, 21]], np.int32)
 
 
 def _lo_offsets(w: int, h: int) -> np.ndarray:

@@ -306,13 +306,16 @@ def _write_cdef_lr(b: BitWriter, seq: Sequence, fp: FrameParams):
 def write_inter_frame_header(seq: Sequence, fp: FrameParams, ti: TileInfo,
                              order_hint: int = 0,
                              refresh_flags: int = 0x01,
-                             ref_idx: list | None = None) -> BitWriter:
-    """uncompressed_header for a shown INTER frame (single ref path,
+                             ref_idx: list | None = None,
+                             show_frame: bool = True) -> BitWriter:
+    """uncompressed_header for an INTER frame (single ref path,
     PRIMARY_REF_NONE, no superres, filters per fp)."""
     b = BitWriter()
     b.bit(0)  # show_existing_frame
     b.f(int(FrameType.INTER), 2)
-    b.bit(1)  # show_frame
+    b.bit(1 if show_frame else 0)
+    if not show_frame:
+        b.bit(1)  # showable_frame (displayed later via show_existing)
     b.bit(0)  # error_resilient_mode
     b.bit(fp.disable_cdf_update)
     b.bit(0)  # allow_screen_content_tools (seq SELECT)
@@ -366,9 +369,23 @@ def write_inter_frame_header(seq: Sequence, fp: FrameParams, ti: TileInfo,
 
 
 def interframe_packet(seq: Sequence, fp: FrameParams, ti: TileInfo,
-                      tiles: list[bytes], order_hint: int) -> bytes:
-    hdr = write_inter_frame_header(seq, fp, ti, order_hint)
+                      tiles: list[bytes], order_hint: int,
+                      refresh_flags: int = 0x01,
+                      ref_idx: list | None = None,
+                      show_frame: bool = True) -> bytes:
+    hdr = write_inter_frame_header(seq, fp, ti, order_hint,
+                                   refresh_flags, ref_idx, show_frame)
     return temporal_delimiter() + assemble_frame_obu(hdr, tiles, ti, fp)
+
+
+def show_existing_packet(slot: int) -> bytes:
+    """TD + FRAME_HEADER OBU displaying a previously decoded showable
+    frame from reference slot `slot` (spec show_existing_frame)."""
+    b = BitWriter()
+    b.bit(1)           # show_existing_frame
+    b.f(slot, 3)       # frame_to_show_map_idx
+    b.trailing_bits()
+    return temporal_delimiter() + obu(ObuType.FRAME_HEADER, b.bytes())
 
 
 def obu(obu_type: ObuType, payload: bytes) -> bytes:

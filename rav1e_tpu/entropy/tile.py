@@ -39,10 +39,15 @@ PROB_TOP = 1 << 15
 _TX_BY_DIMS = {(t.width, t.height): t for t in TxSize}
 
 
-def chroma_tx_size(bsize: BlockSize) -> TxSize:
-    cw = min(max(bsize.width >> 1, 4), 32)
-    ch = min(max(bsize.height >> 1, 4), 32)
-    # clamp to at most 2:1 aspect (all chroma sizes here exist)
+def chroma_tx_size(bsize: BlockSize, ss_x: int = 1,
+                   ss_y: int = 1) -> TxSize:
+    cw = min(max(bsize.width >> ss_x, 4), 32)
+    ch = min(max(bsize.height >> ss_y, 4), 32)
+    # clamp to at most 2:1 aspect
+    while cw > 2 * ch:
+        cw >>= 1
+    while ch > 2 * cw:
+        ch >>= 1
     return _TX_BY_DIMS[(cw, ch)]
 
 
@@ -128,6 +133,7 @@ class BlockDecision:
     cfl_alpha_idx: int = 0  # joint alpha index when uv_mode == CFL
     cfl_alpha_sign: int = 0
     mv: tuple = (0, 0)      # (row, col) 1/8-pel, inter blocks only
+    ref: int = 1            # spec ref enum (1 = LAST ... 7 = ALTREF)
     # residual planes are attached by the coefficient milestone
     coeffs: dict = field(default_factory=dict)
 
@@ -137,7 +143,8 @@ class TileWriter:
                  frame_mi_rows: int | None = None,
                  frame_mi_cols: int | None = None,
                  reduced_tx_set: bool = True,
-                 inter_frame: bool = False):
+                 inter_frame: bool = False,
+                 ss_x: int = 1, ss_y: int = 1):
         # tile == frame until the tiling milestone
         self.mi_rows = mi_rows
         self.mi_cols = mi_cols
@@ -156,12 +163,15 @@ class TileWriter:
             from rav1e_tpu.entropy.inter import InterCtx
             self.inter_ctx = InterCtx(mi_rows, mi_cols)
         # per-plane coefficient entropy contexts, one byte per 4-px unit
+        self.ss_x, self.ss_y = ss_x, ss_y
+        ccols = (mi_cols + ss_x) >> ss_x if ss_x else mi_cols
+        crows = (mi_rows + ss_y) >> ss_y if ss_y else mi_rows
         self.above_coef = [np.zeros(mi_cols, np.uint8),
-                           np.zeros((mi_cols + 1) // 2, np.uint8),
-                           np.zeros((mi_cols + 1) // 2, np.uint8)]
+                           np.zeros(ccols, np.uint8),
+                           np.zeros(ccols, np.uint8)]
         self.left_coef = [np.zeros(mi_rows, np.uint8),
-                          np.zeros((mi_rows + 1) // 2, np.uint8),
-                          np.zeros((mi_rows + 1) // 2, np.uint8)]
+                          np.zeros(crows, np.uint8),
+                          np.zeros(crows, np.uint8)]
 
     # ---- partition coding --------------------------------------------------
 
@@ -295,7 +305,7 @@ class TileWriter:
             ytx = MAX_TX_SIZE_RECT[bsize]
             ytt = d.coeffs.get("y_tx_type", TxType.DCT_DCT)
             self._write_tu(0, r, c, ytx, ytt, d.coeffs[0], d.y_mode)
-            uvtx = chroma_tx_size(bsize)
+            uvtx = chroma_tx_size(bsize, self.ss_x, self.ss_y)
             uvtt = chroma_tx_type(d.uv_mode, uvtx, self.reduced_tx_set)
             self._write_tu(1, r, c, uvtx, uvtt, d.coeffs[1], d.uv_mode)
             self._write_tu(2, r, c, uvtx, uvtt, d.coeffs[2], d.uv_mode)
@@ -304,8 +314,11 @@ class TileWriter:
             self.above_coef[0][c: c + bw] = 0
             self.left_coef[0][r: r + bh] = 0
             for p in (1, 2):
-                self.above_coef[p][c // 2: (c + bw + 1) // 2] = 0
-                self.left_coef[p][r // 2: (r + bh + 1) // 2] = 0
+                sx, sy = self.ss_x, self.ss_y
+                self.above_coef[p][c >> sx: (c + bw + (1 << sx) - 1)
+                                   >> sx] = 0
+                self.left_coef[p][r >> sy: (r + bh + (1 << sy) - 1)
+                                  >> sy] = 0
         # update context grids
         self.skip_grid[r: r + bh, c: c + bw] = int(d.skip)
         self.mode_grid[r: r + bh, c: c + bw] = int(d.y_mode)
@@ -314,9 +327,10 @@ class TileWriter:
                   tx_type: TxType, levels, mode: PredictionMode,
                   is_inter: bool = False):
         """Code one transform unit + maintain entropy contexts."""
-        ss = 0 if plane == 0 else 1
-        u_c = mi_c >> ss  # first 4-px unit column of this plane block
-        u_r = mi_r >> ss
+        sx = 0 if plane == 0 else self.ss_x
+        sy = 0 if plane == 0 else self.ss_y
+        u_c = mi_c >> sx  # first 4-px unit column of this plane block
+        u_r = mi_r >> sy
         uw = tx.width >> 2
         uh = tx.height >> 2
         above = self.above_coef[plane]
@@ -423,15 +437,26 @@ class TileWriter:
         # is_inter
         ii_ctx = ictx.intra_inter_ctx(r, c)
         self.ec.encode_symbol(1, self.cdfs.intra_inter[ii_ctx])
-        # single ref tree -> LAST_FRAME: p1=0 (fwd), p3=0, p4=0
-        self.ec.encode_symbol(0, self.cdfs.single_ref[
-            ictx.single_ref_ctx(r, c, 0)][0])
-        self.ec.encode_symbol(0, self.cdfs.single_ref[
-            ictx.single_ref_ctx(r, c, 2)][2])
-        self.ec.encode_symbol(0, self.cdfs.single_ref[
-            ictx.single_ref_ctx(r, c, 3)][3])
+        # single ref tree (spec read_ref_frames single path):
+        # p1: 0 = forward group {LAST,LAST2,LAST3,GOLDEN}, 1 = backward
+        ref = getattr(d, "ref", LAST_FRAME)
+        if ref <= 4:
+            self.ec.encode_symbol(0, self.cdfs.single_ref[
+                ictx.single_ref_ctx(r, c, 0)][0])
+            # p3: 1 = {LAST3, GOLDEN}; p4: LAST vs LAST2 (LAST only here)
+            assert ref == LAST_FRAME, "only LAST coded in the fwd group"
+            self.ec.encode_symbol(0, self.cdfs.single_ref[
+                ictx.single_ref_ctx(r, c, 2)][2])
+            self.ec.encode_symbol(0, self.cdfs.single_ref[
+                ictx.single_ref_ctx(r, c, 3)][3])
+        else:
+            assert ref == 7, "only ALTREF coded in the bwd group"
+            self.ec.encode_symbol(1, self.cdfs.single_ref[
+                ictx.single_ref_ctx(r, c, 0)][0])
+            self.ec.encode_symbol(1, self.cdfs.single_ref[
+                ictx.single_ref_ctx(r, c, 1)][1])  # p2: ALTREF
         # mv stack + inter mode
-        stack, mctx = ictx.find_mv_stack(r, c, bsize, LAST_FRAME)
+        stack, mctx = ictx.find_mv_stack(r, c, bsize, ref)
         mode = d.y_mode  # inter mode stored in y_mode slot
         mv = tuple(d.mv)
         if mode == PredictionMode.NEWMV:
@@ -472,7 +497,7 @@ class TileWriter:
             ytx = MAX_TX_SIZE_RECT[bsize]
             self._write_tu(0, r, c, ytx, TxType.DCT_DCT, d.coeffs[0],
                            PredictionMode.DC_PRED, is_inter=True)
-            uvtx = chroma_tx_size(bsize)
+            uvtx = chroma_tx_size(bsize, self.ss_x, self.ss_y)
             self._write_tu(1, r, c, uvtx, TxType.DCT_DCT, d.coeffs[1],
                            PredictionMode.DC_PRED, is_inter=True)
             self._write_tu(2, r, c, uvtx, TxType.DCT_DCT, d.coeffs[2],
@@ -481,11 +506,14 @@ class TileWriter:
             self.above_coef[0][c: c + bw] = 0
             self.left_coef[0][r: r + bh] = 0
             for p in (1, 2):
-                self.above_coef[p][c // 2: (c + bw + 1) // 2] = 0
-                self.left_coef[p][r // 2: (r + bh + 1) // 2] = 0
+                sx, sy = self.ss_x, self.ss_y
+                self.above_coef[p][c >> sx: (c + bw + (1 << sx) - 1)
+                                   >> sx] = 0
+                self.left_coef[p][r >> sy: (r + bh + (1 << sy) - 1)
+                                  >> sy] = 0
         self.skip_grid[r: r + bh, c: c + bw] = int(d.skip)
         ictx.set_block(r, c, bsize, InterBlockInfo(
-            is_inter=True, ref=LAST_FRAME, mode=mode, mv=tuple(d.mv)))
+            is_inter=True, ref=ref, mode=mode, mv=tuple(d.mv)))
 
     def _write_block(self, r, c, bsize, d):
         if self.inter_frame:

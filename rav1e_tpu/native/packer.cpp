@@ -151,16 +151,17 @@ const int LO_SQ[5][5] = {{0, 1, 6, 6, 21},
                          {6, 6, 21, 21, 21},
                          {6, 21, 21, 21, 21},
                          {21, 21, 21, 21, 21}};
-const int LO_TALL[5][5] = {{0, 16, 6, 6, 21},
+// oracle-verified: 11-offset table for h == 2*w, 16-offset for w == 2*h
+const int LO_TALL[5][5] = {{0, 11, 11, 11, 11},
+                           {11, 11, 11, 11, 11},
+                           {6, 6, 21, 21, 21},
+                           {6, 21, 21, 21, 21},
+                           {21, 21, 21, 21, 21}};
+const int LO_WIDE[5][5] = {{0, 16, 6, 6, 21},
                            {16, 16, 6, 21, 21},
                            {16, 16, 21, 21, 21},
                            {16, 16, 21, 21, 21},
                            {16, 16, 21, 21, 21}};
-const int LO_WIDE[5][5] = {{0, 11, 11, 11, 21},
-                           {11, 11, 11, 11, 21},
-                           {6, 6, 21, 21, 21},
-                           {6, 21, 21, 21, 21},
-                           {21, 21, 21, 21, 21}};
 
 struct Packer {
   Encoder ec;
@@ -175,11 +176,14 @@ void scan_pos(int w, int h, int tclass, std::vector<int>& out) {
   out.clear();
   out.reserve(w * h);
   if (tclass == C2D) {
+    // square: zigzag; rect: fixed direction (tall top-down, wide
+    // bottom-up), verified against libdav1d/libaom scan tables
     for (int d = 0; d < w + h - 1; d++) {
       int lo = d - w + 1;
       if (lo < 0) lo = 0;
       int hi = imin(d, h - 1);
-      if (d % 2 == 0) {
+      bool rev = (w == h && d % 2 == 0) || (w > h);
+      if (rev) {
         for (int r = hi; r >= lo; r--) out.push_back(r * w + (d - r));
       } else {
         for (int r = lo; r <= hi; r++) out.push_back(r * w + (d - r));

@@ -96,12 +96,18 @@ def predict_directional(p_angle: int, w: int, h: int, above: np.ndarray,
     return np.where(base_a >= -1, out_a, out_l).astype(np.int32)
 
 
-def cfl_ac(luma_rec: np.ndarray, cw: int, ch: int) -> np.ndarray:
-    """Spec 7.11.5 luma AC for 4:2:0: 2x2-averaged recon luma scaled by
-    8 (sum << 1), mean-subtracted with round-half-up."""
-    l2 = luma_rec[: ch * 2, : cw * 2].astype(np.int32)
-    L = (l2[0::2, 0::2] + l2[0::2, 1::2]
-         + l2[1::2, 0::2] + l2[1::2, 1::2]) << 1
+def cfl_ac(luma_rec: np.ndarray, cw: int, ch: int, ss_x: int = 1,
+           ss_y: int = 1) -> np.ndarray:
+    """Spec 7.11.5 luma AC: subsample-averaged recon luma scaled to
+    x8 (sum << (3 - ss_x - ss_y)), mean-subtracted round-half-up."""
+    l2 = luma_rec[: ch << ss_y, : cw << ss_x].astype(np.int32)
+    if ss_x and ss_y:
+        L = (l2[0::2, 0::2] + l2[0::2, 1::2]
+             + l2[1::2, 0::2] + l2[1::2, 1::2]) << 1
+    elif ss_x:
+        L = (l2[:, 0::2] + l2[:, 1::2]) << 2
+    else:
+        L = l2 << 3
     n = (cw * ch).bit_length() - 1
     avg = (int(L.sum()) + (1 << (n - 1))) >> n
     return L - avg

@@ -80,7 +80,9 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
                   order_hint: int = 1, use_native: bool = True,
                   search_px: int = 16, subpel: bool = True,
                   tile_cols_log2: int = 0, tile_rows_log2: int = 0,
-                  cdef: tuple | None = None, bit_depth: int = 8):
+                  cdef: tuple | None = None, bit_depth: int = 8,
+                  refresh_flags: int = 0x01, ref_slot: int = 0,
+                  show_frame: bool = True):
     """Encode one P frame against ref_planes. Returns (packet, recon).
 
     Per 32x32 block: full-pel SAD search (+- search_px) with quarter-pel
@@ -184,7 +186,10 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
         cdef_filter_frame(rec, skip8, fp.cdef_y_pri, fp.cdef_y_sec,
                           fp.cdef_uv_pri, fp.cdef_uv_sec,
                           fp.cdef_damping, bd=bit_depth)
-    pkt = interframe_packet(seq, fp, ti, tiles, order_hint)
+    ref_idx = [ref_slot] * 7
+    pkt = interframe_packet(seq, fp, ti, tiles, order_hint,
+                            refresh_flags=refresh_flags, ref_idx=ref_idx,
+                            show_frame=show_frame)
     return pkt, rec
 
 
@@ -201,4 +206,126 @@ def encode_gop(frames, qindex: int = 100):
         pkt, rec = encode_pframe(f, recs[-1], qindex=qindex, order_hint=i)
         pkts.append(pkt)
         recs.append(rec)
+    return pkts, recs
+
+
+def encode_bframe(planes, ref_fwd, ref_bwd, qindex: int = 100,
+                  order_hint: int = 1, use_native: bool = True,
+                  search_px: int = 16, bit_depth: int = 8):
+    """Encode one B frame: per block, single-ref prediction from either
+    LAST (the forward recon, slot 0) or ALTREF (the backward recon,
+    slot 1) - whichever wins the block SAD. No compound yet.
+
+    Reference parity: rav1e's reordered InterConfig path (pyramid
+    depth 1); the backward frame is coded first as a non-shown frame
+    and displayed later via show_existing_frame."""
+    y, u, v = [p.astype(np.int32) for p in planes]
+    refs = [[p.astype(np.int32) for p in ref_fwd],
+            [p.astype(np.int32) for p in ref_bwd]]
+    ref_enum = [1, 7]            # LAST, ALTREF
+    ref_slot = [0, 1]
+    h, w = y.shape
+    assert h % 32 == 0 and w % 32 == 0
+    seq = Sequence(width=w, height=h, bit_depth=bit_depth)
+    fp = FrameParams(frame_type=FrameType.INTER, base_q_idx=qindex)
+    ti = TileInfo(seq)
+    mi_rows, mi_cols = h >> 2, w >> 2
+    cls = TileWriter
+    if use_native:
+        try:
+            from rav1e_tpu.entropy.native import NativeTileWriter
+            cls = NativeTileWriter
+        except Exception:
+            pass
+    rec = [np.zeros_like(y), np.zeros_like(u), np.zeros_like(v)]
+    partitions: dict = {}
+    blocks: dict = {}
+    for by in range(0, h, 32):
+        for bx in range(0, w, 32):
+            r, c = by >> 2, bx >> 2
+            partitions[(r, c, int(BlockSize.B64X64))] = PartitionType.SPLIT
+            partitions[(r, c, int(BlockSize.B32X32))] = PartitionType.NONE
+            best = None
+            for k in range(2):
+                mv_fp, sad = _fullpel_search(y, refs[k][0], by, bx,
+                                             search_px)
+                if mv_fp != (0, 0):
+                    mv = _subpel_refine(y, refs[k][0], by, bx, mv_fp)
+                else:
+                    mv = (0, 0)
+                if best is None or sad < best[0]:
+                    best = (sad, k, mv)
+            _, k, mv = best
+            mode = (PredictionMode.GLOBALMV if mv == (0, 0)
+                    else PredictionMode.NEWMV)
+            lvls = []
+            preds = []
+            for pi, tx in enumerate([TxSize.TX_32X32, TxSize.TX_16X16,
+                                     TxSize.TX_16X16]):
+                ss = 0 if pi == 0 else 1
+                px, py = bx >> ss, by >> ss
+                n = 32 >> ss
+                src = (y, u, v)[pi]
+                pred = mc_predict(refs[k][pi], py, px, n, n, mv, ss=ss,
+                                  bd=bit_depth)
+                preds.append(pred)
+                resid = src[py: py + n, px: px + n] - pred
+                cf = forward_transform(resid, tx, TxType.DCT_DCT)
+                lv = quantize(cf, qindex, tx, bd=bit_depth)
+                dq = dequantize(lv, qindex, tx, bd=bit_depth)
+                r2 = inverse_transform(dq, tx, TxType.DCT_DCT,
+                                       bd=bit_depth)
+                rec[pi][py: py + n, px: px + n] = np.clip(
+                    pred + r2, 0, (1 << bit_depth) - 1)
+                lvls.append(lv)
+            d = BlockDecision(y_mode=mode,
+                              uv_mode=PredictionMode.DC_PRED, skip=False,
+                              mv=mv, ref=ref_enum[k])
+            if not any(lv.any() for lv in lvls):
+                d.skip = True
+                for pi in range(3):
+                    ss = 0 if pi == 0 else 1
+                    px, py = bx >> ss, by >> ss
+                    n = 32 >> ss
+                    rec[pi][py: py + n, px: px + n] = preds[pi]
+            else:
+                d.coeffs = {0: lvls[0], 1: lvls[1], 2: lvls[2]}
+            blocks[(r, c)] = d
+    tw = cls(mi_rows, mi_cols, qindex, inter_frame=True)
+    tile = tw.write_tile(partitions, blocks)
+    # ref_idx: LAST -> slot 0, ..., ALTREF(idx 6) -> slot 1
+    ref_idx = [0, 0, 0, 0, 0, 0, 1]
+    pkt = interframe_packet(seq, fp, ti, [tile], order_hint,
+                            refresh_flags=0, ref_idx=ref_idx,
+                            show_frame=True)
+    return pkt, rec
+
+
+def encode_gop_bframes(frames, qindex: int = 100):
+    """KEY + backward ALT + B... chain (display order == input order).
+
+    Coding order: KEY(t=0, slot 0), ALT(t=N, non-shown, slot 1),
+    B(t=1..N-1, shown, no refresh), then show_existing(slot 1).
+    Returns (packets, recons in display order)."""
+    from rav1e_tpu.entropy.obu import show_existing_packet
+    from rav1e_tpu.pipeline.tpu_intra import encode_keyframe_tpu
+
+    n = len(frames)
+    assert n >= 3
+    pkts = []
+    kp, kr = encode_keyframe_tpu(frames[0], qindex=qindex, speed=8,
+                                 deblock=False)
+    pkts.append(kp)
+    ap, ar = encode_pframe(frames[-1], kr, qindex=qindex,
+                           order_hint=n - 1, refresh_flags=0x02,
+                           ref_slot=0, show_frame=False)
+    pkts.append(ap)
+    recs = [kr]
+    for t in range(1, n - 1):
+        bp, br = encode_bframe(frames[t], kr, ar, qindex=qindex,
+                               order_hint=t)
+        pkts.append(bp)
+        recs.append(br)
+    pkts.append(show_existing_packet(1))
+    recs.append(ar)
     return pkts, recs

@@ -118,7 +118,8 @@ def _encode_block_plane(ps: PlaneState, x: int, y: int, tx, tx_type,
 def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
                     block: BlockSize = BlockSize.B32X32,
                     tile_cols_log2: int = 0, tile_rows_log2: int = 0,
-                    cdef: tuple | None = None, bit_depth: int = 8):
+                    cdef: tuple | None = None, bit_depth: int = 8,
+                    chroma_sampling: str = "420"):
     """Encode one 8-bit 4:2:0 KEY frame. Returns (packet, recon planes).
 
     planes: [y (h,w), u, v] uint8, dims multiples of 8. Tile counts are
@@ -128,9 +129,16 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
     y, u, v = planes
     h, w = y.shape
     assert h % 8 == 0 and w % 8 == 0
+    ss_x, ss_y = {"420": (1, 1), "422": (1, 0), "444": (0, 0)}[
+        chroma_sampling]
+    profile = 0
+    if chroma_sampling == "444":
+        profile = 1
+    if chroma_sampling == "422" or bit_depth == 12:
+        profile = 2
     seq = Sequence(width=w, height=h, enable_cdef=cdef is not None,
-                   bit_depth=bit_depth,
-                   profile=2 if bit_depth == 12 else 0)
+                   bit_depth=bit_depth, profile=profile,
+                   subsampling_x=ss_x, subsampling_y=ss_y)
     fp = FrameParams(frame_type=FrameType.KEY, base_q_idx=qindex)
     if cdef is not None:
         (fp.cdef_y_pri, fp.cdef_y_sec, fp.cdef_uv_pri,
@@ -149,15 +157,16 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
             mi_c1 = min(ti.col_starts[t_c + 1] * 16, w >> 2)
             py0, py1 = mi_r0 * 4, mi_r1 * 4
             px0, px1 = mi_c0 * 4, mi_c1 * 4
+            cy0, cy1 = py0 >> ss_y, py1 >> ss_y
+            cx0, cx1 = px0 >> ss_x, px1 >> ss_x
             tile, recs, tskip = _encode_keyframe_tile(
-                [y[py0:py1, px0:px1], u[py0 // 2:py1 // 2,
-                                        px0 // 2:px1 // 2],
-                 v[py0 // 2:py1 // 2, px0 // 2:px1 // 2]],
-                qindex, block, bit_depth)
+                [y[py0:py1, px0:px1], u[cy0:cy1, cx0:cx1],
+                 v[cy0:cy1, cx0:cx1]],
+                qindex, block, bit_depth, ss_x, ss_y)
             tiles.append(tile)
             frame_rec[0][py0:py1, px0:px1] = recs[0]
-            frame_rec[1][py0 // 2:py1 // 2, px0 // 2:px1 // 2] = recs[1]
-            frame_rec[2][py0 // 2:py1 // 2, px0 // 2:px1 // 2] = recs[2]
+            frame_rec[1][cy0:cy1, cx0:cx1] = recs[1]
+            frame_rec[2][cy0:cy1, cx0:cx1] = recs[2]
             skip_mi[mi_r0:mi_r1, mi_c0:mi_c1] = tskip
     if cdef is not None:
         from rav1e_tpu.ops.ref.cdef import cdef_filter_frame
@@ -171,14 +180,15 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
 
 
 def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
-                          bit_depth: int = 8):
+                          bit_depth: int = 8, ss_x: int = 1,
+                          ss_y: int = 1):
     """Encode one tile (tiles are fully independent: prediction and
     entropy context never cross the boundary, so a tile encodes exactly
     like a small frame). Returns (tile bytes, recon planes)."""
     y, u, v = planes
     h, w = y.shape
     mi_rows, mi_cols = h >> 2, w >> 2
-    tw = TileWriter(mi_rows, mi_cols, qindex)
+    tw = TileWriter(mi_rows, mi_cols, qindex, ss_x=ss_x, ss_y=ss_y)
     states = [PlaneState(y), PlaneState(u), PlaneState(v)]
     y_modes = [
         PredictionMode.DC_PRED, PredictionMode.V_PRED,
@@ -247,7 +257,7 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
 
     def encode_block(r: int, c: int, bsize: BlockSize):
         ytx = MAX_TX_SIZE_RECT[bsize]
-        uvtx = chroma_tx_size(bsize)
+        uvtx = chroma_tx_size(bsize, ss_x, ss_y)
         ytt = TxType.DCT_DCT
         # luma mode RDO over all 13 single-delta-0 modes
         best = None
@@ -271,8 +281,10 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
         bestc = None
         for m in uv_modes:
             uvtt = chroma_tx_type(m, uvtx, True)
-            ulv, urec, usse = trial(states[1], c * 2, r * 2, uvtx, uvtt, m)
-            vlv, vrec, vsse = trial(states[2], c * 2, r * 2, uvtx, uvtt, m)
+            ulv, urec, usse = trial(states[1], (c * 4) >> ss_x,
+                                    (r * 4) >> ss_y, uvtx, uvtt, m)
+            vlv, vrec, vsse = trial(states[2], (c * 4) >> ss_x,
+                                    (r * 4) >> ss_y, uvtx, uvtt, m)
             if bestc is None or usse + vsse < bestc[0]:
                 bestc = (usse + vsse, m, ulv, urec, vlv, vrec)
         # CfL candidate (allowed <= 32x32): alpha per plane minimizing
@@ -281,14 +293,18 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
         if bsize.width <= 32 and bsize.height <= 32:
             from rav1e_tpu.ops.ref.intra import cfl_ac, cfl_predict
             cw, ch2 = uvtx.width, uvtx.height
-            ac = cfl_ac(states[0].rec[r * 4: r * 4 + ch2 * 2,
-                                      c * 4: c * 4 + cw * 2], cw, ch2)
+            ac = cfl_ac(states[0].rec[r * 4: r * 4 + (ch2 << ss_y),
+                                      c * 4: c * 4 + (cw << ss_x)],
+                        cw, ch2, ss_x, ss_y)
             alphas = []
             preds = []
             for pi in (1, 2):
-                dc = dc_pred_of(states[pi], c * 2, r * 2, uvtx)
-                src = states[pi].src[r * 2: r * 2 + ch2,
-                                     c * 2: c * 2 + cw]
+                dc = dc_pred_of(states[pi], (c * 4) >> ss_x,
+                                (r * 4) >> ss_y, uvtx)
+                src = states[pi].src[(r * 4) >> ss_y:
+                                     ((r * 4) >> ss_y) + ch2,
+                                     (c * 4) >> ss_x:
+                                     ((c * 4) >> ss_x) + cw]
                 best_a, best_sse, best_pred = 0, int(((src - dc) ** 2)
                                                      .sum()), dc
                 for a in range(-16, 17):
@@ -304,16 +320,18 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
                 uvtt_cfl = chroma_tx_type(PredictionMode.UV_CFL_PRED,
                                           uvtx, True)
                 ulv2, urec2, usse2 = trial_pred(
-                    states[1], c * 2, r * 2, uvtx, uvtt_cfl, preds[0])
+                    states[1], (c * 4) >> ss_x, (r * 4) >> ss_y, uvtx,
+                    uvtt_cfl, preds[0])
                 vlv2, vrec2, vsse2 = trial_pred(
-                    states[2], c * 2, r * 2, uvtx, uvtt_cfl, preds[1])
+                    states[2], (c * 4) >> ss_x, (r * 4) >> ss_y, uvtx,
+                    uvtt_cfl, preds[1])
                 if usse2 + vsse2 < bestc[0]:
                     bestc = (usse2 + vsse2, PredictionMode.UV_CFL_PRED,
                              ulv2, urec2, vlv2, vrec2)
                     cfl_alphas = (alphas[0], alphas[1])
         _, uv_mode, ulv, urec, vlv, vrec = bestc
-        commit(states[1], c * 2, r * 2, urec)
-        commit(states[2], c * 2, r * 2, vrec)
+        commit(states[1], (c * 4) >> ss_x, (r * 4) >> ss_y, urec)
+        commit(states[2], (c * 4) >> ss_x, (r * 4) >> ss_y, vrec)
         d = BlockDecision(y_mode=y_mode, uv_mode=uv_mode, skip=False,
                           angle_delta_y=y_delta)
         if cfl_alphas is not None and uv_mode == PredictionMode.UV_CFL_PRED:

@@ -177,3 +177,26 @@ def test_high_bitdepth_bit_exact(bd, maxv):
     for i, rec in enumerate([kr, pr]):
         for j in range(3):
             assert np.array_equal(a[i][j], rec[j]), (bd, i, j)
+
+
+@pytest.mark.parametrize("cs", ["422", "444"])
+def test_chroma_sampling_bit_exact(cs):
+    """4:2:2 (profile 2, rect chroma TX w/ tall scan + ctx offsets) and
+    4:4:4 (profile 1) keyframes, both oracles."""
+    rng = np.random.default_rng(7)
+    w, h = 128, 96
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 60 * np.sin((xx + yy) / 9) + 30 * np.cos(xx / 7)
+    y = (128 + base + rng.normal(0, 4, (h, w))).clip(0, 255).astype(np.uint8)
+    sx, sy = {"422": (1, 0), "444": (0, 0)}[cs]
+    u = (120 + 0.5 * base[::1 << sy, ::1 << sx]
+         + rng.normal(0, 3, (h >> sy, w >> sx))).clip(0, 255).astype(np.uint8)
+    v = (130 - 0.4 * base[::1 << sy, ::1 << sx]).clip(0, 255).astype(np.uint8)
+    for q in (80, 160):
+        pkt, rec = encode_keyframe([y, u, v], qindex=q, chroma_sampling=cs)
+        d = dav1d.decode_all([pkt])
+        for j in range(3):
+            assert np.array_equal(d[0].planes[j], rec[j]), (cs, q, j)
+        a = aom.decode_all([pkt])
+        for j in range(3):
+            assert np.array_equal(a[0][j], rec[j]), (cs, q, j)
