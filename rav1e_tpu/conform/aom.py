@@ -136,8 +136,8 @@ class Decoder:
                 arr = np.frombuffer(raw, np.uint8).reshape(ph, stride)
                 arr = arr.view(dt)[:, :pw].astype(np.uint16)
                 planes.append(arr.copy())
+            del nb
             out.append(planes)
-        del nb
         return out
 
 

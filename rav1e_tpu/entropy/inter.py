@@ -38,9 +38,13 @@ class InterBlockInfo:
 class InterCtx:
     """Tile-level grids for inter context derivation."""
 
-    def __init__(self, mi_rows: int, mi_cols: int):
+    def __init__(self, mi_rows: int, mi_cols: int,
+                 ref_sign_bias: dict | None = None):
         self.mi_rows = mi_rows
         self.mi_cols = mi_cols
+        # RefFrameSignBias per ref enum (True = backward ref); drives
+        # the sign flip in the extra-candidate search (spec 7.10.2.12)
+        self.ref_sign_bias = ref_sign_bias or {}
         self.is_inter = np.zeros((mi_rows, mi_cols), bool)
         self.ref = np.zeros((mi_rows, mi_cols), np.int8)
         self.mode = np.zeros((mi_rows, mi_cols), np.int16)
@@ -204,9 +208,46 @@ class InterCtx:
             ref_ctx = 5
         # sort: nearest segment then outer segment, both desc by weight
         # (stable bubble passes, matching the spec's sort)
-        n_found = len(stack)
         stack[:n_nearest] = sorted(stack[:n_nearest], key=lambda e: -e[1])
         stack[n_nearest:] = sorted(stack[n_nearest:], key=lambda e: -e[1])
+        # extra search (spec 7.10.2.12): when fewer than 2 candidates,
+        # different-ref neighbors along row -1 / col -1 contribute with
+        # a sign flip when their RefFrameSignBias differs from ours
+        if len(stack) < 2:
+            my_bias = self.ref_sign_bias.get(ref, False)
+
+            def add_extra(rr, cc):
+                if len(stack) >= 2:
+                    return
+                if not (0 <= rr < self.mi_rows and 0 <= cc < self.mi_cols):
+                    return
+                if not self.is_inter[rr, cc]:
+                    return
+                cref = int(self.ref[rr, cc])
+                mv = (int(self.mv[rr, cc, 0]), int(self.mv[rr, cc, 1]))
+                if self.ref_sign_bias.get(cref, False) != my_bias:
+                    mv = (-mv[0], -mv[1])
+                mv = lower(mv)
+                for ent in stack:
+                    if ent[0] == mv:
+                        return
+                stack.append([mv, 2])
+
+            if r > 0:
+                i = 0
+                end = min(bw4, self.mi_cols - c)
+                while i < end and len(stack) < 2:
+                    ln = max(1, min(int(self.bw4[r - 1, c + i]), bw4))
+                    add_extra(r - 1, c + i)
+                    i += ln
+            if c > 0:
+                i = 0
+                end = min(bh4, self.mi_rows - r)
+                while i < end and len(stack) < 2:
+                    ln = max(1, min(int(self.bh4[r + i, c - 1]), bh4))
+                    add_extra(r + i, c - 1)
+                    i += ln
+        n_found = len(stack)
         # pad with the global mv (identity => (0,0)); count unchanged
         while len(stack) < 2:
             stack.append([(0, 0), 0])

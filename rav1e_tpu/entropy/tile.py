@@ -144,7 +144,8 @@ class TileWriter:
                  frame_mi_cols: int | None = None,
                  reduced_tx_set: bool = True,
                  inter_frame: bool = False,
-                 ss_x: int = 1, ss_y: int = 1):
+                 ss_x: int = 1, ss_y: int = 1,
+                 ref_sign_bias: dict | None = None):
         # tile == frame until the tiling milestone
         self.mi_rows = mi_rows
         self.mi_cols = mi_cols
@@ -161,7 +162,8 @@ class TileWriter:
         self.inter_frame = inter_frame
         if inter_frame:
             from rav1e_tpu.entropy.inter import InterCtx
-            self.inter_ctx = InterCtx(mi_rows, mi_cols)
+            self.inter_ctx = InterCtx(mi_rows, mi_cols,
+                                      ref_sign_bias=ref_sign_bias)
         # per-plane coefficient entropy contexts, one byte per 4-px unit
         self.ss_x, self.ss_y = ss_x, ss_y
         ccols = (mi_cols + ss_x) >> ss_x if ss_x else mi_cols

@@ -291,7 +291,8 @@ def encode_bframe(planes, ref_fwd, ref_bwd, qindex: int = 100,
             else:
                 d.coeffs = {0: lvls[0], 1: lvls[1], 2: lvls[2]}
             blocks[(r, c)] = d
-    tw = cls(mi_rows, mi_cols, qindex, inter_frame=True)
+    tw = cls(mi_rows, mi_cols, qindex, inter_frame=True,
+             ref_sign_bias={1: False, 7: True})
     tile = tw.write_tile(partitions, blocks)
     # ref_idx: LAST -> slot 0, ..., ALTREF(idx 6) -> slot 1
     ref_idx = [0, 0, 0, 0, 0, 0, 1]

@@ -109,3 +109,33 @@ def test_native_matches_python_packer():
     p_nat, _ = encode_pframe(frames[1], kf_rec, qindex=100, order_hint=1,
                              use_native=True)
     assert p_py == p_nat
+
+
+def test_bframe_gop_conformance():
+    """Reordered GOP: KEY + non-shown backward ALT + B frames choosing
+    LAST or ALTREF per block (single ref), displayed via
+    show_existing_frame. Includes the spec extra-candidate search
+    (different-ref neighbors with sign-bias MV flips)."""
+    from scipy.ndimage import gaussian_filter
+
+    from rav1e_tpu.pipeline.inter import encode_gop_bframes
+    rng = np.random.default_rng(11)
+    w, h, n = 128, 96, 5
+    tex = gaussian_filter(rng.normal(0, 40, (h + 100, w + 100)), 2.5)
+    frames = []
+    for t in range(n):
+        oy, ox = int(30 + 2.2 * t), int(30 - 1.4 * t)
+        y = (128 + tex[oy:oy + h, ox:ox + w]).clip(0, 255).astype(np.uint8)
+        frames.append([y, np.full((h // 2, w // 2), 120, np.uint8),
+                       np.full((h // 2, w // 2), 135, np.uint8)])
+    pkts, recs = encode_gop_bframes(frames, qindex=120)
+    d = dav1d.decode_all(pkts)
+    assert len(d) == n
+    for i in range(n):
+        for j in range(3):
+            assert np.array_equal(d[i].planes[j], recs[i][j]), (i, j)
+    a = aom.decode_all(pkts)
+    assert len(a) == n
+    for i in range(n):
+        for j in range(3):
+            assert np.array_equal(a[i][j], recs[i][j]), (i, j)
