@@ -167,6 +167,8 @@ class Decoder:
         s = Dav1dSettings()
         self._lib.dav1d_default_settings(C.byref(s))
         s.n_threads = n_threads
+        # conformance compares the pre-grain reconstruction
+        s.apply_grain = 0
         self._ctx = C.c_void_p()
         rc = self._lib.dav1d_open(C.byref(self._ctx), C.byref(s))
         if rc != 0:

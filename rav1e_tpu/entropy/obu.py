@@ -166,6 +166,9 @@ class FrameParams:
     loop_filter_levels: tuple = (0, 0, 0, 0)
     loop_filter_sharpness: int = 0
     loop_filter_delta_enabled: bool = False
+    # film grain (written only when seq.film_grain_params_present):
+    # None = apply_grain 0
+    film_grain: "FilmGrainParams | None" = None
     # CDEF (written only when seq.enable_cdef): uniform strength set,
     # cdef_bits = 0 so the per-SB index costs zero tile bits
     cdef_damping: int = 3      # 3..6
@@ -287,8 +290,106 @@ def write_frame_header(seq: Sequence, fp: FrameParams, ti: TileInfo) -> BitWrite
     b.bit(fp.tx_mode_select)
     # frame_reference_mode / skip_mode_params / warped: nothing (intra)
     b.bit(fp.reduced_tx_set)
-    # global_motion / film_grain: nothing
+    # global_motion: nothing (intra)
+    _write_film_grain(b, seq, fp)
     return b
+
+
+@dataclass
+class FilmGrainParams:
+    """Spec 5.9.30 film_grain_params (new-table path).
+
+    Reference parity: rav1e's grain table passthrough / photon-noise
+    tables. Scaling points are (value, scaling) pairs; AR coefficients
+    are signed ints in [-128, 127]."""
+
+    grain_seed: int = 0
+    y_points: list = field(default_factory=list)    # [(value, scaling)]
+    cb_points: list = field(default_factory=list)
+    cr_points: list = field(default_factory=list)
+    chroma_scaling_from_luma: bool = False
+    grain_scaling: int = 8     # 8..11
+    ar_coeff_lag: int = 0      # 0..3
+    ar_coeffs_y: list = field(default_factory=list)
+    ar_coeffs_cb: list = field(default_factory=list)
+    ar_coeffs_cr: list = field(default_factory=list)
+    ar_coeff_shift: int = 6    # 6..9
+    grain_scale_shift: int = 0
+    cb_mult: int = 128
+    cb_luma_mult: int = 192
+    cb_offset: int = 256
+    cr_mult: int = 128
+    cr_luma_mult: int = 192
+    cr_offset: int = 256
+    overlap_flag: bool = True
+    clip_to_restricted_range: bool = False
+
+
+def photon_noise_params(iso: int = 800, seed: int = 7391) -> FilmGrainParams:
+    """Simple ISO-style grain table: luma-only scaling curve rising
+    with brightness, no AR correlation (white grain)."""
+    strength = max(1, min(40, iso // 100))
+    pts = [(0, 0), (64, strength // 2), (128, strength),
+           (192, strength), (255, strength)]
+    return FilmGrainParams(grain_seed=seed & 0xFFFF, y_points=pts,
+                           chroma_scaling_from_luma=False)
+
+
+def _write_film_grain(b: BitWriter, seq: Sequence, fp: FrameParams,
+                      show_frame: bool = True):
+    """film_grain_params (spec 5.9.30), end of uncompressed_header."""
+    if not seq.film_grain_params_present:
+        return
+    g = fp.film_grain
+    if g is None:
+        b.bit(0)  # apply_grain
+        return
+    b.bit(1)
+    b.f(g.grain_seed, 16)
+    if fp.frame_type == FrameType.INTER:
+        b.bit(1)  # update_grain (no ref reuse yet)
+    b.f(len(g.y_points), 4)
+    for (v, s) in g.y_points:
+        b.f(v, 8)
+        b.f(s, 8)
+    if not seq.mono:
+        b.bit(g.chroma_scaling_from_luma)
+        if not g.chroma_scaling_from_luma:
+            b.f(len(g.cb_points), 4)
+            for (v, s) in g.cb_points:
+                b.f(v, 8)
+                b.f(s, 8)
+            b.f(len(g.cr_points), 4)
+            for (v, s) in g.cr_points:
+                b.f(v, 8)
+                b.f(s, 8)
+    b.f(g.grain_scaling - 8, 2)
+    b.f(g.ar_coeff_lag, 2)
+    num_pos = 2 * g.ar_coeff_lag * (g.ar_coeff_lag + 1)
+    assert len(g.ar_coeffs_y) == num_pos
+    for cv in g.ar_coeffs_y:
+        b.f(cv + 128, 8)
+    n_c = num_pos + (1 if g.y_points else 0)
+    if g.chroma_scaling_from_luma or g.cb_points:
+        assert len(g.ar_coeffs_cb) == n_c
+        for cv in g.ar_coeffs_cb:
+            b.f(cv + 128, 8)
+    if g.chroma_scaling_from_luma or g.cr_points:
+        assert len(g.ar_coeffs_cr) == n_c
+        for cv in g.ar_coeffs_cr:
+            b.f(cv + 128, 8)
+    b.f(g.ar_coeff_shift - 6, 2)
+    b.f(g.grain_scale_shift, 2)
+    if g.cb_points:
+        b.f(g.cb_mult, 8)
+        b.f(g.cb_luma_mult, 8)
+        b.f(g.cb_offset, 9)
+    if g.cr_points:
+        b.f(g.cr_mult, 8)
+        b.f(g.cr_luma_mult, 8)
+        b.f(g.cr_offset, 9)
+    b.bit(g.overlap_flag)
+    b.bit(g.clip_to_restricted_range)
 
 
 def _write_cdef_lr(b: BitWriter, seq: Sequence, fp: FrameParams):
@@ -365,6 +466,7 @@ def write_inter_frame_header(seq: Sequence, fp: FrameParams, ti: TileInfo,
     # global_motion_params: is_global = 0 per ref
     for _ in range(7):
         b.bit(0)
+    _write_film_grain(b, seq, fp, show_frame)
     return b
 
 

@@ -119,7 +119,8 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
                     block: BlockSize = BlockSize.B32X32,
                     tile_cols_log2: int = 0, tile_rows_log2: int = 0,
                     cdef: tuple | None = None, bit_depth: int = 8,
-                    chroma_sampling: str = "420"):
+                    chroma_sampling: str = "420",
+                    film_grain=None):
     """Encode one 8-bit 4:2:0 KEY frame. Returns (packet, recon planes).
 
     planes: [y (h,w), u, v] uint8, dims multiples of 8. Tile counts are
@@ -138,8 +139,10 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
         profile = 2
     seq = Sequence(width=w, height=h, enable_cdef=cdef is not None,
                    bit_depth=bit_depth, profile=profile,
-                   subsampling_x=ss_x, subsampling_y=ss_y)
+                   subsampling_x=ss_x, subsampling_y=ss_y,
+                   film_grain_params_present=film_grain is not None)
     fp = FrameParams(frame_type=FrameType.KEY, base_q_idx=qindex)
+    fp.film_grain = film_grain
     if cdef is not None:
         (fp.cdef_y_pri, fp.cdef_y_sec, fp.cdef_uv_pri,
          fp.cdef_uv_sec, fp.cdef_damping) = cdef

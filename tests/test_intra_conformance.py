@@ -200,3 +200,25 @@ def test_chroma_sampling_bit_exact(cs):
         a = aom.decode_all([pkt])
         for j in range(3):
             assert np.array_equal(a[0][j], rec[j]), (cs, q, j)
+
+
+def test_film_grain_signaling():
+    """Photon-noise film grain table in the headers: recon stays
+    bit-exact pre-grain (dav1d apply_grain=0); libaom accepts and
+    applies the grain."""
+    from rav1e_tpu.entropy.obu import photon_noise_params
+    rng = np.random.default_rng(7)
+    w, h = 96, 64
+    y = (128 + 40 * np.sin(np.arange(h * w).reshape(h, w) / 31)
+         + rng.normal(0, 5, (h, w))).clip(0, 255).astype(np.uint8)
+    f = [y, np.full((h // 2, w // 2), 120, np.uint8),
+         np.full((h // 2, w // 2), 135, np.uint8)]
+    pkt, rec = encode_keyframe(f, qindex=100,
+                               film_grain=photon_noise_params(1600))
+    d = dav1d.decode_all([pkt])
+    for j in range(3):
+        assert np.array_equal(d[0].planes[j], rec[j]), j
+    a = aom.decode_all([pkt])
+    assert len(a) == 1
+    # grain must actually perturb the libaom output
+    assert not np.array_equal(a[0][0], rec[0])
