@@ -101,6 +101,12 @@ class TileCDFs:
                 "fr": _to_lists(t[p + "fr"]),
                 "hp": _to_lists(t[p + "hp"]),
             })
+        # loop restoration (defaults live as .text mov-immediates in
+        # the libaom build, matching the libaom source constants:
+        # AOM_CDF2(11570), AOM_CDF2(16855), AOM_CDF3(9413, 22581))
+        self.wiener_restore = [21198, 0, 0]
+        self.sgrproj_restore = [15913, 0, 0]
+        self.switchable_restore = [23355, 10187, 0, 0]
         # coefficient tables (q-bucketed)
         self.txb_skip = _to_lists(t["txb_skip"][q])
         self.eob_pt = {

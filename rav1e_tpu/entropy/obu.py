@@ -169,6 +169,10 @@ class FrameParams:
     # film grain (written only when seq.film_grain_params_present):
     # None = apply_grain 0
     film_grain: "FilmGrainParams | None" = None
+    # loop restoration (written only when seq.enable_restoration):
+    # per-plane frame restoration types, spec Remap_Lr_Type indices
+    # (0 NONE, 1 SWITCHABLE, 2 WIENER, 3 SGRPROJ); unit size 64 fixed
+    lr_types: tuple = (0, 0, 0)
     # CDEF (written only when seq.enable_cdef): uniform strength set,
     # cdef_bits = 0 so the per-SB index costs zero tile bits
     cdef_damping: int = 3      # 3..6
@@ -401,7 +405,16 @@ def _write_cdef_lr(b: BitWriter, seq: Sequence, fp: FrameParams):
         b.f(min(fp.cdef_y_sec, 3), 2)   # coded 3 means strength 4
         b.f(fp.cdef_uv_pri, 4)
         b.f(min(fp.cdef_uv_sec, 3), 2)
-    assert not seq.enable_restoration
+    # lr_params (spec 5.9.20): unit size fixed at 64 (lr_unit_shift 0)
+    if seq.enable_restoration:
+        uses_lr = any(t != 0 for t in fp.lr_types)
+        uses_chroma_lr = any(t != 0 for t in fp.lr_types[1:])
+        for t in fp.lr_types:
+            b.f(t, 2)
+        if uses_lr:
+            b.bit(0)  # lr_unit_shift -> LoopRestorationSize = 64
+            if seq.subsampling_x and seq.subsampling_y and uses_chroma_lr:
+                b.bit(0)  # lr_uv_shift -> chroma unit 64 (in chroma px)
 
 
 def write_inter_frame_header(seq: Sequence, fp: FrameParams, ti: TileInfo,

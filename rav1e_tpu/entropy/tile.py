@@ -35,6 +35,66 @@ from rav1e_tpu.entropy.ec import ECEncoder
 
 PROB_TOP = 1 << 15
 
+# Wiener filter tap bounds (spec Wiener_Taps_*)
+WIENER_TAPS_MID = (3, -7, 15)
+WIENER_TAPS_MIN = (-5, -23, -17)
+WIENER_TAPS_MAX = (10, 8, 46)
+WIENER_TAPS_K = (1, 2, 3)
+
+
+def _write_ns(ec, v: int, n: int):
+    """ns(n) inside a tile: near-uniform code via equiprobable bools."""
+    w = n.bit_length()
+    m = (1 << w) - n
+    if v < m:
+        if w > 1:
+            ec.encode_literal(v, w - 1)
+    else:
+        x = v + m
+        ec.encode_literal(x >> 1, w - 1)
+        ec.encode_literal(x & 1, 1)
+
+
+def _write_subexp(ec, v: int, num_syms: int, k: int):
+    """Inverse of spec decode_subexp (finite subexponential, base k)."""
+    i = 0
+    mk = 0
+    while True:
+        b2 = k + i - 1 if i else k
+        a = 1 << b2
+        if num_syms <= mk + 3 * a:
+            _write_ns(ec, v - mk, num_syms - mk)
+            return
+        if v >= mk + a:
+            ec.encode_literal(1, 1)
+            i += 1
+            mk += a
+        else:
+            ec.encode_literal(0, 1)
+            ec.encode_literal(v - mk, b2)
+            return
+
+
+def _recenter(r: int, v: int) -> int:
+    """libaom recenter_nonneg: even codes at/above the ref, odd below."""
+    if v > (r << 1):
+        return v
+    if v >= r:
+        return (v - r) << 1
+    return ((r - v) << 1) - 1
+
+
+def _write_unsigned_subexp_ref(ec, v: int, mx: int, k: int, r: int):
+    if (r << 1) <= mx:
+        _write_subexp(ec, _recenter(r, v), mx, k)
+    else:
+        _write_subexp(ec, _recenter(mx - 1 - r, mx - 1 - v), mx, k)
+
+
+def _write_signed_subexp_ref(ec, v: int, low: int, high: int, k: int,
+                             r: int):
+    _write_unsigned_subexp_ref(ec, v - low, high - low, k, r - low)
+
 # chroma (4:2:0) tx size for a luma block size (dims >> 1, capped 32)
 _TX_BY_DIMS = {(t.width, t.height): t for t in TxSize}
 
@@ -145,7 +205,8 @@ class TileWriter:
                  reduced_tx_set: bool = True,
                  inter_frame: bool = False,
                  ss_x: int = 1, ss_y: int = 1,
-                 ref_sign_bias: dict | None = None):
+                 ref_sign_bias: dict | None = None,
+                 lr_data: dict | None = None):
         # tile == frame until the tiling milestone
         self.mi_rows = mi_rows
         self.mi_cols = mi_cols
@@ -174,6 +235,12 @@ class TileWriter:
         self.left_coef = [np.zeros(mi_rows, np.uint8),
                           np.zeros(crows, np.uint8),
                           np.zeros(crows, np.uint8)]
+        # loop restoration: lr_data = {"types": [3], "units": {plane:
+        # 2D list of None | ("W", vtaps3, htaps3)}}; per-plane running
+        # reference taps for the subexp deltas
+        self.lr_data = lr_data
+        self.lr_ref = [[list(WIENER_TAPS_MID), list(WIENER_TAPS_MID)]
+                       for _ in range(3)]
 
     # ---- partition coding --------------------------------------------------
 
@@ -565,5 +632,62 @@ class TileWriter:
         for r in range(0, self.mi_rows, 16):
             self.left_part[:] = 0
             for c in range(0, self.mi_cols, 16):
+                if self.lr_data is not None:
+                    self.write_lr(r, c)
                 self.write_sb_tree(r, c, BlockSize.B64X64, partitions, blocks)
         return self.ec.done()
+
+    # ---- loop restoration signaling (spec read_lr inverse) ---------------
+
+    def write_lr(self, r: int, c: int):
+        from rav1e_tpu.ops.ref.lrf import count_units
+        for plane in range(3):
+            t = self.lr_data["types"][plane]
+            if t == 0:
+                continue
+            sx = 0 if plane == 0 else self.ss_x
+            sy = 0 if plane == 0 else self.ss_y
+            usize = 64 >> 0  # LoopRestorationSize (64 both planes)
+            ph = (self.frame_mi_rows * 4) >> sy
+            pw = (self.frame_mi_cols * 4) >> sx
+            unit_rows = count_units(ph, usize)
+            unit_cols = count_units(pw, usize)
+            py0 = (r * 4) >> sy
+            py1 = ((r + 16) * 4) >> sy
+            px0 = (c * 4) >> sx
+            px1 = ((c + 16) * 4) >> sx
+            ur0 = (py0 + usize - 1) // usize
+            ur1 = min(unit_rows, (py1 + usize - 1) // usize)
+            uc0 = (px0 + usize - 1) // usize
+            uc1 = min(unit_cols, (px1 + usize - 1) // usize)
+            for ur in range(ur0, ur1):
+                for uc in range(uc0, uc1):
+                    self._write_lr_unit(plane, t, ur, uc)
+
+    def _write_lr_unit(self, plane: int, ftype: int, ur: int, uc: int):
+        unit = self.lr_data["units"][plane][ur][uc]
+        if ftype == 2:  # frame type WIENER
+            if unit is None:
+                self.ec.encode_symbol(0, self.cdfs.wiener_restore)
+                return
+            self.ec.encode_symbol(1, self.cdfs.wiener_restore)
+            self._write_wiener(plane, unit)
+        elif ftype == 3:  # SGRPROJ
+            raise NotImplementedError("sgrproj signaling lands next")
+        else:  # SWITCHABLE: symbol 0 none / 1 wiener / 2 sgr
+            if unit is None:
+                self.ec.encode_symbol(0, self.cdfs.switchable_restore)
+            else:
+                self.ec.encode_symbol(1, self.cdfs.switchable_restore)
+                self._write_wiener(plane, unit)
+
+    def _write_wiener(self, plane: int, unit):
+        _, vtaps, htaps = unit
+        for p, taps in ((0, vtaps), (1, htaps)):
+            first = 1 if plane != 0 else 0  # chroma: 5-tap, w0 == 0
+            for j in range(first, 3):
+                _write_signed_subexp_ref(
+                    self.ec, int(taps[j]), WIENER_TAPS_MIN[j],
+                    WIENER_TAPS_MAX[j] + 1, WIENER_TAPS_K[j],
+                    self.lr_ref[plane][p][j])
+                self.lr_ref[plane][p][j] = int(taps[j])

@@ -120,7 +120,7 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
                     tile_cols_log2: int = 0, tile_rows_log2: int = 0,
                     cdef: tuple | None = None, bit_depth: int = 8,
                     chroma_sampling: str = "420",
-                    film_grain=None):
+                    film_grain=None, lr: bool = False):
     """Encode one 8-bit 4:2:0 KEY frame. Returns (packet, recon planes).
 
     planes: [y (h,w), u, v] uint8, dims multiples of 8. Tile counts are
@@ -140,9 +140,14 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
     seq = Sequence(width=w, height=h, enable_cdef=cdef is not None,
                    bit_depth=bit_depth, profile=profile,
                    subsampling_x=ss_x, subsampling_y=ss_y,
-                   film_grain_params_present=film_grain is not None)
+                   film_grain_params_present=film_grain is not None,
+                   enable_restoration=lr)
     fp = FrameParams(frame_type=FrameType.KEY, base_q_idx=qindex)
     fp.film_grain = film_grain
+    if lr:
+        assert tile_cols_log2 == 0 and tile_rows_log2 == 0, \
+            "LR with multi-tile lands later"
+        fp.lr_types = (2, 0, 0)  # WIENER luma, none chroma
     if cdef is not None:
         (fp.cdef_y_pri, fp.cdef_y_sec, fp.cdef_uv_pri,
          fp.cdef_uv_sec, fp.cdef_damping) = cdef
@@ -165,7 +170,7 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
             tile, recs, tskip = _encode_keyframe_tile(
                 [y[py0:py1, px0:px1], u[cy0:cy1, cx0:cx1],
                  v[cy0:cy1, cx0:cx1]],
-                qindex, block, bit_depth, ss_x, ss_y)
+                qindex, block, bit_depth, ss_x, ss_y, lr=lr)
             tiles.append(tile)
             frame_rec[0][py0:py1, px0:px1] = recs[0]
             frame_rec[1][cy0:cy1, cx0:cx1] = recs[1]
@@ -184,7 +189,7 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
 
 def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
                           bit_depth: int = 8, ss_x: int = 1,
-                          ss_y: int = 1):
+                          ss_y: int = 1, lr: bool = False):
     """Encode one tile (tiles are fully independent: prediction and
     entropy context never cross the boundary, so a tile encodes exactly
     like a small frame). Returns (tile bytes, recon planes)."""
@@ -349,5 +354,45 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
         for c in range(0, mi_cols, 16):
             plan(r, c, BlockSize.B64X64)
 
+    if lr:
+        # per-unit Wiener decision: try preset taps, keep SSE winners;
+        # the filter applies to the final recon (in-loop, post-CDEF)
+        from rav1e_tpu.ops.ref.lrf import (count_units, solve_wiener,
+                                           wiener_filter_unit)
+        rec_y = states[0].rec
+        src_y = states[0].src
+        ph, pw = rec_y.shape
+        n_ur = count_units(ph, 64)
+        n_uc = count_units(pw, 64)
+        grid = [[None] * n_uc for _ in range(n_ur)]
+        presets = [(3, -7, 15), (0, -4, 8), (1, -2, 4)]
+        filtered = rec_y.copy()
+        for ur in range(n_ur):
+            # units are stripe-aligned: pixel -> unit row is
+            # (y + 8) // 64 (spec RESTORATION_UNIT_OFFSET), so unit 0
+            # covers 56 rows and the last unit absorbs the remainder
+            y0 = 0 if ur == 0 else ur * 64 - 8
+            y1 = ph if ur == n_ur - 1 else (ur + 1) * 64 - 8
+            for uc in range(n_uc):
+                x0 = uc * 64
+                x1 = pw if uc == n_uc - 1 else (uc + 1) * 64
+                base_sse = int(((rec_y[y0:y1, x0:x1]
+                                 - src_y[y0:y1, x0:x1]) ** 2).sum())
+                vs, hs = solve_wiener(rec_y, src_y, y0, x0,
+                                      y1 - y0, x1 - x0)
+                best = None
+                for vt, ht in [(vs, hs)] + [(tp, tp) for tp in presets]:
+                    f = wiener_filter_unit(rec_y, y0, x0, y1 - y0,
+                                           x1 - x0, vt, ht,
+                                           bd=bit_depth)
+                    sse = int(((f - src_y[y0:y1, x0:x1]) ** 2).sum())
+                    if sse < base_sse and (best is None or sse < best[0]):
+                        best = (sse, vt, ht, f)
+                if best is not None:
+                    _, vt, ht, f = best
+                    grid[ur][uc] = ("W", vt, ht)
+                    filtered[y0:y1, x0:x1] = f
+        states[0].rec = filtered
+        tw.lr_data = {"types": [2, 0, 0], "units": {0: grid}}
     tile = tw.write_tile(partitions, blocks)
     return tile, [s.rec for s in states], tw.skip_grid.astype(bool)

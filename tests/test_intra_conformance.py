@@ -222,3 +222,23 @@ def test_film_grain_signaling():
     assert len(a) == 1
     # grain must actually perturb the libaom output
     assert not np.array_equal(a[0][0], rec[0])
+
+
+def test_loop_restoration_wiener():
+    """Wiener loop restoration: per-LRU taps (subexp-ref coded inside
+    the tile), stripe-aligned unit extents ((y+8)//64), h-then-v
+    filter with bias offsets. Both oracles bit-exact."""
+    rng = np.random.default_rng(7)
+    w, h = 160, 200
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (120 + 60 * np.sin((xx + yy) / 9)
+         + rng.normal(0, 8, (h, w))).clip(0, 255).astype(np.uint8)
+    f = [y, np.full((h // 2, w // 2), 120, np.uint8),
+         np.full((h // 2, w // 2), 135, np.uint8)]
+    pkt, rec = encode_keyframe(f, qindex=140, lr=True)
+    d = dav1d.decode_all([pkt])
+    for j in range(3):
+        assert np.array_equal(d[0].planes[j], rec[j]), j
+    a = aom.decode_all([pkt])
+    for j in range(3):
+        assert np.array_equal(a[0][j], rec[j]), j
