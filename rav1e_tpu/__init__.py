@@ -36,4 +36,19 @@ def _setup_jax_cache():
         pass
 
 
+def _setup_platform():
+    """Honor RAV1E_TPU_PLATFORM=cpu even when a TPU plugin is present
+    (the env var JAX_PLATFORMS alone is ignored once the plugin
+    registers)."""
+    import os as _os
+    plat = _os.environ.get("RAV1E_TPU_PLATFORM")
+    if plat:
+        try:
+            import jax
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
+
 _setup_jax_cache()
+_setup_platform()

@@ -80,8 +80,10 @@ class Context:
         assert cfg.bit_depth == 8 and cfg.chroma_sampling == "420", (
             "10/12-bit and 422/444 land with the bit-depth milestone")
         from rav1e_tpu.analysis.scenechange import SceneChangeDetector
+        from rav1e_tpu.api.speed import SpeedSettings
         from rav1e_tpu.rate.rc import RCConfig, RCState
         self.cfg = cfg
+        self.speed_settings = SpeedSettings.from_preset(cfg.speed)
         self._q: deque = deque()
         self._out: deque = deque()
         self._input_frameno = 0
@@ -140,7 +142,8 @@ class Context:
         ftype = "KEY" if is_key else "INTER"
         q = self._rc.select_qi(ftype)
         cdef = None
-        if str(self.cfg.extra.get("cdef", "auto")) != "off":
+        if (str(self.cfg.extra.get("cdef", "auto")) != "off"
+                and self.speed_settings.cdef_auto):
             from rav1e_tpu.ops.ref.cdef import cdef_strengths_for_q
             cdef = cdef_strengths_for_q(q)
         # seq.enable_cdef is fixed at the keyframe for the whole GOP;
@@ -151,14 +154,25 @@ class Context:
             cdef = cdef or (0, 0, 0, 0, 3)
         else:
             cdef = None
+        grain = None
+        iso = int(self.cfg.extra.get("photon_noise", 0) or 0)
+        if iso:
+            from rav1e_tpu.entropy.obu import photon_noise_params
+            grain = photon_noise_params(iso)
+        # seq-level grain presence is fixed at the keyframe
         if is_key:
-            if aligned:
+            self._grain_enabled = grain is not None
+        elif not getattr(self, "_grain_enabled", False):
+            grain = None
+        if is_key:
+            if aligned and grain is None:
                 from rav1e_tpu.pipeline.tpu_intra import encode_keyframe_tpu
                 data, rec = encode_keyframe_tpu(planes, qindex=q,
                                                 cdef=cdef)
             else:
                 from rav1e_tpu.pipeline.intra import encode_keyframe
-                data, rec = encode_keyframe(planes, qindex=q, cdef=cdef)
+                data, rec = encode_keyframe(planes, qindex=q, cdef=cdef,
+                                            film_grain=grain)
             self._order_hint = 0
         else:
             self._order_hint += 1
@@ -166,12 +180,14 @@ class Context:
                 from rav1e_tpu.pipeline.tpu_inter import encode_pframe_tpu
                 data, rec = encode_pframe_tpu(
                     planes, self._ref_rec, qindex=q,
-                    order_hint=self._order_hint & 127, cdef=cdef)
+                    order_hint=self._order_hint & 127, cdef=cdef,
+                    film_grain=grain)
             else:
                 from rav1e_tpu.pipeline.inter import encode_pframe
                 data, rec = encode_pframe(
                     planes, self._ref_rec, qindex=q,
-                    order_hint=self._order_hint & 127, cdef=cdef)
+                    order_hint=self._order_hint & 127, cdef=cdef,
+                    film_grain=grain)
         self._ref_rec = [np.asarray(p).astype(np.int32) for p in rec]
         self._rc.update(ftype, q, len(data) * 8)
         return Packet(data=data, input_frameno=frameno, frame_type=ftype,

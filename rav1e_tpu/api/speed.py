@@ -1,0 +1,45 @@
+"""Speed presets.
+
+Reference parity: rav1e src/api/config/speedsettings.rs
+(SpeedSettings::from_preset, presets 0..10). Each preset maps to the
+feature set the pipelines understand; lower = slower/better.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass
+class SpeedSettings:
+    """Feature toggles derived from a speed preset (0..10)."""
+
+    speed: int = 6
+    # intra
+    intra_modes: int = 13          # candidate luma modes
+    angle_deltas: bool = True
+    partition_split_rdo: bool = True
+    cfl: bool = True
+    # inter
+    search_px: int = 16            # full-pel search radius
+    subpel: bool = True
+    bframes: bool = False          # reordered GOPs
+    # in-loop filters
+    cdef_auto: bool = True
+    lr: bool = False
+
+    @classmethod
+    def from_preset(cls, speed: int) -> "SpeedSettings":
+        s = max(0, min(10, speed))
+        return cls(
+            speed=s,
+            intra_modes=13 if s <= 6 else (7 if s <= 8 else 1),
+            angle_deltas=s <= 6,
+            partition_split_rdo=s <= 7,
+            cfl=s <= 6,
+            search_px=24 if s <= 2 else (16 if s <= 6 else 8),
+            subpel=s <= 8,
+            bframes=s <= 4,
+            cdef_auto=s <= 8,
+            lr=s <= 3,
+        )

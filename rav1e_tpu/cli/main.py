@@ -22,13 +22,32 @@ def main(argv=None):
     ap.add_argument("--quantizer", type=int, default=100)
     ap.add_argument("--speed", type=int, default=6)
     ap.add_argument("--limit", type=int, default=0, help="max frames")
+    ap.add_argument("--bitrate", type=int, default=0,
+                    help="target bits/sec (0 = constant quality)")
+    ap.add_argument("--keyint", type=int, default=240,
+                    help="max keyframe interval")
+    ap.add_argument("--tiles", type=int, default=1,
+                    help="tile count (rounded to a power of two)")
+    ap.add_argument("--no-cdef", action="store_true")
+    ap.add_argument("--photon-noise", type=int, default=0,
+                    help="ISO-style film grain strength (0 = off)")
     args = ap.parse_args(argv)
 
     src = sys.stdin.buffer if args.input == "-" else args.input
     rd = Y4MReader(src)
     info = rd.info
+    extra = {}
+    if args.bitrate:
+        extra["bitrate"] = args.bitrate
+        extra["framerate"] = info.fps_num / max(info.fps_den, 1)
+    if args.no_cdef:
+        extra["cdef"] = "off"
+    if args.photon_noise:
+        extra["photon_noise"] = args.photon_noise
     cfg = Config(width=info.width, height=info.height,
-                 quantizer=args.quantizer, speed=args.speed)
+                 quantizer=args.quantizer, speed=args.speed,
+                 key_frame_interval=args.keyint, tiles=args.tiles,
+                 extra=extra)
     ctx = cfg.new_context()
     t0 = time.time()
     n_in = n_out = total = 0

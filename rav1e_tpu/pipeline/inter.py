@@ -82,7 +82,7 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
                   tile_cols_log2: int = 0, tile_rows_log2: int = 0,
                   cdef: tuple | None = None, bit_depth: int = 8,
                   refresh_flags: int = 0x01, ref_slot: int = 0,
-                  show_frame: bool = True):
+                  show_frame: bool = True, film_grain=None):
     """Encode one P frame against ref_planes. Returns (packet, recon).
 
     Per 32x32 block: full-pel SAD search (+- search_px) with quarter-pel
