@@ -241,6 +241,7 @@ class TileWriter:
         self.lr_data = lr_data
         self.lr_ref = [[list(WIENER_TAPS_MID), list(WIENER_TAPS_MID)]
                        for _ in range(3)]
+        self.lr_sgr_ref = [[-32, 31] for _ in range(3)]
 
     # ---- partition coding --------------------------------------------------
 
@@ -673,13 +674,41 @@ class TileWriter:
             self.ec.encode_symbol(1, self.cdfs.wiener_restore)
             self._write_wiener(plane, unit)
         elif ftype == 3:  # SGRPROJ
-            raise NotImplementedError("sgrproj signaling lands next")
+            if unit is None:
+                self.ec.encode_symbol(0, self.cdfs.sgrproj_restore)
+                return
+            self.ec.encode_symbol(1, self.cdfs.sgrproj_restore)
+            self._write_sgr(plane, unit)
         else:  # SWITCHABLE: symbol 0 none / 1 wiener / 2 sgr
             if unit is None:
                 self.ec.encode_symbol(0, self.cdfs.switchable_restore)
-            else:
+            elif unit[0] == "W":
                 self.ec.encode_symbol(1, self.cdfs.switchable_restore)
                 self._write_wiener(plane, unit)
+            else:
+                self.ec.encode_symbol(2, self.cdfs.switchable_restore)
+                self._write_sgr(plane, unit)
+
+    def _write_sgr(self, plane: int, unit):
+        from rav1e_tpu.ops.ref.lrf import (SGR_PARAMS_S, SGRPROJ_XQD_MAX,
+                                           SGRPROJ_XQD_MIN)
+        _, sgr_set, x0, x1 = unit
+        self.ec.encode_literal(sgr_set, 4)
+        s0, s1 = SGR_PARAMS_S[sgr_set]
+        ref = self.lr_sgr_ref[plane]
+        if s0:
+            _write_signed_subexp_ref(self.ec, x0, SGRPROJ_XQD_MIN[0],
+                                     SGRPROJ_XQD_MAX[0] + 1, 4, ref[0])
+        else:
+            x0 = 0
+        if s1:
+            _write_signed_subexp_ref(self.ec, x1, SGRPROJ_XQD_MIN[1],
+                                     SGRPROJ_XQD_MAX[1] + 1, 4, ref[1])
+        else:
+            x1 = max(SGRPROJ_XQD_MIN[1],
+                     min(SGRPROJ_XQD_MAX[1], (1 << 7) - x0))
+        ref[0] = x0
+        ref[1] = x1
 
     def _write_wiener(self, plane: int, unit):
         _, vtaps, htaps = unit

@@ -128,6 +128,121 @@ def solve_wiener(rec: np.ndarray, src: np.ndarray, y0: int, x0: int,
     return tuple(v), tuple(hh)
 
 
+# per-set (s0, s1) strengths for the two SGR passes (r=2 then r=1),
+# extracted from libdav1d .rodata@68768; s == 0 disables the pass
+SGR_PARAMS_S = [
+    (140, 3236), (112, 2158), (93, 1618), (80, 1438),
+    (70, 1295), (58, 1177), (47, 1079), (37, 996),
+    (30, 925), (25, 863), (0, 2589), (0, 1618),
+    (0, 1177), (0, 925), (56, 0), (22, 0),
+]
+SGRPROJ_XQD_MIN = (-96, -32)
+SGRPROJ_XQD_MAX = (31, 95)
+SGRPROJ_XQD_MID = (-32, 31)
+SGRPROJ_PRJ_SUBEXP_K = 4
+
+
+def _sgr_box(src: np.ndarray, r: int, s: int, bd: int = 8):
+    """One self-guided pass: per-pixel (A, B) from (2r+1)^2 box sums
+    (spec 7.17.3 boxsum + selfguided intermediate)."""
+    ph, pw = src.shape
+    x = src.astype(np.int64)
+    n = (2 * r + 1) ** 2
+    # edge-extended integral sums
+    pad = np.pad(x, r, mode="edge")
+    pad2 = pad * pad
+    c1 = np.cumsum(np.cumsum(np.pad(pad, ((1, 0), (1, 0))), 0), 1)
+    c2 = np.cumsum(np.cumsum(np.pad(pad2, ((1, 0), (1, 0))), 0), 1)
+
+    def box(c):
+        k = 2 * r + 1
+        return (c[k:, k:] - c[:-k, k:] - c[k:, :-k] + c[:-k, :-k])
+
+    b = box(c1)       # sum of x
+    a = box(c2)       # sum of x^2
+    if bd > 8:
+        d = bd - 8
+        a = (a + (1 << (2 * d - 1))) >> (2 * d)
+        b = (b + (1 << (d - 1))) >> d
+    p = np.maximum(0, a * n - b * b)
+    z = (p * s + (1 << 19)) >> 20
+    A = np.where(z >= 255, 256,
+                 np.where(z == 0, 1, ((z << 8) + z // 2) // (z + 1)))
+    one_over_n = ((1 << 12) + (n >> 1)) // n
+    B = ((256 - A) * b * one_over_n + (1 << 11)) >> 12
+    return A, B
+
+
+def sgr_filter_unit(src: np.ndarray, y0: int, x0: int, h: int, w: int,
+                    sgr_set: int, xqd0: int, xqd1: int,
+                    bd: int = 8) -> np.ndarray:
+    """SGRPROJ restoration for one unit (spec 7.17.3): up to two
+    self-guided passes (r=2 on even rows, r=1 everywhere) projected
+    onto the source with the coded xqd weights."""
+    s0, s1 = SGR_PARAMS_S[sgr_set]
+    ph, pw = src.shape
+    ys = np.arange(y0, y0 + h)
+    xs = np.arange(x0, x0 + w)
+    x = src[np.ix_(ys, xs)].astype(np.int64)
+    u = x << 4
+    acc = u << 7
+
+    def cross2(A, B):
+        """r=2: A/B valid on even rows; (5,6,5) weights; even output
+        rows read their own row (shift 8), odd rows the two even
+        neighbours (shift 9). Returns flt at 2^4 scale."""
+        Ap = np.pad(A, ((2, 2), (1, 1)), mode="edge")
+        Bp = np.pad(B, ((2, 2), (1, 1)), mode="edge")
+        out = np.zeros((h, w), np.int64)
+        for i, yy in enumerate(ys):
+            xi = xs + 1
+            if (yy & 1) == 0:
+                r = yy + 2
+                a = 5 * (Ap[r, xi - 1] + Ap[r, xi + 1]) + 6 * Ap[r, xi]
+                b = 5 * (Bp[r, xi - 1] + Bp[r, xi + 1]) + 6 * Bp[r, xi]
+                sh = 8
+            else:
+                a = b = 0
+                for r in (yy + 1, yy + 3):
+                    a = a + 5 * (Ap[r, xi - 1] + Ap[r, xi + 1]) \
+                        + 6 * Ap[r, xi]
+                    b = b + 5 * (Bp[r, xi - 1] + Bp[r, xi + 1]) \
+                        + 6 * Bp[r, xi]
+                sh = 9
+            v = a * x[i] + b
+            out[i] = (v + (1 << (sh - 1))) >> sh
+        return out
+
+    def cross1(A, B):
+        """r=1: full 3x3 (3/4 weights), shift 9."""
+        Ap = np.pad(A, 1, mode="edge")
+        Bp = np.pad(B, 1, mode="edge")
+        out = np.zeros((h, w), np.int64)
+        wgt = [(3, 4, 3), (4, 4, 4), (3, 4, 3)]
+        for i, yy in enumerate(ys):
+            xi = xs + 1
+            a = b = 0
+            for dy in (-1, 0, 1):
+                r = yy + 1 + dy
+                w3 = wgt[dy + 1]
+                a = a + w3[0] * Ap[r, xi - 1] + w3[1] * Ap[r, xi] \
+                    + w3[2] * Ap[r, xi + 1]
+                b = b + w3[0] * Bp[r, xi - 1] + w3[1] * Bp[r, xi] \
+                    + w3[2] * Bp[r, xi + 1]
+            v = a * x[i] + b
+            out[i] = (v + (1 << 8)) >> 9
+        return out
+
+    if s0 and xqd0:
+        A0, B0 = _sgr_box(src, 2, s0, bd)
+        acc = acc + xqd0 * (cross2(A0, B0) - u)
+    if s1 and xqd1:
+        A1, B1 = _sgr_box(src, 1, s1, bd)
+        acc = acc + xqd1 * (cross1(A1, B1) - u)
+    out = (acc + (1 << 10)) >> 11
+    return np.clip(out, 0, (1 << bd) - 1).astype(np.int32)
+
+
 def count_units(frame_size: int, unit_size: int) -> int:
     """Spec count_units_in_frame: last partial unit merges when under
     half a unit."""

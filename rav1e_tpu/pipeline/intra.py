@@ -147,7 +147,7 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
     if lr:
         assert tile_cols_log2 == 0 and tile_rows_log2 == 0, \
             "LR with multi-tile lands later"
-        fp.lr_types = (2, 0, 0)  # WIENER luma, none chroma
+        fp.lr_types = (1, 0, 0)  # SWITCHABLE luma, none chroma
     if cdef is not None:
         (fp.cdef_y_pri, fp.cdef_y_sec, fp.cdef_uv_pri,
          fp.cdef_uv_sec, fp.cdef_damping) = cdef
@@ -357,7 +357,10 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
     if lr:
         # per-unit Wiener decision: try preset taps, keep SSE winners;
         # the filter applies to the final recon (in-loop, post-CDEF)
-        from rav1e_tpu.ops.ref.lrf import (count_units, solve_wiener,
+        from rav1e_tpu.ops.ref.lrf import (SGRPROJ_XQD_MAX,
+                                           SGRPROJ_XQD_MIN, SGR_PARAMS_S,
+                                           count_units, sgr_filter_unit,
+                                           solve_wiener,
                                            wiener_filter_unit)
         rec_y = states[0].rec
         src_y = states[0].src
@@ -388,11 +391,46 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
                     sse = int(((f - src_y[y0:y1, x0:x1]) ** 2).sum())
                     if sse < base_sse and (best is None or sse < best[0]):
                         best = (sse, vt, ht, f)
+                best_kind = None
                 if best is not None:
-                    _, vt, ht, f = best
-                    grid[ur][uc] = ("W", vt, ht)
-                    filtered[y0:y1, x0:x1] = f
+                    best_kind = ("W", best[1], best[2])
+                    best_sse, best_f = best[0], best[3]
+                else:
+                    best_sse, best_f = base_sse, None
+                # SGRPROJ candidates: LS-projected xqd per set
+                for sset in (0, 4, 9, 12, 14):
+                    s0c, s1c = SGR_PARAMS_S[sset]
+                    # quick LS for xqd via single-weight probes
+                    f_probe = sgr_filter_unit(rec_y, y0, x0, y1 - y0,
+                                              x1 - x0, sset, 16, 16,
+                                              bd=bit_depth)
+                    # crude search around a few weight combos
+                    for xq in ((16, 16), (32, 32), (8, 40), (40, 8),
+                               (0, 48), (48, 0)):
+                        x0q = max(SGRPROJ_XQD_MIN[0],
+                                  min(SGRPROJ_XQD_MAX[0], xq[0]))
+                        x1q = max(SGRPROJ_XQD_MIN[1],
+                                  min(SGRPROJ_XQD_MAX[1], xq[1]))
+                        if not s0c:
+                            x0q = 0
+                        if not s1c:
+                            x1q = max(SGRPROJ_XQD_MIN[1],
+                                      min(SGRPROJ_XQD_MAX[1],
+                                          (1 << 7) - x0q))
+                        fs = (f_probe if xq == (16, 16) else
+                              sgr_filter_unit(rec_y, y0, x0, y1 - y0,
+                                              x1 - x0, sset, x0q, x1q,
+                                              bd=bit_depth))
+                        sse = int(((fs - src_y[y0:y1, x0:x1]) ** 2)
+                                  .sum())
+                        if sse < best_sse:
+                            best_sse = sse
+                            best_kind = ("S", sset, x0q, x1q)
+                            best_f = fs
+                if best_kind is not None:
+                    grid[ur][uc] = best_kind
+                    filtered[y0:y1, x0:x1] = best_f
         states[0].rec = filtered
-        tw.lr_data = {"types": [2, 0, 0], "units": {0: grid}}
+        tw.lr_data = {"types": [1, 0, 0], "units": {0: grid}}
     tile = tw.write_tile(partitions, blocks)
     return tile, [s.rec for s in states], tw.skip_grid.astype(bool)

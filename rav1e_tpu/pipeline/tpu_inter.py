@@ -77,7 +77,7 @@ def _mc_batch(ref_pad, pos_r, pos_c, mv8, n, ss):
 
 
 @lru_cache(maxsize=8)
-def _core(h: int, w: int):
+def _core(h: int, w: int, use_cdef: bool = False):
     """Batched P-frame step for an h x w frame. qindex enters as a
     traced argument (dcq/acq scalars) so rate control never triggers a
     recompile."""
@@ -200,16 +200,17 @@ def _core(h: int, w: int):
         rec_y = jnp.where(sk3, pred_y, jnp.clip(pred_y + r2_y, 0, 255))
         rec_u = jnp.where(sk3, pred_u, jnp.clip(pred_u + r2_u, 0, 255))
         rec_v = jnp.where(sk3, pred_v, jnp.clip(pred_v + r2_v, 0, 255))
-        # in-loop CDEF on the reconstruction (cdef_prm all zero => off;
-        # active masking keeps it a no-op then)
-        from rav1e_tpu.ops.tpu.cdef import cdef_filter_frame_jax
         fry = from_blocks(rec_y, h, w, 32)
         fru = from_blocks(rec_u, h // 2, w // 2, 16)
         frv = from_blocks(rec_v, h // 2, w // 2, 16)
-        skip8 = jnp.repeat(jnp.repeat(skip.reshape(nby, nbx), 4, 0), 4, 1)
-        fry, fru, frv = cdef_filter_frame_jax(
-            [fry, fru, frv], skip8, cdef_prm[0], cdef_prm[1],
-            cdef_prm[2], cdef_prm[3], cdef_prm[4])
+        if use_cdef:
+            # in-loop CDEF on the reconstruction (traced strengths)
+            from rav1e_tpu.ops.tpu.cdef import cdef_filter_frame_jax
+            skip8 = jnp.repeat(jnp.repeat(skip.reshape(nby, nbx), 4, 0),
+                               4, 1)
+            fry, fru, frv = cdef_filter_frame_jax(
+                [fry, fru, frv], skip8, cdef_prm[0], cdef_prm[1],
+                cdef_prm[2], cdef_prm[3], cdef_prm[4])
         # narrow dtypes: device->host transfer is the bottleneck on a
         # tunneled chip. Levels ship as int8 plus a per-block overflow
         # flag; the (rare) saturated blocks are re-fetched at full
@@ -298,7 +299,7 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
     y, u, v = planes
     h, w = y.shape[0], y.shape[1]
     assert h % 32 == 0 and w % 32 == 0
-    step, (nby, nbx) = _core(h, w)
+    step, (nby, nbx) = _core(h, w, cdef is not None)
     if ref_dev is None:
         ref_dev = tuple(jnp.asarray(np.asarray(p, np.uint8))
                         for p in ref_planes)
@@ -334,7 +335,7 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
     if len(frames) == 1:
         return pkts, recs
     h, w = frames[0][0].shape
-    step, _ = _core(h, w)
+    step, _ = _core(h, w, cdef is not None)
     dcq = jnp.int32(dc_q_lut(qindex))
     acq = jnp.int32(ac_q_lut(qindex))
     cdef_prm = jnp.asarray(
