@@ -142,23 +142,27 @@ SGRPROJ_XQD_MID = (-32, 31)
 SGRPROJ_PRJ_SUBEXP_K = 4
 
 
-def _sgr_box(src: np.ndarray, r: int, s: int, bd: int = 8):
-    """One self-guided pass: per-pixel (A, B) from (2r+1)^2 box sums
-    (spec 7.17.3 boxsum + selfguided intermediate)."""
+def _sgr_ab(src: np.ndarray, y_lo: int, hs: int, x0: int, w: int,
+            r: int, s: int, bd: int, row_lo: int, row_hi: int):
+    """(A, B) on the extended grid [-1..hs] x [-1..w] for one stripe
+    piece whose first output row is frame row `y_lo`. Source reads
+    clamp rows to [row_lo, row_hi] (stripe +-2, then frame) and
+    columns to the frame (spec get_source_sample semantics)."""
     ph, pw = src.shape
-    x = src.astype(np.int64)
     n = (2 * r + 1) ** 2
-    # edge-extended integral sums
-    pad = np.pad(x, r, mode="edge")
-    pad2 = pad * pad
-    c1 = np.cumsum(np.cumsum(np.pad(pad, ((1, 0), (1, 0))), 0), 1)
-    c2 = np.cumsum(np.cumsum(np.pad(pad2, ((1, 0), (1, 0))), 0), 1)
+    rows = np.clip(np.arange(y_lo - 1 - r, y_lo + hs + 1 + r),
+                   row_lo, row_hi)
+    rows = np.clip(rows, 0, ph - 1)
+    cols = np.clip(np.arange(x0 - 1 - r, x0 + w + 1 + r), 0, pw - 1)
+    e = src[np.ix_(rows, cols)].astype(np.int64)
+    c1 = np.cumsum(np.cumsum(np.pad(e, ((1, 0), (1, 0))), 0), 1)
+    c2 = np.cumsum(np.cumsum(np.pad(e * e, ((1, 0), (1, 0))), 0), 1)
+    k = 2 * r + 1
 
     def box(c):
-        k = 2 * r + 1
         return (c[k:, k:] - c[:-k, k:] - c[k:, :-k] + c[:-k, :-k])
 
-    b = box(c1)       # sum of x
+    b = box(c1)       # sum of x    [hs+2, w+2]
     a = box(c2)       # sum of x^2
     if bd > 8:
         d = bd - 8
@@ -167,79 +171,134 @@ def _sgr_box(src: np.ndarray, r: int, s: int, bd: int = 8):
     p = np.maximum(0, a * n - b * b)
     z = (p * s + (1 << 19)) >> 20
     A = np.where(z >= 255, 256,
-                 np.where(z == 0, 1, ((z << 8) + z // 2) // (z + 1)))
+                 np.where(z == 0, 1, ((z << 8) + (z >> 1)) // (z + 1)))
     one_over_n = ((1 << 12) + (n >> 1)) // n
     B = ((256 - A) * b * one_over_n + (1 << 11)) >> 12
     return A, B
 
 
-def sgr_filter_unit(src: np.ndarray, y0: int, x0: int, h: int, w: int,
-                    sgr_set: int, xqd0: int, xqd1: int,
-                    bd: int = 8) -> np.ndarray:
-    """SGRPROJ restoration for one unit (spec 7.17.3): up to two
-    self-guided passes (r=2 on even rows, r=1 everywhere) projected
-    onto the source with the coded xqd weights."""
-    s0, s1 = SGR_PARAMS_S[sgr_set]
-    ph, pw = src.shape
-    ys = np.arange(y0, y0 + h)
-    xs = np.arange(x0, x0 + w)
-    x = src[np.ix_(ys, xs)].astype(np.int64)
-    u = x << 4
-    acc = u << 7
-
-    def cross2(A, B):
-        """r=2: A/B valid on even rows; (5,6,5) weights; even output
-        rows read their own row (shift 8), odd rows the two even
-        neighbours (shift 9). Returns flt at 2^4 scale."""
-        Ap = np.pad(A, ((2, 2), (1, 1)), mode="edge")
-        Bp = np.pad(B, ((2, 2), (1, 1)), mode="edge")
-        out = np.zeros((h, w), np.int64)
-        for i, yy in enumerate(ys):
-            xi = xs + 1
-            if (yy & 1) == 0:
-                r = yy + 2
-                a = 5 * (Ap[r, xi - 1] + Ap[r, xi + 1]) + 6 * Ap[r, xi]
-                b = 5 * (Bp[r, xi - 1] + Bp[r, xi + 1]) + 6 * Bp[r, xi]
+def _sgr_flt_piece(src: np.ndarray, y_lo: int, hs: int, x0: int, w: int,
+                   r: int, s: int, bd: int, row_lo: int, row_hi: int):
+    """One self-guided pass over a stripe piece, returning flt at 2^4
+    scale. For r=2 the A/B grid exists only at odd local rows (-1, 1,
+    ...): odd output rows read their own row ((5,6,5), shift 8), even
+    rows combine rows i-1/i+1 (shift 9). r=1 uses the full 3x3
+    (3,4,3 / 4,4,4) cross, shift 9."""
+    A, B = _sgr_ab(src, y_lo, hs, x0, w, r, s, bd, row_lo, row_hi)
+    x = src[y_lo: y_lo + hs,
+            max(0, x0): x0 + w].astype(np.int64)
+    out = np.zeros((hs, w), np.int64)
+    if r == 2:
+        for i in range(hs):
+            g = i + 1
+            if i & 1:
+                a = 5 * (A[g, :-2] + A[g, 2:]) + 6 * A[g, 1:-1]
+                b = 5 * (B[g, :-2] + B[g, 2:]) + 6 * B[g, 1:-1]
                 sh = 8
             else:
-                a = b = 0
-                for r in (yy + 1, yy + 3):
-                    a = a + 5 * (Ap[r, xi - 1] + Ap[r, xi + 1]) \
-                        + 6 * Ap[r, xi]
-                    b = b + 5 * (Bp[r, xi - 1] + Bp[r, xi + 1]) \
-                        + 6 * Bp[r, xi]
+                a = (5 * (A[g - 1, :-2] + A[g - 1, 2:])
+                     + 6 * A[g - 1, 1:-1]
+                     + 5 * (A[g + 1, :-2] + A[g + 1, 2:])
+                     + 6 * A[g + 1, 1:-1])
+                b = (5 * (B[g - 1, :-2] + B[g - 1, 2:])
+                     + 6 * B[g - 1, 1:-1]
+                     + 5 * (B[g + 1, :-2] + B[g + 1, 2:])
+                     + 6 * B[g + 1, 1:-1])
                 sh = 9
-            v = a * x[i] + b
-            out[i] = (v + (1 << (sh - 1))) >> sh
-        return out
-
-    def cross1(A, B):
-        """r=1: full 3x3 (3/4 weights), shift 9."""
-        Ap = np.pad(A, 1, mode="edge")
-        Bp = np.pad(B, 1, mode="edge")
-        out = np.zeros((h, w), np.int64)
-        wgt = [(3, 4, 3), (4, 4, 4), (3, 4, 3)]
-        for i, yy in enumerate(ys):
-            xi = xs + 1
+            out[i] = (a * x[i] + b + (1 << (sh - 1))) >> sh
+    else:
+        wgt = ((3, 4, 3), (4, 4, 4), (3, 4, 3))
+        for i in range(hs):
+            g = i + 1
             a = b = 0
-            for dy in (-1, 0, 1):
-                r = yy + 1 + dy
-                w3 = wgt[dy + 1]
-                a = a + w3[0] * Ap[r, xi - 1] + w3[1] * Ap[r, xi] \
-                    + w3[2] * Ap[r, xi + 1]
-                b = b + w3[0] * Bp[r, xi - 1] + w3[1] * Bp[r, xi] \
-                    + w3[2] * Bp[r, xi + 1]
-            v = a * x[i] + b
-            out[i] = (v + (1 << 8)) >> 9
-        return out
+            for dy, w3 in zip((-1, 0, 1), wgt):
+                a = (a + w3[0] * A[g + dy, :-2]
+                     + w3[1] * A[g + dy, 1:-1] + w3[2] * A[g + dy, 2:])
+                b = (b + w3[0] * B[g + dy, :-2]
+                     + w3[1] * B[g + dy, 1:-1] + w3[2] * B[g + dy, 2:])
+            out[i] = (a * x[i] + b + (1 << 8)) >> 9
+    return out
 
-    if s0 and xqd0:
-        A0, B0 = _sgr_box(src, 2, s0, bd)
-        acc = acc + xqd0 * (cross2(A0, B0) - u)
-    if s1 and xqd1:
-        A1, B1 = _sgr_box(src, 1, s1, bd)
-        acc = acc + xqd1 * (cross1(A1, B1) - u)
-    out = (acc + (1 << 10)) >> 11
+
+def sgr_weights(sgr_set: int, xqd0: int, xqd1: int):
+    """Decoded (w0, w1, w2): the coded values weight pass-0 output and
+    the SOURCE; the r=1 pass receives the remainder 128 - w0 - w1."""
+    s0, s1 = SGR_PARAMS_S[sgr_set]
+    w0 = xqd0 if s0 else 0
+    w1 = xqd1 if s1 else (1 << 7) - w0
+    w2 = (1 << 7) - w0 - w1
+    return w0, w1, w2
+
+
+def sgr_pass_outputs(src: np.ndarray, y0: int, x0: int, h: int, w: int,
+                     sgr_set: int, bd: int = 8, stripe_h0: int = 56,
+                     stripe_h: int = 64):
+    """(flt0, flt1, u) for one unit at 2^4 scale (flt == u for a
+    disabled pass) — the encoder's LS weight solve needs the raw pass
+    outputs."""
+    s0, s1 = SGR_PARAMS_S[sgr_set]
+    ph, pw = src.shape
+    f0 = np.zeros((h, w), np.int64)
+    f1 = np.zeros((h, w), np.int64)
+    uu = np.zeros((h, w), np.int64)
+    yy = y0
+    while yy < y0 + h:
+        if yy < stripe_h0:
+            s_lo, s_hi = 0, stripe_h0 - 1
+        else:
+            k = (yy - stripe_h0) // stripe_h
+            s_lo = stripe_h0 + k * stripe_h
+            s_hi = s_lo + stripe_h - 1
+        y_hi = min(s_hi + 1, y0 + h)
+        hs = y_hi - yy
+        row_lo = max(0, s_lo - 2)
+        row_hi = min(ph - 1, s_hi + 2)
+        u = src[yy: y_hi, x0: x0 + w].astype(np.int64) << 4
+        sl = slice(yy - y0, y_hi - y0)
+        uu[sl] = u
+        f0[sl] = (_sgr_flt_piece(src, yy, hs, x0, w, 2, s0, bd,
+                                 row_lo, row_hi) if s0 else u)
+        f1[sl] = (_sgr_flt_piece(src, yy, hs, x0, w, 1, s1, bd,
+                                 row_lo, row_hi) if s1 else u)
+        yy = y_hi
+    return f0, f1, uu
+
+
+def sgr_filter_unit(src: np.ndarray, y0: int, x0: int, h: int, w: int,
+                    sgr_set: int, xqd0: int, xqd1: int,
+                    bd: int = 8, stripe_h0: int = 56,
+                    stripe_h: int = 64) -> np.ndarray:
+    """SGRPROJ restoration for one unit (spec 7.17.3), processed per
+    64-row stripe piece (first stripe 56 rows) with reads clamped to
+    the stripe +-2 rows. The coded xqd weight pass 0 (r=2) and the
+    source; pass 1 (r=1) takes the 128-complement."""
+    s0, s1 = SGR_PARAMS_S[sgr_set]
+    w0, w1, w2 = sgr_weights(sgr_set, xqd0, xqd1)
+    ph, pw = src.shape
+    out = np.zeros((h, w), np.int64)
+    yy = y0
+    while yy < y0 + h:
+        if yy < stripe_h0:
+            s_lo, s_hi = 0, stripe_h0 - 1
+        else:
+            k = (yy - stripe_h0) // stripe_h
+            s_lo = stripe_h0 + k * stripe_h
+            s_hi = s_lo + stripe_h - 1
+        y_hi = min(s_hi + 1, y0 + h)
+        hs = y_hi - yy
+        row_lo = max(0, s_lo - 2)
+        row_hi = min(ph - 1, s_hi + 2)
+        x = src[yy: y_hi, x0: x0 + w].astype(np.int64)
+        u = x << 4
+        acc = w1 * u
+        acc = acc + (w0 * _sgr_flt_piece(src, yy, hs, x0, w, 2, s0, bd,
+                                         row_lo, row_hi)
+                     if s0 else w0 * u)
+        acc = acc + (w2 * _sgr_flt_piece(src, yy, hs, x0, w, 1, s1, bd,
+                                         row_lo, row_hi)
+                     if s1 else w2 * u)
+        out[yy - y0: y_hi - y0] = (acc + (1 << 10)) >> 11
+        yy = y_hi
     return np.clip(out, 0, (1 << bd) - 1).astype(np.int32)
 
 

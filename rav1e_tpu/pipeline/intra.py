@@ -360,7 +360,7 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
         from rav1e_tpu.ops.ref.lrf import (SGRPROJ_XQD_MAX,
                                            SGRPROJ_XQD_MIN, SGR_PARAMS_S,
                                            count_units, sgr_filter_unit,
-                                           solve_wiener,
+                                           sgr_pass_outputs, solve_wiener,
                                            wiener_filter_unit)
         rec_y = states[0].rec
         src_y = states[0].src
@@ -368,6 +368,36 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
         n_ur = count_units(ph, 64)
         n_uc = count_units(pw, 64)
         grid = [[None] * n_uc for _ in range(n_ur)]
+        import os as _os
+        _force = _os.environ.get("RAV1E_TPU_LR_FORCE")  # debug hook
+        if _force:
+            parts = _force.split(",")
+            kind = ((parts[0], int(parts[1]), int(parts[2]), int(parts[3]))
+                    if parts[0] == "S" else
+                    ("W", tuple(map(int, parts[1:4])),
+                     tuple(map(int, parts[4:7]))))
+            filtered = rec_y.copy()
+            for ur in range(n_ur):
+                y0 = 0 if ur == 0 else ur * 64 - 8
+                y1 = ph if ur == n_ur - 1 else (ur + 1) * 64 - 8
+                for uc in range(n_uc):
+                    x0 = uc * 64
+                    x1 = pw if uc == n_uc - 1 else (uc + 1) * 64
+                    grid[ur][uc] = kind
+                    if kind[0] == "S":
+                        f = sgr_filter_unit(rec_y, y0, x0, y1 - y0,
+                                            x1 - x0, kind[1], kind[2],
+                                            kind[3], bd=bit_depth)
+                    else:
+                        f = wiener_filter_unit(rec_y, y0, x0, y1 - y0,
+                                               x1 - x0, kind[1], kind[2],
+                                               bd=bit_depth)
+                    filtered[y0:y1, x0:x1] = f
+            states[0].rec = filtered
+            tw.lr_data = {"types": [1, 0, 0], "units": {0: grid}}
+            tile = tw.write_tile(partitions, blocks)
+            return tile, [s.rec for s in states], \
+                tw.skip_grid.astype(bool)
         presets = [(3, -7, 15), (0, -4, 8), (1, -2, 4)]
         filtered = rec_y.copy()
         for ur in range(n_ur):
@@ -397,36 +427,54 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
                     best_sse, best_f = best[0], best[3]
                 else:
                     best_sse, best_f = base_sse, None
-                # SGRPROJ candidates: LS-projected xqd per set
-                for sset in (0, 4, 9, 12, 14):
+                # SGRPROJ candidates: per-set LS weight solve on the
+                # raw pass outputs.  The coded pair (xqd0, xqd1)
+                # weights pass 0 and the SOURCE; pass 1 receives
+                # 128 - xqd0 - xqd1 (see lrf.sgr_weights).
+                tgt = src_y[y0:y1, x0:x1].astype(np.int64) << 4
+                for sset in (0, 3, 6, 9, 11, 12, 14, 15):
                     s0c, s1c = SGR_PARAMS_S[sset]
-                    # quick LS for xqd via single-weight probes
-                    f_probe = sgr_filter_unit(rec_y, y0, x0, y1 - y0,
-                                              x1 - x0, sset, 16, 16,
-                                              bd=bit_depth)
-                    # crude search around a few weight combos
-                    for xq in ((16, 16), (32, 32), (8, 40), (40, 8),
-                               (0, 48), (48, 0)):
-                        x0q = max(SGRPROJ_XQD_MIN[0],
-                                  min(SGRPROJ_XQD_MAX[0], xq[0]))
+                    f0s, f1s, us = sgr_pass_outputs(
+                        rec_y, y0, x0, y1 - y0, x1 - x0, sset,
+                        bd=bit_depth)
+                    a = (f0s - us).ravel().astype(np.float64)
+                    b = (f1s - us).ravel().astype(np.float64)
+                    t = ((tgt - us) << 7).ravel().astype(np.float64)
+                    # solve min ||w0*a + w2*b - t|| for active passes
+                    if s0c and s1c:
+                        g = np.array([[a @ a, a @ b], [a @ b, b @ b]])
+                        rhs = np.array([a @ t, b @ t])
+                        try:
+                            w0f, w2f = np.linalg.solve(
+                                g + 1e-6 * np.eye(2), rhs)
+                        except np.linalg.LinAlgError:
+                            continue
+                    elif s0c:
+                        w0f = (a @ t) / max(a @ a, 1e-9)
+                        w2f = 0.0
+                    else:
+                        w0f = 0.0
+                        w2f = (b @ t) / max(b @ b, 1e-9)
+                    x0q = max(SGRPROJ_XQD_MIN[0],
+                              min(SGRPROJ_XQD_MAX[0], round(w0f)))
+                    if not s0c:
+                        x0q = 0
+                    # coded second value is the source weight w1
+                    x1q = max(SGRPROJ_XQD_MIN[1],
+                              min(SGRPROJ_XQD_MAX[1],
+                                  (1 << 7) - x0q - round(w2f)))
+                    if not s1c:
                         x1q = max(SGRPROJ_XQD_MIN[1],
-                                  min(SGRPROJ_XQD_MAX[1], xq[1]))
-                        if not s0c:
-                            x0q = 0
-                        if not s1c:
-                            x1q = max(SGRPROJ_XQD_MIN[1],
-                                      min(SGRPROJ_XQD_MAX[1],
-                                          (1 << 7) - x0q))
-                        fs = (f_probe if xq == (16, 16) else
-                              sgr_filter_unit(rec_y, y0, x0, y1 - y0,
-                                              x1 - x0, sset, x0q, x1q,
-                                              bd=bit_depth))
-                        sse = int(((fs - src_y[y0:y1, x0:x1]) ** 2)
-                                  .sum())
-                        if sse < best_sse:
-                            best_sse = sse
-                            best_kind = ("S", sset, x0q, x1q)
-                            best_f = fs
+                                  min(SGRPROJ_XQD_MAX[1],
+                                      (1 << 7) - x0q))
+                    fs = sgr_filter_unit(rec_y, y0, x0, y1 - y0,
+                                         x1 - x0, sset, x0q, x1q,
+                                         bd=bit_depth)
+                    sse = int(((fs - src_y[y0:y1, x0:x1]) ** 2).sum())
+                    if sse < best_sse:
+                        best_sse = sse
+                        best_kind = ("S", sset, x0q, x1q)
+                        best_f = fs
                 if best_kind is not None:
                     grid[ur][uc] = best_kind
                     filtered[y0:y1, x0:x1] = best_f

@@ -242,3 +242,46 @@ def test_loop_restoration_wiener():
     a = aom.decode_all([pkt])
     for j in range(3):
         assert np.array_equal(a[0][j], rec[j]), j
+
+
+def test_loop_restoration_sgrproj_forced(monkeypatch):
+    """SGRPROJ bit-exactness across param sets (spec 7.17.3): the
+    coded (xqd0, xqd1) weight pass 0 (r=2) and the SOURCE, with the
+    r=1 pass taking the 128-complement; per-stripe processing with
+    reads clamped to stripe +-2 rows; A/B grids extended one
+    row/column beyond the unit. Both oracles."""
+    for force, w, h in [("S,9,31,32", 64, 64),      # both passes, stripes
+                        ("S,3,-5,70", 160, 200),    # multi-unit
+                        ("S,12,0,-20", 64, 64),     # r=1 only, negative w1
+                        ("S,14,-40,0", 96, 64)]:    # r=2 only
+        monkeypatch.setenv("RAV1E_TPU_LR_FORCE", force)
+        rng = np.random.default_rng(7)
+        yy, xx = np.mgrid[0:h, 0:w]
+        y = (120 + 60 * np.sin((xx + yy) / 9)
+             + rng.normal(0, 8, (h, w))).clip(0, 255).astype(np.uint8)
+        f = [y, np.full((h // 2, w // 2), 120, np.uint8),
+             np.full((h // 2, w // 2), 135, np.uint8)]
+        pkt, rec = encode_keyframe(f, qindex=140, lr=True)
+        d = dav1d.decode_all([pkt])
+        a = aom.decode_all([pkt])
+        for j in range(3):
+            assert np.array_equal(d[0].planes[j], rec[j]), (force, j)
+            assert np.array_equal(a[0][j], rec[j]), (force, j)
+
+
+def test_loop_restoration_selection():
+    """Natural per-LRU RDO over Wiener + SGRPROJ candidate sets
+    (SWITCHABLE signaling) stays conformant at several sizes/q."""
+    for (w, h, q, seed) in [(64, 64, 140, 3), (128, 96, 180, 11)]:
+        rng = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:h, 0:w]
+        y = (120 + 60 * np.sin((xx + yy) / 9)
+             + rng.normal(0, 8, (h, w))).clip(0, 255).astype(np.uint8)
+        f = [y, np.full((h // 2, w // 2), 120, np.uint8),
+             np.full((h // 2, w // 2), 135, np.uint8)]
+        pkt, rec = encode_keyframe(f, qindex=q, lr=True)
+        d = dav1d.decode_all([pkt])
+        a = aom.decode_all([pkt])
+        for j in range(3):
+            assert np.array_equal(d[0].planes[j], rec[j]), (w, h, q, j)
+            assert np.array_equal(a[0][j], rec[j]), (w, h, q, j)
