@@ -99,6 +99,15 @@ class Context:
             quantizer=cfg.quantizer))
         self._ref_rec = None      # previous reconstruction (numpy int32)
         self._order_hint = 0
+        # reordered (B-frame) mode: buffer groups of `bgroup` frames,
+        # code the last as a non-shown anchor, the rest as B frames,
+        # then a show_existing packet (rav1e low_latency=false path).
+        aligned = cfg.width % 32 == 0 and cfg.height % 32 == 0
+        self._bgroup = 0
+        if not cfg.low_latency and aligned:
+            self._bgroup = max(2, int(cfg.extra.get("bgroup", 4) or 4))
+        self._gbuf: list = []
+        self._cur_slot = 0        # slot holding the forward reference
 
     # -- input side ----------------------------------------------------------
 
@@ -123,31 +132,104 @@ class Context:
     def receive_packet(self) -> tuple[EncoderStatus, Packet | None]:
         if self._out:
             return EncoderStatus.SUCCESS, self._out.popleft()
-        if not self._q:
-            if self._flushed:
-                if self._limit_emitted:
-                    return EncoderStatus.LIMIT_REACHED, None
-                self._limit_emitted = True
-                return EncoderStatus.LIMIT_REACHED, None
-            return EncoderStatus.NEED_MORE_DATA, None
-        frameno, planes = self._q.popleft()
-        pkt = self._encode_frame(frameno, planes)
-        return EncoderStatus.SUCCESS, pkt
+        while self._q and not self._out:
+            frameno, planes = self._q.popleft()
+            if self._bgroup:
+                self._pump_reordered(frameno, planes)
+            else:
+                self._out.append(self._encode_frame(frameno, planes))
+        if not self._out and self._flushed and self._gbuf:
+            self._encode_group()
+        if self._out:
+            return EncoderStatus.SUCCESS, self._out.popleft()
+        if self._flushed:
+            self._limit_emitted = True
+            return EncoderStatus.LIMIT_REACHED, None
+        return EncoderStatus.NEED_MORE_DATA, None
 
-    def _encode_frame(self, frameno: int, planes) -> Packet:
-        h, w = planes[0].shape
-        aligned = (w % 32 == 0 and h % 32 == 0)
+    # -- reordered (B-frame) scheduling --------------------------------------
+
+    def _pump_reordered(self, frameno: int, planes):
         is_key = (self._detector.analyze_next_frame(planes[0])
                   or self._ref_rec is None)
-        ftype = "KEY" if is_key else "INTER"
-        q = self._rc.select_qi(ftype)
+        if is_key:
+            if self._gbuf:
+                self._encode_group()     # close the open group first
+            self._out.append(self._encode_frame(frameno, planes,
+                                                force_key=True))
+            self._cur_slot = 0
+            return
+        self._gbuf.append((frameno, planes))
+        if len(self._gbuf) >= self._bgroup:
+            self._encode_group()
+
+    def _encode_group(self):
+        """Code the buffered frames as anchor-P (non-shown) + B chain +
+        show_existing; reference slots ping-pong between 1 and 2 so the
+        previous anchor stays live as the forward reference."""
+        from rav1e_tpu.entropy.obu import show_existing_packet
+        from rav1e_tpu.pipeline.inter import encode_bframe, encode_pframe
+        frames = self._gbuf
+        self._gbuf = []
+        if not frames:
+            return
+        base = self._order_hint
+        if len(frames) == 1:
+            fn, pl = frames[0]
+            q = self._rc.select_qi("INTER")
+            cdef, grain = self._loop_params(False, q)
+            slot_new = 2 if self._cur_slot == 1 else 1
+            data, rec = encode_pframe(
+                pl, self._ref_rec, qindex=q,
+                order_hint=(base + 1) & 127, cdef=cdef, film_grain=grain,
+                refresh_flags=1 << slot_new, ref_slot=self._cur_slot)
+            self._finish(data, fn, "INTER", q, rec, slot_new, base + 1)
+            return
+        afn, apl = frames[-1]
+        q = self._rc.select_qi("INTER")
+        cdef, grain = self._loop_params(False, q)
+        slot_new = 2 if self._cur_slot == 1 else 1
+        adata, arec = encode_pframe(
+            apl, self._ref_rec, qindex=q,
+            order_hint=(base + len(frames)) & 127, cdef=cdef,
+            film_grain=grain, refresh_flags=1 << slot_new,
+            ref_slot=self._cur_slot, show_frame=False)
+        self._out.append(Packet(data=adata, input_frameno=afn,
+                                frame_type="INTER", qp=q))
+        self._rc.update("INTER", q, len(adata) * 8)
+        arec32 = [np.asarray(p).astype(np.int32) for p in arec]
+        for i, (fn, pl) in enumerate(frames[:-1], start=1):
+            qb = self._rc.select_qi("INTER")
+            bdata, _ = encode_bframe(
+                pl, self._ref_rec, arec32, qindex=qb,
+                order_hint=(base + i) & 127, cdef=cdef, film_grain=grain,
+                slot_fwd=self._cur_slot, slot_bwd=slot_new)
+            self._out.append(Packet(data=bdata, input_frameno=fn,
+                                    frame_type="INTER", qp=qb))
+            self._rc.update("INTER", qb, len(bdata) * 8)
+        self._out.append(Packet(data=show_existing_packet(slot_new),
+                                input_frameno=afn,
+                                frame_type="SHOW_EXISTING", qp=q))
+        self._ref_rec = arec32
+        self._cur_slot = slot_new
+        self._order_hint = base + len(frames)
+
+    def _finish(self, data, frameno, ftype, q, rec, slot, order):
+        self._out.append(Packet(data=data, input_frameno=frameno,
+                                frame_type=ftype, qp=q))
+        self._rc.update(ftype, q, len(data) * 8)
+        self._ref_rec = [np.asarray(p).astype(np.int32) for p in rec]
+        self._cur_slot = slot
+        self._order_hint = order
+
+    def _loop_params(self, is_key: bool, q: int):
+        """(cdef, film_grain) under the per-GOP seq-level consistency
+        rules (presence fixed at the keyframe)."""
         cdef = None
         if (str(self.cfg.extra.get("cdef", "auto")) != "off"
                 and self.speed_settings.cdef_auto):
             from rav1e_tpu.ops.ref.cdef import cdef_strengths_for_q
             cdef = cdef_strengths_for_q(q)
-        # seq.enable_cdef is fixed at the keyframe for the whole GOP;
-        # P frames may vary strengths but not presence
         if is_key:
             self._cdef_enabled = cdef is not None
         elif getattr(self, "_cdef_enabled", False):
@@ -159,11 +241,24 @@ class Context:
         if iso:
             from rav1e_tpu.entropy.obu import photon_noise_params
             grain = photon_noise_params(iso)
-        # seq-level grain presence is fixed at the keyframe
         if is_key:
             self._grain_enabled = grain is not None
         elif not getattr(self, "_grain_enabled", False):
             grain = None
+        return cdef, grain
+
+    def _encode_frame(self, frameno: int, planes,
+                      force_key: bool | None = None) -> Packet:
+        h, w = planes[0].shape
+        aligned = (w % 32 == 0 and h % 32 == 0)
+        if force_key is None:
+            is_key = (self._detector.analyze_next_frame(planes[0])
+                      or self._ref_rec is None)
+        else:
+            is_key = force_key
+        ftype = "KEY" if is_key else "INTER"
+        q = self._rc.select_qi(ftype)
+        cdef, grain = self._loop_params(is_key, q)
         if is_key:
             if aligned and grain is None:
                 from rav1e_tpu.pipeline.tpu_intra import encode_keyframe_tpu

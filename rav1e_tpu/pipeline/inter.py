@@ -95,8 +95,10 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
     assert h % 32 == 0 and w % 32 == 0
     seq = Sequence(width=w, height=h, enable_cdef=cdef is not None,
                    bit_depth=bit_depth,
-                   profile=2 if bit_depth == 12 else 0)
+                   profile=2 if bit_depth == 12 else 0,
+                   film_grain_params_present=film_grain is not None)
     fp = FrameParams(frame_type=FrameType.INTER, base_q_idx=qindex)
+    fp.film_grain = film_grain
     if cdef is not None:
         (fp.cdef_y_pri, fp.cdef_y_sec, fp.cdef_uv_pri,
          fp.cdef_uv_sec, fp.cdef_damping) = cdef
@@ -211,7 +213,9 @@ def encode_gop(frames, qindex: int = 100):
 
 def encode_bframe(planes, ref_fwd, ref_bwd, qindex: int = 100,
                   order_hint: int = 1, use_native: bool = True,
-                  search_px: int = 16, bit_depth: int = 8):
+                  search_px: int = 16, bit_depth: int = 8,
+                  cdef: tuple | None = None, film_grain=None,
+                  slot_fwd: int = 0, slot_bwd: int = 1):
     """Encode one B frame: per block, single-ref prediction from either
     LAST (the forward recon, slot 0) or ALTREF (the backward recon,
     slot 1) - whichever wins the block SAD. No compound yet.
@@ -226,8 +230,14 @@ def encode_bframe(planes, ref_fwd, ref_bwd, qindex: int = 100,
     ref_slot = [0, 1]
     h, w = y.shape
     assert h % 32 == 0 and w % 32 == 0
-    seq = Sequence(width=w, height=h, bit_depth=bit_depth)
+    seq = Sequence(width=w, height=h, bit_depth=bit_depth,
+                   enable_cdef=cdef is not None,
+                   film_grain_params_present=film_grain is not None)
     fp = FrameParams(frame_type=FrameType.INTER, base_q_idx=qindex)
+    fp.film_grain = film_grain
+    if cdef is not None:
+        (fp.cdef_y_pri, fp.cdef_y_sec, fp.cdef_uv_pri,
+         fp.cdef_uv_sec, fp.cdef_damping) = cdef
     ti = TileInfo(seq)
     mi_rows, mi_cols = h >> 2, w >> 2
     cls = TileWriter
@@ -294,8 +304,16 @@ def encode_bframe(planes, ref_fwd, ref_bwd, qindex: int = 100,
     tw = cls(mi_rows, mi_cols, qindex, inter_frame=True,
              ref_sign_bias={1: False, 7: True})
     tile = tw.write_tile(partitions, blocks)
-    # ref_idx: LAST -> slot 0, ..., ALTREF(idx 6) -> slot 1
-    ref_idx = [0, 0, 0, 0, 0, 0, 1]
+    if cdef is not None:
+        from rav1e_tpu.ops.ref.cdef import cdef_filter_frame
+        skip8 = np.zeros((h // 8, w // 8), bool)
+        for (r, c), d in blocks.items():
+            skip8[r // 2: r // 2 + 4, c // 2: c // 2 + 4] = d.skip
+        cdef_filter_frame(rec, skip8, fp.cdef_y_pri, fp.cdef_y_sec,
+                          fp.cdef_uv_pri, fp.cdef_uv_sec,
+                          fp.cdef_damping, bd=bit_depth)
+    # ref_idx: LAST -> slot_fwd, ..., ALTREF(idx 6) -> slot_bwd
+    ref_idx = [slot_fwd] * 6 + [slot_bwd]
     pkt = interframe_packet(seq, fp, ti, [tile], order_hint,
                             refresh_flags=0, ref_idx=ref_idx,
                             show_frame=True)

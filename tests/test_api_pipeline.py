@@ -8,7 +8,7 @@ import numpy as np
 from scipy.ndimage import gaussian_filter
 
 from rav1e_tpu.api.context import Config
-from rav1e_tpu.conform import dav1d
+from rav1e_tpu.conform import aom, dav1d
 
 
 def _run(ctx, frames):
@@ -75,3 +75,36 @@ def test_rate_control_hits_target():
     assert len(qs) > 1  # rate control actually moved the quantizer
     dec = dav1d.decode_all([p.data for p in pkts])
     assert len(dec) == len(frames)
+
+
+def test_context_bframe_reordering():
+    """low_latency=False buffers groups of `bgroup` frames: the last is
+    coded first as a non-shown anchor (refresh into a ping-pong slot),
+    the others as B frames referencing both anchors, then a
+    show_existing packet (rav1e's reordered InterConfig path)."""
+    rng = np.random.default_rng(1)
+    W, H, N = 128, 96, 9
+    base = rng.integers(60, 200, (H, W)).astype(np.uint8)
+    frames = []
+    for t in range(N):
+        y = np.roll(base, t * 3, axis=1)
+        frames.append([y, np.full((H // 2, W // 2), 120, np.uint8),
+                       np.full((H // 2, W // 2), 135, np.uint8)])
+    ctx = Config(width=W, height=H, quantizer=120,
+                 low_latency=False).new_context()
+    pkts = _run(ctx, frames)
+    order = [(p.frame_type, p.input_frameno) for p in pkts]
+    assert order[0] == ("KEY", 0)
+    assert order[1] == ("INTER", 4)          # anchor coded out of order
+    assert order[5] == ("SHOW_EXISTING", 4)  # displayed after the Bs
+    d = dav1d.decode_all([p.data for p in pkts])
+    a = aom.decode_all([p.data for p in pkts])
+    assert len(d) == N and len(a) == N
+    for i in range(N):
+        for j in range(3):
+            assert np.array_equal(d[i].planes[j], a[i][j]), (i, j)
+        # display order must match input order (reordering is invisible
+        # to the viewer): decoded luma stays close to the source frame
+        err = np.abs(d[i].planes[0].astype(int)
+                     - frames[i][0].astype(int)).mean()
+        assert err < 10, (i, err)
