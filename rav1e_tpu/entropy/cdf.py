@@ -86,6 +86,12 @@ class TileCDFs:
         self.refmv = _to_lists(t["refmv"])
         self.drl = _to_lists(t["drl"])
         self.single_ref = _to_lists(t["single_ref"])
+        # compound reference / mode tables
+        self.comp_inter = _to_lists(t["comp_inter"])
+        self.comp_ref_type = _to_lists(t["comp_ref_type"])
+        self.comp_ref = _to_lists(t["comp_ref"])
+        self.comp_bwdref = _to_lists(t["comp_bwdref"])
+        self.inter_compound_mode = _to_lists(t["inter_compound_mode"])
         # MV coding (nmv_context): component 0 = row, 1 = col
         self.mv_joint = _to_lists(t["mv_joint"])
         self.mv_comp = []

@@ -159,6 +159,11 @@ class FrameParams:
     order_hint: int = 0
     tx_mode_select: bool = False  # False => TX_MODE_LARGEST
     reduced_tx_set: bool = True
+    # compound prediction: reference_select=1 lets blocks choose
+    # single vs compound; ref_order_hints (per ref_idx slot position,
+    # 7 entries) feed the skip-mode-allowed mirror computation
+    reference_select: bool = False
+    ref_order_hints: list | None = None
     tile_cols_log2: int = 0
     tile_rows_log2: int = 0
     context_update_tile_id: int = 0
@@ -472,8 +477,39 @@ def write_inter_frame_header(seq: Sequence, fp: FrameParams, ti: TileInfo,
     b.bit(0)  # loop_filter_delta_enabled
     _write_cdef_lr(b, seq, fp)
     b.bit(fp.tx_mode_select)
-    b.bit(0)  # reference_select (single reference mode)
-    # skip_mode_params: skipModeAllowed = 0 (no compound refs) -> no bit
+    b.bit(1 if fp.reference_select else 0)
+    # skip_mode_params (spec 5.9.22): with reference_select and order
+    # hints, skipModeAllowed depends on the refs' order hints relative
+    # to this frame; when allowed, skip_mode_present is coded (0 here)
+    if fp.reference_select and seq.enable_order_hint:
+        bits = seq.order_hint_bits
+        msk = (1 << bits) - 1
+        half = 1 << (bits - 1)
+
+        def rel(a, b):
+            diff = (a - b) & msk
+            return (diff & (half - 1)) - (diff & half)
+
+        fwd_hint = bwd_hint = None
+        for hint in (fp.ref_order_hints or []):
+            d = rel(hint, order_hint)
+            if d < 0:
+                if fwd_hint is None or rel(hint, fwd_hint) > 0:
+                    fwd_hint = hint
+            elif d > 0:
+                if bwd_hint is None or rel(hint, bwd_hint) < 0:
+                    bwd_hint = hint
+        allowed = fwd_hint is not None and bwd_hint is not None
+        if fwd_hint is not None and bwd_hint is None:
+            # second-closest forward ref also enables skip mode
+            snd = None
+            for hint in (fp.ref_order_hints or []):
+                if rel(hint, fwd_hint) < 0:
+                    if snd is None or rel(hint, snd) > 0:
+                        snd = hint
+            allowed = snd is not None
+        if allowed:
+            b.bit(0)  # skip_mode_present
     # allow_warped_motion: implied 0 (seq enable_warped_motion == 0)
     b.bit(fp.reduced_tx_set)
     # global_motion_params: is_global = 0 per ref

@@ -194,6 +194,8 @@ class BlockDecision:
     cfl_alpha_sign: int = 0
     mv: tuple = (0, 0)      # (row, col) 1/8-pel, inter blocks only
     ref: int = 1            # spec ref enum (1 = LAST ... 7 = ALTREF)
+    ref2: int = 0           # second ref for compound blocks (0 = NONE)
+    mv2: tuple = (0, 0)
     # residual planes are attached by the coefficient milestone
     coeffs: dict = field(default_factory=dict)
 
@@ -206,7 +208,8 @@ class TileWriter:
                  inter_frame: bool = False,
                  ss_x: int = 1, ss_y: int = 1,
                  ref_sign_bias: dict | None = None,
-                 lr_data: dict | None = None):
+                 lr_data: dict | None = None,
+                 reference_select: bool = False):
         # tile == frame until the tiling milestone
         self.mi_rows = mi_rows
         self.mi_cols = mi_cols
@@ -221,6 +224,7 @@ class TileWriter:
         self.skip_grid = np.zeros((mi_rows, mi_cols), np.uint8)
         self.mode_grid = np.zeros((mi_rows, mi_cols), np.uint8)
         self.inter_frame = inter_frame
+        self.reference_select = reference_select
         if inter_frame:
             from rav1e_tpu.entropy.inter import InterCtx
             self.inter_ctx = InterCtx(mi_rows, mi_cols,
@@ -507,9 +511,18 @@ class TileWriter:
         # is_inter
         ii_ctx = ictx.intra_inter_ctx(r, c)
         self.ec.encode_symbol(1, self.cdfs.intra_inter[ii_ctx])
+        ref = getattr(d, "ref", LAST_FRAME)
+        ref2 = getattr(d, "ref2", 0)
+        is_comp = ref2 > 0
+        # comp_mode: coded only when the frame header signals
+        # reference_select (spec read_ref_frames)
+        if self.reference_select:
+            self.ec.encode_symbol(
+                int(is_comp), self.cdfs.comp_inter[ictx.comp_mode_ctx(r, c)])
+        if is_comp:
+            return self._write_compound_block(r, c, bsize, d, ref, ref2)
         # single ref tree (spec read_ref_frames single path):
         # p1: 0 = forward group {LAST,LAST2,LAST3,GOLDEN}, 1 = backward
-        ref = getattr(d, "ref", LAST_FRAME)
         if ref <= 4:
             self.ec.encode_symbol(0, self.cdfs.single_ref[
                 ictx.single_ref_ctx(r, c, 0)][0])
@@ -562,6 +575,12 @@ class TileWriter:
                             self.ec.encode_symbol(
                                 0, self.cdfs.drl[mctx["drl_ctx"][idx]])
                             break
+        self._write_inter_residual(r, c, bsize, d)
+        ictx.set_block(r, c, bsize, InterBlockInfo(
+            is_inter=True, ref=ref, mode=mode, mv=tuple(d.mv)))
+
+    def _write_inter_residual(self, r, c, bsize, d):
+        bw, bh = bsize.width_mi, bsize.height_mi
         # residual (same plane order; inter tx type: DCT only at >=32)
         if not d.skip:
             ytx = MAX_TX_SIZE_RECT[bsize]
@@ -582,8 +601,58 @@ class TileWriter:
                 self.left_coef[p][r >> sy: (r + bh + (1 << sy) - 1)
                                   >> sy] = 0
         self.skip_grid[r: r + bh, c: c + bw] = int(d.skip)
+
+    def _write_compound_block(self, r, c, bsize, d, ref: int, ref2: int):
+        """Compound (two-reference) block tail: ref pair, compound
+        mode symbol, drl, per-ref MV residuals (spec read_ref_frames
+        BIDIR path + read_inter_compound_mode + assign_mv)."""
+        from rav1e_tpu.entropy.inter import InterBlockInfo
+        ictx = self.inter_ctx
+        assert ref == 1 and ref2 == 7, "compound pair is (LAST, ALTREF)"
+        # comp_ref_type: 1 = BIDIR
+        self.ec.encode_symbol(
+            1, self.cdfs.comp_ref_type[ictx.comp_ref_type_ctx(r, c)])
+        # forward ref LAST: comp_ref p -> {LAST,LAST2}, p1 -> LAST
+        self.ec.encode_symbol(
+            0, self.cdfs.comp_ref[ictx.comp_ref_ctx(r, c, 0)][0])
+        self.ec.encode_symbol(
+            0, self.cdfs.comp_ref[ictx.comp_ref_ctx(r, c, 1)][1])
+        # backward ref ALTREF: comp_bwdref p -> ALTREF
+        self.ec.encode_symbol(
+            1, self.cdfs.comp_bwdref[ictx.comp_ref_ctx(r, c, 3)][0])
+        stack, mctx = ictx.find_mv_stack(r, c, bsize, (ref, ref2))
+        mode = d.y_mode
+        mvs = (tuple(d.mv), tuple(d.mv2))
+        if mode == PredictionMode.NEW_NEWMV:
+            # alias to the cheaper stack-addressed modes when possible
+            if mvs == tuple(stack[0][0]):
+                mode = PredictionMode.NEAREST_NEARESTMV
+            elif mctx["n_found"] >= 2 and mvs == tuple(stack[1][0]):
+                mode = PredictionMode.NEAR_NEARMV
+        sym = int(mode) - int(PredictionMode.NEAREST_NEARESTMV)
+        self.ec.encode_symbol(
+            sym, self.cdfs.inter_compound_mode[mctx["comp_mode"]])
+        # drl (spec read_drl_idx): NEW_NEWMV from idx 0; NEAR_NEARMV
+        # from idx 1; NEAREST_NEARESTMV / GLOBAL_GLOBALMV none
+        if mode == PredictionMode.NEW_NEWMV:
+            for idx in range(2):
+                if mctx["n_found"] > idx + 1:
+                    self.ec.encode_symbol(
+                        0, self.cdfs.drl[mctx["drl_ctx"][idx]])
+                    break
+        elif mode == PredictionMode.NEAR_NEARMV:
+            for idx in (1, 2):
+                if mctx["n_found"] > idx + 1:
+                    self.ec.encode_symbol(
+                        0, self.cdfs.drl[mctx["drl_ctx"][idx]])
+                    break
+        if mode == PredictionMode.NEW_NEWMV:
+            self.write_mv(mvs[0], mctx["pred_mvs"][0])
+            self.write_mv(mvs[1], mctx["pred_mvs"][1])
+        self._write_inter_residual(r, c, bsize, d)
         ictx.set_block(r, c, bsize, InterBlockInfo(
-            is_inter=True, ref=ref, mode=mode, mv=tuple(d.mv)))
+            is_inter=True, ref=ref, mode=mode, mv=mvs[0],
+            ref2=ref2, mv2=mvs[1]))
 
     def _write_block(self, r, c, bsize, d):
         if self.inter_frame:

@@ -122,3 +122,43 @@ def mc_predict(ref: np.ndarray, y0: int, x0: int, h: int, w: int,
         out += fv[t] * interm[t: t + h]
     out = _round2(out, r1)
     return np.clip(out, 0, (1 << bd) - 1).astype(np.int32)
+
+
+def _mc_intermediate(ref: np.ndarray, y0: int, x0: int, h: int, w: int,
+                     mv: tuple, ss: int, filt: str, bd: int) -> np.ndarray:
+    """One reference's prediction at compound intermediate precision
+    (spec 7.11.3.1 isCompound: InterRound1 = 7, minus 2 at 12-bit), NOT
+    clipped to pixel range."""
+    f = SUBPEL_FILTERS[filt]
+    r0, r1 = (5, 5) if bd == 12 else (INTER_ROUND0, 7)
+    rh, rw = ref.shape
+    py = (y0 << 4) + (int(mv[0]) << (1 - ss))
+    px = (x0 << 4) + (int(mv[1]) << (1 - ss))
+    iy, fy = py >> 4, py & 15
+    ix, fx = px >> 4, px & 15
+    fh = f[fx]
+    fv = f[fy]
+    rows = np.clip(np.arange(iy - 3, iy + h + 4), 0, rh - 1)
+    cols = np.clip(np.arange(ix - 3, ix + w + 4), 0, rw - 1)
+    src = ref[np.ix_(rows, cols)].astype(np.int64)
+    interm = np.zeros((h + 7, w), np.int64)
+    for t in range(8):
+        interm += fh[t] * src[:, t: t + w]
+    interm = _round2(interm, r0)
+    out = np.zeros((h, w), np.int64)
+    for t in range(8):
+        out += fv[t] * interm[t: t + h]
+    return _round2(out, r1)
+
+
+def mc_predict_avg(ref0: np.ndarray, ref1: np.ndarray, y0: int, x0: int,
+                   h: int, w: int, mv0: tuple, mv1: tuple, ss: int = 0,
+                   filt: str = "REGULAR", bd: int = 8) -> np.ndarray:
+    """COMPOUND_AVERAGE inter prediction: both references filtered at
+    intermediate precision (scale 2^(bd+4)), then
+    Round2(p0 + p1, InterPostRound + 1) with InterPostRound = 4
+    (spec 7.11.3.1 compound path)."""
+    p0 = _mc_intermediate(ref0, y0, x0, h, w, mv0, ss, filt, bd)
+    p1 = _mc_intermediate(ref1, y0, x0, h, w, mv1, ss, filt, bd)
+    out = _round2(p0 + p1, 5)
+    return np.clip(out, 0, (1 << bd) - 1).astype(np.int32)

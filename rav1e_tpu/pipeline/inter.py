@@ -30,7 +30,7 @@ from rav1e_tpu.entropy.obu import (
     interframe_packet,
 )
 from rav1e_tpu.entropy.tile import BlockDecision, TileWriter, chroma_tx_size
-from rav1e_tpu.ops.ref.mc import mc_predict
+from rav1e_tpu.ops.ref.mc import mc_predict, mc_predict_avg
 from rav1e_tpu.ops.ref.quant import dequantize, quantize
 from rav1e_tpu.ops.ref.transforms import forward_transform, inverse_transform
 
@@ -215,7 +215,8 @@ def encode_bframe(planes, ref_fwd, ref_bwd, qindex: int = 100,
                   order_hint: int = 1, use_native: bool = True,
                   search_px: int = 16, bit_depth: int = 8,
                   cdef: tuple | None = None, film_grain=None,
-                  slot_fwd: int = 0, slot_bwd: int = 1):
+                  slot_fwd: int = 0, slot_bwd: int = 1,
+                  ref_hints: tuple | None = None):
     """Encode one B frame: per block, single-ref prediction from either
     LAST (the forward recon, slot 0) or ALTREF (the backward recon,
     slot 1) - whichever wins the block SAD. No compound yet.
@@ -255,7 +256,7 @@ def encode_bframe(planes, ref_fwd, ref_bwd, qindex: int = 100,
             r, c = by >> 2, bx >> 2
             partitions[(r, c, int(BlockSize.B64X64))] = PartitionType.SPLIT
             partitions[(r, c, int(BlockSize.B32X32))] = PartitionType.NONE
-            best = None
+            cand_mv = []
             for k in range(2):
                 mv_fp, sad = _fullpel_search(y, refs[k][0], by, bx,
                                              search_px)
@@ -263,11 +264,29 @@ def encode_bframe(planes, ref_fwd, ref_bwd, qindex: int = 100,
                     mv = _subpel_refine(y, refs[k][0], by, bx, mv_fp)
                 else:
                     mv = (0, 0)
-                if best is None or sad < best[0]:
-                    best = (sad, k, mv)
-            _, k, mv = best
-            mode = (PredictionMode.GLOBALMV if mv == (0, 0)
-                    else PredictionMode.NEWMV)
+                cand_mv.append(mv)
+            # pick single-LAST / single-ALT / compound-average by luma
+            # SSE of the actual prediction
+            sy_blk = y[by: by + 32, bx: bx + 32]
+            preds_y = [mc_predict(refs[k][0], by, bx, 32, 32, cand_mv[k],
+                                  bd=bit_depth) for k in range(2)]
+            preds_y.append(mc_predict_avg(
+                refs[0][0], refs[1][0], by, bx, 32, 32, cand_mv[0],
+                cand_mv[1], bd=bit_depth))
+            sses = [int(((p - sy_blk) ** 2).sum()) for p in preds_y]
+            choice = int(np.argmin(sses))
+            is_comp = choice == 2
+            if is_comp:
+                mode = PredictionMode.NEW_NEWMV
+                if cand_mv[0] == (0, 0) and cand_mv[1] == (0, 0):
+                    mode = PredictionMode.GLOBAL_GLOBALMV
+                k = 0
+                mv = cand_mv[0]
+            else:
+                k = choice
+                mv = cand_mv[k]
+                mode = (PredictionMode.GLOBALMV if mv == (0, 0)
+                        else PredictionMode.NEWMV)
             lvls = []
             preds = []
             for pi, tx in enumerate([TxSize.TX_32X32, TxSize.TX_16X16,
@@ -276,8 +295,13 @@ def encode_bframe(planes, ref_fwd, ref_bwd, qindex: int = 100,
                 px, py = bx >> ss, by >> ss
                 n = 32 >> ss
                 src = (y, u, v)[pi]
-                pred = mc_predict(refs[k][pi], py, px, n, n, mv, ss=ss,
-                                  bd=bit_depth)
+                if is_comp:
+                    pred = mc_predict_avg(
+                        refs[0][pi], refs[1][pi], py, px, n, n,
+                        cand_mv[0], cand_mv[1], ss=ss, bd=bit_depth)
+                else:
+                    pred = mc_predict(refs[k][pi], py, px, n, n, mv,
+                                      ss=ss, bd=bit_depth)
                 preds.append(pred)
                 resid = src[py: py + n, px: px + n] - pred
                 cf = forward_transform(resid, tx, TxType.DCT_DCT)
@@ -291,6 +315,11 @@ def encode_bframe(planes, ref_fwd, ref_bwd, qindex: int = 100,
             d = BlockDecision(y_mode=mode,
                               uv_mode=PredictionMode.DC_PRED, skip=False,
                               mv=mv, ref=ref_enum[k])
+            if is_comp:
+                d.ref = 1
+                d.ref2 = 7
+                d.mv = cand_mv[0]
+                d.mv2 = cand_mv[1]
             if not any(lv.any() for lv in lvls):
                 d.skip = True
                 for pi in range(3):
@@ -302,7 +331,7 @@ def encode_bframe(planes, ref_fwd, ref_bwd, qindex: int = 100,
                 d.coeffs = {0: lvls[0], 1: lvls[1], 2: lvls[2]}
             blocks[(r, c)] = d
     tw = cls(mi_rows, mi_cols, qindex, inter_frame=True,
-             ref_sign_bias={1: False, 7: True})
+             ref_sign_bias={1: False, 7: True}, reference_select=True)
     tile = tw.write_tile(partitions, blocks)
     if cdef is not None:
         from rav1e_tpu.ops.ref.cdef import cdef_filter_frame
@@ -314,6 +343,9 @@ def encode_bframe(planes, ref_fwd, ref_bwd, qindex: int = 100,
                           fp.cdef_damping, bd=bit_depth)
     # ref_idx: LAST -> slot_fwd, ..., ALTREF(idx 6) -> slot_bwd
     ref_idx = [slot_fwd] * 6 + [slot_bwd]
+    fp.reference_select = True
+    fh, bh2 = ref_hints or (0, order_hint + 1)
+    fp.ref_order_hints = [fh] * 6 + [bh2]
     pkt = interframe_packet(seq, fp, ti, [tile], order_hint,
                             refresh_flags=0, ref_idx=ref_idx,
                             show_frame=True)

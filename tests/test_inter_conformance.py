@@ -139,3 +139,42 @@ def test_bframe_gop_conformance():
     for i in range(n):
         for j in range(3):
             assert np.array_equal(a[i][j], recs[i][j]), (i, j)
+
+
+def test_compound_prediction():
+    """Compound (two-reference) prediction: BIDIR (LAST, ALTREF) pairs
+    with COMPOUND_AVERAGE MC, NEW_NEWMV (+NEAREST/NEAR aliasing) and
+    GLOBAL_GLOBALMV, the compound ref-MV stack (pair matching, the
+    per-list extra-candidate search), and the compound mode context
+    (close/total/newmv cells brute-forced against both oracles). Mixed
+    single/compound neighborhoods exercise the comp_inter bit,
+    comp_ref_type and comp_ref/comp_bwdref count contexts."""
+    from scipy.ndimage import gaussian_filter
+
+    from rav1e_tpu.pipeline.inter import encode_gop_bframes
+
+    def mkframes(W, H, N=5, seed=5):
+        base = gaussian_filter(
+            np.random.default_rng(seed).normal(128, 60, (H + 64, W + 64)),
+            2).clip(0, 255)
+        frames = []
+        for t in range(N):
+            y = base[16 + t:16 + t + H,
+                     8 + 2 * t:8 + 2 * t + W].astype(np.uint8)
+            yn = np.clip(y.astype(int)
+                         + np.random.default_rng(t).normal(0, 3, (H, W)),
+                         0, 255).astype(np.uint8)
+            frames.append([yn, np.full((H // 2, W // 2), 120, np.uint8),
+                           np.full((H // 2, W // 2), 135, np.uint8)])
+        return frames
+
+    for (W, H, seed) in [(192, 128, 5), (96, 96, 17), (160, 96, 11)]:
+        frames = mkframes(W, H, seed=seed)
+        pkts, recs = encode_gop_bframes(frames, qindex=100)
+        d = dav1d.decode_all(pkts)
+        a = aom.decode_all(pkts)
+        for i in range(len(recs)):
+            for j in range(3):
+                assert np.array_equal(d[i].planes[j], recs[i][j]), \
+                    (W, H, i, j)
+                assert np.array_equal(a[i][j], recs[i][j]), (W, H, i, j)

@@ -185,6 +185,30 @@ def main():
     assert tp[0, 0] == 32768 - 28581
     t["txfm_partition"] = tp
 
+    # compound reference tables (entropymode.c). Records shift phase
+    # by +1 after an alignment gap mid-table (same tail-merge pattern
+    # as single_ref); comp_ref's last record is fully elided by the
+    # next object's alignment, its libaom default value is pinned here
+    # and verified by the compound conformance tests on both oracles.
+    def recs(offsets, extra=()):
+        out = np.zeros((len(offsets) + len(extra), 2), np.int32)
+        for i, off in enumerate(offsets):
+            out[i, 0] = int(u16[off])
+        for j, v in enumerate(extra):
+            out[len(offsets) + j, 0] = 32768 - v
+        return out
+
+    t["comp_inter"] = recs((47728, 47731, 47734, 47738, 47741))
+    assert t["comp_inter"][0, 0] == 32768 - 26828
+    t["comp_ref_type"] = recs((47744, 47747, 47750, 47754, 47757))
+    assert t["comp_ref_type"][4, 0] == 32768 - 22475
+    t["comp_ref"] = recs((47848, 47851, 47854, 47857, 47860, 47863,
+                          47866, 47869), extra=(27544,)).reshape(3, 3, 2)
+    assert t["comp_ref"][0, 0, 0] == 32768 - 4946
+    t["comp_bwdref"] = recs((47872, 47875, 47878, 47881, 47884,
+                             47887)).reshape(3, 2, 2)
+    assert t["comp_bwdref"][0, 0, 0] == 32768 - 2235
+
     # MV tables (entropymv.c): one nmv_context at 48800
     t["mv_joint"] = take(u16, 48800, (1,), 5, 4)[0]
     comp0, comp1 = 48805, 48874
