@@ -259,19 +259,21 @@ class Context:
         ftype = "KEY" if is_key else "INTER"
         q = self._rc.select_qi(ftype)
         cdef, grain = self._loop_params(is_key, q)
+        aq = str(self.cfg.extra.get("aq", "")).lower() in ("1", "true",
+                                                           "on", "yes")
         if is_key:
-            if aligned and grain is None:
+            if aligned and grain is None and not aq:
                 from rav1e_tpu.pipeline.tpu_intra import encode_keyframe_tpu
                 data, rec = encode_keyframe_tpu(planes, qindex=q,
                                                 cdef=cdef)
             else:
                 from rav1e_tpu.pipeline.intra import encode_keyframe
                 data, rec = encode_keyframe(planes, qindex=q, cdef=cdef,
-                                            film_grain=grain)
+                                            film_grain=grain, aq=aq)
             self._order_hint = 0
         else:
             self._order_hint += 1
-            if aligned:
+            if aligned and not aq:
                 from rav1e_tpu.pipeline.tpu_inter import encode_pframe_tpu
                 data, rec = encode_pframe_tpu(
                     planes, self._ref_rec, qindex=q,
@@ -282,7 +284,7 @@ class Context:
                 data, rec = encode_pframe(
                     planes, self._ref_rec, qindex=q,
                     order_hint=self._order_hint & 127, cdef=cdef,
-                    film_grain=grain)
+                    film_grain=grain, aq=aq)
         self._ref_rec = [np.asarray(p).astype(np.int32) for p in rec]
         self._rc.update(ftype, q, len(data) * 8)
         return Packet(data=data, input_frameno=frameno, frame_type=ftype,

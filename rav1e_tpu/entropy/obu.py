@@ -164,6 +164,9 @@ class FrameParams:
     # 7 entries) feed the skip-mode-allowed mirror computation
     reference_select: bool = False
     ref_order_hints: list | None = None
+    # segmentation: None or list of 8 per-segment ALT_Q deltas (int,
+    # None = segment feature disabled). Only SEG_LVL_ALT_Q supported.
+    seg_alt_q: list | None = None
     tile_cols_log2: int = 0
     tile_rows_log2: int = 0
     context_update_tile_id: int = 0
@@ -253,6 +256,30 @@ class TileInfo:
             b.f(fp.tile_size_bytes - 1, 2)
 
 
+
+
+def _write_segmentation(b: BitWriter, fp: FrameParams):
+    """segmentation_params (spec 5.9.14). With PRIMARY_REF_NONE the
+    update flags are implied (update_map=1, temporal=0, update_data=1);
+    only the SEG_LVL_ALT_Q feature is coded."""
+    if not fp.seg_alt_q:
+        b.bit(0)  # segmentation_enabled
+        return
+    b.bit(1)      # segmentation_enabled
+    # primary_ref_frame == PRIMARY_REF_NONE: no update flags coded
+    for seg in range(8):
+        alt_q = fp.seg_alt_q[seg] if seg < len(fp.seg_alt_q) else None
+        # feature 0: SEG_LVL_ALT_Q (signed, 8 magnitude bits)
+        if alt_q is not None:
+            b.bit(1)
+            v = max(-255, min(255, int(alt_q))) & ((1 << 9) - 1)
+            b.f(v, 9)  # su(9): two's complement in 9 bits
+        else:
+            b.bit(0)
+        for _ in range(7):  # remaining features disabled
+            b.bit(0)
+
+
 def write_frame_header(seq: Sequence, fp: FrameParams, ti: TileInfo) -> BitWriter:
     """uncompressed_header for a shown KEY frame (spec 5.9.2); returns
     the writer (unaligned) so a FRAME OBU can continue with tile data."""
@@ -280,7 +307,7 @@ def write_frame_header(seq: Sequence, fp: FrameParams, ti: TileInfo) -> BitWrite
     b.delta_q(0)  # u ac
     b.bit(0)  # using_qmatrix
     # segmentation_params
-    b.bit(0)  # segmentation_enabled
+    _write_segmentation(b, fp)
     # delta_q_params
     if fp.base_q_idx > 0:
         b.bit(0)  # delta_q_present
@@ -464,7 +491,7 @@ def write_inter_frame_header(seq: Sequence, fp: FrameParams, ti: TileInfo,
     b.delta_q(0)
     b.delta_q(0)
     b.bit(0)  # using_qmatrix
-    b.bit(0)  # segmentation_enabled
+    _write_segmentation(b, fp)
     if fp.base_q_idx > 0:
         b.bit(0)  # delta_q_present
     lf = fp.loop_filter_levels

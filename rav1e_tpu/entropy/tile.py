@@ -192,6 +192,7 @@ class BlockDecision:
     angle_delta_uv: int = 0
     cfl_alpha_idx: int = 0  # joint alpha index when uv_mode == CFL
     cfl_alpha_sign: int = 0
+    seg_id: int = 0         # segment id (coded when segmentation on)
     mv: tuple = (0, 0)      # (row, col) 1/8-pel, inter blocks only
     ref: int = 1            # spec ref enum (1 = LAST ... 7 = ALTREF)
     ref2: int = 0           # second ref for compound blocks (0 = NONE)
@@ -209,7 +210,8 @@ class TileWriter:
                  ss_x: int = 1, ss_y: int = 1,
                  ref_sign_bias: dict | None = None,
                  lr_data: dict | None = None,
-                 reference_select: bool = False):
+                 reference_select: bool = False,
+                 seg_alt_q: list | None = None):
         # tile == frame until the tiling milestone
         self.mi_rows = mi_rows
         self.mi_cols = mi_cols
@@ -225,6 +227,14 @@ class TileWriter:
         self.mode_grid = np.zeros((mi_rows, mi_cols), np.uint8)
         self.inter_frame = inter_frame
         self.reference_select = reference_select
+        # segmentation (SEG_LVL_ALT_Q only): SegIdPreSkip == 0
+        self.seg_alt_q = seg_alt_q
+        self.seg_enabled = bool(seg_alt_q) and any(
+            v is not None for v in seg_alt_q)
+        if self.seg_enabled:
+            self.last_active_seg = max(
+                i for i, v in enumerate(seg_alt_q) if v is not None)
+            self.seg_grid = np.zeros((mi_rows, mi_cols), np.int8)
         if inter_frame:
             from rav1e_tpu.entropy.inter import InterCtx
             self.inter_ctx = InterCtx(mi_rows, mi_cols,
@@ -322,6 +332,59 @@ class TileWriter:
         else:
             assert part == PartitionType.SPLIT
 
+    # ---- segmentation ------------------------------------------------------
+
+    @staticmethod
+    def _neg_interleave(x: int, ref: int, mx: int) -> int:
+        """Inverse of spec neg_deinterleave (libaom parity)."""
+        if ref == 0:
+            return x
+        if ref >= mx - 1:
+            return mx - x - 1
+        diff = x - ref
+        if 2 * ref < mx:
+            if abs(diff) <= ref:
+                return (diff << 1) - 1 if diff > 0 else -(diff << 1)
+            return x
+        if abs(diff) < (mx - ref):
+            return (diff << 1) - 1 if diff > 0 else -(diff << 1)
+        return (mx - x) - 1
+
+    def _write_segment_id(self, r: int, c: int, bsize: BlockSize,
+                          seg_id: int, skip: bool) -> int:
+        """Code segment_id (spec 5.11.14): spatial prediction from
+        the above/left/above-left ids, neg-interleaved symbol with the
+        3-context seg tree CDF. A skip block takes the prediction
+        without coding. Returns the effective segment id."""
+        g = self.seg_grid
+        prev_ul = int(g[r - 1, c - 1]) if r > 0 and c > 0 else -1
+        prev_u = int(g[r - 1, c]) if r > 0 else -1
+        prev_l = int(g[r, c - 1]) if c > 0 else -1
+        if prev_u == -1:
+            pred = 0 if prev_l == -1 else prev_l
+        elif prev_l == -1:
+            pred = prev_u
+        else:
+            pred = prev_u if prev_ul == prev_u else prev_l
+        if prev_ul < 0 or prev_u < 0 or prev_l < 0:
+            ctx = 0
+        elif prev_ul == prev_u and prev_ul == prev_l:
+            ctx = 2
+        elif (prev_ul == prev_u or prev_ul == prev_l
+              or prev_u == prev_l):
+            ctx = 1
+        else:
+            ctx = 0
+        bw, bh = bsize.width_mi, bsize.height_mi
+        if skip:
+            seg_id = pred
+        else:
+            coded = self._neg_interleave(seg_id, pred,
+                                         self.last_active_seg + 1)
+            self.ec.encode_symbol(coded, self.cdfs.seg_tree[ctx])
+        g[r: r + bh, c: c + bw] = seg_id
+        return seg_id
+
     # ---- mode info ---------------------------------------------------------
 
     def write_intra_block(self, r: int, c: int, bsize: BlockSize,
@@ -335,6 +398,8 @@ class TileWriter:
         left_sk = int(self.skip_grid[r, c - 1]) if c > 0 else 0
         sctx = above_sk + left_sk
         self.ec.encode_symbol(int(d.skip), self.cdfs.skip[sctx])
+        if self.seg_enabled:   # SegIdPreSkip == 0: after the skip bit
+            self._write_segment_id(r, c, bsize, d.seg_id, d.skip)
         # intra_frame_y_mode
         above_m = int(self.mode_grid[r - 1, c]) if r > 0 else 0
         left_m = int(self.mode_grid[r, c - 1]) if c > 0 else 0
@@ -508,6 +573,8 @@ class TileWriter:
         above_sk = int(self.skip_grid[r - 1, c]) if r > 0 else 0
         left_sk = int(self.skip_grid[r, c - 1]) if c > 0 else 0
         self.ec.encode_symbol(int(d.skip), self.cdfs.skip[above_sk + left_sk])
+        if self.seg_enabled:   # SegIdPreSkip == 0: after the skip bit
+            self._write_segment_id(r, c, bsize, d.seg_id, d.skip)
         # is_inter
         ii_ctx = ictx.intra_inter_ctx(r, c)
         self.ec.encode_symbol(1, self.cdfs.intra_inter[ii_ctx])

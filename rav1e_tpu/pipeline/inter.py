@@ -82,7 +82,8 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
                   tile_cols_log2: int = 0, tile_rows_log2: int = 0,
                   cdef: tuple | None = None, bit_depth: int = 8,
                   refresh_flags: int = 0x01, ref_slot: int = 0,
-                  show_frame: bool = True, film_grain=None):
+                  show_frame: bool = True, film_grain=None,
+                  aq: bool = False):
     """Encode one P frame against ref_planes. Returns (packet, recon).
 
     Per 32x32 block: full-pel SAD search (+- search_px) with quarter-pel
@@ -99,6 +100,17 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
                    film_grain_params_present=film_grain is not None)
     fp = FrameParams(frame_type=FrameType.INTER, base_q_idx=qindex)
     fp.film_grain = film_grain
+    seg_alt_q = [-18, -6, 6, 18, None, None, None, None] if aq else None
+    fp.seg_alt_q = seg_alt_q
+    seg_map = None
+    if aq:
+        n_sr, n_sc = h // 32, w // 32
+        var = np.array([[y[sr * 32: sr * 32 + 32,
+                           sc * 32: sc * 32 + 32].astype(np.float64).var()
+                         for sc in range(n_sc)] for sr in range(n_sr)])
+        thr = np.quantile(var, (0.25, 0.5, 0.75)) if var.size > 1 else \
+            (var.flat[0],) * 3
+        seg_map = np.digitize(var, thr).astype(np.int8)
     if cdef is not None:
         (fp.cdef_y_pri, fp.cdef_y_sec, fp.cdef_uv_pri,
          fp.cdef_uv_sec, fp.cdef_damping) = cdef
@@ -126,6 +138,11 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
                 mv = (mv_fp[0] * 8, mv_fp[1] * 8)
             mode = (PredictionMode.GLOBALMV if mv == (0, 0)
                     else PredictionMode.NEWMV)
+            seg = 0
+            q_eff = qindex
+            if seg_map is not None:
+                seg = int(seg_map[by // 32, bx // 32])
+                q_eff = max(1, min(255, qindex + seg_alt_q[seg]))
             lvls = []
             preds = []
             for pi, (src, ref, tx) in enumerate([
@@ -140,8 +157,8 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
                 preds.append(pred)
                 resid = src[py: py + n, px: px + n] - pred
                 cf = forward_transform(resid, tx, TxType.DCT_DCT)
-                lv = quantize(cf, qindex, tx, bd=bit_depth)
-                dq = dequantize(lv, qindex, tx, bd=bit_depth)
+                lv = quantize(cf, q_eff, tx, bd=bit_depth)
+                dq = dequantize(lv, q_eff, tx, bd=bit_depth)
                 r2 = inverse_transform(dq, tx, TxType.DCT_DCT,
                                        bd=bit_depth)
                 out = rec[pi]
@@ -150,7 +167,7 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
                 lvls.append(lv)
             d = BlockDecision(y_mode=mode,
                               uv_mode=PredictionMode.DC_PRED, skip=False,
-                              mv=mv)
+                              mv=mv, seg_id=seg)
             if not any(lv.any() for lv in lvls):
                 d.skip = True
                 # skip: recon = prediction exactly
@@ -172,7 +189,8 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
             r1 = min(ti.row_starts[t_r + 1] * 16, mi_rows)
             c0 = min(ti.col_starts[t_c] * 16, mi_cols)
             c1 = min(ti.col_starts[t_c + 1] * 16, mi_cols)
-            tw = cls(r1 - r0, c1 - c0, qindex, inter_frame=True)
+            tw = cls(r1 - r0, c1 - c0, qindex, inter_frame=True,
+                     seg_alt_q=seg_alt_q)
             tparts = {(r - r0, c - c0, bs): p
                       for (r, c, bs), p in partitions.items()
                       if r0 <= r < r1 and c0 <= c < c1}

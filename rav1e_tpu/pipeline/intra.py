@@ -120,7 +120,8 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
                     tile_cols_log2: int = 0, tile_rows_log2: int = 0,
                     cdef: tuple | None = None, bit_depth: int = 8,
                     chroma_sampling: str = "420",
-                    film_grain=None, lr: bool = False):
+                    film_grain=None, lr: bool = False,
+                    aq: bool = False):
     """Encode one 8-bit 4:2:0 KEY frame. Returns (packet, recon planes).
 
     planes: [y (h,w), u, v] uint8, dims multiples of 8. Tile counts are
@@ -144,6 +145,10 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
                    enable_restoration=lr)
     fp = FrameParams(frame_type=FrameType.KEY, base_q_idx=qindex)
     fp.film_grain = film_grain
+    # variance AQ: 4 active segments with ALT_Q deltas; per-block ids
+    # are chosen inside the tile from source activity
+    seg_alt_q = [-18, -6, 6, 18, None, None, None, None] if aq else None
+    fp.seg_alt_q = seg_alt_q
     if lr:
         assert tile_cols_log2 == 0 and tile_rows_log2 == 0, \
             "LR with multi-tile lands later"
@@ -170,7 +175,8 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
             tile, recs, tskip = _encode_keyframe_tile(
                 [y[py0:py1, px0:px1], u[cy0:cy1, cx0:cx1],
                  v[cy0:cy1, cx0:cx1]],
-                qindex, block, bit_depth, ss_x, ss_y, lr=lr)
+                qindex, block, bit_depth, ss_x, ss_y, lr=lr,
+                seg_alt_q=seg_alt_q)
             tiles.append(tile)
             frame_rec[0][py0:py1, px0:px1] = recs[0]
             frame_rec[1][cy0:cy1, cx0:cx1] = recs[1]
@@ -189,15 +195,31 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
 
 def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
                           bit_depth: int = 8, ss_x: int = 1,
-                          ss_y: int = 1, lr: bool = False):
+                          ss_y: int = 1, lr: bool = False,
+                          seg_alt_q: list | None = None):
     """Encode one tile (tiles are fully independent: prediction and
     entropy context never cross the boundary, so a tile encodes exactly
     like a small frame). Returns (tile bytes, recon planes)."""
     y, u, v = planes
     h, w = y.shape
     mi_rows, mi_cols = h >> 2, w >> 2
-    tw = TileWriter(mi_rows, mi_cols, qindex, ss_x=ss_x, ss_y=ss_y)
+    tw = TileWriter(mi_rows, mi_cols, qindex, ss_x=ss_x, ss_y=ss_y,
+                    seg_alt_q=seg_alt_q)
     states = [PlaneState(y), PlaneState(u), PlaneState(v)]
+    # variance AQ: per-32x32 source activity -> quartile segment map
+    qcell = {"q": qindex}
+    seg_map = None
+    if seg_alt_q is not None:
+        n_sr, n_sc = (h + 31) // 32, (w + 31) // 32
+        var = np.zeros((n_sr, n_sc))
+        for sr in range(n_sr):
+            for sc in range(n_sc):
+                blk = y[sr * 32: sr * 32 + 32,
+                        sc * 32: sc * 32 + 32].astype(np.float64)
+                var[sr, sc] = blk.var()
+        qs = np.quantile(var, (0.25, 0.5, 0.75)) if var.size > 1 else \
+            (var.flat[0],) * 3
+        seg_map = np.digitize(var, qs).astype(np.int8)
     y_modes = [
         PredictionMode.DC_PRED, PredictionMode.V_PRED,
         PredictionMode.H_PRED, PredictionMode.D45_PRED,
@@ -236,8 +258,8 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
         h2, w2 = tx.height, tx.width
         resid = ps.src[yy: yy + h2, x: x + w2] - pred
         cf = forward_transform(resid, tx, tx_type)
-        lv = quantize(cf, qindex, tx, bd=bit_depth)
-        dq = dequantize(lv, qindex, tx, bd=bit_depth)
+        lv = quantize(cf, qcell["q"], tx, bd=bit_depth)
+        dq = dequantize(lv, qcell["q"], tx, bd=bit_depth)
         r2 = inverse_transform(dq, tx, tx_type, bd=bit_depth)
         rec = np.clip(pred + r2, 0, maxpx)
         sse = int(((ps.src[yy: yy + h2, x: x + w2] - rec) ** 2).sum())
@@ -264,6 +286,11 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
         ps.dec[yy // 4: (yy + h2) // 4, x // 4: (x + w2) // 4] = True
 
     def encode_block(r: int, c: int, bsize: BlockSize):
+        seg = 0
+        if seg_map is not None:
+            seg = int(seg_map[min(r // 8, seg_map.shape[0] - 1),
+                              min(c // 8, seg_map.shape[1] - 1)])
+            qcell["q"] = max(1, min(255, qindex + seg_alt_q[seg]))
         ytx = MAX_TX_SIZE_RECT[bsize]
         uvtx = chroma_tx_size(bsize, ss_x, ss_y)
         ytt = TxType.DCT_DCT
@@ -341,7 +368,7 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
         commit(states[1], (c * 4) >> ss_x, (r * 4) >> ss_y, urec)
         commit(states[2], (c * 4) >> ss_x, (r * 4) >> ss_y, vrec)
         d = BlockDecision(y_mode=y_mode, uv_mode=uv_mode, skip=False,
-                          angle_delta_y=y_delta)
+                          angle_delta_y=y_delta, seg_id=seg)
         if cfl_alphas is not None and uv_mode == PredictionMode.UV_CFL_PRED:
             d.cfl_alpha_idx = cfl_alphas
         if not ylv.any() and not ulv.any() and not vlv.any():

@@ -285,3 +285,31 @@ def test_loop_restoration_selection():
         for j in range(3):
             assert np.array_equal(d[0].planes[j], rec[j]), (w, h, q, j)
             assert np.array_equal(a[0][j], rec[j]), (w, h, q, j)
+
+
+def test_segmentation_aq():
+    """Variance AQ via segmentation: 4 active segments with
+    SEG_LVL_ALT_Q deltas, per-block segment_id (spatial prediction +
+    neg-interleaved seg-tree symbol, skip blocks take the prediction),
+    per-segment quantizers. KEY + P, both oracles."""
+    from rav1e_tpu.pipeline.inter import encode_pframe
+
+    rng = np.random.default_rng(3)
+    w, h, q = 128, 96, 110
+    xx = np.mgrid[0:h, 0:w][1]
+    y0 = (100 + xx * 40 // w).astype(np.uint8)
+    band = slice(h // 3, 2 * (h // 3))
+    y0[band] = rng.integers(30, 220, (y0[band].shape[0], w)).astype(np.uint8)
+    f0 = [y0, np.full((h // 2, w // 2), 120, np.uint8),
+          np.full((h // 2, w // 2), 135, np.uint8)]
+    kp, kr = encode_keyframe(f0, qindex=q, aq=True)
+    y1 = np.roll(y0, 3, axis=1)
+    pp, pr = encode_pframe([y1, f0[1], f0[2]], kr, qindex=q,
+                           order_hint=1, aq=True)
+    pkts = [kp, pp]
+    d = dav1d.decode_all(pkts)
+    a = aom.decode_all(pkts)
+    for i, rec in enumerate([kr, pr]):
+        for j in range(3):
+            assert np.array_equal(d[i].planes[j], rec[j]), (i, j)
+            assert np.array_equal(a[i][j], rec[j]), (i, j)
