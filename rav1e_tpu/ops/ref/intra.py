@@ -39,61 +39,207 @@ DR_INTRA_DERIVATIVE = {
 }
 
 
+INTRA_EDGE_KERNELS = ((0, 4, 8, 4, 0), (0, 5, 6, 5, 0),
+                      (2, 4, 4, 4, 2))
+
+
+def intra_edge_filter_strength(w: int, h: int, filter_type: int,
+                               delta: int) -> int:
+    """Spec 7.11.2.9 Intra_Edge_Filter_Strength."""
+    d = abs(delta)
+    blk_wh = w + h
+    strength = 0
+    if filter_type == 0:
+        if blk_wh <= 8:
+            if d >= 56:
+                strength = 1
+        elif blk_wh <= 12:
+            if d >= 40:
+                strength = 1
+        elif blk_wh <= 16:
+            if d >= 40:
+                strength = 1
+        elif blk_wh <= 24:
+            if d >= 8:
+                strength = 1
+            if d >= 16:
+                strength = 2
+            if d >= 32:
+                strength = 3
+        elif blk_wh <= 32:
+            strength = 1
+            if d >= 4:
+                strength = 2
+            if d >= 32:
+                strength = 3
+        else:
+            strength = 3
+    else:
+        if blk_wh <= 8:
+            if d >= 40:
+                strength = 1
+            if d >= 64:
+                strength = 2
+        elif blk_wh <= 16:
+            if d >= 20:
+                strength = 1
+            if d >= 48:
+                strength = 2
+        elif blk_wh <= 24:
+            if d >= 4:
+                strength = 3
+        else:
+            strength = 3
+    return strength
+
+
+def use_intra_edge_upsample(w: int, h: int, filter_type: int,
+                            delta: int) -> bool:
+    """Spec 7.11.2.10 Use_Intra_Edge_Upsample."""
+    d = abs(delta)
+    blk_wh = w + h
+    if d <= 0 or d >= 40:
+        return False
+    return blk_wh <= 16 if filter_type == 0 else blk_wh <= 8
+
+
+def _filter_edge(buf: np.ndarray, sz: int, strength: int):
+    """Spec 7.11.2.12 intra_edge_filter on `buf` where buf[0] holds
+    edge position -1 (the corner); writes positions 0..sz-2 in place."""
+    if strength == 0 or sz <= 1:
+        return
+    kern = INTRA_EDGE_KERNELS[strength - 1]
+    edge = buf[:sz].copy()
+    for i in range(1, sz):
+        t = 0
+        for j in range(5):
+            k = min(max(i - 2 + j, 0), sz - 1)
+            t += kern[j] * int(edge[k])
+        buf[i] = (t + 8) >> 4
+
+
+def _upsample_edge(buf: np.ndarray, num_px: int, bd: int) -> np.ndarray:
+    """Intra edge upsampling (spec 7.11.2.14 semantics, oracle-
+    verified): `buf[0]` is edge position -1 and buf[1..num_px] the
+    num_px edge samples. Returns the half-pel edge where the original
+    sample k sits at index 2k+2 (so upsampled position -2 == the old
+    corner) and odd indices hold the (-1, 9, 9, -1)/16 interpolation
+    between neighbors."""
+    # op[k + 2] = orig[k] for k in -2..num_px+1 (edge-replicated)
+    op = np.empty(num_px + 4, np.int64)
+    op[0] = buf[0]
+    op[1] = buf[0]
+    op[2: num_px + 2] = buf[1: num_px + 1]
+    op[num_px + 2] = buf[num_px]
+    op[num_px + 3] = buf[num_px]
+    out = np.empty(2 * num_px + 1, np.int64)
+    mx = (1 << bd) - 1
+    for k in range(-1, num_px):
+        out[2 * k + 2] = op[k + 2]
+    for k in range(-1, num_px - 1):
+        sv = (-op[k + 1] + 9 * op[k + 2] + 9 * op[k + 3]
+              - op[k + 4])
+        out[2 * k + 3] = min(max((sv + 8) >> 4, 0), mx)
+    return out
+
+
 def predict_directional(p_angle: int, w: int, h: int, above: np.ndarray,
                         left: np.ndarray, top_left: int,
-                        bd: int = 8) -> np.ndarray:
-    """Spec 7.11.2.4 directional prediction, no edge filter/upsampling
-    (sequence signals enable_intra_edge_filter=0).
+                        bd: int = 8, edge_filter: bool = False,
+                        filter_type: int = 0,
+                        have_above: bool = True, have_left: bool = True,
+                        n_above: int | None = None,
+                        n_left: int | None = None) -> np.ndarray:
+    """Spec 7.11.2.4 directional prediction with the optional intra
+    edge filter + upsampling (seq.enable_intra_edge_filter).
 
-    above must hold w+h entries (above-right replicated per edge
-    rules); left must hold w+h entries (below-left replicated)."""
+    above/left hold w+h entries (replicated per the edge fill rules);
+    n_above/n_left are the counts of in-frame pixels along each edge
+    (spec MaxX/MaxY clamps for the filter extents)."""
+    AR = np.empty(w + h + 1, np.int64)
+    AR[0] = top_left
+    AR[1:] = above[: w + h]
+    LC = np.empty(w + h + 1, np.int64)
+    LC[0] = top_left
+    LC[1:] = left[: w + h]
+    up_a = up_l = 0
+    if edge_filter:
+        if p_angle != 90 and p_angle != 180:
+            if 90 < p_angle < 180 and (w + h) >= 24:
+                corner = (int(LC[1]) * 5 + int(AR[0]) * 6
+                          + int(AR[1]) * 5 + 8) >> 4
+                AR[0] = corner
+                LC[0] = corner
+            if have_above:
+                strength = intra_edge_filter_strength(
+                    w, h, filter_type, p_angle - 90)
+                num_px = (min(w, n_above if n_above is not None else w)
+                          + (h if p_angle < 90 else 0) + 1)
+                _filter_edge(AR, num_px, strength)
+            if have_left:
+                strength = intra_edge_filter_strength(
+                    w, h, filter_type, p_angle - 180)
+                num_px = (min(h, n_left if n_left is not None else h)
+                          + (w if p_angle > 180 else 0) + 1)
+                _filter_edge(LC, num_px, strength)
+        if use_intra_edge_upsample(w, h, filter_type, p_angle - 90):
+            up_a = 1
+            AR = _upsample_edge(AR, w + (h if p_angle < 90 else 0), bd)
+        if use_intra_edge_upsample(w, h, filter_type, p_angle - 180):
+            up_l = 1
+            LC = _upsample_edge(LC, h + (w if p_angle > 180 else 0), bd)
+    off_a = 1 << up_a
+    off_l = 1 << up_l
     ii = np.arange(h)[:, None]
     jj = np.arange(w)[None, :]
     if p_angle < 90:
         dx = DR_INTRA_DERIVATIVE[p_angle]
-        a = above.astype(np.int32)
         idx = (ii + 1) * dx
-        base = (idx >> 6) + jj
-        shift = (idx >> 1) & 31
-        max_base = w + h - 1
-        b0 = np.minimum(base, max_base)
-        b1 = np.minimum(base + 1, max_base)
-        out = (a[b0] * (32 - shift) + a[b1] * shift + 16) >> 5
-        return np.where(base > max_base, a[max_base], out).astype(np.int32)
+        base = (idx >> (6 - up_a)) + (jj << up_a)
+        shift = ((idx << up_a) >> 1) & 31
+        max_base = (w + h - 1) << up_a
+        b0 = np.minimum(base, max_base) + off_a
+        b1 = np.minimum(base + 1, max_base) + off_a
+        out = (AR[b0] * (32 - shift) + AR[b1] * shift + 16) >> 5
+        return np.where(base > max_base, AR[max_base + off_a],
+                        out).astype(np.int32)
     if p_angle > 180:
         dy = DR_INTRA_DERIVATIVE[270 - p_angle]
-        ll = left.astype(np.int32)
         idx = (jj + 1) * dy
-        base = (idx >> 6) + ii
-        shift = (idx >> 1) & 31
-        max_base = w + h - 1
-        b0 = np.minimum(base, max_base)
-        b1 = np.minimum(base + 1, max_base)
-        out = (ll[b0] * (32 - shift) + ll[b1] * shift + 16) >> 5
-        return np.where(base > max_base, ll[max_base], out).astype(np.int32)
-    # zone 2: 90 <= p_angle <= 180, both edges + top-left
+        base = (idx >> (6 - up_l)) + (ii << up_l)
+        shift = ((idx << up_l) >> 1) & 31
+        max_base = (w + h - 1) << up_l
+        b0 = np.minimum(base, max_base) + off_l
+        b1 = np.minimum(base + 1, max_base) + off_l
+        out = (LC[b0] * (32 - shift) + LC[b1] * shift + 16) >> 5
+        return np.where(base > max_base, LC[max_base + off_l],
+                        out).astype(np.int32)
+    if p_angle == 90:
+        return np.tile(AR[off_a: off_a + w].astype(np.int32), (h, 1))
+    if p_angle == 180:
+        return np.tile(LC[off_l: off_l + h].astype(np.int32)[:, None],
+                       (1, w))
+    # zone 2: 90 < p_angle < 180, both edges + the (filtered) corner
     dx = DR_INTRA_DERIVATIVE.get(180 - p_angle, 0)
     dy = DR_INTRA_DERIVATIVE.get(p_angle - 90, 0)
-    # edge vectors with top_left at index 0 (spec uses base >= -1)
-    a = np.concatenate([[top_left], above[:w].astype(np.int32)])
-    ll = np.concatenate([[top_left], left[:h].astype(np.int32)])
-    if p_angle == 90:
-        return np.tile(above[:w].astype(np.int32), (h, 1))
-    if p_angle == 180:
-        return np.tile(left[:h].astype(np.int32)[:, None], (1, w))
     idx_a = (jj << 6) - (ii + 1) * dx
-    base_a = idx_a >> 6                      # >= -1 means above usable
-    shift_a = (idx_a >> 1) & 31
-    ba0 = np.clip(base_a, -1, w - 1) + 1
-    ba1 = np.clip(base_a + 1, -1, w - 1) + 1
-    out_a = (a[ba0] * (32 - shift_a) + a[ba1] * shift_a + 16) >> 5
+    base_a = idx_a >> (6 - up_a)
+    use_a = base_a >= -(1 << up_a)
+    shift_a = ((idx_a << up_a) >> 1) & 31
+    hi_a = (w << up_a)
+    ba0 = np.clip(base_a, -off_a, hi_a - 1) + off_a
+    ba1 = np.clip(base_a + 1, -off_a, hi_a) + off_a
+    ba1 = np.minimum(ba1, len(AR) - 1)
+    out_a = (AR[ba0] * (32 - shift_a) + AR[ba1] * shift_a + 16) >> 5
     idx_l = (ii << 6) - (jj + 1) * dy
-    base_l = idx_l >> 6
-    shift_l = (idx_l >> 1) & 31
-    bl0 = np.clip(base_l, -1, h - 1) + 1
-    bl1 = np.clip(base_l + 1, -1, h - 1) + 1
-    out_l = (ll[bl0] * (32 - shift_l) + ll[bl1] * shift_l + 16) >> 5
-    return np.where(base_a >= -1, out_a, out_l).astype(np.int32)
+    base_l = idx_l >> (6 - up_l)
+    shift_l = ((idx_l << up_l) >> 1) & 31
+    hi_l = (h << up_l)
+    bl0 = np.clip(base_l, -off_l, hi_l - 1) + off_l
+    bl1 = np.clip(base_l + 1, -off_l, hi_l) + off_l
+    bl1 = np.minimum(bl1, len(LC) - 1)
+    out_l = (LC[bl0] * (32 - shift_l) + LC[bl1] * shift_l + 16) >> 5
+    return np.where(use_a, out_a, out_l).astype(np.int32)
 
 
 def cfl_ac(luma_rec: np.ndarray, cw: int, ch: int, ss_x: int = 1,
@@ -133,7 +279,10 @@ def predict(mode: PredictionMode, w: int, h: int,
             top_left: int | None, bd: int = 8,
             have_above: bool | None = None,
             have_left: bool | None = None,
-            angle_delta: int = 0) -> np.ndarray:
+            angle_delta: int = 0,
+            edge_filter: bool = False, filter_type: int = 0,
+            n_above: int | None = None,
+            n_left: int | None = None) -> np.ndarray:
     """Predict a w x h block from neighbor arrays.
 
     above: length >= w (may be longer for directional), or None if the
@@ -178,7 +327,11 @@ def predict(mode: PredictionMode, w: int, h: int,
         if len(ll) < w + h:
             ll = np.concatenate([ll, np.full(w + h - len(ll), ll[-1])])
         tl = int(top_left) if top_left is not None else base
-        return predict_directional(base_angle, w, h, a, ll, tl, bd)
+        return predict_directional(base_angle, w, h, a, ll, tl, bd,
+                                   edge_filter=edge_filter,
+                                   filter_type=filter_type,
+                                   have_above=avail_a, have_left=avail_l,
+                                   n_above=n_above, n_left=n_left)
     if mode == PredictionMode.PAETH_PRED:
         a = (above[:w].astype(np.int32) if have_a
              else np.full(w, base - 1, np.int32))
@@ -202,7 +355,11 @@ def predict(mode: PredictionMode, w: int, h: int,
         if len(ll) < w + h:
             ll = np.concatenate([ll, np.full(w + h - len(ll), ll[-1])])
         tl = int(top_left) if top_left is not None else base
-        return predict_directional(base_angle, w, h, a, ll, tl, bd)
+        return predict_directional(base_angle, w, h, a, ll, tl, bd,
+                                   edge_filter=edge_filter,
+                                   filter_type=filter_type,
+                                   have_above=avail_a, have_left=avail_l,
+                                   n_above=n_above, n_left=n_left)
     if mode in (PredictionMode.SMOOTH_PRED, PredictionMode.SMOOTH_V_PRED,
                 PredictionMode.SMOOTH_H_PRED):
         a = (above[:w].astype(np.int64) if have_a

@@ -210,8 +210,8 @@ def iadst4(x):
     s1 = s1 - s4
     s3 = s2
     s2 = SINPI[3] * b7
-    s0 = s0 + s6
-    s1 = s1 - s5
+    s0 = s0 + s5
+    s1 = s1 - s6
     x0 = s0 + s3
     x1 = s1 + s3
     x2 = s2

@@ -121,7 +121,7 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
                     cdef: tuple | None = None, bit_depth: int = 8,
                     chroma_sampling: str = "420",
                     film_grain=None, lr: bool = False,
-                    aq: bool = False):
+                    aq: bool = False, edge_filter: bool = True):
     """Encode one 8-bit 4:2:0 KEY frame. Returns (packet, recon planes).
 
     planes: [y (h,w), u, v] uint8, dims multiples of 8. Tile counts are
@@ -142,7 +142,8 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
                    bit_depth=bit_depth, profile=profile,
                    subsampling_x=ss_x, subsampling_y=ss_y,
                    film_grain_params_present=film_grain is not None,
-                   enable_restoration=lr)
+                   enable_restoration=lr,
+                   enable_intra_edge_filter=edge_filter)
     fp = FrameParams(frame_type=FrameType.KEY, base_q_idx=qindex)
     fp.film_grain = film_grain
     # variance AQ: 4 active segments with ALT_Q deltas; per-block ids
@@ -176,7 +177,7 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
                 [y[py0:py1, px0:px1], u[cy0:cy1, cx0:cx1],
                  v[cy0:cy1, cx0:cx1]],
                 qindex, block, bit_depth, ss_x, ss_y, lr=lr,
-                seg_alt_q=seg_alt_q)
+                seg_alt_q=seg_alt_q, edge_filter=edge_filter)
             tiles.append(tile)
             frame_rec[0][py0:py1, px0:px1] = recs[0]
             frame_rec[1][cy0:cy1, cx0:cx1] = recs[1]
@@ -196,7 +197,8 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
 def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
                           bit_depth: int = 8, ss_x: int = 1,
                           ss_y: int = 1, lr: bool = False,
-                          seg_alt_q: list | None = None):
+                          seg_alt_q: list | None = None,
+                          edge_filter: bool = True):
     """Encode one tile (tiles are fully independent: prediction and
     entropy context never cross the boundary, so a tile encodes exactly
     like a small frame). Returns (tile bytes, recon planes)."""
@@ -254,6 +256,19 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
 
     maxpx = (1 << bit_depth) - 1
 
+    # per-MI mode grids for the edge filter's smooth-neighbor check
+    ymode_grid = np.zeros((mi_rows, mi_cols), np.int16)
+    uvmode_grid = np.zeros((mi_rows, mi_cols), np.int16)
+    _SMOOTH = {int(PredictionMode.SMOOTH_PRED),
+               int(PredictionMode.SMOOTH_V_PRED),
+               int(PredictionMode.SMOOTH_H_PRED)}
+
+    def ftype(plane, r, c):
+        g = ymode_grid if plane == 0 else uvmode_grid
+        a_sm = r > 0 and int(g[r - 1, c]) in _SMOOTH
+        l_sm = c > 0 and int(g[r, c - 1]) in _SMOOTH
+        return 1 if (a_sm or l_sm) else 0
+
     def trial_pred(ps, x, yy, tx, tx_type, pred):
         h2, w2 = tx.height, tx.width
         resid = ps.src[yy: yy + h2, x: x + w2] - pred
@@ -265,12 +280,14 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
         sse = int(((ps.src[yy: yy + h2, x: x + w2] - rec) ** 2).sum())
         return lv, rec, sse
 
-    def trial(ps, x, yy, tx, tx_type, mode, delta=0):
+    def trial(ps, x, yy, tx, tx_type, mode, delta=0, ft=0):
         h2, w2 = tx.height, tx.width
         above, left, top_left, av_a, av_l = _edges(ps, x, yy, w2, h2)
+        ph2, pw2 = ps.src.shape
         pred = predict(mode, w2, h2, above, left, top_left,
                        bd=bit_depth, have_above=av_a, have_left=av_l,
-                       angle_delta=delta)
+                       angle_delta=delta, edge_filter=edge_filter,
+                       filter_type=ft, n_above=pw2 - x, n_left=ph2 - yy)
         return trial_pred(ps, x, yy, tx, tx_type, pred)
 
     def dc_pred_of(ps, x, yy, tx):
@@ -295,9 +312,11 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
         uvtx = chroma_tx_size(bsize, ss_x, ss_y)
         ytt = TxType.DCT_DCT
         # luma mode RDO over all 13 single-delta-0 modes
+        ft_y = ftype(0, r, c)
         best = None
         for m in y_modes:
-            lv, rec, sse = trial(states[0], c * 4, r * 4, ytx, ytt, m)
+            lv, rec, sse = trial(states[0], c * 4, r * 4, ytx, ytt, m,
+                                 ft=ft_y)
             cost = sse  # SSE-only decision (rate folded in later)
             if best is None or cost < best[0]:
                 best = (cost, m, 0, lv, rec)
@@ -305,7 +324,7 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
         if best[1] in ANGLE_BASE and bsize >= BlockSize.B8X8:
             for delta in (-3, -2, -1, 1, 2, 3):
                 lv, rec, sse = trial(states[0], c * 4, r * 4, ytx, ytt,
-                                     best[1], delta)
+                                     best[1], delta, ft=ft_y)
                 if sse < best[0]:
                     best = (sse, best[1], delta, lv, rec)
         _, y_mode, y_delta, ylv, yrec = best
@@ -314,12 +333,15 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
         # type follows uv_mode, so each candidate transforms with its
         # own type)
         bestc = None
+        ft_uv = ftype(1, r, c)
         for m in uv_modes:
             uvtt = chroma_tx_type(m, uvtx, True)
             ulv, urec, usse = trial(states[1], (c * 4) >> ss_x,
-                                    (r * 4) >> ss_y, uvtx, uvtt, m)
+                                    (r * 4) >> ss_y, uvtx, uvtt, m,
+                                    ft=ft_uv)
             vlv, vrec, vsse = trial(states[2], (c * 4) >> ss_x,
-                                    (r * 4) >> ss_y, uvtx, uvtt, m)
+                                    (r * 4) >> ss_y, uvtx, uvtt, m,
+                                    ft=ft_uv)
             if bestc is None or usse + vsse < bestc[0]:
                 bestc = (usse + vsse, m, ulv, urec, vlv, vrec)
         # CfL candidate (allowed <= 32x32): alpha per plane minimizing
@@ -376,6 +398,9 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
         else:
             d.coeffs = {0: ylv, 1: ulv, 2: vlv, "y_tx_type": ytt}
         blocks[(r, c)] = d
+        bh_mi, bwmi = bsize.height_mi, bsize.width_mi
+        ymode_grid[r: r + bh_mi, c: c + bwmi] = int(y_mode)
+        uvmode_grid[r: r + bh_mi, c: c + bwmi] = int(uv_mode)
 
     for r in range(0, mi_rows, 16):
         for c in range(0, mi_cols, 16):

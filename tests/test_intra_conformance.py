@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 
 from rav1e_tpu.conform import aom, dav1d
+from rav1e_tpu.core.constants import BlockSize
 from rav1e_tpu.pipeline.intra import encode_keyframe
 
 
@@ -313,3 +314,26 @@ def test_segmentation_aq():
         for j in range(3):
             assert np.array_equal(d[i].planes[j], rec[j]), (i, j)
             assert np.array_equal(a[i][j], rec[j]), (i, j)
+
+
+def test_intra_edge_filter_upsampling():
+    """Intra edge filter + 2x edge upsampling (seq bit on): smooth-
+    neighbor filter type, strength tables, corner filter and the
+    half-pel edge (orig at even offsets, (-1,9,9,-1)/16 between).
+    Small blocks with angle deltas maximize upsampled predictions."""
+    rng = np.random.default_rng(11)
+    w, h = 96, 104  # partial bottom row -> 8x8 blocks (blkWh 16)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (128 + 70 * np.sin((2 * xx + yy) / 5)
+         + rng.normal(0, 9, (h, w))).clip(0, 255).astype(np.uint8)
+    u = (128 + 40 * np.sin((xx[::2, ::2] + 2 * yy[::2, ::2]) / 7)) \
+        .clip(0, 255).astype(np.uint8)
+    v = (128 - 35 * np.cos(xx[::2, ::2] / 5)).clip(0, 255).astype(np.uint8)
+    for q in (60, 120):
+        pkt, rec = encode_keyframe([y, u, v], qindex=q,
+                                   block=BlockSize.B16X16)
+        d = dav1d.decode_all([pkt])
+        a = aom.decode_all([pkt])
+        for j in range(3):
+            assert np.array_equal(d[0].planes[j], rec[j]), (q, j)
+            assert np.array_equal(a[0][j], rec[j]), (q, j)
