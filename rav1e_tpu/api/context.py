@@ -77,13 +77,43 @@ class Context:
     control picks per-frame qindex when bitrate > 0."""
 
     def __init__(self, cfg: Config):
-        assert cfg.bit_depth == 8 and cfg.chroma_sampling == "420", (
-            "10/12-bit and 422/444 land with the bit-depth milestone")
+        if cfg.bit_depth not in (8, 10, 12):
+            raise ValueError(f"bit_depth must be 8/10/12, got "
+                             f"{cfg.bit_depth}")
+        if cfg.chroma_sampling not in ("420", "422", "444"):
+            raise ValueError(f"chroma_sampling must be 420/422/444, got "
+                             f"{cfg.chroma_sampling!r}")
+        if cfg.width < 1 or cfg.height < 1:
+            raise ValueError("frame dimensions must be >= 1")
         from rav1e_tpu.analysis.scenechange import SceneChangeDetector
         from rav1e_tpu.api.speed import SpeedSettings
         from rav1e_tpu.rate.rc import RCConfig, RCState
         self.cfg = cfg
         self.speed_settings = SpeedSettings.from_preset(cfg.speed)
+        # coded (padded) dims: the SB grid wants 32-multiples; input is
+        # edge-replicated up and the display crop is signaled via
+        # render_size (spec 5.9.6). rav1e instead pads Planes internally
+        # (v_frame Plane alloc padding) — same stream-level contract.
+        self._cw = (cfg.width + 31) // 32 * 32
+        self._ch = (cfg.height + 31) // 32 * 32
+        self._render = ((cfg.width, cfg.height)
+                        if (self._cw, self._ch) != (cfg.width, cfg.height)
+                        else None)
+        self._ss_x, self._ss_y = {"420": (1, 1), "422": (1, 0),
+                                  "444": (0, 0)}[cfg.chroma_sampling]
+        # inter pipelines are 4:2:0-only so far; 4:2:2/4:4:4 encode
+        # all-intra (every frame KEY) until the inter chroma generality
+        # milestone lands
+        self._intra_only = cfg.chroma_sampling != "420"
+        # tiles: power-of-two uniform grid, cols favored (rav1e
+        # TilingInfo::from_target_tiles)
+        from rav1e_tpu.entropy.obu import Sequence, TileInfo
+        tl = max(0, (max(1, cfg.tiles) - 1).bit_length())
+        seq_probe = Sequence(width=self._cw, height=self._ch)
+        ti_max = TileInfo(seq_probe)
+        cols_l2 = min((tl + 1) // 2, ti_max.max_log2_cols)
+        rows_l2 = min(tl - cols_l2, ti_max.max_log2_rows)
+        self._tile_cols_log2, self._tile_rows_log2 = cols_l2, rows_l2
         self._q: deque = deque()
         self._out: deque = deque()
         self._input_frameno = 0
@@ -102,12 +132,27 @@ class Context:
         # reordered (B-frame) mode: buffer groups of `bgroup` frames,
         # code the last as a non-shown anchor, the rest as B frames,
         # then a show_existing packet (rav1e low_latency=false path).
-        aligned = cfg.width % 32 == 0 and cfg.height % 32 == 0
         self._bgroup = 0
-        if not cfg.low_latency and aligned:
+        if not cfg.low_latency and not self._intra_only:
             self._bgroup = max(2, int(cfg.extra.get("bgroup", 4) or 4))
         self._gbuf: list = []
         self._cur_slot = 0        # slot holding the forward reference
+
+    def _pad_planes(self, planes):
+        """Edge-replicate planes up to the coded (32-aligned) size."""
+        cw, ch = self._cw, self._ch
+        tgt = [(ch, cw),
+               ((ch + self._ss_y) >> self._ss_y,
+                (cw + self._ss_x) >> self._ss_x),
+               ((ch + self._ss_y) >> self._ss_y,
+                (cw + self._ss_x) >> self._ss_x)]
+        out = []
+        for p, (th, tw) in zip(planes, tgt):
+            h, w = p.shape
+            if (h, w) != (th, tw):
+                p = np.pad(p, ((0, th - h), (0, tw - w)), mode="edge")
+            out.append(p)
+        return out
 
     # -- input side ----------------------------------------------------------
 
@@ -118,12 +163,27 @@ class Context:
             return EncoderStatus.SUCCESS
         if self._flushed:
             return EncoderStatus.ENOUGH_DATA
-        y, u, v = frame
-        if y.shape != (self.cfg.height, self.cfg.width):
+        y, u, v = (np.asarray(p) for p in frame)
+        cfg = self.cfg
+        if y.shape != (cfg.height, cfg.width):
             raise ValueError(
-                f"frame is {y.shape[::-1]}, config {self.cfg.width}x"
-                f"{self.cfg.height}")
-        self._q.append((self._input_frameno, [np.asarray(p) for p in frame]))
+                f"frame is {y.shape[::-1]}, config {cfg.width}x"
+                f"{cfg.height}")
+        c_h = (cfg.height + self._ss_y) >> self._ss_y
+        c_w = (cfg.width + self._ss_x) >> self._ss_x
+        for name, p in (("u", u), ("v", v)):
+            if p.shape != (c_h, c_w):
+                raise ValueError(
+                    f"{name} plane is {p.shape[::-1]}, expected "
+                    f"{c_w}x{c_h} for {cfg.chroma_sampling}")
+        want = np.uint8 if cfg.bit_depth == 8 else np.uint16
+        for name, p in (("y", y), ("u", u), ("v", v)):
+            if p.dtype != want and p.dtype.kind not in "iu":
+                raise ValueError(
+                    f"{name} plane dtype {p.dtype} does not match "
+                    f"bit_depth {cfg.bit_depth} (want {np.dtype(want)})")
+        self._q.append((self._input_frameno,
+                        self._pad_planes([y, u, v])))
         self._input_frameno += 1
         return EncoderStatus.SUCCESS
 
@@ -182,7 +242,8 @@ class Context:
             data, rec = encode_pframe(
                 pl, self._ref_rec, qindex=q,
                 order_hint=(base + 1) & 127, cdef=cdef, film_grain=grain,
-                refresh_flags=1 << slot_new, ref_slot=self._cur_slot)
+                refresh_flags=1 << slot_new, ref_slot=self._cur_slot,
+                render_size=self._render)
             self._finish(data, fn, "INTER", q, rec, slot_new, base + 1)
             return
         afn, apl = frames[-1]
@@ -193,7 +254,8 @@ class Context:
             apl, self._ref_rec, qindex=q,
             order_hint=(base + len(frames)) & 127, cdef=cdef,
             film_grain=grain, refresh_flags=1 << slot_new,
-            ref_slot=self._cur_slot, show_frame=False)
+            ref_slot=self._cur_slot, show_frame=False,
+            render_size=self._render)
         self._out.append(Packet(data=adata, input_frameno=afn,
                                 frame_type="INTER", qp=q))
         self._rc.update("INTER", q, len(adata) * 8)
@@ -203,7 +265,8 @@ class Context:
             bdata, _ = encode_bframe(
                 pl, self._ref_rec, arec32, qindex=qb,
                 order_hint=(base + i) & 127, cdef=cdef, film_grain=grain,
-                slot_fwd=self._cur_slot, slot_bwd=slot_new)
+                slot_fwd=self._cur_slot, slot_bwd=slot_new,
+                render_size=self._render)
             self._out.append(Packet(data=bdata, input_frameno=fn,
                                     frame_type="INTER", qp=qb))
             self._rc.update("INTER", qb, len(bdata) * 8)
@@ -249,42 +312,57 @@ class Context:
 
     def _encode_frame(self, frameno: int, planes,
                       force_key: bool | None = None) -> Packet:
-        h, w = planes[0].shape
-        aligned = (w % 32 == 0 and h % 32 == 0)
+        cfg = self.cfg
         if force_key is None:
             is_key = (self._detector.analyze_next_frame(planes[0])
-                      or self._ref_rec is None)
+                      or self._ref_rec is None or self._intra_only)
         else:
             is_key = force_key
         ftype = "KEY" if is_key else "INTER"
         q = self._rc.select_qi(ftype)
         cdef, grain = self._loop_params(is_key, q)
-        aq = str(self.cfg.extra.get("aq", "")).lower() in ("1", "true",
-                                                           "on", "yes")
+        aq = str(cfg.extra.get("aq", "")).lower() in ("1", "true",
+                                                      "on", "yes")
+        tiled = self._tile_cols_log2 or self._tile_rows_log2
+        # the TPU-batched paths carry the 8-bit 4:2:0 single-tile
+        # toolset; anything else goes through the reference pipelines
+        fast_ok = (cfg.bit_depth == 8 and cfg.chroma_sampling == "420"
+                   and not tiled)
         if is_key:
-            if aligned and grain is None and not aq:
+            if fast_ok and grain is None and not aq:
                 from rav1e_tpu.pipeline.tpu_intra import encode_keyframe_tpu
-                data, rec = encode_keyframe_tpu(planes, qindex=q,
-                                                cdef=cdef)
+                data, rec = encode_keyframe_tpu(
+                    planes, qindex=q, cdef=cdef, speed=cfg.speed,
+                    render_size=self._render)
             else:
                 from rav1e_tpu.pipeline.intra import encode_keyframe
-                data, rec = encode_keyframe(planes, qindex=q, cdef=cdef,
-                                            film_grain=grain, aq=aq)
+                data, rec = encode_keyframe(
+                    planes, qindex=q, cdef=cdef,
+                    film_grain=grain, aq=aq,
+                    bit_depth=cfg.bit_depth,
+                    chroma_sampling=cfg.chroma_sampling,
+                    tile_cols_log2=self._tile_cols_log2,
+                    tile_rows_log2=self._tile_rows_log2,
+                    lr=self.speed_settings.lr and not tiled,
+                    render_size=self._render)
             self._order_hint = 0
         else:
             self._order_hint += 1
-            if aligned and not aq:
+            if fast_ok and not aq:
                 from rav1e_tpu.pipeline.tpu_inter import encode_pframe_tpu
                 data, rec = encode_pframe_tpu(
                     planes, self._ref_rec, qindex=q,
                     order_hint=self._order_hint & 127, cdef=cdef,
-                    film_grain=grain)
+                    film_grain=grain, render_size=self._render)
             else:
                 from rav1e_tpu.pipeline.inter import encode_pframe
                 data, rec = encode_pframe(
                     planes, self._ref_rec, qindex=q,
                     order_hint=self._order_hint & 127, cdef=cdef,
-                    film_grain=grain, aq=aq)
+                    film_grain=grain, aq=aq, bit_depth=cfg.bit_depth,
+                    tile_cols_log2=self._tile_cols_log2,
+                    tile_rows_log2=self._tile_rows_log2,
+                    render_size=self._render)
         self._ref_rec = [np.asarray(p).astype(np.int32) for p in rec]
         self._rc.update(ftype, q, len(data) * 8)
         return Packet(data=data, input_frameno=frameno, frame_type=ftype,

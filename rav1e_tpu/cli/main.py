@@ -47,6 +47,8 @@ def main(argv=None):
     cfg = Config(width=info.width, height=info.height,
                  quantizer=args.quantizer, speed=args.speed,
                  key_frame_interval=args.keyint, tiles=args.tiles,
+                 bit_depth=info.bit_depth,
+                 chroma_sampling=info.chroma,
                  extra=extra)
     ctx = cfg.new_context()
     t0 = time.time()

@@ -188,6 +188,20 @@ class FrameParams:
     cdef_y_sec: int = 0        # {0, 1, 2, 4}
     cdef_uv_pri: int = 0
     cdef_uv_sec: int = 0
+    # render size (spec 5.9.6): display dims when the coded frame is
+    # padded (arbitrary-resolution input padded to the SB grid). None
+    # or == coded dims -> render_and_frame_size_different = 0.
+    render_size: tuple | None = None
+
+
+def _write_render_size(b: BitWriter, seq: "Sequence", fp: FrameParams):
+    rs = fp.render_size
+    if rs is not None and tuple(rs) != (seq.width, seq.height):
+        b.bit(1)  # render_and_frame_size_different
+        b.f(rs[0] - 1, 16)
+        b.f(rs[1] - 1, 16)
+    else:
+        b.bit(0)  # render_and_frame_size_different
 
 
 def _tile_log2(blk_size: int, target: int) -> int:
@@ -295,7 +309,7 @@ def write_frame_header(seq: Sequence, fp: FrameParams, ti: TileInfo) -> BitWrite
     b.f(fp.order_hint, seq.order_hint_bits)
     # primary_ref_frame implied NONE; refresh implied 0xFF
     # frame_size(): from sequence max; superres disabled -> nothing
-    b.bit(0)  # render_and_frame_size_different
+    _write_render_size(b, seq, fp)
     # allow_intrabc: not coded (screen content off)
     if not fp.disable_cdf_update:
         b.bit(1)  # disable_frame_end_update_cdf
@@ -476,7 +490,7 @@ def write_inter_frame_header(seq: Sequence, fp: FrameParams, ti: TileInfo,
     for i in range(7):
         b.f(ref_idx[i], 3)
     # frame size: size_override=0 -> from sequence; superres off
-    b.bit(0)  # render_and_frame_size_different
+    _write_render_size(b, seq, fp)
     b.bit(0)  # allow_high_precision_mv (quarter-pel MVs)
     # interpolation filter: not switchable, EIGHTTAP_REGULAR
     b.bit(0)  # is_filter_switchable

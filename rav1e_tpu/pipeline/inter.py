@@ -83,7 +83,7 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
                   cdef: tuple | None = None, bit_depth: int = 8,
                   refresh_flags: int = 0x01, ref_slot: int = 0,
                   show_frame: bool = True, film_grain=None,
-                  aq: bool = False):
+                  aq: bool = False, render_size: tuple | None = None):
     """Encode one P frame against ref_planes. Returns (packet, recon).
 
     Per 32x32 block: full-pel SAD search (+- search_px) with quarter-pel
@@ -98,7 +98,8 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
                    bit_depth=bit_depth,
                    profile=2 if bit_depth == 12 else 0,
                    film_grain_params_present=film_grain is not None)
-    fp = FrameParams(frame_type=FrameType.INTER, base_q_idx=qindex)
+    fp = FrameParams(frame_type=FrameType.INTER, base_q_idx=qindex,
+                     render_size=render_size)
     fp.film_grain = film_grain
     seg_alt_q = [-18, -6, 6, 18, None, None, None, None] if aq else None
     fp.seg_alt_q = seg_alt_q
@@ -234,7 +235,8 @@ def encode_bframe(planes, ref_fwd, ref_bwd, qindex: int = 100,
                   search_px: int = 16, bit_depth: int = 8,
                   cdef: tuple | None = None, film_grain=None,
                   slot_fwd: int = 0, slot_bwd: int = 1,
-                  ref_hints: tuple | None = None):
+                  ref_hints: tuple | None = None,
+                  render_size: tuple | None = None):
     """Encode one B frame: per block, single-ref prediction from either
     LAST (the forward recon, slot 0) or ALTREF (the backward recon,
     slot 1) - whichever wins the block SAD. No compound yet.
@@ -252,7 +254,8 @@ def encode_bframe(planes, ref_fwd, ref_bwd, qindex: int = 100,
     seq = Sequence(width=w, height=h, bit_depth=bit_depth,
                    enable_cdef=cdef is not None,
                    film_grain_params_present=film_grain is not None)
-    fp = FrameParams(frame_type=FrameType.INTER, base_q_idx=qindex)
+    fp = FrameParams(frame_type=FrameType.INTER, base_q_idx=qindex,
+                     render_size=render_size)
     fp.film_grain = film_grain
     if cdef is not None:
         (fp.cdef_y_pri, fp.cdef_y_sec, fp.cdef_uv_pri,

@@ -121,7 +121,8 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
                     cdef: tuple | None = None, bit_depth: int = 8,
                     chroma_sampling: str = "420",
                     film_grain=None, lr: bool = False,
-                    aq: bool = False, edge_filter: bool = True):
+                    aq: bool = False, edge_filter: bool = True,
+                    render_size: tuple | None = None):
     """Encode one 8-bit 4:2:0 KEY frame. Returns (packet, recon planes).
 
     planes: [y (h,w), u, v] uint8, dims multiples of 8. Tile counts are
@@ -144,7 +145,8 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
                    film_grain_params_present=film_grain is not None,
                    enable_restoration=lr,
                    enable_intra_edge_filter=edge_filter)
-    fp = FrameParams(frame_type=FrameType.KEY, base_q_idx=qindex)
+    fp = FrameParams(frame_type=FrameType.KEY, base_q_idx=qindex,
+                     render_size=render_size)
     fp.film_grain = film_grain
     # variance AQ: 4 active segments with ALT_Q deltas; per-block ids
     # are chosen inside the tile from source activity

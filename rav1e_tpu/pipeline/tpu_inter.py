@@ -247,11 +247,13 @@ def _fetch_outputs(o):
 
 
 def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
-                 use_native=True, cdef=None, film_grain=None):
+                 use_native=True, cdef=None, film_grain=None,
+                 render_size=None):
     """Entropy-pack one P frame from batched pipeline outputs."""
     seq = Sequence(width=w, height=h, enable_cdef=cdef is not None,
                    film_grain_params_present=film_grain is not None)
-    fp = FrameParams(frame_type=FrameType.INTER, base_q_idx=qindex)
+    fp = FrameParams(frame_type=FrameType.INTER, base_q_idx=qindex,
+                     render_size=render_size)
     fp.film_grain = film_grain
     if cdef is not None:
         (fp.cdef_y_pri, fp.cdef_y_sec, fp.cdef_uv_pri,
@@ -291,7 +293,8 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
 def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
                       order_hint: int = 1, use_native: bool = True,
                       ref_dev=None, return_device: bool = False,
-                      cdef: tuple | None = None, film_grain=None):
+                      cdef: tuple | None = None, film_grain=None,
+                      render_size: tuple | None = None):
     """TPU-batched P frame. Same bitstream contract as encode_pframe.
 
     ref_dev: optional device-resident reference planes (from a prior
@@ -314,7 +317,8 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
     mv8, skip, lv_y, lv_u, lv_v = _fetch_outputs(outs)
     rec_y, rec_u, rec_v = [np.asarray(o) for o in rec_dev]
     pkt = _pack_pframe(h, w, qindex, order_hint, mv8, skip,
-                       lv_y, lv_u, lv_v, use_native, cdef, film_grain)
+                       lv_y, lv_u, lv_v, use_native, cdef, film_grain,
+                       render_size)
     rec = [rec_y.astype(np.int32), rec_u.astype(np.int32),
            rec_v.astype(np.int32)]
     if return_device:

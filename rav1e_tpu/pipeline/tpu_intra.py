@@ -434,7 +434,8 @@ def _from_blocks(a: np.ndarray) -> np.ndarray:
 
 def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
                         speed: int = 6, deblock: bool = True,
-                        cdef: tuple | None = None):
+                        cdef: tuple | None = None,
+                        render_size: tuple | None = None):
     """TPU-batched KEY frame encode; dims must be multiples of 32.
 
     Returns (packet, recon planes) — recon is bit-exact decoder output
@@ -485,7 +486,8 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     lf = level_from_qindex(qindex) if deblock else 0
     seq = Sequence(width=w, height=h, enable_cdef=cdef is not None)
     fp = FrameParams(frame_type=FrameType.KEY, base_q_idx=qindex,
-                     loop_filter_levels=(lf, lf, lf, lf))
+                     loop_filter_levels=(lf, lf, lf, lf),
+                     render_size=render_size)
     if cdef is not None:
         (fp.cdef_y_pri, fp.cdef_y_sec, fp.cdef_uv_pri,
          fp.cdef_uv_sec, fp.cdef_damping) = cdef

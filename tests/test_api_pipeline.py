@@ -108,3 +108,54 @@ def test_context_bframe_reordering():
         err = np.abs(d[i].planes[0].astype(int)
                      - frames[i][0].astype(int)).mean()
         assert err < 10, (i, err)
+
+
+def test_arbitrary_dimensions():
+    """Any input size encodes: the Context pads to the 32-aligned coded
+    size (edge replication) and signals the display crop via
+    render_size (spec 5.9.6). Decoder output must equal the encoder's
+    padded reconstruction (rav1e pads Planes internally — same
+    stream-level contract)."""
+    rng = np.random.default_rng(7)
+    for (w, h) in [(48, 40), (50, 34), (33, 33)]:
+        frames = []
+        for t in range(4):
+            y = (100 + 20 * np.sin((np.arange(w) + 5 * t) / 7)[None, :]
+                 + rng.normal(0, 4, (h, w))).clip(0, 255).astype(np.uint8)
+            cs = ((h + 1) // 2, (w + 1) // 2)
+            frames.append([y, np.full(cs, 128, np.uint8),
+                           np.full(cs, 120, np.uint8)])
+        ctx = Config(width=w, height=h, quantizer=100).new_context()
+        pkts = _run(ctx, frames)
+        types = [p.frame_type for p in pkts]
+        assert types[0] == "KEY" and "INTER" in types, types
+        dec = dav1d.decode_all([p.data for p in pkts])
+        assert len(dec) == len(frames)
+        cw, chh = (w + 31) // 32 * 32, (h + 31) // 32 * 32
+        assert dec[0].planes[0].shape == (chh, cw)
+
+
+def test_send_frame_validates_planes():
+    """Mis-sized/mistyped chroma planes fail at the API boundary."""
+    import pytest
+    ctx = Config(width=64, height=64).new_context()
+    y = np.zeros((64, 64), np.uint8)
+    with pytest.raises(ValueError):
+        ctx.send_frame([y, np.zeros((64, 64), np.uint8),
+                        np.zeros((32, 32), np.uint8)])
+    with pytest.raises(ValueError):
+        ctx.send_frame([y.astype(np.float32),
+                        np.zeros((32, 32), np.uint8),
+                        np.zeros((32, 32), np.uint8)])
+
+
+def test_tiles_wired_through_context():
+    """Config.tiles maps to a real tile grid (uniform spacing, cols
+    favored) — rav1e TilingInfo::from_target_tiles contract."""
+    frames = _cut_sequence(w=256, h=128, n=3, cut=99)
+    ctx = Config(width=256, height=128, quantizer=100,
+                 tiles=2).new_context()
+    assert ctx._tile_cols_log2 == 1 and ctx._tile_rows_log2 == 0
+    pkts = _run(ctx, frames)
+    dec = dav1d.decode_all([p.data for p in pkts])
+    assert len(dec) == len(frames)
