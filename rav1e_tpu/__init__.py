@@ -41,7 +41,8 @@ def _setup_platform():
     (the env var JAX_PLATFORMS alone is ignored once the plugin
     registers)."""
     import os as _os
-    plat = _os.environ.get("RAV1E_TPU_PLATFORM")
+    plat = (_os.environ.get("RAV1E_TPU_PLATFORM")
+            or _os.environ.get("JAX_PLATFORMS"))
     if plat:
         try:
             import jax

@@ -52,6 +52,26 @@ def _round2(x, n):
     return (x + (1 << (n - 1))) >> n
 
 
+def build_rd_inter(qindex: int, bit_depth: int = 8) -> dict:
+    """Traced RD inputs for the batched P step: λ, MV-rate LUT, inter
+    mode bits, coefficient-rate LUTs (WriterCounter twin —
+    entropy/cost.py; rav1e src/rdo.rs::compute_rd_cost analog)."""
+    from rav1e_tpu.entropy.cost import (
+        inter_mode_bits, mv_component_bits, rd_lambda)
+    from rav1e_tpu.pipeline.tpu_intra import rate_luts
+    imb = inter_mode_bits()
+    return {
+        "lam": jnp.float32(rd_lambda(qindex, bit_depth)),
+        "mv_bits": jnp.asarray(mv_component_bits()),
+        "newmv": jnp.float32(imb["NEWMV"] + 1.2),  # + mv_joint avg
+        "globalmv": jnp.float32(imb["GLOBALMV"]),
+        "skip0": jnp.float32(imb["skip0"]),
+        "skip1": jnp.float32(imb["skip1"]),
+        "y32": rate_luts(qindex, TxSize.TX_32X32, 0),
+        "c16": rate_luts(qindex, TxSize.TX_16X16, 1),
+    }
+
+
 def _mc_batch(ref_pad, pos_r, pos_c, mv8, n, ss):
     """Batched sub-pel prediction. ref_pad padded by PAD>>ss with edge
     replication; pos_r/pos_c [B] plane-scale block origins; mv8 [B,2]
@@ -95,7 +115,7 @@ def _core(h: int, w: int, use_cdef: bool = False):
                 .transpose(0, 2, 1, 3).reshape(ph, pw))
 
     @jax.jit
-    def step(y, ry, u, ru, v, rv, dcq, acq, cdef_prm):
+    def step(y, ry, u, ru, v, rv, dcq, acq, cdef_prm, rd):
         y = y.astype(jnp.int32)
         ry = ry.astype(jnp.int32)
         ryp = jnp.pad(ry, PAD, mode="edge")
@@ -129,12 +149,14 @@ def _core(h: int, w: int, use_cdef: bool = False):
             precision=jax.lax.Precision.HIGHEST)[0]   # [B,33,33]
         ssd = wsq - 2.0 * corr + jnp.sum(
             (blks * blks).astype(jnp.float32), axis=(1, 2))[:, None, None]
-        dy = jnp.arange(-SEARCH, SEARCH + 1, dtype=jnp.float32)
-        mv_cost = 8.0 * (jnp.abs(dy)[None, :, None]
-                         + jnp.abs(dy)[None, None, :])
-        zero_bias = jnp.full((2 * SEARCH + 1,) * 2, 1024.0
-                             ).at[SEARCH, SEARCH].set(0.0)[None]
-        cost = ssd + mv_cost + zero_bias
+        # real MV + mode-signaling rate (entropy/cost.py LUTs):
+        # every non-zero candidate codes NEWMV + the MV residual;
+        # (0,0) codes GLOBALMV
+        fp_idx = np.abs(np.arange(-SEARCH, SEARCH + 1)) * 8
+        mvb = rd["mv_bits"][jnp.asarray(fp_idx)]
+        mv_rate = (mvb[:, None] + mvb[None, :] + rd["newmv"]
+                   ).at[SEARCH, SEARCH].set(rd["globalmv"])[None]
+        cost = ssd + rd["lam"] * mv_rate
         flat = jnp.argmin(cost.reshape(B, -1), axis=1)
         mv_fp = jnp.stack([flat // (2 * SEARCH + 1) - SEARCH,
                            flat % (2 * SEARCH + 1) - SEARCH], 1)
@@ -143,7 +165,9 @@ def _core(h: int, w: int, use_cdef: bool = False):
         def ssd8(mv8):
             pred = _mc_batch(ryp, by, bx, mv8, 32, 0)
             d = (pred - blks).astype(jnp.float32)
-            return jnp.sum(d * d, axis=(1, 2))
+            mvr = (rd["mv_bits"][jnp.abs(mv8[:, 0])]
+                   + rd["mv_bits"][jnp.abs(mv8[:, 1])])
+            return jnp.sum(d * d, axis=(1, 2)) + rd["lam"] * mvr
 
         mv8 = mv_fp * 8
         best = ssd8(mv8)
@@ -194,9 +218,27 @@ def _core(h: int, w: int, use_cdef: bool = False):
         lv_y, r2_y = code(blks - pred_y, TxSize.TX_32X32)
         lv_u, r2_u = code(ub - pred_u, TxSize.TX_16X16)
         lv_v, r2_v = code(vb - pred_v, TxSize.TX_16X16)
-        skip = ((lv_y == 0).all(axis=(1, 2)) & (lv_u == 0).all(axis=(1, 2))
-                & (lv_v == 0).all(axis=(1, 2)))
+        # skip as an RD decision (rav1e prices skip=1 vs coded
+        # residual; src/rdo.rs luma_chroma_mode_rdo skip trial):
+        # sse(recon) + λ(skip0 + coeff bits)  vs  sse(pred) + λ·skip1
+        from rav1e_tpu.pipeline.tpu_intra import block_bits
+        cd_y = jnp.clip(pred_y + r2_y, 0, 255)
+        cd_u = jnp.clip(pred_u + r2_u, 0, 255)
+        cd_v = jnp.clip(pred_v + r2_v, 0, 255)
+        sse_c = (jnp.sum((cd_y - blks).astype(jnp.float32) ** 2, (1, 2))
+                 + jnp.sum((cd_u - ub).astype(jnp.float32) ** 2, (1, 2))
+                 + jnp.sum((cd_v - vb).astype(jnp.float32) ** 2, (1, 2)))
+        sse_s = (jnp.sum((pred_y - blks).astype(jnp.float32) ** 2, (1, 2))
+                 + jnp.sum((pred_u - ub).astype(jnp.float32) ** 2, (1, 2))
+                 + jnp.sum((pred_v - vb).astype(jnp.float32) ** 2, (1, 2)))
+        cbits = (block_bits(lv_y, rd["y32"]) + block_bits(lv_u, rd["c16"])
+                 + block_bits(lv_v, rd["c16"]))
+        skip = (sse_s + rd["lam"] * rd["skip1"]
+                <= sse_c + rd["lam"] * (rd["skip0"] + cbits))
         sk3 = skip[:, None, None]
+        lv_y = jnp.where(sk3, 0, lv_y)
+        lv_u = jnp.where(sk3, 0, lv_u)
+        lv_v = jnp.where(sk3, 0, lv_v)
         rec_y = jnp.where(sk3, pred_y, jnp.clip(pred_y + r2_y, 0, 255))
         rec_u = jnp.where(sk3, pred_u, jnp.clip(pred_u + r2_u, 0, 255))
         rec_v = jnp.where(sk3, pred_v, jnp.clip(pred_v + r2_v, 0, 255))
@@ -312,7 +354,7 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
                 jnp.asarray(u), ref_dev[1],
                 jnp.asarray(v), ref_dev[2],
                 jnp.int32(dc_q_lut(qindex)), jnp.int32(ac_q_lut(qindex)),
-                cdef_prm)
+                cdef_prm, build_rd_inter(qindex))
     rec_dev = outs[9:12]
     mv8, skip, lv_y, lv_u, lv_v = _fetch_outputs(outs)
     rec_y, rec_u, rec_v = [np.asarray(o) for o in rec_dev]
@@ -342,6 +384,7 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
     step, _ = _core(h, w, cdef is not None)
     dcq = jnp.int32(dc_q_lut(qindex))
     acq = jnp.int32(ac_q_lut(qindex))
+    rd = build_rd_inter(qindex)
     cdef_prm = jnp.asarray(
         list(cdef) if cdef is not None else [0, 0, 0, 0, 3], jnp.int32)
     # dispatch every P step up front (jax async dispatch): the device
@@ -352,7 +395,7 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
     for f in frames[1:]:
         o = step(jnp.asarray(f[0]), ref_dev[0],
                  jnp.asarray(f[1]), ref_dev[1],
-                 jnp.asarray(f[2]), ref_dev[2], dcq, acq, cdef_prm)
+                 jnp.asarray(f[2]), ref_dev[2], dcq, acq, cdef_prm, rd)
         ref_dev = o[9:12]
         outs.append(o)
     for i, o in enumerate(outs, start=1):

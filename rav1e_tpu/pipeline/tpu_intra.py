@@ -8,8 +8,11 @@ through shared jitted kernels: predict (all modes) -> forward DCT
 RD-cost argmin. Whole frame = one lax.fori_loop dispatch.
 
 Mirrors rav1e's rdo_mode_decision (src/rdo.rs) restructured as
-fixed-shape candidate evaluation; rate is estimated from level
-magnitudes (WriterCounter-style exact costing lands later).
+fixed-shape candidate evaluation. Rate is the WriterCounter twin
+(entropy/cost.py): context-exact coefficient bit costs + mode
+signaling bits, cost = SSE + λ·bits with λ from the quantizer step
+(src/rate.rs QuantizerParameters analog). Quantizer and cost tables
+enter as traced values — rate-control q changes never recompile.
 
 Entropy packing consumes the level/mode grids afterwards through the
 native C++ packer (two-plane IR, SURVEY §7.0).
@@ -33,7 +36,7 @@ from rav1e_tpu.core.constants import (
 )
 from rav1e_tpu.entropy.obu import FrameParams, Sequence, TileInfo, keyframe_packet
 from rav1e_tpu.entropy.tile import BlockDecision, TileWriter
-from rav1e_tpu.ops.ref.quant import ac_q, dc_q
+from rav1e_tpu.ops.ref.quant import ac_q, dc_q, tx_scale
 from rav1e_tpu.ops.tpu import transforms as T
 from rav1e_tpu.ops.tpu.intra import predict_modes
 
@@ -47,109 +50,133 @@ MODES_FAST = (P.DC_PRED,)
 MODES_UV = (P.DC_PRED, P.V_PRED, P.H_PRED, P.SMOOTH_PRED)
 
 
-def _rate_estimate(lv):
-    """Cheap per-candidate rate proxy (bits): nnz + magnitude bits."""
-    a = jnp.abs(lv).astype(jnp.float32)
-    nz = (a > 0).astype(jnp.float32)
-    mag = jnp.log2(1.0 + a)
-    return jnp.sum(2.0 * nz + 2.0 * mag, axis=(-2, -1))
+# ---- rate model (WriterCounter twin, batched) ------------------------------
+
+def rate_luts(qindex: int, tx_size, plane: int) -> dict:
+    """Context-exact coefficient-rate LUTs for one (tx_size, plane)
+    as jnp arrays (entropy/cost.py). All TPU-path TX types are
+    2D-class, so one set per size/plane suffices."""
+    from rav1e_tpu.entropy.cost import tx_block_cost_luts
+    luts = tx_block_cost_luts(qindex, tx_size, TxType.DCT_DCT, plane)
+    n = luts["scan_pos"].size
+    sp = luts["scan_pos"]
+    eregion = np.where(sp == 0, 0,
+                       np.where(sp <= (n >> 3), 1,
+                                np.where(sp <= (n >> 2), 2, 3)))
+    return {"scan_pos": jnp.asarray(sp),
+            "off_grid": jnp.asarray(luts["off_grid"]),
+            "base_bits": jnp.asarray(luts["base_bits"].reshape(-1)),
+            "eob_base_bits": jnp.asarray(
+                luts["eob_base_bits"].reshape(-1)),
+            "br_lvl_bits": jnp.asarray(luts["br_lvl_bits"].reshape(-1)),
+            "eob_cost": jnp.asarray(luts["eob_cost"]),
+            "eregion": jnp.asarray(eregion),
+            "skip1": jnp.float32(luts["skip1"]),
+            "skip0": jnp.float32(luts["skip0"])}
 
 
-def _plane_step(rec, src, lv_store, mode_store, ii, jj, mask,
-                tx_size, dqs, modes, lam):
-    blkh, blkw = tx_size.height, tx_size.width
-    n = ii.shape[0]
-    K = len(modes)
-    srcb = src[ii, jj]  # [N, h, w]
-    has_a = ii > 0
-    has_l = jj > 0
-    above = rec[jnp.maximum(ii - 1, 0), jj][:, blkh - 1, :]
-    left = rec[ii, jnp.maximum(jj - 1, 0)][:, :, blkw - 1]
-    tl = rec[jnp.maximum(ii - 1, 0), jnp.maximum(jj - 1, 0)][:, blkh - 1,
-                                                             blkw - 1]
-    preds = predict_modes(modes, above, left, tl, has_a, has_l, blkh, blkw)
-    resid = srcb[None] - preds  # [K, N, h, w]
-    flat = resid.reshape(K * n, blkh, blkw)
-    cf = T.forward_transform(flat, tx_size, TxType.DCT_DCT)
-    lv = T.quantize(cf, tx_size, dqs[0], dqs[1])
-    dq = T.dequantize(lv, tx_size, dqs[0], dqs[1])
-    r2 = T.inverse_transform(dq, tx_size, TxType.DCT_DCT)
-    recb = jnp.clip(preds.reshape(K * n, blkh, blkw) + r2, 0, 255)
-    recb = recb.astype(jnp.int32).reshape(K, n, blkh, blkw)
-    lvk = lv.reshape(K, n, blkh, blkw)
-    sse = jnp.sum((recb - srcb[None]).astype(jnp.float32) ** 2,
-                  axis=(-2, -1))
-    bits = _rate_estimate(lvk)
-    cost = sse + lam * bits  # [K, N]
-    best = jnp.argmin(cost, axis=0)  # [N]
-    sel = jnp.arange(n)
-    rec_sel = recb[best, sel]
-    lv_sel = lvk[best, sel]
-    m = mask[:, None, None]
-    rec = rec.at[ii, jj].set(jnp.where(m, rec_sel, rec[ii, jj]))
-    lv_store = lv_store.at[ii, jj].set(
-        jnp.where(m, lv_sel, lv_store[ii, jj]))
-    mode_tab = jnp.asarray(np.array([int(mm) for mm in modes], np.int32))
-    mode_store = mode_store.at[ii, jj].set(
-        jnp.where(mask, mode_tab[best], mode_store[ii, jj]))
-    return rec, lv_store, mode_store
+def block_bits(lv, L) -> jnp.ndarray:
+    """Estimated coefficient bits for level blocks lv [..., h, w] with
+    LUT set L (rate_luts). Reproduces the serial writer's context
+    chain (entropy/coeffs.py::write_coeffs) batched: base/br contexts
+    from neighbor levels, exact eob accounting, golomb tails."""
+    a = jnp.abs(lv)
+    h, w = a.shape[-2], a.shape[-1]
+    lv3 = jnp.minimum(a, 3)
+    lv15 = jnp.minimum(a, 15)
+
+    def sh2(x, dr, dc):
+        if not (dr or dc):
+            return x
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, dr), (0, dc)]
+                       )[..., dr:, dc:]
+
+    nsum = (sh2(lv3, 0, 1) + sh2(lv3, 1, 0) + sh2(lv3, 1, 1)
+            + sh2(lv3, 0, 2) + sh2(lv3, 2, 0))
+    brsum = sh2(lv15, 0, 1) + sh2(lv15, 1, 0) + sh2(lv15, 1, 1)
+    rr = jnp.arange(h)[:, None]
+    cc = jnp.arange(w)[None, :]
+    br_off = jnp.where((rr == 0) & (cc == 0), 0,
+                       jnp.where((rr < 2) & (cc < 2), 7, 14))
+    bctx = jnp.minimum((nsum + 1) >> 1, 4) + L["off_grid"]
+    bctx = bctx.at[..., 0, 0].set(0)
+    brctx = jnp.minimum((brsum + 1) >> 1, 6) + br_off
+    base = L["base_bits"][bctx * 4 + lv3]
+    br = L["br_lvl_bits"][brctx * 16 + lv15]
+    gol = jnp.where(
+        a > 14,
+        2.0 * jnp.floor(jnp.log2(jnp.maximum(a - 14, 1).astype(
+            jnp.float32))) + 1.0, 0.0)
+    sign = (a > 0).astype(jnp.float32)
+    per = base + br + gol + sign
+    ebits = (L["eob_base_bits"][L["eregion"] * 3
+                                + jnp.maximum(lv3 - 1, 0)]
+             + br + gol + sign)
+    sp = L["scan_pos"]
+    eob = jnp.max(jnp.where(a > 0, sp + 1, 0), axis=(-2, -1))
+    at_eob = sp == (eob[..., None, None] - 1)
+    coded = sp < eob[..., None, None]
+    body = jnp.sum(jnp.where(coded, jnp.where(at_eob, ebits, per), 0.0),
+                   axis=(-2, -1))
+    return jnp.where(eob == 0, L["skip1"],
+                     L["skip0"] + L["eob_cost"][eob] + body)
 
 
-def _chroma_joint_step(ru, rv, su, sv, lu, lvv, mode_store, ii, jj, mask,
-                       tx_size, dqs, modes, lam):
-    """Chroma RDO: u and v share the single coded uv_mode, so the
-    candidate cost is joint (sse_u + sse_v + lam * rate)."""
-    blkh, blkw = tx_size.height, tx_size.width
-    n = ii.shape[0]
-    K = len(modes)
-
-    from rav1e_tpu.entropy.tile import chroma_tx_type
-
-    def plane_cands(rec, src):
-        srcb = src[ii, jj]
-        has_a = ii > 0
-        has_l = jj > 0
-        above = rec[jnp.maximum(ii - 1, 0), jj][:, blkh - 1, :]
-        left = rec[ii, jnp.maximum(jj - 1, 0)][:, :, blkw - 1]
-        tl = rec[jnp.maximum(ii - 1, 0),
-                 jnp.maximum(jj - 1, 0)][:, blkh - 1, blkw - 1]
-        preds = predict_modes(modes, above, left, tl, has_a, has_l,
-                              blkh, blkw)
-        # the decoder DERIVES the chroma tx type from uv_mode (spec
-        # Mode_To_Txfm), so each candidate transforms with its own type
-        recs, lvs = [], []
-        for k, m in enumerate(modes):
-            tt = chroma_tx_type(m, tx_size, True)
-            resid = srcb - preds[k]
-            cf = T.forward_transform(resid, tx_size, tt)
-            lv = T.quantize(cf, tx_size, dqs[0], dqs[1])
-            dq = T.dequantize(lv, tx_size, dqs[0], dqs[1])
-            r2 = T.inverse_transform(dq, tx_size, tt)
-            recs.append(jnp.clip(preds[k] + r2, 0, 255).astype(jnp.int32))
-            lvs.append(lv)
-        recb = jnp.stack(recs, axis=0)
-        lvk = jnp.stack(lvs, axis=0)
-        sse = jnp.sum((recb - srcb[None]).astype(jnp.float32) ** 2,
-                      axis=(-2, -1))
-        return recb, lvk, sse
-
-    rec_u, lv_u, sse_u = plane_cands(ru, su)
-    rec_v, lv_v, sse_v = plane_cands(rv, sv)
-    cost = sse_u + sse_v + lam * (_rate_estimate(lv_u) + _rate_estimate(lv_v))
-    best = jnp.argmin(cost, axis=0)
-    sel = jnp.arange(n)
-    m = mask[:, None, None]
-    ru = ru.at[ii, jj].set(jnp.where(m, rec_u[best, sel], ru[ii, jj]))
-    rv = rv.at[ii, jj].set(jnp.where(m, rec_v[best, sel], rv[ii, jj]))
-    lu = lu.at[ii, jj].set(jnp.where(m, lv_u[best, sel], lu[ii, jj]))
-    lvv = lvv.at[ii, jj].set(jnp.where(m, lv_v[best, sel], lvv[ii, jj]))
-    mode_tab = jnp.asarray(np.array([int(mm) for mm in modes], np.int32))
-    mode_store = mode_store.at[ii, jj].set(
-        jnp.where(mask, mode_tab[best], mode_store[ii, jj]))
-    return ru, rv, lu, lvv, mode_store
+def build_rd(qindex: int, modes_y, modes_uv, bit_depth: int = 8) -> dict:
+    """All traced RD inputs for wavefront_frame: quantizers, λ, rate
+    LUTs, per-candidate mode-signaling bits, partition bits."""
+    from rav1e_tpu.entropy.cost import mode_cost_tables, rd_lambda
+    mc = mode_cost_tables()
+    ybits = np.array([mc["kf_y_mode"][int(m)] for m in modes_y],
+                     np.float32)
+    uvbits = np.array([mc["uv_mode"][int(m)] for m in modes_uv],
+                      np.float32)
+    pm = mc["partition_mid"]
+    return {
+        "qdc": jnp.int32(dc_q(qindex, 0, bit_depth)),
+        "qac": jnp.int32(ac_q(qindex, 0, bit_depth)),
+        "qdc_c": jnp.int32(dc_q(qindex, 0, bit_depth)),
+        "qac_c": jnp.int32(ac_q(qindex, 0, bit_depth)),
+        "lam": jnp.float32(rd_lambda(qindex, bit_depth)),
+        "y32": rate_luts(qindex, TxSize.TX_32X32, 0),
+        "y16": rate_luts(qindex, TxSize.TX_16X16, 0),
+        "c16": rate_luts(qindex, TxSize.TX_16X16, 1),
+        "c8": rate_luts(qindex, TxSize.TX_8X8, 1),
+        "ybits": jnp.asarray(ybits),
+        "uvbits": jnp.asarray(uvbits),
+        # partition signaling: NONE@32 vs SPLIT@32 + 4x NONE@16
+        "split_bits": jnp.float32(
+            pm[int(PartitionType.SPLIT)] - pm[int(PartitionType.NONE)]
+            + 4.0 * pm[int(PartitionType.NONE)]),
+    }
 
 
-def _cand_eval(preds, srcb, tx_size, dqs, tts):
+def _q_dyn(cf, tx_size, dcq, acq):
+    """Quantize with traced quantizer scalars (ops.ref.quant twin)."""
+    shift = tx_scale(tx_size)
+    h, w = tx_size.height, tx_size.width
+    dc_mask = np.zeros((h, w), bool)
+    dc_mask[0, 0] = True
+    m = jnp.asarray(dc_mask)
+    q = jnp.where(m, dcq, acq).astype(jnp.int32)
+    bias = jnp.where(m, 21, 17)
+    a = jnp.abs(cf) << shift
+    lv = jnp.minimum((a + (q * bias) // 64) // q, (1 << 15) - 1)
+    return jnp.sign(cf) * lv
+
+
+def _dq_dyn(lv, tx_size, dcq, acq):
+    shift = tx_scale(tx_size)
+    h, w = tx_size.height, tx_size.width
+    dc_mask = np.zeros((h, w), bool)
+    dc_mask[0, 0] = True
+    m = jnp.asarray(dc_mask)
+    q = jnp.where(m, dcq, acq).astype(jnp.int32)
+    dqv = ((jnp.abs(lv) * q) & 0xFFFFFF) >> shift
+    return jnp.sign(lv) * dqv
+
+
+def _cand_eval(preds, srcb, tx_size, dqs, tts, maxpx=255):
     """Evaluate K prediction candidates: returns (rec, lv, sse) stacked
     [K, N, h, w] / [K, N]; tts: per-candidate TxType list."""
     K, n, blkh, blkw = preds.shape
@@ -157,20 +184,20 @@ def _cand_eval(preds, srcb, tx_size, dqs, tts):
     if len(set(tts)) == 1:
         resid = (srcb[None] - preds).reshape(K * n, blkh, blkw)
         cf = T.forward_transform(resid, tx_size, tts[0])
-        lv = T.quantize(cf, tx_size, dqs[0], dqs[1])
-        dq = T.dequantize(lv, tx_size, dqs[0], dqs[1])
+        lv = _q_dyn(cf, tx_size, dqs[0], dqs[1])
+        dq = _dq_dyn(lv, tx_size, dqs[0], dqs[1])
         r2 = T.inverse_transform(dq, tx_size, tts[0])
-        recb = jnp.clip(preds.reshape(K * n, blkh, blkw) + r2, 0, 255)
+        recb = jnp.clip(preds.reshape(K * n, blkh, blkw) + r2, 0, maxpx)
         recb = recb.astype(jnp.int32).reshape(K, n, blkh, blkw)
         lvk = lv.reshape(K, n, blkh, blkw)
     else:
         for k in range(K):
             resid = srcb - preds[k]
             cf = T.forward_transform(resid, tx_size, tts[k])
-            lv = T.quantize(cf, tx_size, dqs[0], dqs[1])
-            dq = T.dequantize(lv, tx_size, dqs[0], dqs[1])
+            lv = _q_dyn(cf, tx_size, dqs[0], dqs[1])
+            dq = _dq_dyn(lv, tx_size, dqs[0], dqs[1])
             r2 = T.inverse_transform(dq, tx_size, tts[k])
-            recs.append(jnp.clip(preds[k] + r2, 0, 255).astype(jnp.int32))
+            recs.append(jnp.clip(preds[k] + r2, 0, maxpx).astype(jnp.int32))
             lvs.append(lv)
         recb = jnp.stack(recs, 0)
         lvk = jnp.stack(lvs, 0)
@@ -180,7 +207,7 @@ def _cand_eval(preds, srcb, tx_size, dqs, tts):
 
 
 def _quad_plane(edge_above, edge_left, edge_tl, has_a0, has_l0, srcb,
-                tx_size, dqs, modes, lam, tts):
+                tx_size, dqs, modes, lam, tts, L, mbits):
     """Evaluate the 4-way split of a block: each half-size sub-block
     RDO'd sequentially (TL, TR, BL, BR) using in-progress recon.
 
@@ -219,7 +246,7 @@ def _quad_plane(edge_above, edge_left, edge_tl, has_a0, has_l0, srcb,
                               half, half)
         sub_src = srcb[:, r0: r0 + half, c0: c0 + half]
         recb, lvk, sse = _cand_eval(preds, sub_src, tx_size, dqs, tts)
-        cost = sse + lam * _rate_estimate(lvk)
+        cost = sse + lam * (block_bits(lvk, L) + mbits[:, None])
         best = jnp.argmin(cost, axis=0)
         sel = jnp.arange(n)
         cur_rec = cur_rec.at[:, r0: r0 + half, c0: c0 + half].set(
@@ -232,20 +259,21 @@ def _quad_plane(edge_above, edge_left, edge_tl, has_a0, has_l0, srcb,
     return cur_rec, cur_lv, jnp.stack(sub_modes, axis=-1), total
 
 
-@partial(jax.jit, static_argnames=("qdc", "qac", "qdc_c", "qac_c",
-                                   "modes_y", "modes_uv", "split_rdo"))
-def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab,
-                    qdc, qac, qdc_c, qac_c, modes_y, modes_uv,
-                    split_rdo=False):
+@partial(jax.jit, static_argnames=("modes_y", "modes_uv", "split_rdo"))
+def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
+                    modes_y, modes_uv, split_rdo=False):
     """Whole-frame wavefront: fori_loop over diagonals, one dispatch.
 
     With split_rdo, each 32x32 node also evaluates the PARTITION_SPLIT
     alternative (four 16x16 luma + four 8x8 chroma sub-blocks) and the
     joint y+u+v cost decides, mirroring rav1e's rdo_partition_decision
     restructured as two fixed-shape candidate sets.
-    """
-    qstep = qdc / 8.0
-    lam = 0.12 * qstep * qstep
+
+    rd: traced RD inputs from build_rd (quantizers, λ, rate LUTs, mode
+    bits) — changing qindex does NOT recompile."""
+    lam = rd["lam"]
+    qdc, qac = rd["qdc"], rd["qac"]
+    qdc_c, qac_c = rd["qdc_c"], rd["qac_c"]
     from rav1e_tpu.entropy.tile import chroma_tx_type
 
     def gather_edges(rec, ii, jj, blkh, blkw):
@@ -273,7 +301,8 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab,
         rec32, lv32, sse32 = _cand_eval(
             preds32, srcb_y, TxSize.TX_32X32, (qdc, qac),
             [TxType.DCT_DCT] * len(modes_y))
-        cost32 = sse32 + lam * _rate_estimate(lv32)
+        cost32 = sse32 + lam * (block_bits(lv32, rd["y32"])
+                                + rd["ybits"][:, None])
         b32 = jnp.argmin(cost32, axis=0)
         y32_rec, y32_lv = rec32[b32, sel], lv32[b32, sel]
         mode_tab = jnp.asarray(
@@ -286,17 +315,21 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab,
         cts16 = [chroma_tx_type(m, TxSize.TX_16X16, True)
                  for m in modes_uv]
 
-        def chroma_cands(rec, src, tx, tts):
+        def chroma_cands(rec, src, tx, tts, dqs):
             blk = tx.height
             a, l_, tl = gather_edges(rec, ii, jj, blk, blk)
             preds = predict_modes(modes_uv, a, l_, tl, has_a, has_l,
                                   blk, blk)
-            return _cand_eval(preds, src[ii, jj], tx, (qdc_c, qac_c), tts)
+            return _cand_eval(preds, src[ii, jj], tx, dqs, tts)
 
-        ur, ulv, usse = chroma_cands(ru, su, TxSize.TX_16X16, cts16)
-        vr, vlv, vsse = chroma_cands(rv, sv, TxSize.TX_16X16, cts16)
+        ur, ulv, usse = chroma_cands(ru, su, TxSize.TX_16X16, cts16,
+                                     (qdc_c, qac_c))
+        vr, vlv, vsse = chroma_cands(rv, sv, TxSize.TX_16X16, cts16,
+                                     (qdc_c, qac_c))
         ccost = (usse + vsse
-                 + lam * (_rate_estimate(ulv) + _rate_estimate(vlv)))
+                 + lam * (block_bits(ulv, rd["c16"])
+                          + block_bits(vlv, rd["c16"])
+                          + rd["uvbits"][:, None]))
         bc = jnp.argmin(ccost, axis=0)
         mode_tab_uv = jnp.asarray(
             np.array([int(m) for m in modes_uv], np.int32))
@@ -308,9 +341,9 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab,
             yq_rec, yq_lv, yq_modes, yq_cost = _quad_plane(
                 a_y, l_y, tl_y, has_a, has_l, srcb_y, TxSize.TX_16X16,
                 (qdc, qac), modes_y, lam,
-                [TxType.DCT_DCT] * len(modes_y))
-            # ---- chroma 8-quad (joint u+v per sub-block is approximated
-            # by per-plane independent choice with shared mode argmin) --
+                [TxType.DCT_DCT] * len(modes_y), rd["y16"], rd["ybits"])
+            # ---- chroma 8-quad: joint u+v per sub-block with shared
+            # mode pick ----
             cts8 = [chroma_tx_type(m, TxSize.TX_8X8, True)
                     for m in modes_uv]
 
@@ -321,7 +354,6 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab,
 
             au, lu_, tlu, srcu = chroma_quad(ru, su)
             av, lv_, tlv, srcv = chroma_quad(rv, sv)
-            # joint u+v quad: run subs in lockstep with shared mode pick
             half = CB // 2
             cur_u = jnp.zeros((n, CB, CB), jnp.int32)
             cur_v = jnp.zeros((n, CB, CB), jnp.int32)
@@ -365,8 +397,10 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab,
                                            (qdc_c, qac_c), cts8)
                 rv8, lv8, sv8 = _cand_eval(pv, ssub_v, TxSize.TX_8X8,
                                            (qdc_c, qac_c), cts8)
-                cst = (su8 + sv8 + lam * (_rate_estimate(lu8)
-                                          + _rate_estimate(lv8)))
+                cst = (su8 + sv8
+                       + lam * (block_bits(lu8, rd["c8"])
+                                + block_bits(lv8, rd["c8"])
+                                + rd["uvbits"][:, None]))
                 bq = jnp.argmin(cst, axis=0)
                 cur_u = cur_u.at[:, r0: r0 + half, c0: c0 + half].set(
                     ru8[bq, sel])
@@ -380,7 +414,7 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab,
                 cq_cost = cq_cost + cst[bq, sel]
             cq_modes = jnp.stack(cq_modes, axis=-1)
 
-            split_cost = yq_cost + cq_cost + lam * 4.0
+            split_cost = yq_cost + cq_cost + lam * rd["split_bits"]
             none_cost = y32_cost + c16[5]
             split = split_cost < none_cost
             s3 = split[:, None, None]
@@ -460,7 +494,6 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
         jnp.zeros((bh, bw), bool),
     )
     maxlen = min(bh, bw)
-    qdc, qac = dc_q(qindex), ac_q(qindex)
     n_diag = bh + bw - 1
     # padded lanes scatter out of bounds (dropped by XLA) so they can
     # never clobber real blocks via duplicate indices
@@ -475,10 +508,10 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     modes_y = MODES_FULL if speed <= 8 else MODES_FAST
     modes_uv = MODES_UV if speed <= 8 else MODES_FAST
     split_rdo = speed <= 7
+    rd = build_rd(qindex, modes_y, modes_uv)
     state = wavefront_frame(state, (sy, su, sv), jnp.asarray(ii_tab),
                             jnp.asarray(jj_tab), jnp.asarray(mask_tab),
-                            qdc, qac, qdc, qac, modes_y, modes_uv,
-                            split_rdo)
+                            rd, modes_y, modes_uv, split_rdo)
     ry, ru, rv, ly, lu, lvv, my, mu, sp = [np.asarray(s) for s in state]
 
     # ---- pack (host, serial; C++ packer when available) -------------------
