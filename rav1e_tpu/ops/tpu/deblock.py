@@ -1,0 +1,303 @@
+"""Deblocking filter on TPU (jnp twin of ops.ref.deblock).
+
+Whole-frame batched: with a uniform TX grid (spacing >= 8) the filter
+reach (±7 luma / ±3 chroma) never overlaps between edges, so ALL
+vertical edges filter in one gather/compute/scatter, then all
+horizontal edges — the spec's serial edge order is irrelevant here
+(rav1e src/deblock.rs::deblock_filter_frame, restructured per
+SURVEY §7.0 "filter searches as whole-frame passes").
+
+Filter levels are TRACED scalars: the level search vmaps this kernel
+over a candidate set with zero recompiles (deblock_filter_optimize
+analog, whole-frame).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _filter_stack(p, q, limit, blimit, thresh, size, bd=8, mask=None):
+    """jnp twin of ops.ref.deblock._filter_edge. p/q: [M, n] int32,
+    p[:, 0] nearest the edge; limit/blimit/thresh traced int32."""
+    F = 1 << (bd - 8)
+    p0, p1 = p[:, 0], p[:, 1]
+    q0, q1 = q[:, 0], q[:, 1]
+    fmask = ((jnp.abs(p1 - p0) <= limit) & (jnp.abs(q1 - q0) <= limit)
+             & (jnp.abs(p0 - q0) * 2 + jnp.abs(p1 - q1) // 2 <= blimit))
+    if mask is not None:
+        fmask = fmask & mask
+    if size >= 6:
+        p2, q2 = p[:, 2], q[:, 2]
+        fmask &= (jnp.abs(p2 - p1) <= limit) & (jnp.abs(q2 - q1) <= limit)
+    if size >= 8:
+        p3, q3 = p[:, 3], q[:, 3]
+        fmask &= (jnp.abs(p3 - p2) <= limit) & (jnp.abs(q3 - q2) <= limit)
+    hev = (jnp.abs(p1 - p0) > thresh) | (jnp.abs(q1 - q0) > thresh)
+
+    off = 0x80 * F
+    lo, hi = -128 * F, 128 * F - 1
+
+    def c3(x):
+        return jnp.clip(x, lo, hi)
+
+    ps1, ps0 = p1 - off, p0 - off
+    qs0, qs1 = q0 - off, q1 - off
+    fil = jnp.where(hev, c3(ps1 - qs1), 0)
+    fil = c3(fil + 3 * (qs0 - ps0))
+    f1 = c3(fil + 4) >> 3
+    f2 = c3(fil + 3) >> 3
+    n_q0 = c3(qs0 - f1) + off
+    n_p0 = c3(ps0 + f2) + off
+    f3 = (f1 + 1) >> 1
+    n_q1 = c3(qs1 - f3) + off
+    n_p1 = c3(ps1 + f3) + off
+
+    def r3(x):
+        return (x + 4) >> 3
+
+    def r4(x):
+        return (x + 8) >> 4
+
+    out_p = p
+    out_q = q
+    if size == 4:
+        sel4 = fmask
+        out_p = out_p.at[:, 0].set(jnp.where(sel4, n_p0, p0))
+        out_p = out_p.at[:, 1].set(jnp.where(sel4 & ~hev, n_p1, p1))
+        out_q = out_q.at[:, 0].set(jnp.where(sel4, n_q0, q0))
+        out_q = out_q.at[:, 1].set(jnp.where(sel4 & ~hev, n_q1, q1))
+        return out_p, out_q
+
+    if size == 6:
+        p2, q2 = p[:, 2], q[:, 2]
+        flat = (jnp.maximum(
+            jnp.maximum(jnp.abs(p1 - p0), jnp.abs(q1 - q0)),
+            jnp.maximum(jnp.abs(p2 - p0), jnp.abs(q2 - q0))) <= F)
+        w_p1 = r3(p2 * 3 + p1 * 2 + p0 * 2 + q0)
+        w_p0 = r3(p2 + p1 * 2 + p0 * 2 + q0 * 2 + q1)
+        w_q0 = r3(p1 + p0 * 2 + q0 * 2 + q1 * 2 + q2)
+        w_q1 = r3(p0 + q0 * 2 + q1 * 2 + q2 * 3)
+        selw = fmask & flat
+        sel4 = fmask & ~flat
+        out_p = out_p.at[:, 0].set(
+            jnp.where(selw, w_p0, jnp.where(sel4, n_p0, p0)))
+        out_p = out_p.at[:, 1].set(
+            jnp.where(selw, w_p1, jnp.where(sel4 & ~hev, n_p1, p1)))
+        out_q = out_q.at[:, 0].set(
+            jnp.where(selw, w_q0, jnp.where(sel4, n_q0, q0)))
+        out_q = out_q.at[:, 1].set(
+            jnp.where(selw, w_q1, jnp.where(sel4 & ~hev, n_q1, q1)))
+        return out_p, out_q
+
+    p2, p3 = p[:, 2], p[:, 3]
+    q2, q3 = q[:, 2], q[:, 3]
+
+    def maxr(*xs):
+        m = xs[0]
+        for x in xs[1:]:
+            m = jnp.maximum(m, x)
+        return m
+
+    flat = maxr(jnp.abs(p1 - p0), jnp.abs(q1 - q0), jnp.abs(p2 - p0),
+                jnp.abs(q2 - q0), jnp.abs(p3 - p0), jnp.abs(q3 - q0)) <= F
+    e_p2 = r3(p3 + p3 + p3 + 2 * p2 + p1 + p0 + q0)
+    e_p1 = r3(p3 + p3 + p2 + 2 * p1 + p0 + q0 + q1)
+    e_p0 = r3(p3 + p2 + p1 + 2 * p0 + q0 + q1 + q2)
+    e_q0 = r3(p2 + p1 + p0 + 2 * q0 + q1 + q2 + q3)
+    e_q1 = r3(p1 + p0 + q0 + 2 * q1 + q2 + q3 + q3)
+    e_q2 = r3(p0 + q0 + q1 + 2 * q2 + q3 + q3 + q3)
+
+    if size == 8:
+        selw = fmask & flat
+        sel4 = fmask & ~flat
+        out_p = out_p.at[:, 2].set(jnp.where(selw, e_p2, p2))
+        out_p = out_p.at[:, 1].set(
+            jnp.where(selw, e_p1, jnp.where(sel4 & ~hev, n_p1, p1)))
+        out_p = out_p.at[:, 0].set(
+            jnp.where(selw, e_p0, jnp.where(sel4, n_p0, p0)))
+        out_q = out_q.at[:, 0].set(
+            jnp.where(selw, e_q0, jnp.where(sel4, n_q0, q0)))
+        out_q = out_q.at[:, 1].set(
+            jnp.where(selw, e_q1, jnp.where(sel4 & ~hev, n_q1, q1)))
+        out_q = out_q.at[:, 2].set(jnp.where(selw, e_q2, q2))
+        return out_p, out_q
+
+    assert size == 14
+    p4, p5, p6 = p[:, 4], p[:, 5], p[:, 6]
+    q4, q5, q6 = q[:, 4], q[:, 5], q[:, 6]
+    flat2 = maxr(jnp.abs(p4 - p0), jnp.abs(q4 - q0), jnp.abs(p5 - p0),
+                 jnp.abs(q5 - q0), jnp.abs(p6 - p0),
+                 jnp.abs(q6 - q0)) <= F
+    w_p5 = r4(p6 * 7 + p5 * 2 + p4 * 2 + p3 + p2 + p1 + p0 + q0)
+    w_p4 = r4(p6 * 5 + p5 * 2 + p4 * 2 + p3 * 2 + p2 + p1 + p0 + q0 + q1)
+    w_p3 = r4(p6 * 4 + p5 + p4 * 2 + p3 * 2 + p2 * 2 + p1 + p0 + q0 + q1
+              + q2)
+    w_p2 = r4(p6 * 3 + p5 + p4 + p3 * 2 + p2 * 2 + p1 * 2 + p0 + q0 + q1
+              + q2 + q3)
+    w_p1 = r4(p6 * 2 + p5 + p4 + p3 + p2 * 2 + p1 * 2 + p0 * 2 + q0 + q1
+              + q2 + q3 + q4)
+    w_p0 = r4(p6 + p5 + p4 + p3 + p2 + p1 * 2 + p0 * 2 + q0 * 2 + q1 + q2
+              + q3 + q4 + q5)
+    w_q0 = r4(q6 + q5 + q4 + q3 + q2 + q1 * 2 + q0 * 2 + p0 * 2 + p1 + p2
+              + p3 + p4 + p5)
+    w_q1 = r4(q6 * 2 + q5 + q4 + q3 + q2 * 2 + q1 * 2 + q0 * 2 + p0 + p1
+              + p2 + p3 + p4)
+    w_q2 = r4(q6 * 3 + q5 + q4 + q3 * 2 + q2 * 2 + q1 * 2 + q0 + p0 + p1
+              + p2 + p3)
+    w_q3 = r4(q6 * 4 + q5 + q4 * 2 + q3 * 2 + q2 * 2 + q1 + q0 + p0 + p1
+              + p2)
+    w_q4 = r4(q6 * 5 + q5 * 2 + q4 * 2 + q3 * 2 + q2 + q1 + q0 + p0 + p1)
+    w_q5 = r4(q6 * 7 + q5 * 2 + q4 * 2 + q3 + q2 + q1 + q0 + p0)
+
+    sel14 = fmask & flat & flat2
+    sel8 = fmask & flat & ~flat2
+    sel4 = fmask & ~flat
+    for i, (w14, e8, n4, orig, use_n4) in enumerate([
+            (w_p0, e_p0, n_p0, p0, True), (w_p1, e_p1, n_p1, p1, False),
+            (w_p2, e_p2, None, p2, None)]):
+        v = jnp.where(sel14, w14, jnp.where(sel8, e8, orig))
+        if i == 0:
+            v = jnp.where(sel4, n_p0, v)
+        elif i == 1:
+            v = jnp.where(sel4 & ~hev, n_p1, v)
+        out_p = out_p.at[:, i].set(v)
+    out_p = out_p.at[:, 3].set(jnp.where(sel14, w_p3, p3))
+    out_p = out_p.at[:, 4].set(jnp.where(sel14, w_p4, p4))
+    out_p = out_p.at[:, 5].set(jnp.where(sel14, w_p5, p5))
+    for i, (w14, e8, orig) in enumerate([
+            (w_q0, e_q0, q0), (w_q1, e_q1, q1), (w_q2, e_q2, q2)]):
+        v = jnp.where(sel14, w14, jnp.where(sel8, e8, orig))
+        if i == 0:
+            v = jnp.where(sel4, n_q0, v)
+        elif i == 1:
+            v = jnp.where(sel4 & ~hev, n_q1, v)
+        out_q = out_q.at[:, i].set(v)
+    out_q = out_q.at[:, 3].set(jnp.where(sel14, w_q3, q3))
+    out_q = out_q.at[:, 4].set(jnp.where(sel14, w_q4, q4))
+    out_q = out_q.at[:, 5].set(jnp.where(sel14, w_q5, q5))
+    return out_p, out_q
+
+
+def _levels_to_thresholds(level):
+    """sharpness=0 thresholds, traced (ops.ref.deblock._thresholds)."""
+    limit = jnp.maximum(level, 1)
+    blimit = 2 * (level + 2) + limit
+    thresh = level >> 4
+    return limit, blimit, thresh
+
+
+def deblock_plane_jax(plane, block: int, level_v, level_h,
+                      is_luma: bool, bd: int = 8, split_map=None,
+                      outer_block: int = 32):
+    """Filter one plane with traced levels. plane [H, W] int32; level 0
+    disables (the filter mask never passes with limit>=1? no — gate
+    explicitly). split_map: traced bool [bh, bw] per outer block —
+    inner edges filter only where set (mirrors ops.ref.deblock)."""
+    H, W = plane.shape
+    size = 14 if is_luma else 6
+    n = size // 2
+    ob = outer_block if is_luma else outer_block // 2
+    out = plane
+
+    def edge_mask_v(xs):
+        # [H, E] active-row mask per edge from split_map
+        if split_map is None:
+            return None
+        cols = []
+        for x in xs:
+            if x % ob != 0:
+                bj = x // ob
+                m = jnp.repeat(split_map[:, bj], ob)[:H]
+            else:
+                m = jnp.ones((H,), bool)
+            cols.append(m)
+        return jnp.stack(cols, axis=1)
+
+    def edge_mask_h(ys):
+        if split_map is None:
+            return None
+        rows = []
+        for y in ys:
+            if y % ob != 0:
+                bi = y // ob
+                m = jnp.repeat(split_map[bi, :], ob)[:W]
+            else:
+                m = jnp.ones((W,), bool)
+            rows.append(m)
+        return jnp.stack(rows, axis=1)
+
+    xs = np.arange(block, W, block)
+    if len(xs):
+        limit, blimit, thresh = _levels_to_thresholds(level_v)
+        pidx = xs[:, None] - 1 - np.arange(n)[None, :]   # [E, n]
+        qidx = xs[:, None] + np.arange(n)[None, :]
+        pcols = out[:, pidx].reshape(H * len(xs), n)
+        qcols = out[:, qidx].reshape(H * len(xs), n)
+        m = edge_mask_v(xs)
+        m = m.reshape(-1) if m is not None else None
+        np_, nq = _filter_stack(pcols, qcols, limit, blimit, thresh,
+                                size, bd, m)
+        on = level_v > 0
+        np_ = jnp.where(on, np_, pcols).reshape(H, len(xs), n)
+        nq = jnp.where(on, nq, qcols).reshape(H, len(xs), n)
+        out = out.at[:, pidx].set(np_)
+        out = out.at[:, qidx].set(nq)
+
+    ys = np.arange(block, H, block)
+    if len(ys):
+        limit, blimit, thresh = _levels_to_thresholds(level_h)
+        pidx = ys[:, None] - 1 - np.arange(n)[None, :]
+        qidx = ys[:, None] + np.arange(n)[None, :]
+        # [E, n, W] -> transpose to [W*E, n]
+        prow = out[pidx, :].transpose(2, 0, 1).reshape(W * len(ys), n)
+        qrow = out[qidx, :].transpose(2, 0, 1).reshape(W * len(ys), n)
+        m = edge_mask_h(ys)
+        m = m.reshape(-1) if m is not None else None
+        np_, nq = _filter_stack(prow, qrow, limit, blimit, thresh,
+                                size, bd, m)
+        on = level_h > 0
+        np_ = jnp.where(on, np_, prow).reshape(W, len(ys), n
+                                               ).transpose(1, 2, 0)
+        nq = jnp.where(on, nq, qrow).reshape(W, len(ys), n
+                                             ).transpose(1, 2, 0)
+        out = out.at[pidx, :].set(np_)
+        out = out.at[qidx, :].set(nq)
+    return out
+
+
+def deblock_frame_jax(planes, level_y, level_uv, block_y: int = 32,
+                      block_c: int = 16, bd: int = 8, split_map=None):
+    """Deblock [y, u, v] with traced levels (y_v = y_h = level_y)."""
+    y = deblock_plane_jax(planes[0], block_y, level_y, level_y, True,
+                          bd, split_map)
+    u = deblock_plane_jax(planes[1], block_c, level_uv, level_uv, False,
+                          bd, split_map)
+    v = deblock_plane_jax(planes[2], block_c, level_uv, level_uv, False,
+                          bd, split_map)
+    return [y, u, v]
+
+
+def deblock_search(planes, srcs, base_level, block_y: int = 32,
+                   block_c: int = 16, bd: int = 8, split_map=None):
+    """Whole-frame deblock level search (deblock_filter_optimize
+    analog): try a fixed ladder of scale factors around the q-derived
+    level, pick the one minimizing luma SSE vs source. Returns
+    (level chosen [int32 scalar], filtered planes)."""
+    scales = jnp.asarray([0.0, 0.5, 1.0, 1.5, 2.0], jnp.float32)
+    cand = jnp.clip((scales * base_level).astype(jnp.int32), 0, 63)
+
+    def one(level):
+        out = deblock_frame_jax(planes, level, level, block_y, block_c,
+                                bd, split_map)
+        sse = sum(jnp.sum((o - s).astype(jnp.float32) ** 2)
+                  for o, s in zip(out, srcs))
+        return sse, out
+
+    sses, outs = jax.vmap(one)(cand)
+    k = jnp.argmin(sses)
+    return cand[k], [o[k] for o in outs]

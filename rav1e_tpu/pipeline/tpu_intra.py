@@ -44,10 +44,23 @@ LB = 32  # luma block
 CB = 16  # chroma block
 
 P = PredictionMode
-MODES_FULL = (P.DC_PRED, P.V_PRED, P.H_PRED, P.SMOOTH_PRED,
-              P.SMOOTH_V_PRED, P.SMOOTH_H_PRED, P.PAETH_PRED)
+MODES_7 = (P.DC_PRED, P.V_PRED, P.H_PRED, P.SMOOTH_PRED,
+           P.SMOOTH_V_PRED, P.SMOOTH_H_PRED, P.PAETH_PRED)
+# full 13: + 6 directional. D45/D67 read the above-right extension
+# (gathered decoder-exactly), D203 reads below-left (selection masked
+# to blocks where the decoder replicates - see encode_keyframe_tpu).
+MODES_FULL = MODES_7 + (P.D45_PRED, P.D67_PRED, P.D113_PRED,
+                        P.D135_PRED, P.D157_PRED, P.D203_PRED)
+# quad (16x16) sub-blocks skip the extension-reading zones entirely
+# (zone-2 directionals D113/D135/D157 read only the standard edges)
+MODES_QUAD = MODES_7 + (P.D113_PRED, P.D135_PRED, P.D157_PRED)
 MODES_FAST = (P.DC_PRED,)
 MODES_UV = (P.DC_PRED, P.V_PRED, P.H_PRED, P.SMOOTH_PRED)
+MODES_UV_FULL = (P.DC_PRED, P.V_PRED, P.H_PRED, P.SMOOTH_PRED,
+                 P.SMOOTH_V_PRED, P.SMOOTH_H_PRED, P.PAETH_PRED,
+                 P.D113_PRED, P.D135_PRED, P.D157_PRED)
+ANGULAR = (P.V_PRED, P.H_PRED, P.D45_PRED, P.D67_PRED, P.D113_PRED,
+           P.D135_PRED, P.D157_PRED, P.D203_PRED)
 
 
 # ---- rate model (WriterCounter twin, batched) ------------------------------
@@ -122,17 +135,34 @@ def block_bits(lv, L) -> jnp.ndarray:
                      L["skip0"] + L["eob_cost"][eob] + body)
 
 
-def build_rd(qindex: int, modes_y, modes_uv, bit_depth: int = 8) -> dict:
+def build_rd(qindex: int, modes_y, modes_uv, bit_depth: int = 8,
+             modes_quad=None, use_cfl: bool = False) -> dict:
     """All traced RD inputs for wavefront_frame: quantizers, λ, rate
     LUTs, per-candidate mode-signaling bits, partition bits."""
     from rav1e_tpu.entropy.cost import mode_cost_tables, rd_lambda
     mc = mode_cost_tables()
-    ybits = np.array([mc["kf_y_mode"][int(m)] for m in modes_y],
+
+    def mbits(table, m):
+        b = float(table[int(m)])
+        if m in ANGULAR:   # delta=0 symbol (angle_delta cdf idx m-1)
+            b += float(mc["angle_delta"][int(m) - 1][3])
+        return b
+
+    ybits = np.array([mbits(mc["kf_y_mode"], m) for m in modes_y],
                      np.float32)
-    uvbits = np.array([mc["uv_mode"][int(m)] for m in modes_uv],
+    uvbits = np.array([mbits(mc["uv_mode"], m) for m in modes_uv],
                       np.float32)
+    yqbits = np.array([mbits(mc["kf_y_mode"], m)
+                       for m in (modes_quad or modes_y)], np.float32)
     pm = mc["partition_mid"]
-    return {
+    out = {}
+    if use_cfl:
+        # CFL mode + joint sign (ZERO_ZERO excluded) + 2 alpha symbols
+        out["cfl_bits"] = jnp.float32(
+            mc["uv_mode_cfl"][int(P.UV_CFL_PRED)]
+            + float(mc["cfl_sign"][1:].mean())
+            + 2.0 * float(mc["cfl_alpha"].mean()))
+    out2 = {
         "qdc": jnp.int32(dc_q(qindex, 0, bit_depth)),
         "qac": jnp.int32(ac_q(qindex, 0, bit_depth)),
         "qdc_c": jnp.int32(dc_q(qindex, 0, bit_depth)),
@@ -144,11 +174,14 @@ def build_rd(qindex: int, modes_y, modes_uv, bit_depth: int = 8) -> dict:
         "c8": rate_luts(qindex, TxSize.TX_8X8, 1),
         "ybits": jnp.asarray(ybits),
         "uvbits": jnp.asarray(uvbits),
+        "yqbits": jnp.asarray(yqbits),
         # partition signaling: NONE@32 vs SPLIT@32 + 4x NONE@16
         "split_bits": jnp.float32(
             pm[int(PartitionType.SPLIT)] - pm[int(PartitionType.NONE)]
             + 4.0 * pm[int(PartitionType.NONE)]),
     }
+    out2.update(out)
+    return out2
 
 
 def _q_dyn(cf, tx_size, dcq, acq):
@@ -259,9 +292,11 @@ def _quad_plane(edge_above, edge_left, edge_tl, has_a0, has_l0, srcb,
     return cur_rec, cur_lv, jnp.stack(sub_modes, axis=-1), total
 
 
-@partial(jax.jit, static_argnames=("modes_y", "modes_uv", "split_rdo"))
+@partial(jax.jit, static_argnames=("modes_y", "modes_uv", "modes_quad",
+                                   "split_rdo"))
 def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
-                    modes_y, modes_uv, split_rdo=False):
+                    modes_y, modes_uv, modes_quad=None,
+                    split_rdo=False):
     """Whole-frame wavefront: fori_loop over diagonals, one dispatch.
 
     With split_rdo, each 32x32 node also evaluates the PARTITION_SPLIT
@@ -270,7 +305,13 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
     restructured as two fixed-shape candidate sets.
 
     rd: traced RD inputs from build_rd (quantizers, λ, rate LUTs, mode
-    bits) — changing qindex does NOT recompile."""
+    bits) — changing qindex does NOT recompile. rd may also carry
+    "has_tr"/"d203_ok" [bh,bw] grids (decoder decode-order edge
+    availability) when modes_y includes extension-reading directional
+    modes; the diagonal schedule must then be 2i+j (the above-right
+    source block sits on diagonal d-1)."""
+    if modes_quad is None:
+        modes_quad = modes_y
     lam = rd["lam"]
     qdc, qac = rd["qdc"], rd["qac"]
     qdc_c, qac_c = rd["qdc_c"], rd["qac_c"]
@@ -284,7 +325,7 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
         return above, left, tl
 
     def body(d, st):
-        (ry, ru, rv, ly, lu, lvv, my, mu, sp) = st
+        (ry, ru, rv, ly, lu, lvv, my, mu, sp, cf) = st
         ii, jj, mask = ii_tab[d], jj_tab[d], mask_tab[d]
         n = ii.shape[0]
         sel = jnp.arange(n)
@@ -296,13 +337,36 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
         sy = srcs[0]
         srcb_y = sy[ii, jj]
         a_y, l_y, tl_y = gather_edges(ry, ii, jj, LB, LB)
+        aext = lext = None
+        d203_pen = None
+        if "has_tr" in rd:
+            # above-right row from block (i-1, j+1): one diagonal
+            # earlier under the 2i+j schedule, so already final
+            bh_, bw_ = rd["has_tr"].shape
+            ar = ry[jnp.maximum(ii - 1, 0),
+                    jnp.minimum(jj + 1, bw_ - 1)][:, LB - 1, :]
+            tr_ok = rd["has_tr"][jnp.minimum(ii, bh_ - 1),
+                                 jnp.minimum(jj, bw_ - 1)]
+            aext = jnp.concatenate(
+                [a_y, jnp.where(tr_ok[:, None], ar,
+                                jnp.repeat(a_y[:, -1:], LB, axis=1))],
+                axis=1)
+            lext = jnp.concatenate(
+                [l_y, jnp.repeat(l_y[:, -1:], LB, axis=1)], axis=1)
+            d203_pen = jnp.where(
+                rd["d203_ok"][jnp.minimum(ii, bh_ - 1),
+                              jnp.minimum(jj, bw_ - 1)], 0.0, 1e18)
         preds32 = predict_modes(modes_y, a_y, l_y, tl_y, has_a, has_l,
-                                LB, LB)
+                                LB, LB, aext=aext, lext=lext)
         rec32, lv32, sse32 = _cand_eval(
             preds32, srcb_y, TxSize.TX_32X32, (qdc, qac),
             [TxType.DCT_DCT] * len(modes_y))
         cost32 = sse32 + lam * (block_bits(lv32, rd["y32"])
                                 + rd["ybits"][:, None])
+        if d203_pen is not None:
+            for k, m in enumerate(modes_y):
+                if m == P.D203_PRED:
+                    cost32 = cost32.at[k].add(d203_pen)
         b32 = jnp.argmin(cost32, axis=0)
         y32_rec, y32_lv = rec32[b32, sel], lv32[b32, sel]
         mode_tab = jnp.asarray(
@@ -320,12 +384,13 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
             a, l_, tl = gather_edges(rec, ii, jj, blk, blk)
             preds = predict_modes(modes_uv, a, l_, tl, has_a, has_l,
                                   blk, blk)
-            return _cand_eval(preds, src[ii, jj], tx, dqs, tts)
+            return (*_cand_eval(preds, src[ii, jj], tx, dqs, tts),
+                    preds)
 
-        ur, ulv, usse = chroma_cands(ru, su, TxSize.TX_16X16, cts16,
-                                     (qdc_c, qac_c))
-        vr, vlv, vsse = chroma_cands(rv, sv, TxSize.TX_16X16, cts16,
-                                     (qdc_c, qac_c))
+        ur, ulv, usse, pu_ = chroma_cands(ru, su, TxSize.TX_16X16,
+                                          cts16, (qdc_c, qac_c))
+        vr, vlv, vsse, pv_ = chroma_cands(rv, sv, TxSize.TX_16X16,
+                                          cts16, (qdc_c, qac_c))
         ccost = (usse + vsse
                  + lam * (block_bits(ulv, rd["c16"])
                           + block_bits(vlv, rd["c16"])
@@ -333,15 +398,66 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
         bc = jnp.argmin(ccost, axis=0)
         mode_tab_uv = jnp.asarray(
             np.array([int(m) for m in modes_uv], np.int32))
-        c16 = (ur[bc, sel], vr[bc, sel], ulv[bc, sel], vlv[bc, sel],
-               mode_tab_uv[bc], ccost[bc, sel])
+        c16_mode = mode_tab_uv[bc]
+        c16 = [ur[bc, sel], vr[bc, sel], ulv[bc, sel], vlv[bc, sel],
+               c16_mode, ccost[bc, sel]]
+        cfl_sel = (jnp.zeros((n,), jnp.int32),
+                   jnp.zeros((n,), jnp.int32))
+        if "cfl_bits" in rd:
+            # ---- CfL candidate (spec 7.11.5): chroma = DC + α·AC of
+            # the reconstructed co-located luma; α per plane by
+            # prediction-SSE argmin (rav1e rdo_cfl_alpha), then one
+            # full trial at the chosen pair ----
+            yr = y32_rec
+            L = ((yr[:, 0::2, 0::2] + yr[:, 0::2, 1::2]
+                  + yr[:, 1::2, 0::2] + yr[:, 1::2, 1::2]) << 1)
+            nbits = 8  # log2(16*16)
+            avg = (jnp.sum(L, axis=(1, 2), keepdims=True)
+                   + (1 << (nbits - 1))) >> nbits
+            ac = L - avg                                   # [N,16,16]
+            alphas = jnp.arange(-16, 17, dtype=jnp.int32)  # [33]
+
+            def cfl_plane(dc, src):
+                scl = alphas[:, None, None, None] * ac[None]
+                p = jnp.clip(dc[None] + jnp.sign(scl)
+                             * ((jnp.abs(scl) + 32) >> 6), 0, 255)
+                psse = jnp.sum((p - src[None]).astype(jnp.float32) ** 2,
+                               axis=(-2, -1))
+                k = jnp.argmin(psse, axis=0)
+                return k - 16, p[k, sel]
+
+            au, pred_cu = cfl_plane(pu_[0], su[ii, jj])
+            av, pred_cv = cfl_plane(pv_[0], sv[ii, jj])
+            ctt = chroma_tx_type(P.UV_CFL_PRED, TxSize.TX_16X16, True)
+            ruc, luc, suc = _cand_eval(pred_cu[None], su[ii, jj],
+                                       TxSize.TX_16X16, (qdc_c, qac_c),
+                                       [ctt])
+            rvc, lvc, svc = _cand_eval(pred_cv[None], sv[ii, jj],
+                                       TxSize.TX_16X16, (qdc_c, qac_c),
+                                       [ctt])
+            both_zero = (au == 0) & (av == 0)
+            cfl_cost = (suc[0] + svc[0]
+                        + lam * (block_bits(luc[0], rd["c16"])
+                                 + block_bits(lvc[0], rd["c16"])
+                                 + rd["cfl_bits"])
+                        + jnp.where(both_zero, 1e18, 0.0))
+            take = cfl_cost < c16[5]
+            t3 = take[:, None, None]
+            c16[0] = jnp.where(t3, ruc[0], c16[0])
+            c16[1] = jnp.where(t3, rvc[0], c16[1])
+            c16[2] = jnp.where(t3, luc[0], c16[2])
+            c16[3] = jnp.where(t3, lvc[0], c16[3])
+            c16[4] = jnp.where(take, int(P.UV_CFL_PRED), c16[4])
+            c16[5] = jnp.where(take, cfl_cost, c16[5])
+            cfl_sel = (jnp.where(take, au, 0), jnp.where(take, av, 0))
 
         if split_rdo:
             # ---- luma 16-quad ----
             yq_rec, yq_lv, yq_modes, yq_cost = _quad_plane(
                 a_y, l_y, tl_y, has_a, has_l, srcb_y, TxSize.TX_16X16,
-                (qdc, qac), modes_y, lam,
-                [TxType.DCT_DCT] * len(modes_y), rd["y16"], rd["ybits"])
+                (qdc, qac), modes_quad, lam,
+                [TxType.DCT_DCT] * len(modes_quad), rd["y16"],
+                rd["yqbits"])
             # ---- chroma 8-quad: joint u+v per sub-block with shared
             # mode pick ----
             cts8 = [chroma_tx_type(m, TxSize.TX_8X8, True)
@@ -450,7 +566,11 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
         mu = mu.at[ii, jj].set(
             jnp.where(mask[:, None], uv_modes, mu[ii, jj]))
         sp = sp.at[ii, jj].set(jnp.where(mask, split, sp[ii, jj]))
-        return (ry, ru, rv, ly, lu, lvv, my, mu, sp)
+        cfl_arr = jnp.where(split[:, None],
+                            0, jnp.stack(list(cfl_sel), axis=-1))
+        cf = cf.at[ii, jj].set(
+            jnp.where(mask[:, None], cfl_arr, cf[ii, jj]))
+        return (ry, ru, rv, ly, lu, lvv, my, mu, sp, cf)
 
     return jax.lax.fori_loop(0, ii_tab.shape[0], body, state)
 
@@ -492,27 +612,60 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
         jnp.zeros((bh, bw, 5), jnp.int32),
         jnp.zeros((bh, bw, 5), jnp.int32),
         jnp.zeros((bh, bw), bool),
+        jnp.zeros((bh, bw, 2), jnp.int32),
     )
-    maxlen = min(bh, bw)
-    n_diag = bh + bw - 1
+    # directional modes read the above-right extension, whose source
+    # block (i-1, j+1) sits on the SAME i+j anti-diagonal — so the
+    # full-toolset schedule is d = 2i + j (the video-coding WPP
+    # "2-column offset" wavefront). Cheap toolsets keep i+j.
+    modes_y = MODES_FULL if speed <= 6 else (
+        MODES_7 if speed <= 8 else MODES_FAST)
+    modes_quad = MODES_QUAD if speed <= 6 else modes_y
+    modes_uv = MODES_UV_FULL if speed <= 6 else (
+        MODES_UV if speed <= 8 else MODES_FAST)
+    split_rdo = speed <= 7
+    ext = any(m in (P.D45_PRED, P.D67_PRED, P.D203_PRED)
+              for m in modes_y)
+    cells_of = ((lambda d: [(i, d - 2 * i) for i in range(bh)
+                            if 0 <= d - 2 * i < bw]) if ext else
+                (lambda d: [(i, d - i) for i in range(max(0, d - bw + 1),
+                                                      min(d, bh - 1) + 1)]))
+    n_diag = (2 * bh + bw - 2) if ext else (bh + bw - 1)
+    maxlen = max(len(cells_of(d)) for d in range(n_diag))
     # padded lanes scatter out of bounds (dropped by XLA) so they can
     # never clobber real blocks via duplicate indices
     ii_tab = np.full((n_diag, maxlen), bh, np.int32)
     jj_tab = np.full((n_diag, maxlen), bw, np.int32)
     mask_tab = np.zeros((n_diag, maxlen), bool)
     for d in range(n_diag):
-        cells = [(i, d - i) for i in range(max(0, d - bw + 1),
-                                           min(d, bh - 1) + 1)]
-        for k, (i, j) in enumerate(cells):
+        for k, (i, j) in enumerate(cells_of(d)):
             ii_tab[d, k], jj_tab[d, k], mask_tab[d, k] = i, j, True
-    modes_y = MODES_FULL if speed <= 8 else MODES_FAST
-    modes_uv = MODES_UV if speed <= 8 else MODES_FAST
-    split_rdo = speed <= 7
-    rd = build_rd(qindex, modes_y, modes_uv)
+    rd = build_rd(qindex, modes_y, modes_uv, modes_quad=modes_quad,
+                  use_cfl=speed <= 6)
+    if ext:
+        # decode-order edge availability (spec BlockDecoded): SB raster
+        # + Z order within the SB; a 32-block's above-right/below-left
+        # neighbor is decoded iff its (sb_row, sb_col, z) < ours
+        def dkey(i, j):
+            return (i // 2, j // 2, (i % 2) * 2 + (j % 2))
+
+        has_tr = np.zeros((bh, bw), bool)
+        has_bl = np.zeros((bh, bw), bool)
+        for i in range(bh):
+            for j in range(bw):
+                if i > 0 and j + 1 < bw:
+                    has_tr[i, j] = dkey(i - 1, j + 1) < dkey(i, j)
+                if j > 0 and i + 1 < bh:
+                    has_bl[i, j] = dkey(i + 1, j - 1) < dkey(i, j)
+        rd["has_tr"] = jnp.asarray(has_tr)
+        # D203 reads below-left: only selectable where the decoder
+        # replicates (it would use real pixels we haven't computed yet)
+        rd["d203_ok"] = jnp.asarray(~has_bl)
     state = wavefront_frame(state, (sy, su, sv), jnp.asarray(ii_tab),
                             jnp.asarray(jj_tab), jnp.asarray(mask_tab),
-                            rd, modes_y, modes_uv, split_rdo)
-    ry, ru, rv, ly, lu, lvv, my, mu, sp = [np.asarray(s) for s in state]
+                            rd, modes_y, modes_uv, modes_quad, split_rdo)
+    (ry, ru, rv, ly, lu, lvv, my, mu, sp,
+     cfm) = [np.asarray(s) for s in state]
 
     # ---- pack (host, serial; C++ packer when available) -------------------
     from rav1e_tpu.ops.ref.deblock import deblock_plane, level_from_qindex
@@ -565,6 +718,9 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
             d = BlockDecision(y_mode=PredictionMode(int(my[bi, bj, 0])),
                               uv_mode=PredictionMode(int(mu[bi, bj, 0])),
                               skip=False)
+            if d.uv_mode == PredictionMode.UV_CFL_PRED:
+                d.cfl_alpha_idx = (int(cfm[bi, bj, 0]),
+                                   int(cfm[bi, bj, 1]))
             if not yl.any() and not ul.any() and not vl.any():
                 d.skip = True
             else:
