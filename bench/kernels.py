@@ -1,0 +1,102 @@
+"""Per-kernel microbenchmarks (criterion-benches analog, SURVEY §4
+ring 4: transform / intra predict / MC / distortion / CDEF / deblock).
+
+Times steady-state device execution (post-compile) of each hot kernel
+at production shapes. Prints one line per kernel with Mpix/s or
+Gops/s. Run on the real TPU by default; RAV1E_TPU_PLATFORM=cpu works.
+
+Usage: python bench/kernels.py [--iters N] [--size WxH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def timeit(fn, args, iters):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--size", default="1920x1088")
+    args = ap.parse_args()
+    w, h = (int(x) for x in args.size.split("x"))
+    mpix = w * h / 1e6
+
+    import jax
+    import jax.numpy as jnp
+
+    from rav1e_tpu.core.constants import TxSize, TxType
+    from rav1e_tpu.ops.tpu import transforms as T
+    from rav1e_tpu.ops.tpu.cdef import cdef_filter_frame_jax
+    from rav1e_tpu.ops.tpu.deblock import deblock_frame_jax
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.integers(0, 255, (h, w), dtype=np.int32))
+    u = jnp.asarray(rng.integers(0, 255, (h // 2, w // 2),
+                                 dtype=np.int32))
+    v = jnp.asarray(rng.integers(0, 255, (h // 2, w // 2),
+                                 dtype=np.int32))
+    skip8 = jnp.zeros((h // 8, w // 8), bool)
+
+    nblk = (h // 32) * (w // 32)
+    resid = jnp.asarray(rng.integers(-64, 64, (nblk, 32, 32),
+                                     dtype=np.int32))
+
+    fwd = jax.jit(lambda r: T.forward_transform(r, TxSize.TX_32X32,
+                                                TxType.DCT_DCT))
+    t = timeit(fwd, (resid,), args.iters)
+    print(f"fwd_dct32 whole-frame: {t*1e3:7.2f} ms  {mpix/t:8.1f} Mpix/s")
+
+    cf = fwd(resid)
+    inv = jax.jit(lambda c: T.inverse_transform(c, TxSize.TX_32X32,
+                                                TxType.DCT_DCT))
+    t = timeit(inv, (cf,), args.iters)
+    print(f"inv_dct32 whole-frame: {t*1e3:7.2f} ms  {mpix/t:8.1f} Mpix/s")
+
+    dbf = jax.jit(lambda a, b, c: deblock_frame_jax(
+        [a, b, c], jnp.int32(24), jnp.int32(24)))
+    t = timeit(dbf, (y, u, v), args.iters)
+    print(f"deblock frame:         {t*1e3:7.2f} ms  {mpix/t:8.1f} Mpix/s")
+
+    cdf = jax.jit(lambda a, b, c, s: cdef_filter_frame_jax(
+        [a, b, c], s, jnp.int32(5), jnp.int32(2), jnp.int32(4),
+        jnp.int32(1), jnp.int32(4)))
+    t = timeit(cdf, (y, u, v, skip8), args.iters)
+    print(f"cdef frame:            {t*1e3:7.2f} ms  {mpix/t:8.1f} Mpix/s")
+
+    # full-frame grouped-conv motion search (the MXU workhorse)
+    from rav1e_tpu.pipeline.tpu_inter import _core, build_rd_inter
+    from rav1e_tpu.ops.ref.quant import ac_q, dc_q
+    step, _ = _core(h, w, False, False)
+    rd = build_rd_inter(100)
+    yy = jnp.asarray(rng.integers(0, 255, (h, w), dtype=np.uint8))
+    ry = jnp.asarray(rng.integers(0, 255, (h, w), dtype=np.uint8))
+    uu = jnp.asarray(rng.integers(0, 255, (h // 2, w // 2),
+                                  dtype=np.uint8))
+    ru = uu
+    prm = jnp.asarray([0, 0, 0, 0, 3], jnp.int32)
+    dq, aq = jnp.int32(dc_q(100)), jnp.int32(ac_q(100))
+    t = timeit(lambda *a: step(*a),
+               (yy, ry, uu, ru, uu, ru, dq, aq, prm, rd), args.iters)
+    print(f"P-step (ME+MC+TX+RD):  {t*1e3:7.2f} ms  {mpix/t:8.1f} Mpix/s")
+
+
+if __name__ == "__main__":
+    main()

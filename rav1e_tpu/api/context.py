@@ -293,6 +293,11 @@ class Context:
                 and self.speed_settings.cdef_auto):
             from rav1e_tpu.ops.ref.cdef import cdef_strengths_for_q
             cdef = cdef_strengths_for_q(q)
+            if cdef is None:
+                # TPU paths search strengths per frame; enable CDEF
+                # with zero strengths so the search can upgrade them
+                damping = 3 + (q >= 64) + (q >= 160)
+                cdef = (0, 0, 0, 0, damping)
         if is_key:
             self._cdef_enabled = cdef is not None
         elif getattr(self, "_cdef_enabled", False):

@@ -195,3 +195,33 @@ def cdef_filter_frame_jax(planes, skip8, y_pri, y_sec, uv_pri, uv_sec,
     out_v = _filter_plane(planes[2], skip8, uv_pri, uv_sec, damping,
                           dirs, var, 4, False)
     return [out_y, out_u, out_v]
+
+
+# secondary strengths must be in {0, 1, 2, 4} (spec 2-bit code, 3->4)
+CDEF_LADDER = [
+    (0, 0, 0, 0), (1, 0, 1, 0), (2, 1, 1, 0), (3, 1, 2, 1),
+    (5, 2, 4, 1), (7, 2, 5, 2), (10, 2, 8, 2), (14, 4, 12, 4),
+]
+
+
+def cdef_search_frame_jax(planes, srcs, skip8, damping):
+    """Per-frame CDEF strength-set search (rav1e rdo_loop_decision
+    restructured as a whole-frame pass, SURVEY §7.0): filter the
+    post-deblock recon with each ladder entry, pick the one with the
+    lowest SSE vs source. Returns (idx int32, filtered planes).
+
+    The direction analysis runs once (it only depends on the recon);
+    only the filter taps vary across candidates."""
+    import numpy as np
+    cand = jnp.asarray(np.array(CDEF_LADDER, np.int32))
+
+    def one(c):
+        out = cdef_filter_frame_jax(planes, skip8, c[0], c[1], c[2],
+                                    c[3], damping)
+        sse = sum(jnp.sum((o - s).astype(jnp.float32) ** 2)
+                  for o, s in zip(out, srcs))
+        return sse, out
+
+    sses, outs = jax.vmap(one)(cand)
+    k = jnp.argmin(sses)
+    return k, [o[k] for o in outs]

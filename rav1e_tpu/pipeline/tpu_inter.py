@@ -45,6 +45,19 @@ from rav1e_tpu.ops.tpu import transforms as T
 PAD = 32          # ref padding: search 16 + subpel drift + filter taps
 SEARCH = 16       # full-pel search radius (px)
 
+# compact level transfer: ship the first K scan-ordered coefficients
+# as int8 (the tunneled chip's host link is the bottleneck - profiled
+# 267ms/frame for full int8 planes at 1080p); blocks that are denser
+# or saturate are re-fetched at full precision in ONE gather.
+K32 = 160         # luma TX_32X32 slots kept
+K16 = 96          # chroma TX_16X16 slots kept
+
+
+def _scans():
+    from rav1e_tpu.entropy.coeffs import TX_CLASS_2D, scan_order
+    return (scan_order(32, 32, TX_CLASS_2D),
+            scan_order(16, 16, TX_CLASS_2D))
+
 _FILT = jnp.asarray(SUBPEL_FILTERS["REGULAR"], jnp.int32)  # [16, 8]
 
 
@@ -58,6 +71,7 @@ def build_rd_inter(qindex: int, bit_depth: int = 8) -> dict:
     entropy/cost.py; rav1e src/rdo.rs::compute_rd_cost analog)."""
     from rav1e_tpu.entropy.cost import (
         inter_mode_bits, mv_component_bits, rd_lambda)
+    from rav1e_tpu.ops.ref.deblock import level_from_qindex
     from rav1e_tpu.pipeline.tpu_intra import rate_luts
     imb = inter_mode_bits()
     return {
@@ -69,6 +83,7 @@ def build_rd_inter(qindex: int, bit_depth: int = 8) -> dict:
         "skip1": jnp.float32(imb["skip1"]),
         "y32": rate_luts(qindex, TxSize.TX_32X32, 0),
         "c16": rate_luts(qindex, TxSize.TX_16X16, 1),
+        "base_lf": jnp.int32(level_from_qindex(qindex)),
     }
 
 
@@ -97,7 +112,8 @@ def _mc_batch(ref_pad, pos_r, pos_c, mv8, n, ss):
 
 
 @lru_cache(maxsize=8)
-def _core(h: int, w: int, use_cdef: bool = False):
+def _core(h: int, w: int, use_cdef: bool = False,
+          use_deblock: bool = True):
     """Batched P-frame step for an h x w frame. qindex enters as a
     traced argument (dcq/acq scalars) so rate control never triggers a
     recompile."""
@@ -245,57 +261,107 @@ def _core(h: int, w: int, use_cdef: bool = False):
         fry = from_blocks(rec_y, h, w, 32)
         fru = from_blocks(rec_u, h // 2, w // 2, 16)
         frv = from_blocks(rec_v, h // 2, w // 2, 16)
+        if use_deblock:
+            # in-loop deblock with whole-frame level search (rav1e
+            # deblock_filter_optimize analog; level signaled in the
+            # frame header, recon feeds the ref chain post-filter)
+            from rav1e_tpu.ops.tpu.deblock import deblock_search
+            lf_lvl, db = deblock_search(
+                [fry, fru, frv],
+                [y, u.astype(jnp.int32), v.astype(jnp.int32)],
+                rd["base_lf"])
+            fry, fru, frv = db
+        else:
+            lf_lvl = jnp.int32(0)
         if use_cdef:
-            # in-loop CDEF on the reconstruction (traced strengths)
-            from rav1e_tpu.ops.tpu.cdef import cdef_filter_frame_jax
+            # in-loop CDEF with whole-frame strength-set search
+            # (rav1e rdo_loop_decision analog); chosen entry is
+            # signaled in the frame header
+            from rav1e_tpu.ops.tpu.cdef import cdef_search_frame_jax
             skip8 = jnp.repeat(jnp.repeat(skip.reshape(nby, nbx), 4, 0),
                                4, 1)
-            fry, fru, frv = cdef_filter_frame_jax(
-                [fry, fru, frv], skip8, cdef_prm[0], cdef_prm[1],
-                cdef_prm[2], cdef_prm[3], cdef_prm[4])
-        # narrow dtypes: device->host transfer is the bottleneck on a
-        # tunneled chip. Levels ship as int8 plus a per-block overflow
-        # flag; the (rare) saturated blocks are re-fetched at full
-        # precision host-side.
+            cdef_idx, (fry, fru, frv) = cdef_search_frame_jax(
+                [fry, fru, frv],
+                [y, u.astype(jnp.int32), v.astype(jnp.int32)],
+                skip8, cdef_prm[4])
+        else:
+            cdef_idx = jnp.int32(0)
+        # compact level transfer (see K32/K16 above): first K scan
+        # slots as int8 + per-block dense/saturation flag
+        scan32, scan16 = _scans()
+        sp32 = np.empty(1024, np.int32)
+        sp32[scan32] = np.arange(1024)
+        sp16 = np.empty(256, np.int32)
+        sp16[scan16] = np.arange(256)
+        spm32 = jnp.asarray(sp32.reshape(32, 32))
+        spm16 = jnp.asarray(sp16.reshape(16, 16))
+        eob_y = jnp.max(jnp.where(lv_y != 0, spm32 + 1, 0), axis=(1, 2))
+        eob_u = jnp.max(jnp.where(lv_u != 0, spm16 + 1, 0), axis=(1, 2))
+        eob_v = jnp.max(jnp.where(lv_v != 0, spm16 + 1, 0), axis=(1, 2))
         sat = ((jnp.abs(lv_y) > 127).any(axis=(1, 2))
                | (jnp.abs(lv_u) > 127).any(axis=(1, 2))
                | (jnp.abs(lv_v) > 127).any(axis=(1, 2)))
-        return (mv8, skip, sat,
-                jnp.clip(lv_y, -127, 127).astype(jnp.int8),
-                jnp.clip(lv_u, -127, 127).astype(jnp.int8),
-                jnp.clip(lv_v, -127, 127).astype(jnp.int8),
+        dense = (sat | (eob_y > K32) | (eob_u > K16) | (eob_v > K16))
+        sc_y = jnp.take(lv_y.reshape(B, 1024),
+                        jnp.asarray(scan32[:K32]), axis=1)
+        sc_u = jnp.take(lv_u.reshape(B, 256),
+                        jnp.asarray(scan16[:K16]), axis=1)
+        sc_v = jnp.take(lv_v.reshape(B, 256),
+                        jnp.asarray(scan16[:K16]), axis=1)
+        return (mv8, skip, dense,
+                jnp.clip(sc_y, -127, 127).astype(jnp.int8),
+                jnp.clip(sc_u, -127, 127).astype(jnp.int8),
+                jnp.clip(sc_v, -127, 127).astype(jnp.int8),
                 lv_y.astype(jnp.int16), lv_u.astype(jnp.int16),
                 lv_v.astype(jnp.int16),
                 fry.astype(jnp.uint8), fru.astype(jnp.uint8),
-                frv.astype(jnp.uint8))
+                frv.astype(jnp.uint8), lf_lvl, cdef_idx)
 
     return step, (nby, nbx)
 
 
 def _fetch_outputs(o):
-    """Pull one frame's pipeline outputs to host: int8 levels + sparse
-    full-precision re-fetch for saturated blocks."""
+    """Pull one frame's pipeline outputs to host: compact scan-order
+    int8 slices + ONE full-precision gather for dense/saturated
+    blocks (minimizes bytes AND round-trips over the tunnel)."""
+    import jax.numpy as jnp
+    scan32, scan16 = _scans()
     mv8 = np.asarray(o[0])
     skip = np.asarray(o[1])
-    sat = np.asarray(o[2])
-    lv_y = np.asarray(o[3]).astype(np.int16)
-    lv_u = np.asarray(o[4]).astype(np.int16)
-    lv_v = np.asarray(o[5]).astype(np.int16)
-    for b in np.nonzero(sat)[0]:
-        lv_y[b] = np.asarray(o[6][b])
-        lv_u[b] = np.asarray(o[7][b])
-        lv_v[b] = np.asarray(o[8][b])
-    return mv8, skip, lv_y, lv_u, lv_v
+    dense = np.asarray(o[2])
+    B = mv8.shape[0]
+    sc_y = np.asarray(o[3]).astype(np.int16)
+    sc_u = np.asarray(o[4]).astype(np.int16)
+    sc_v = np.asarray(o[5]).astype(np.int16)
+    lv_y = np.zeros((B, 1024), np.int16)
+    lv_u = np.zeros((B, 256), np.int16)
+    lv_v = np.zeros((B, 256), np.int16)
+    lv_y[:, scan32[:K32]] = sc_y
+    lv_u[:, scan16[:K16]] = sc_u
+    lv_v[:, scan16[:K16]] = sc_v
+    didx = np.nonzero(dense)[0]
+    if len(didx):
+        gi = jnp.asarray(didx)
+        lv_y[didx] = np.asarray(jnp.take(o[6], gi, axis=0)
+                                ).reshape(len(didx), 1024)
+        lv_u[didx] = np.asarray(jnp.take(o[7], gi, axis=0)
+                                ).reshape(len(didx), 256)
+        lv_v[didx] = np.asarray(jnp.take(o[8], gi, axis=0)
+                                ).reshape(len(didx), 256)
+    return (mv8, skip, lv_y.reshape(B, 32, 32),
+            lv_u.reshape(B, 16, 16), lv_v.reshape(B, 16, 16))
 
 
 def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
                  use_native=True, cdef=None, film_grain=None,
-                 render_size=None):
+                 render_size=None, lf_level=0):
     """Entropy-pack one P frame from batched pipeline outputs."""
     seq = Sequence(width=w, height=h, enable_cdef=cdef is not None,
                    film_grain_params_present=film_grain is not None)
+    lf = int(lf_level)
     fp = FrameParams(frame_type=FrameType.INTER, base_q_idx=qindex,
-                     render_size=render_size)
+                     render_size=render_size,
+                     loop_filter_levels=(lf, lf, lf, lf))
     fp.film_grain = film_grain
     if cdef is not None:
         (fp.cdef_y_pri, fp.cdef_y_sec, fp.cdef_uv_pri,
@@ -358,9 +424,15 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
     rec_dev = outs[9:12]
     mv8, skip, lv_y, lv_u, lv_v = _fetch_outputs(outs)
     rec_y, rec_u, rec_v = [np.asarray(o) for o in rec_dev]
+    cdef_hdr = None
+    if cdef is not None:
+        from rav1e_tpu.ops.tpu.cdef import CDEF_LADDER
+        sel = CDEF_LADDER[int(np.asarray(outs[13]))]
+        cdef_hdr = (*sel, cdef[4])
     pkt = _pack_pframe(h, w, qindex, order_hint, mv8, skip,
-                       lv_y, lv_u, lv_v, use_native, cdef, film_grain,
-                       render_size)
+                       lv_y, lv_u, lv_v, use_native, cdef_hdr,
+                       film_grain, render_size,
+                       int(np.asarray(outs[12])))
     rec = [rec_y.astype(np.int32), rec_u.astype(np.int32),
            rec_v.astype(np.int32)]
     if return_device:
@@ -400,8 +472,14 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
         outs.append(o)
     for i, o in enumerate(outs, start=1):
         mv8, skip, lv_y, lv_u, lv_v = _fetch_outputs(o)
+        cdef_hdr = None
+        if cdef is not None:
+            from rav1e_tpu.ops.tpu.cdef import CDEF_LADDER
+            sel = CDEF_LADDER[int(np.asarray(o[13]))]
+            cdef_hdr = (*sel, cdef[4])
         pkts.append(_pack_pframe(h, w, qindex, i, mv8, skip,
-                                 lv_y, lv_u, lv_v, cdef=cdef))
+                                 lv_y, lv_u, lv_v, cdef=cdef_hdr,
+                                 lf_level=int(np.asarray(o[12]))))
         # recons stay device-resident (uint8); consumers that need
         # them host-side (conformance checks) convert lazily
         recs.append([o[9], o[10], o[11]])

@@ -575,6 +575,12 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
     return jax.lax.fori_loop(0, ii_tab.shape[0], body, state)
 
 
+@partial(jax.jit, static_argnames=("blk_y", "blk_c"))
+def _deblock_search_jit(planes, srcs, base, blk_y, blk_c, split_map):
+    from rav1e_tpu.ops.tpu.deblock import deblock_search
+    return deblock_search(planes, srcs, base, blk_y, blk_c, 8, split_map)
+
+
 def _to_blocks(p: np.ndarray, b: int) -> np.ndarray:
     h, w = p.shape
     return (p.reshape(h // b, b, w // b, b).transpose(0, 2, 1, 3)
@@ -667,9 +673,25 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     (ry, ru, rv, ly, lu, lvv, my, mu, sp,
      cfm) = [np.asarray(s) for s in state]
 
+    # ---- in-loop deblock: whole-frame level search (jitted) ---------------
+    from rav1e_tpu.ops.ref.deblock import level_from_qindex
+    lf = 0
+    if deblock:
+        from rav1e_tpu.ops.tpu.deblock import deblock_search
+        base = level_from_qindex(qindex)
+        split_arg = jnp.asarray(sp) if split_rdo else None
+        blk_y, blk_c = (16, 8) if split_rdo else (LB, CB)
+        lvl, db = _deblock_search_jit(
+            [jnp.asarray(_from_blocks(ry)), jnp.asarray(_from_blocks(ru)),
+             jnp.asarray(_from_blocks(rv))],
+            [jnp.asarray(y.astype(np.int32)),
+             jnp.asarray(u.astype(np.int32)),
+             jnp.asarray(v.astype(np.int32))],
+            jnp.int32(base), blk_y, blk_c, split_arg)
+        lf = int(lvl)
+        deblocked = [np.asarray(p) for p in db]
+
     # ---- pack (host, serial; C++ packer when available) -------------------
-    from rav1e_tpu.ops.ref.deblock import deblock_plane, level_from_qindex
-    lf = level_from_qindex(qindex) if deblock else 0
     seq = Sequence(width=w, height=h, enable_cdef=cdef is not None)
     fp = FrameParams(frame_type=FrameType.KEY, base_q_idx=qindex,
                      loop_filter_levels=(lf, lf, lf, lf),
@@ -733,17 +755,10 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
             partitions[(r, c, int(BlockSize.B64X64))] = PartitionType.SPLIT
     tile = tw.write_tile(partitions, blocks)
     pkt = keyframe_packet(seq, fp, ti, [tile])
-    rec = [_from_blocks(ry), _from_blocks(ru), _from_blocks(rv)]
-    if lf > 0:
-        sp_map = sp if split_rdo else None
-        blk_y = 16 if split_rdo else LB
-        blk_c = 8 if split_rdo else CB
-        rec[0] = deblock_plane(rec[0], blk_y, lf, lf, True,
-                               split_map=sp_map)
-        rec[1] = deblock_plane(rec[1], blk_c, lf, lf, False,
-                               split_map=sp_map)
-        rec[2] = deblock_plane(rec[2], blk_c, lf, lf, False,
-                               split_map=sp_map)
+    if deblock and lf > 0:
+        rec = deblocked
+    else:
+        rec = [_from_blocks(ry), _from_blocks(ru), _from_blocks(rv)]
     if cdef is not None:
         from rav1e_tpu.ops.tpu.cdef import cdef_filter_frame_jax
         skip_blk = np.array(
