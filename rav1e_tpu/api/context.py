@@ -126,7 +126,8 @@ class Context:
         self._rc = RCState(RCConfig(
             target_bitrate=int(cfg.extra.get("bitrate", 0) or 0),
             framerate=float(cfg.extra.get("framerate", 30.0) or 30.0),
-            quantizer=cfg.quantizer))
+            quantizer=cfg.quantizer),
+            pass_=int(cfg.extra.get("pass", 0) or 0))
         self._ref_rec = None      # previous reconstruction (numpy int32)
         self._order_hint = 0
         # reordered (B-frame) mode: buffer groups of `bgroup` frames,
@@ -375,3 +376,17 @@ class Context:
 
     def flush(self):
         self.send_frame(None)
+
+    # -- two-pass plumbing (rav1e rav1e_twopass_out/in analogs) --------------
+
+    def twopass_out(self) -> bytes:
+        """Pass-1 records produced since the last call."""
+        return self._rc.twopass_out()
+
+    def twopass_summary(self) -> bytes:
+        """End-of-pass-1 summary (call after draining all packets)."""
+        return self._rc.twopass_summary()
+
+    def twopass_in(self, data: bytes):
+        """Feed the complete pass-1 stats before pass-2 encoding."""
+        self._rc.twopass_in(data)

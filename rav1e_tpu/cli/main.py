@@ -31,6 +31,10 @@ def main(argv=None):
     ap.add_argument("--no-cdef", action="store_true")
     ap.add_argument("--photon-noise", type=int, default=0,
                     help="ISO-style film grain strength (0 = off)")
+    ap.add_argument("--first-pass", default="",
+                    help="write two-pass stats to FILE (pass 1)")
+    ap.add_argument("--second-pass", default="",
+                    help="read two-pass stats from FILE (pass 2)")
     args = ap.parse_args(argv)
 
     src = sys.stdin.buffer if args.input == "-" else args.input
@@ -44,6 +48,10 @@ def main(argv=None):
         extra["cdef"] = "off"
     if args.photon_noise:
         extra["photon_noise"] = args.photon_noise
+    if args.first_pass:
+        extra["pass"] = 1
+    elif args.second_pass:
+        extra["pass"] = 2
     cfg = Config(width=info.width, height=info.height,
                  quantizer=args.quantizer, speed=args.speed,
                  key_frame_interval=args.keyint, tiles=args.tiles,
@@ -51,6 +59,9 @@ def main(argv=None):
                  chroma_sampling=info.chroma,
                  extra=extra)
     ctx = cfg.new_context()
+    if args.second_pass:
+        with open(args.second_pass, "rb") as f:
+            ctx.twopass_in(f.read())
     t0 = time.time()
     n_in = n_out = total = 0
     with open(args.output, "wb") as out:
@@ -77,6 +88,10 @@ def main(argv=None):
             n_out += 1
             total += len(pkt.data)
     dt = time.time() - t0
+    if args.first_pass:
+        with open(args.first_pass, "wb") as f:
+            f.write(ctx.twopass_out())
+            f.write(ctx.twopass_summary())
     print(f"encoded {n_out} frames, {total} bytes, "
           f"{n_out / dt:.3f} fps", file=sys.stderr)
 

@@ -311,4 +311,7 @@ def rd_lambda(qindex: int, bit_depth: int = 8) -> float:
     harness clips (tools/bdrate_vs_rav1e.py)."""
     from rav1e_tpu.ops.ref.quant import dc_q
     q = dc_q(qindex, 0, bit_depth) / (8 << (bit_depth - 8))
-    return 0.12 * q * q
+    # 0.25 calibrated by BD-rate sweep (the static cost tables
+    # over-estimate adapted-CDF bits ~1.3-2x, so the effective
+    # constant sits above rav1e's)
+    return 0.25 * q * q

@@ -66,6 +66,14 @@ def _load():
         C.POINTER(C.c_int32), C.POINTER(C.c_uint8),
         C.POINTER(C.c_int16), C.POINTER(C.c_int16),
         C.POINTER(C.c_int16), C.POINTER(C.c_uint8), C.c_long]
+    lib.packer_inter_tile2.restype = C.c_long
+    lib.packer_inter_tile2.argtypes = [
+        C.c_void_p, C.c_int, C.c_int, C.POINTER(C.c_int32),
+        C.POINTER(C.c_uint8), C.POINTER(C.c_int32),
+        C.POINTER(C.c_uint8), C.POINTER(C.c_int32),
+        C.POINTER(C.c_uint8), C.POINTER(C.c_int16),
+        C.POINTER(C.c_int16), C.POINTER(C.c_int16),
+        C.POINTER(C.c_uint8), C.c_long]
     lib.packer_done.restype = C.c_long
     lib.packer_done.argtypes = [C.c_void_p, C.POINTER(C.c_uint8), C.c_long]
     lib.packer_free.argtypes = [C.c_void_p]
@@ -308,6 +316,54 @@ class NativeTileWriter(TileWriter):
             fam_ids.ctypes.data_as(C.POINTER(C.c_int32)),
             mv8.ctypes.data_as(C.POINTER(C.c_int32)),
             skip.ctypes.data_as(C.POINTER(C.c_uint8)),
+            lv_y.ctypes.data_as(C.POINTER(C.c_int16)),
+            lv_u.ctypes.data_as(C.POINTER(C.c_int16)),
+            lv_v.ctypes.data_as(C.POINTER(C.c_int16)),
+            buf, cap)
+        assert n > 0
+        out = bytes(buf[:n])
+        self._lib.packer_free(self._h)
+        self._h = None
+        return out
+
+    def write_inter_tile_fast2(self, split: np.ndarray, mv8: np.ndarray,
+                               skip32: np.ndarray, mv16: np.ndarray,
+                               skip16: np.ndarray, lv_y: np.ndarray,
+                               lv_u: np.ndarray,
+                               lv_v: np.ndarray) -> bytes:
+        """One-call C++ pack of a mixed 32/16-partition P-frame tile
+        (PARTITION_SPLIT 32-blocks carry four 16x16 sub-blocks in
+        quadrant layout). Byte-identical to write_tile over the
+        equivalent partitions/blocks dicts."""
+        fam = self._fam
+        order = ["partition_mid", "skip", "intra_inter", "single_ref",
+                 "newmv", "zeromv", "refmv", "drl", "mv_joint",
+                 "mv0_sign", "mv0_classes", "mv0_class0",
+                 "mv0_class0_fr", "mv0_bits", "mv0_fr",
+                 "mv1_sign", "mv1_classes", "mv1_class0",
+                 "mv1_class0_fr", "mv1_bits", "mv1_fr",
+                 "inter_ext_tx3", "eob_pt_256", "eob_pt_1024",
+                 "eob_hi_bit", "txb_skip", "coeff_base_eob",
+                 "coeff_base", "coeff_br", "dc_sign", "eob_pt_64"]
+        fam_ids = np.asarray([fam[n].fam for n in order], np.int32)
+        split = np.ascontiguousarray(split, np.uint8)
+        mv8 = np.ascontiguousarray(mv8, np.int32)
+        skip32 = np.ascontiguousarray(skip32, np.uint8)
+        mv16 = np.ascontiguousarray(mv16, np.int32)
+        skip16 = np.ascontiguousarray(skip16, np.uint8)
+        lv_y = np.ascontiguousarray(lv_y, np.int16)
+        lv_u = np.ascontiguousarray(lv_u, np.int16)
+        lv_v = np.ascontiguousarray(lv_v, np.int16)
+        cap = 1 << 24
+        buf = (C.c_uint8 * cap)()
+        n = self._lib.packer_inter_tile2(
+            self._h, self.mi_rows, self.mi_cols,
+            fam_ids.ctypes.data_as(C.POINTER(C.c_int32)),
+            split.ctypes.data_as(C.POINTER(C.c_uint8)),
+            mv8.ctypes.data_as(C.POINTER(C.c_int32)),
+            skip32.ctypes.data_as(C.POINTER(C.c_uint8)),
+            mv16.ctypes.data_as(C.POINTER(C.c_int32)),
+            skip16.ctypes.data_as(C.POINTER(C.c_uint8)),
             lv_y.ctypes.data_as(C.POINTER(C.c_int16)),
             lv_u.ctypes.data_as(C.POINTER(C.c_int16)),
             lv_v.ctypes.data_as(C.POINTER(C.c_int16)),

@@ -171,6 +171,7 @@ struct Packer {
 };
 
 static inline int imin(int a, int b) { return a < b ? a : b; }
+static inline int imax(int a, int b) { return a > b ? a : b; }
 
 void scan_pos(int w, int h, int tclass, std::vector<int>& out) {
   out.clear();
@@ -837,6 +838,455 @@ long packer_inter_tile(void* h, int mi_rows, int mi_cols,
         p->symbol_fam(F.part_mid, 1 * 4 + ctx32, 0 /* NONE */);
         write_block(rr / 8, cc / 8);
         update_part(rr, cc, 3 /* 32 sub wlog2 */, 8, 8);
+      }
+    }
+  }
+  return (long)p->ec.done(out, (size_t)cap);
+}
+
+// ---- v2: mixed 32/16 partition P-frame tile --------------------------------
+// Per-mi context state (the python TileWriter/InterCtx twin): supports
+// PARTITION_SPLIT 32-blocks carrying four 16x16 sub-blocks with their
+// own MVs, skip flags and TX16/TX8 residuals. Byte-identical to the
+// python writer (asserted by tests). Mirrors rav1e
+// src/context/block_unit.rs (mv stack) + src/encoder.rs block coding.
+
+struct InterTile2 {
+  int mi_rows, mi_cols;
+  std::vector<uint8_t> set, mode, skip_mi, bw4g, bh4g;
+  std::vector<int32_t> mvr, mvc;
+  std::vector<uint8_t> above_part, left_part;
+  std::vector<uint8_t> acoef_y, lcoef_y, acoef_u, lcoef_u, acoef_v,
+      lcoef_v;
+  int at(int r, int c) const { return r * mi_cols + c; }
+};
+
+struct Stack2 {
+  int32_t mv[8][2];
+  int32_t w[8];
+  int n, n_nearest, n_found;
+  int new_ctx, ref_ctx;
+  int drl_ctx[3];
+};
+
+static inline int32_t lower_mv(int32_t v) {
+  if (v & 1) v += v < 0 ? 1 : -1;
+  return v;
+}
+
+static void find_stack2(const InterTile2& t, int r, int c, int bw4,
+                        int bh4, Stack2& o) {
+  o.n = 0;
+  int newmv_count = 0;
+  auto push = [&](int32_t m0, int32_t m1, int wgt) {
+    for (int i = 0; i < o.n; i++)
+      if (o.mv[i][0] == m0 && o.mv[i][1] == m1) {
+        o.w[i] += wgt;
+        return;
+      }
+    if (o.n < 8) {
+      o.mv[o.n][0] = m0;
+      o.mv[o.n][1] = m1;
+      o.w[o.n] = wgt;
+      o.n++;
+    }
+  };
+  auto add_cand = [&](int rr, int cc, int wgt, bool cnt) -> bool {
+    if (rr < 0 || cc < 0 || rr >= t.mi_rows || cc >= t.mi_cols)
+      return false;
+    int g = t.at(rr, cc);
+    if (!t.set[g]) return false;
+    push(lower_mv(t.mvr[g]), lower_mv(t.mvc[g]), wgt);
+    if (cnt && t.mode[g] == MODE_NEW) newmv_count++;
+    return true;
+  };
+  auto scan_row = [&](int delta, bool close) -> bool {
+    int rr = r + delta;
+    if (rr < 0) return false;
+    int end = imin(bw4, t.mi_cols - c);
+    bool found = false;
+    int i = 0;
+    while (i < end) {
+      int cc = c + i;
+      int ln = imax(1, imin((int)t.bw4g[t.at(rr, cc)], bw4));
+      if (!close) ln = imax(ln, 2);
+      if (add_cand(rr, cc, 2 * ln, close)) found = true;
+      i += ln;
+    }
+    return found;
+  };
+  auto scan_col = [&](int delta, bool close) -> bool {
+    int cc = c + delta;
+    if (cc < 0) return false;
+    int end = imin(bh4, t.mi_rows - r);
+    bool found = false;
+    int i = 0;
+    while (i < end) {
+      int rr = r + i;
+      int ln = imax(1, imin((int)t.bh4g[t.at(rr, cc)], bh4));
+      if (!close) ln = imax(ln, 2);
+      if (add_cand(rr, cc, 2 * ln, close)) found = true;
+      i += ln;
+    }
+    return found;
+  };
+  bool found_row = scan_row(-1, true);
+  bool found_col = scan_col(-1, true);
+  bool tr = false;
+  int sb_r = r % 16, sb_c = c % 16;
+  bool has_tr = sb_r == 0 ? true : (sb_c + bw4 < 16);
+  if (r > 0 && c + bw4 < t.mi_cols && has_tr)
+    tr = add_cand(r - 1, c + bw4, 4, true);
+  int nearest_match = (int)(found_row || tr) + (int)found_col;
+  o.n_nearest = o.n;
+  for (int i = 0; i < o.n; i++) o.w[i] += 640;
+  bool tl = false;
+  if (r > 0 && c > 0) tl = add_cand(r - 1, c - 1, 4, false);
+  bool far_row = false, far_col = false;
+  for (int idx = 3; idx <= 5; idx += 2) {
+    if (r - idx >= 0) far_row |= scan_row(-idx, false);
+    if (c - idx >= 0) far_col |= scan_col(-idx, false);
+  }
+  int total_match = (int)(found_row || tr || tl || far_row)
+                    + (int)(found_col || far_col);
+  o.new_ctx = 0;
+  o.ref_ctx = 0;
+  if (nearest_match == 0) {
+    if (total_match >= 1) o.new_ctx = 1;
+    o.ref_ctx = total_match == 1 ? 1 : (total_match >= 2 ? 2 : 0);
+  } else if (nearest_match == 1) {
+    o.new_ctx = newmv_count > 0 ? 2 : 3;
+    o.ref_ctx = total_match == 1 ? 3 : 4;
+  } else {
+    o.new_ctx = newmv_count > 0 ? 4 : 5;
+    o.ref_ctx = 5;
+  }
+  // two-segment stable sort by weight desc
+  auto sort_seg = [&](int lo, int hi) {
+    for (int i = lo + 1; i < hi; i++) {
+      int32_t m0 = o.mv[i][0], m1 = o.mv[i][1], wv = o.w[i];
+      int j = i;
+      while (j > lo && o.w[j - 1] < wv) {
+        o.mv[j][0] = o.mv[j - 1][0];
+        o.mv[j][1] = o.mv[j - 1][1];
+        o.w[j] = o.w[j - 1];
+        j--;
+      }
+      o.mv[j][0] = m0;
+      o.mv[j][1] = m1;
+      o.w[j] = wv;
+    }
+  };
+  sort_seg(0, o.n_nearest);
+  sort_seg(o.n_nearest, o.n);
+  // extra search (spec 7.10.2.12, single-ref): row -1 then col -1
+  auto add_extra = [&](int rr, int cc) {
+    int g = t.at(rr, cc);
+    if (!t.set[g] || o.n >= 2) return;
+    int32_t m0 = lower_mv(t.mvr[g]), m1 = lower_mv(t.mvc[g]);
+    for (int k = 0; k < o.n; k++)
+      if (o.mv[k][0] == m0 && o.mv[k][1] == m1) return;
+    o.mv[o.n][0] = m0;
+    o.mv[o.n][1] = m1;
+    o.w[o.n] = 2;
+    o.n++;
+  };
+  if (o.n < 2) {
+    if (r > 0) {
+      int i = 0, end = imin(bw4, t.mi_cols - c);
+      while (i < end && o.n < 2) {
+        int ln = imax(1, imin((int)t.bw4g[t.at(r - 1, c + i)], bw4));
+        add_extra(r - 1, c + i);
+        i += ln;
+      }
+    }
+    if (c > 0) {
+      int i = 0, end = imin(bh4, t.mi_rows - r);
+      while (i < end && o.n < 2) {
+        int ln = imax(1, imin((int)t.bh4g[t.at(r + i, c - 1)], bh4));
+        add_extra(r + i, c - 1);
+        i += ln;
+      }
+    }
+  }
+  o.n_found = o.n;
+  while (o.n < 2) {
+    o.mv[o.n][0] = 0;
+    o.mv[o.n][1] = 0;
+    o.w[o.n] = 0;
+    o.n++;
+  }
+  for (int idx = 0; idx < 3; idx++) {
+    int32_t w0 = idx < o.n ? o.w[idx] : 0;
+    int32_t w1 = idx + 1 < o.n ? o.w[idx + 1] : 0;
+    if (w0 >= 640 && w1 >= 640)
+      o.drl_ctx[idx] = 0;
+    else if (w0 >= 640)
+      o.drl_ctx[idx] = 1;
+    else if (w1 < 640)
+      o.drl_ctx[idx] = 2;
+    else
+      o.drl_ctx[idx] = 0;
+  }
+}
+
+long packer_inter_tile2(void* h, int mi_rows, int mi_cols,
+                        const int32_t* fam_ids, const uint8_t* split,
+                        const int32_t* mv8, const uint8_t* skip32,
+                        const int32_t* mv16, const uint8_t* skip16,
+                        const int16_t* lv_y, const int16_t* lv_u,
+                        const int16_t* lv_v, uint8_t* out, long cap) {
+  Packer* p = (Packer*)h;
+  InterTileFams F;
+  int eob_pt_64;
+  {
+    const int32_t* f = fam_ids;
+    F.part_mid = *f++; F.skip = *f++; F.intra_inter = *f++;
+    F.single_ref = *f++; F.newmv = *f++; F.zeromv = *f++;
+    F.refmv = *f++; F.drl = *f++; F.mv_joint = *f++;
+    for (int ci = 0; ci < 2; ci++) {
+      F.mv_sign[ci] = *f++; F.mv_classes[ci] = *f++;
+      F.mv_class0[ci] = *f++; F.mv_class0_fr[ci] = *f++;
+      F.mv_bits[ci] = *f++; F.mv_fr[ci] = *f++;
+    }
+    F.inter_ext_tx3 = *f++;
+    F.eob_pt_256 = *f++; F.eob_pt_1024 = *f++; F.eob_hi_bit = *f++;
+    F.txb_skip = *f++; F.coeff_base_eob = *f++; F.coeff_base = *f++;
+    F.coeff_br = *f++; F.dc_sign = *f++;
+    eob_pt_64 = *f++;
+  }
+  int nby = mi_rows / 8, nbx = mi_cols / 8;
+  InterTile2 t;
+  t.mi_rows = mi_rows;
+  t.mi_cols = mi_cols;
+  int M = mi_rows * mi_cols;
+  t.set.assign(M, 0);
+  t.mode.assign(M, 0);
+  t.skip_mi.assign(M, 0);
+  t.bw4g.assign(M, 0);
+  t.bh4g.assign(M, 0);
+  t.mvr.assign(M, 0);
+  t.mvc.assign(M, 0);
+  t.above_part.assign(mi_cols, 0);
+  t.left_part.assign(16, 0);
+  t.acoef_y.assign(mi_cols, 0);
+  t.lcoef_y.assign(mi_rows, 0);
+  t.acoef_u.assign((mi_cols + 1) / 2, 0);
+  t.lcoef_u.assign((mi_rows + 1) / 2, 0);
+  t.acoef_v.assign((mi_cols + 1) / 2, 0);
+  t.lcoef_v.assign((mi_rows + 1) / 2, 0);
+
+  auto part_ctx = [&](int r, int c, int bit) {
+    int above = (t.above_part[c] >> bit) & 1;
+    int left = (t.left_part[r & 15] >> bit) & 1;
+    return left * 2 + above;
+  };
+  auto update_part = [&](int r, int c, int sub_wlog, int bw, int bh) {
+    uint8_t aval = (uint8_t)(31 & ~((1 << sub_wlog) - 1));
+    for (int i = 0; i < bw && c + i < mi_cols; i++)
+      t.above_part[c + i] = aval;
+    int lo = r & 15;
+    for (int i = 0; i < bh && lo + i < 16; i++) t.left_part[lo + i] = aval;
+  };
+
+  // one coded block of bw4 x bh4 mi (bw4 in {4, 8}); sub-level arrays
+  // point into the quadrant-packed [32x32]/[16x16] level planes
+  auto write_block2 = [&](int r, int c, int bw4, int mv0, int mv1,
+                          int skipf, const int16_t* ly, int ly_stride,
+                          const int16_t* lu, int lu_stride,
+                          const int16_t* lvv, int lv_stride) {
+    int bh4 = bw4;
+    int above_sk = r > 0 ? t.skip_mi[t.at(r - 1, c)] : 0;
+    int left_sk = c > 0 ? t.skip_mi[t.at(r, c - 1)] : 0;
+    p->symbol_fam(F.skip, above_sk + left_sk, skipf);
+    p->symbol_fam(F.intra_inter, 0, 1);
+    int k = (int)(r > 0) + (int)(c > 0);
+    int sr = k == 0 ? 1 : 2;
+    p->symbol_fam(F.single_ref, sr * 6 + 0, 0);
+    p->symbol_fam(F.single_ref, sr * 6 + 2, 0);
+    p->symbol_fam(F.single_ref, sr * 6 + 3, 0);
+    Stack2 st;
+    find_stack2(t, r, c, bw4, bh4, st);
+    int mode = MODE_GLOBAL;
+    if (mv0 != 0 || mv1 != 0) {
+      mode = MODE_NEW;
+      if (mv0 == st.mv[0][0] && mv1 == st.mv[0][1])
+        mode = MODE_NEAREST;
+      else if (st.n_found >= 2 && mv0 == st.mv[1][0]
+               && mv1 == st.mv[1][1])
+        mode = MODE_NEAR;
+    }
+    if (mode == MODE_NEW) {
+      p->symbol_fam(F.newmv, st.new_ctx, 0);
+      for (int idx = 0; idx < 2; idx++) {
+        if (st.n_found > idx + 1) {
+          p->symbol_fam(F.drl, st.drl_ctx[idx], 0);
+          break;
+        }
+      }
+      int pr = st.mv[0][0], pc = st.mv[0][1];
+      int dr = mv0 - pr, dc = mv1 - pc;
+      int joint = (dr != 0 ? 2 : 0) | (dc != 0 ? 1 : 0);
+      p->symbol_fam(F.mv_joint, 0, joint);
+      if (dr != 0) write_mv_comp(p, F, 0, dr);
+      if (dc != 0) write_mv_comp(p, F, 1, dc);
+    } else {
+      p->symbol_fam(F.newmv, st.new_ctx, 1);
+      if (mode == MODE_GLOBAL) {
+        p->symbol_fam(F.zeromv, 0, 0);
+      } else {
+        p->symbol_fam(F.zeromv, 0, 1);
+        p->symbol_fam(F.refmv, st.ref_ctx, mode == MODE_NEAREST ? 0 : 1);
+        if (mode == MODE_NEAR) {
+          for (int idx = 1; idx < 3; idx++) {
+            if (st.n_found > idx + 1) {
+              p->symbol_fam(F.drl, st.drl_ctx[idx], 0);
+              break;
+            }
+          }
+        }
+      }
+    }
+    if (!skipf) {
+      auto tu = [&](int plane, const int16_t* lvp, int stride, int n,
+                    int tctx, uint8_t* acoef, uint8_t* lcoef, int u_c,
+                    int u_r, int eob_fam) {
+        int un = n / 4;
+        int ptype = plane == 0 ? 0 : 1;
+        int skip_ctx;
+        if (plane == 0)
+          skip_ctx = 0;
+        else {
+          int a = 0, l = 0;
+          for (int i = 0; i < un; i++) {
+            if (acoef[u_c + i]) a = 1;
+            if (lcoef[u_r + i]) l = 1;
+          }
+          skip_ctx = 7 + a + l;
+        }
+        int dcs = 0;
+        for (int i = 0; i < un; i++) {
+          int ca = acoef[u_c + i] >> 6, cl = lcoef[u_r + i] >> 6;
+          dcs += ca == 2 ? 1 : (ca == 1 ? -1 : 0);
+          dcs += cl == 2 ? 1 : (cl == 1 ? -1 : 0);
+        }
+        int dc_ctx = dcs == 0 ? 0 : (dcs < 0 ? 1 : 2);
+        int32_t lv[32 * 32];
+        for (int rr = 0; rr < n; rr++)
+          for (int cc = 0; cc < n; cc++)
+            lv[rr * n + cc] = lvp[rr * stride + cc];
+        int ttf = plane == 0 ? F.inter_ext_tx3 : -1;
+        int ttrec = n == 32 ? 3 : (n == 16 ? 2 : 1);
+        int eob_rec = n == 32 ? ptype : ptype * 2;
+        int cul = coeffs_impl(
+            p, ptype, n, n, tctx, imin(tctx, 3), C2D, eob_fam, eob_rec,
+            F.eob_hi_bit, (tctx * 2 + ptype) * 11, F.txb_skip,
+            tctx * 13 + skip_ctx, F.coeff_base_eob,
+            (tctx * 2 + ptype) * 4, F.coeff_base,
+            (tctx * 2 + ptype) * 41, F.coeff_br,
+            (imin(tctx, 3) * 2 + ptype) * 21, F.dc_sign,
+            ptype * 3 + dc_ctx, ttf, ttrec, 1, lv);
+        for (int i = 0; i < un; i++) {
+          acoef[u_c + i] = (uint8_t)cul;
+          lcoef[u_r + i] = (uint8_t)cul;
+        }
+      };
+      if (bw4 == 8) {
+        tu(0, ly, ly_stride, 32, 3, t.acoef_y.data(), t.lcoef_y.data(),
+           c, r, F.eob_pt_1024);
+        tu(1, lu, lu_stride, 16, 2, t.acoef_u.data(), t.lcoef_u.data(),
+           c / 2, r / 2, F.eob_pt_256);
+        tu(2, lvv, lv_stride, 16, 2, t.acoef_v.data(),
+           t.lcoef_v.data(), c / 2, r / 2, F.eob_pt_256);
+      } else {
+        tu(0, ly, ly_stride, 16, 2, t.acoef_y.data(), t.lcoef_y.data(),
+           c, r, F.eob_pt_256);
+        tu(1, lu, lu_stride, 8, 1, t.acoef_u.data(), t.lcoef_u.data(),
+           c / 2, r / 2, eob_pt_64);
+        tu(2, lvv, lv_stride, 8, 1, t.acoef_v.data(), t.lcoef_v.data(),
+           c / 2, r / 2, eob_pt_64);
+      }
+    } else {
+      for (int i = 0; i < bw4; i++) {
+        t.acoef_y[c + i] = 0;
+        t.lcoef_y[r + i] = 0;
+      }
+      for (int i = 0; i < bw4 / 2; i++) {
+        t.acoef_u[c / 2 + i] = 0;
+        t.lcoef_u[r / 2 + i] = 0;
+        t.acoef_v[c / 2 + i] = 0;
+        t.lcoef_v[r / 2 + i] = 0;
+      }
+    }
+    for (int rr = r; rr < r + bh4; rr++)
+      for (int cc = c; cc < c + bw4; cc++) {
+        int g = t.at(rr, cc);
+        t.set[g] = 1;
+        t.mode[g] = (uint8_t)mode;
+        t.skip_mi[g] = (uint8_t)skipf;
+        t.bw4g[g] = (uint8_t)bw4;
+        t.bh4g[g] = (uint8_t)bh4;
+        t.mvr[g] = mv0;
+        t.mvc[g] = mv1;
+      }
+  };
+
+  auto split_bool = [&](int ctx, int size_idx, bool vert_alike, int bit) {
+    Cdf& cdf = p->fams[F.part_mid][size_idx * 4 + ctx];
+    static const int VSET[6] = {2, 3, 4, 6, 7, 9};
+    static const int HSET[6] = {1, 3, 4, 5, 6, 8};
+    const int* ks = vert_alike ? VSET : HSET;
+    uint32_t psum = 0;
+    for (int i = 0; i < 6; i++) {
+      int kk = ks[i];
+      if (kk >= cdf.n) continue;
+      uint32_t prev = (kk == 0) ? PROB_TOP : cdf.v[kk - 1];
+      psum += prev - cdf.v[kk];
+    }
+    uint16_t derived[3] = {(uint16_t)psum, 0, 0};
+    p->ec.symbol_raw(bit, derived, 2);
+  };
+
+  for (int r = 0; r < mi_rows; r += 16) {
+    std::fill(t.left_part.begin(), t.left_part.end(), 0);
+    for (int c = 0; c < mi_cols; c += 16) {
+      bool rows64 = r + 8 < mi_rows, cols64 = c + 8 < mi_cols;
+      int ctx64 = part_ctx(r, c, 3);
+      if (rows64 && cols64) {
+        p->symbol_fam(F.part_mid, 2 * 4 + ctx64, 3 /* SPLIT */);
+      } else if (cols64) {
+        split_bool(ctx64, 2, true, 1);
+      } else if (rows64) {
+        split_bool(ctx64, 2, false, 1);
+      }
+      for (int k = 0; k < 4; k++) {
+        int rr = r + (k >> 1) * 8, cc = c + (k & 1) * 8;
+        if (rr >= mi_rows || cc >= mi_cols) continue;
+        int g = (rr / 8) * nbx + (cc / 8);
+        int ctx32 = part_ctx(rr, cc, 2);
+        if (split[g]) {
+          p->symbol_fam(F.part_mid, 1 * 4 + ctx32, 3 /* SPLIT */);
+          for (int q = 0; q < 4; q++) {
+            int qr = rr + (q >> 1) * 4, qc = cc + (q & 1) * 4;
+            int ctx16 = part_ctx(qr, qc, 1);
+            p->symbol_fam(F.part_mid, 0 * 4 + ctx16, 0 /* NONE */);
+            // quadrant offsets into the packed level planes
+            int py = (q >> 1) * 16, px = (q & 1) * 16;
+            int cy = (q >> 1) * 8, cx = (q & 1) * 8;
+            write_block2(qr, qc, 4, mv16[(g * 4 + q) * 2],
+                         mv16[(g * 4 + q) * 2 + 1], skip16[g * 4 + q],
+                         lv_y + g * 1024 + py * 32 + px, 32,
+                         lv_u + g * 256 + cy * 16 + cx, 16,
+                         lv_v + g * 256 + cy * 16 + cx, 16);
+            update_part(qr, qc, 2, 4, 4);
+          }
+        } else {
+          p->symbol_fam(F.part_mid, 1 * 4 + ctx32, 0 /* NONE */);
+          write_block2(rr, cc, 8, mv8[g * 2], mv8[g * 2 + 1],
+                       skip32[g], lv_y + g * 1024, 32,
+                       lv_u + g * 256, 16, lv_v + g * 256, 16);
+          update_part(rr, cc, 3, 8, 8);
+        }
       }
     }
   }

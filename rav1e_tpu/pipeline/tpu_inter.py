@@ -56,13 +56,23 @@ K16 = 96          # chroma TX_16X16 slots kept
 def _scans():
     from rav1e_tpu.entropy.coeffs import TX_CLASS_2D, scan_order
     return (scan_order(32, 32, TX_CLASS_2D),
-            scan_order(16, 16, TX_CLASS_2D))
+            scan_order(16, 16, TX_CLASS_2D),
+            scan_order(8, 8, TX_CLASS_2D))
 
 _FILT = jnp.asarray(SUBPEL_FILTERS["REGULAR"], jnp.int32)  # [16, 8]
 
 
 def _round2(x, n):
     return (x + (1 << (n - 1))) >> n
+
+
+def _split_bits() -> float:
+    from rav1e_tpu.core.constants import PartitionType
+    from rav1e_tpu.entropy.cost import mode_cost_tables
+    pm = mode_cost_tables()["partition_mid"]
+    return float(pm[int(PartitionType.SPLIT)]
+                 - pm[int(PartitionType.NONE)]
+                 + 4.0 * pm[int(PartitionType.NONE)])
 
 
 def build_rd_inter(qindex: int, bit_depth: int = 8) -> dict:
@@ -83,6 +93,9 @@ def build_rd_inter(qindex: int, bit_depth: int = 8) -> dict:
         "skip1": jnp.float32(imb["skip1"]),
         "y32": rate_luts(qindex, TxSize.TX_32X32, 0),
         "c16": rate_luts(qindex, TxSize.TX_16X16, 1),
+        "y16": rate_luts(qindex, TxSize.TX_16X16, 0),
+        "c8": rate_luts(qindex, TxSize.TX_8X8, 1),
+        "split_bits": jnp.float32(_split_bits()),
         "base_lf": jnp.int32(level_from_qindex(qindex)),
     }
 
@@ -238,6 +251,14 @@ def _core(h: int, w: int, use_cdef: bool = False,
         # residual; src/rdo.rs luma_chroma_mode_rdo skip trial):
         # sse(recon) + λ(skip0 + coeff bits)  vs  sse(pred) + λ·skip1
         from rav1e_tpu.pipeline.tpu_intra import block_bits
+        lam = rd["lam"]
+
+        def mv_rate(mv):
+            r = (rd["mv_bits"][jnp.abs(mv[..., 0])]
+                 + rd["mv_bits"][jnp.abs(mv[..., 1])])
+            zero = (mv[..., 0] == 0) & (mv[..., 1] == 0)
+            return jnp.where(zero, rd["globalmv"], r + rd["newmv"])
+
         cd_y = jnp.clip(pred_y + r2_y, 0, 255)
         cd_u = jnp.clip(pred_u + r2_u, 0, 255)
         cd_v = jnp.clip(pred_v + r2_v, 0, 255)
@@ -249,15 +270,123 @@ def _core(h: int, w: int, use_cdef: bool = False,
                  + jnp.sum((pred_v - vb).astype(jnp.float32) ** 2, (1, 2)))
         cbits = (block_bits(lv_y, rd["y32"]) + block_bits(lv_u, rd["c16"])
                  + block_bits(lv_v, rd["c16"]))
-        skip = (sse_s + rd["lam"] * rd["skip1"]
-                <= sse_c + rd["lam"] * (rd["skip0"] + cbits))
+        skip = (sse_s + lam * rd["skip1"]
+                <= sse_c + lam * (rd["skip0"] + cbits))
         sk3 = skip[:, None, None]
         lv_y = jnp.where(sk3, 0, lv_y)
         lv_u = jnp.where(sk3, 0, lv_u)
         lv_v = jnp.where(sk3, 0, lv_v)
-        rec_y = jnp.where(sk3, pred_y, jnp.clip(pred_y + r2_y, 0, 255))
-        rec_u = jnp.where(sk3, pred_u, jnp.clip(pred_u + r2_u, 0, 255))
-        rec_v = jnp.where(sk3, pred_v, jnp.clip(pred_v + r2_v, 0, 255))
+        rec_y32 = jnp.where(sk3, pred_y, cd_y)
+        rec_u32 = jnp.where(sk3, pred_u, cd_u)
+        rec_v32 = jnp.where(sk3, pred_v, cd_v)
+        cost32 = (lam * mv_rate(mv8)
+                  + jnp.where(skip, sse_s + lam * rd["skip1"],
+                              sse_c + lam * (rd["skip0"] + cbits)))
+
+        # ---- PARTITION_SPLIT alternative: per-16 MVs + TX16/TX8
+        # residuals (rav1e rdo_partition_decision restructured as a
+        # second fixed-shape candidate set) ----
+        offs_r = np.array([0, 0, 16, 16], np.int32)
+        offs_c = np.array([0, 16, 0, 16], np.int32)
+        by16 = (by[:, None] + offs_r[None, :]).reshape(-1)
+        bx16 = (bx[:, None] + offs_c[None, :]).reshape(-1)
+
+        def quads(x, n):
+            # [B, 2n, 2n] -> [4B, n, n] in (TL, TR, BL, BR) order
+            Bn = x.shape[0]
+            return (x.reshape(Bn, 2, n, 2, n).transpose(0, 1, 3, 2, 4)
+                    .reshape(Bn * 4, n, n))
+
+        def unquads(x, n):
+            Bn = x.shape[0] // 4
+            return (x.reshape(Bn, 2, 2, n, n).transpose(0, 1, 3, 2, 4)
+                    .reshape(Bn, 2 * n, 2 * n))
+
+        blks16 = quads(blks, 16)
+        ub8 = quads(ub, 8)
+        vb8 = quads(vb, 8)
+
+        def cost16_of(mv):
+            pred = _mc_batch(ryp, by16, bx16, mv, 16, 0)
+            d = (pred - blks16).astype(jnp.float32)
+            return (jnp.sum(d * d, axis=(1, 2))
+                    + lam * (rd["mv_bits"][jnp.abs(mv[:, 0])]
+                             + rd["mv_bits"][jnp.abs(mv[:, 1])]))
+
+        mv16 = jnp.repeat(mv8, 4, axis=0)
+        best16 = cost16_of(mv16)
+        zcost = cost16_of(jnp.zeros_like(mv16))
+        zbet = zcost < best16
+        mv16 = jnp.where(zbet[:, None], 0, mv16)
+        best16 = jnp.minimum(best16, zcost)
+        for step_sz in (8, 4, 2, 2):
+            cands = jnp.stack([
+                mv16 + jnp.array([-step_sz, 0]),
+                mv16 + jnp.array([step_sz, 0]),
+                mv16 + jnp.array([0, -step_sz]),
+                mv16 + jnp.array([0, step_sz])], 0)
+            costs = jnp.stack([cost16_of(c) for c in cands], 0)
+            k = jnp.argmin(costs, axis=0)
+            cbest = jnp.take_along_axis(costs, k[None], 0)[0]
+            cmv = jnp.take_along_axis(
+                cands, k[None, :, None].repeat(2, -1), 0)[0]
+            better = cbest < best16
+            mv16 = jnp.where(better[:, None], cmv, mv16)
+            best16 = jnp.where(better, cbest, best16)
+
+        pred_y16 = _mc_batch(ryp, by16, bx16, mv16, 16, 0)
+        pred_u8 = _mc_batch(rup, by16 // 2, bx16 // 2, mv16, 8, 1)
+        pred_v8 = _mc_batch(rvp, by16 // 2, bx16 // 2, mv16, 8, 1)
+        lv_y16, r2_y16 = code(blks16 - pred_y16, TxSize.TX_16X16)
+        lv_u8, r2_u8 = code(ub8 - pred_u8, TxSize.TX_8X8)
+        lv_v8, r2_v8 = code(vb8 - pred_v8, TxSize.TX_8X8)
+        cd_y16 = jnp.clip(pred_y16 + r2_y16, 0, 255)
+        cd_u8 = jnp.clip(pred_u8 + r2_u8, 0, 255)
+        cd_v8 = jnp.clip(pred_v8 + r2_v8, 0, 255)
+        sse_c16 = (jnp.sum((cd_y16 - blks16).astype(jnp.float32) ** 2,
+                           (1, 2))
+                   + jnp.sum((cd_u8 - ub8).astype(jnp.float32) ** 2,
+                             (1, 2))
+                   + jnp.sum((cd_v8 - vb8).astype(jnp.float32) ** 2,
+                             (1, 2)))
+        sse_s16 = (jnp.sum((pred_y16 - blks16).astype(jnp.float32) ** 2,
+                           (1, 2))
+                   + jnp.sum((pred_u8 - ub8).astype(jnp.float32) ** 2,
+                             (1, 2))
+                   + jnp.sum((pred_v8 - vb8).astype(jnp.float32) ** 2,
+                             (1, 2)))
+        cbits16 = (block_bits(lv_y16, rd["y16"])
+                   + block_bits(lv_u8, rd["c8"])
+                   + block_bits(lv_v8, rd["c8"]))
+        skip16 = (sse_s16 + lam * rd["skip1"]
+                  <= sse_c16 + lam * (rd["skip0"] + cbits16))
+        s163 = skip16[:, None, None]
+        lv_y16 = jnp.where(s163, 0, lv_y16)
+        lv_u8 = jnp.where(s163, 0, lv_u8)
+        lv_v8 = jnp.where(s163, 0, lv_v8)
+        rec_y16 = jnp.where(s163, pred_y16, cd_y16)
+        rec_u8 = jnp.where(s163, pred_u8, cd_u8)
+        rec_v8 = jnp.where(s163, pred_v8, cd_v8)
+        cost16 = (lam * mv_rate(mv16)
+                  + jnp.where(skip16, sse_s16 + lam * rd["skip1"],
+                              sse_c16 + lam * (rd["skip0"] + cbits16)))
+        cost_split = (cost16.reshape(B, 4).sum(axis=1)
+                      + lam * rd["split_bits"])
+        split = cost_split < cost32
+        sp3 = split[:, None, None]
+
+        # ---- choose + assemble ----
+        lv_y = jnp.where(sp3, unquads(lv_y16, 16), lv_y)
+        lv_u = jnp.where(sp3, unquads(lv_u8, 8), lv_u)
+        lv_v = jnp.where(sp3, unquads(lv_v8, 8), lv_v)
+        rec_y = jnp.where(sp3, unquads(rec_y16, 16), rec_y32)
+        rec_u = jnp.where(sp3, unquads(rec_u8, 8), rec_u32)
+        rec_v = jnp.where(sp3, unquads(rec_v8, 8), rec_v32)
+        mv16_out = jnp.where(split[:, None, None],
+                             mv16.reshape(B, 4, 2),
+                             jnp.repeat(mv8[:, None, :], 4, axis=1))
+        skip16_out = jnp.where(split[:, None], skip16.reshape(B, 4),
+                               skip[:, None])
         fry = from_blocks(rec_y, h, w, 32)
         fru = from_blocks(rec_u, h // 2, w // 2, 16)
         frv = from_blocks(rec_v, h // 2, w // 2, 16)
@@ -278,8 +407,9 @@ def _core(h: int, w: int, use_cdef: bool = False,
             # (rav1e rdo_loop_decision analog); chosen entry is
             # signaled in the frame header
             from rav1e_tpu.ops.tpu.cdef import cdef_search_frame_jax
-            skip8 = jnp.repeat(jnp.repeat(skip.reshape(nby, nbx), 4, 0),
-                               4, 1)
+            s16 = (skip16_out.reshape(nby, nbx, 2, 2)
+                   .transpose(0, 2, 1, 3).reshape(nby * 2, nbx * 2))
+            skip8 = jnp.repeat(jnp.repeat(s16, 2, 0), 2, 1)
             cdef_idx, (fry, fru, frv) = cdef_search_frame_jax(
                 [fry, fru, frv],
                 [y, u.astype(jnp.int32), v.astype(jnp.int32)],
@@ -287,27 +417,53 @@ def _core(h: int, w: int, use_cdef: bool = False,
         else:
             cdef_idx = jnp.int32(0)
         # compact level transfer (see K32/K16 above): first K scan
-        # slots as int8 + per-block dense/saturation flag
-        scan32, scan16 = _scans()
+        # slots as int8 + per-block dense/saturation flag. Split
+        # blocks pack K/4 scan slots per 16/8 sub-TX into the same
+        # buffers (host rebuilds by the split flag).
+        scan32, scan16, scan8 = _scans()
         sp32 = np.empty(1024, np.int32)
         sp32[scan32] = np.arange(1024)
         sp16 = np.empty(256, np.int32)
         sp16[scan16] = np.arange(256)
+        sp8 = np.empty(64, np.int32)
+        sp8[scan8] = np.arange(64)
         spm32 = jnp.asarray(sp32.reshape(32, 32))
         spm16 = jnp.asarray(sp16.reshape(16, 16))
+        spm8 = jnp.asarray(sp8.reshape(8, 8))
         eob_y = jnp.max(jnp.where(lv_y != 0, spm32 + 1, 0), axis=(1, 2))
         eob_u = jnp.max(jnp.where(lv_u != 0, spm16 + 1, 0), axis=(1, 2))
         eob_v = jnp.max(jnp.where(lv_v != 0, spm16 + 1, 0), axis=(1, 2))
+        eob_y16 = jnp.max(jnp.where(lv_y16 != 0, spm16 + 1, 0),
+                          axis=(1, 2)).reshape(B, 4).max(axis=1)
+        eob_u8 = jnp.max(jnp.where(lv_u8 != 0, spm8 + 1, 0),
+                         axis=(1, 2)).reshape(B, 4).max(axis=1)
+        eob_v8 = jnp.max(jnp.where(lv_v8 != 0, spm8 + 1, 0),
+                         axis=(1, 2)).reshape(B, 4).max(axis=1)
         sat = ((jnp.abs(lv_y) > 127).any(axis=(1, 2))
                | (jnp.abs(lv_u) > 127).any(axis=(1, 2))
                | (jnp.abs(lv_v) > 127).any(axis=(1, 2)))
-        dense = (sat | (eob_y > K32) | (eob_u > K16) | (eob_v > K16))
-        sc_y = jnp.take(lv_y.reshape(B, 1024),
-                        jnp.asarray(scan32[:K32]), axis=1)
-        sc_u = jnp.take(lv_u.reshape(B, 256),
-                        jnp.asarray(scan16[:K16]), axis=1)
-        sc_v = jnp.take(lv_v.reshape(B, 256),
-                        jnp.asarray(scan16[:K16]), axis=1)
+        dense_none = (eob_y > K32) | (eob_u > K16) | (eob_v > K16)
+        dense_split = ((eob_y16 > K32 // 4) | (eob_u8 > K16 // 4)
+                       | (eob_v8 > K16 // 4))
+        dense = sat | jnp.where(split, dense_split, dense_none)
+        scn_y = jnp.take(lv_y.reshape(B, 1024),
+                         jnp.asarray(scan32[:K32]), axis=1)
+        scn_u = jnp.take(lv_u.reshape(B, 256),
+                         jnp.asarray(scan16[:K16]), axis=1)
+        scn_v = jnp.take(lv_v.reshape(B, 256),
+                         jnp.asarray(scan16[:K16]), axis=1)
+        scs_y = jnp.take(lv_y16.reshape(B, 4, 256),
+                         jnp.asarray(scan16[:K32 // 4]),
+                         axis=2).reshape(B, K32)
+        scs_u = jnp.take(lv_u8.reshape(B, 4, 64),
+                         jnp.asarray(scan8[:K16 // 4]),
+                         axis=2).reshape(B, K16)
+        scs_v = jnp.take(lv_v8.reshape(B, 4, 64),
+                         jnp.asarray(scan8[:K16 // 4]),
+                         axis=2).reshape(B, K16)
+        sc_y = jnp.where(split[:, None], scs_y, scn_y)
+        sc_u = jnp.where(split[:, None], scs_u, scn_u)
+        sc_v = jnp.where(split[:, None], scs_v, scn_v)
         return (mv8, skip, dense,
                 jnp.clip(sc_y, -127, 127).astype(jnp.int8),
                 jnp.clip(sc_u, -127, 127).astype(jnp.int8),
@@ -315,20 +471,41 @@ def _core(h: int, w: int, use_cdef: bool = False,
                 lv_y.astype(jnp.int16), lv_u.astype(jnp.int16),
                 lv_v.astype(jnp.int16),
                 fry.astype(jnp.uint8), fru.astype(jnp.uint8),
-                frv.astype(jnp.uint8), lf_lvl, cdef_idx)
+                frv.astype(jnp.uint8), lf_lvl, cdef_idx,
+                split, mv16_out.astype(jnp.int32),
+                skip16_out)
 
     return step, (nby, nbx)
+
+
+def _quads_np(x, n):
+    B = x.shape[0]
+    return (x.reshape(B, 2, n, 2, n).transpose(0, 1, 3, 2, 4)
+            .reshape(B, 4, n, n))
+
+
+def _unquads_np(x, n):
+    B = x.shape[0]
+    return (x.reshape(B, 2, 2, n, n).transpose(0, 1, 3, 2, 4)
+            .reshape(B, 2 * n, 2 * n))
 
 
 def _fetch_outputs(o):
     """Pull one frame's pipeline outputs to host: compact scan-order
     int8 slices + ONE full-precision gather for dense/saturated
-    blocks (minimizes bytes AND round-trips over the tunnel)."""
+    blocks (minimizes bytes AND round-trips over the tunnel).
+
+    Returns (mv8, skip32, lv_y, lv_u, lv_v, split, mv16, skip16);
+    for split blocks the level arrays hold the four sub-TX blocks in
+    quadrant layout."""
     import jax.numpy as jnp
-    scan32, scan16 = _scans()
+    scan32, scan16, scan8 = _scans()
     mv8 = np.asarray(o[0])
     skip = np.asarray(o[1])
     dense = np.asarray(o[2])
+    split = np.asarray(o[14])
+    mv16 = np.asarray(o[15])
+    skip16 = np.asarray(o[16])
     B = mv8.shape[0]
     sc_y = np.asarray(o[3]).astype(np.int16)
     sc_u = np.asarray(o[4]).astype(np.int16)
@@ -336,26 +513,43 @@ def _fetch_outputs(o):
     lv_y = np.zeros((B, 1024), np.int16)
     lv_u = np.zeros((B, 256), np.int16)
     lv_v = np.zeros((B, 256), np.int16)
-    lv_y[:, scan32[:K32]] = sc_y
-    lv_u[:, scan16[:K16]] = sc_u
-    lv_v[:, scan16[:K16]] = sc_v
+    ns = ~split
+    lv_y[np.ix_(ns, scan32[:K32])] = sc_y[ns]
+    lv_u[np.ix_(ns, scan16[:K16])] = sc_u[ns]
+    lv_v[np.ix_(ns, scan16[:K16])] = sc_v[ns]
+    lv_y = lv_y.reshape(B, 32, 32)
+    lv_u = lv_u.reshape(B, 16, 16)
+    lv_v = lv_v.reshape(B, 16, 16)
+    sidx = np.nonzero(split)[0]
+    if len(sidx):
+        S = len(sidx)
+        sy = np.zeros((S, 4, 256), np.int16)
+        sy[:, :, scan16[:K32 // 4]] = sc_y[sidx].reshape(S, 4, K32 // 4)
+        su = np.zeros((S, 4, 64), np.int16)
+        su[:, :, scan8[:K16 // 4]] = sc_u[sidx].reshape(S, 4, K16 // 4)
+        sv = np.zeros((S, 4, 64), np.int16)
+        sv[:, :, scan8[:K16 // 4]] = sc_v[sidx].reshape(S, 4, K16 // 4)
+        lv_y[sidx] = _unquads_np(sy.reshape(S, 4, 16, 16), 16)
+        lv_u[sidx] = _unquads_np(su.reshape(S, 4, 8, 8), 8)
+        lv_v[sidx] = _unquads_np(sv.reshape(S, 4, 8, 8), 8)
     didx = np.nonzero(dense)[0]
     if len(didx):
         gi = jnp.asarray(didx)
-        lv_y[didx] = np.asarray(jnp.take(o[6], gi, axis=0)
-                                ).reshape(len(didx), 1024)
-        lv_u[didx] = np.asarray(jnp.take(o[7], gi, axis=0)
-                                ).reshape(len(didx), 256)
-        lv_v[didx] = np.asarray(jnp.take(o[8], gi, axis=0)
-                                ).reshape(len(didx), 256)
-    return (mv8, skip, lv_y.reshape(B, 32, 32),
-            lv_u.reshape(B, 16, 16), lv_v.reshape(B, 16, 16))
+        lv_y[didx] = np.asarray(jnp.take(o[6], gi, axis=0))
+        lv_u[didx] = np.asarray(jnp.take(o[7], gi, axis=0))
+        lv_v[didx] = np.asarray(jnp.take(o[8], gi, axis=0))
+    return mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16
 
 
 def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
                  use_native=True, cdef=None, film_grain=None,
-                 render_size=None, lf_level=0):
-    """Entropy-pack one P frame from batched pipeline outputs."""
+                 render_size=None, lf_level=0, split=None, mv16=None,
+                 skip16=None):
+    """Entropy-pack one P frame from batched pipeline outputs.
+
+    split/mv16/skip16 (optional) describe PARTITION_SPLIT 32-blocks:
+    four 16x16 sub-blocks with their own MVs and TX16/TX8 residuals
+    stored in quadrant layout inside lv_*."""
     seq = Sequence(width=w, height=h, enable_cdef=cdef is not None,
                    film_grain_params_present=film_grain is not None)
     lf = int(lf_level)
@@ -374,26 +568,51 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
             from rav1e_tpu.entropy.native import NativeTileWriter
             tw = NativeTileWriter(mi_rows, mi_cols, qindex,
                                   inter_frame=True)
-            tile = tw.write_inter_tile_fast(mv8, skip, lv_y, lv_u, lv_v)
+            if split is None:
+                tile = tw.write_inter_tile_fast(mv8, skip, lv_y, lv_u,
+                                                lv_v)
+            else:
+                tile = tw.write_inter_tile_fast2(
+                    split, mv8, skip, mv16, skip16, lv_y, lv_u, lv_v)
             return interframe_packet(seq, fp, ti, [tile], order_hint)
         except Exception:
             pass
     tw = TileWriter(mi_rows, mi_cols, qindex, inter_frame=True)
     partitions: dict = {}
     blocks: dict = {}
+
+    def inter_block(mv, sk, yl, ul, vl):
+        mv = (int(mv[0]), int(mv[1]))
+        mode = (PredictionMode.GLOBALMV if mv == (0, 0)
+                else PredictionMode.NEWMV)
+        d = BlockDecision(y_mode=mode, uv_mode=PredictionMode.DC_PRED,
+                          skip=bool(sk), mv=mv)
+        if not d.skip:
+            d.coeffs = {0: yl, 1: ul, 2: vl}
+        return d
+
     for b in range(mv8.shape[0]):
         by, bx = (b // nbx) * 32, (b % nbx) * 32
         r, c = by >> 2, bx >> 2
         partitions[(r, c, int(BlockSize.B64X64))] = PartitionType.SPLIT
+        if split is not None and split[b]:
+            partitions[(r, c, int(BlockSize.B32X32))] = \
+                PartitionType.SPLIT
+            for q, (dr, dc) in enumerate(
+                    ((0, 0), (0, 4), (4, 0), (4, 4))):
+                py, px = dr * 4, dc * 4
+                cy, cx = dr * 2, dc * 2
+                partitions[(r + dr, c + dc, int(BlockSize.B16X16))] = \
+                    PartitionType.NONE
+                blocks[(r + dr, c + dc)] = inter_block(
+                    mv16[b, q], skip16[b, q],
+                    lv_y[b][py: py + 16, px: px + 16],
+                    lv_u[b][cy: cy + 8, cx: cx + 8],
+                    lv_v[b][cy: cy + 8, cx: cx + 8])
+            continue
         partitions[(r, c, int(BlockSize.B32X32))] = PartitionType.NONE
-        mv = (int(mv8[b, 0]), int(mv8[b, 1]))
-        mode = (PredictionMode.GLOBALMV if mv == (0, 0)
-                else PredictionMode.NEWMV)
-        d = BlockDecision(y_mode=mode, uv_mode=PredictionMode.DC_PRED,
-                          skip=bool(skip[b]), mv=mv)
-        if not d.skip:
-            d.coeffs = {0: lv_y[b], 1: lv_u[b], 2: lv_v[b]}
-        blocks[(r, c)] = d
+        blocks[(r, c)] = inter_block(mv8[b], skip[b], lv_y[b],
+                                     lv_u[b], lv_v[b])
     tile = tw.write_tile(partitions, blocks)
     return interframe_packet(seq, fp, ti, [tile], order_hint)
 
@@ -422,7 +641,8 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
                 jnp.int32(dc_q_lut(qindex)), jnp.int32(ac_q_lut(qindex)),
                 cdef_prm, build_rd_inter(qindex))
     rec_dev = outs[9:12]
-    mv8, skip, lv_y, lv_u, lv_v = _fetch_outputs(outs)
+    (mv8, skip, lv_y, lv_u, lv_v, split, mv16,
+     skip16) = _fetch_outputs(outs)
     rec_y, rec_u, rec_v = [np.asarray(o) for o in rec_dev]
     cdef_hdr = None
     if cdef is not None:
@@ -432,7 +652,7 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
     pkt = _pack_pframe(h, w, qindex, order_hint, mv8, skip,
                        lv_y, lv_u, lv_v, use_native, cdef_hdr,
                        film_grain, render_size,
-                       int(np.asarray(outs[12])))
+                       int(np.asarray(outs[12])), split, mv16, skip16)
     rec = [rec_y.astype(np.int32), rec_u.astype(np.int32),
            rec_v.astype(np.int32)]
     if return_device:
@@ -471,7 +691,8 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
         ref_dev = o[9:12]
         outs.append(o)
     for i, o in enumerate(outs, start=1):
-        mv8, skip, lv_y, lv_u, lv_v = _fetch_outputs(o)
+        (mv8, skip, lv_y, lv_u, lv_v, split, mv16,
+         skip16) = _fetch_outputs(o)
         cdef_hdr = None
         if cdef is not None:
             from rav1e_tpu.ops.tpu.cdef import CDEF_LADDER
@@ -479,7 +700,9 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
             cdef_hdr = (*sel, cdef[4])
         pkts.append(_pack_pframe(h, w, qindex, i, mv8, skip,
                                  lv_y, lv_u, lv_v, cdef=cdef_hdr,
-                                 lf_level=int(np.asarray(o[12]))))
+                                 lf_level=int(np.asarray(o[12])),
+                                 split=split, mv16=mv16,
+                                 skip16=skip16))
         # recons stay device-resident (uint8); consumers that need
         # them host-side (conformance checks) convert lazily
         recs.append([o[9], o[10], o[11]])
