@@ -393,12 +393,16 @@ def _core(h: int, w: int, use_cdef: bool = False,
         if use_deblock:
             # in-loop deblock with whole-frame level search (rav1e
             # deblock_filter_optimize analog; level signaled in the
-            # frame header, recon feeds the ref chain post-filter)
+            # frame header, recon feeds the ref chain post-filter).
+            # Edge grid: 16-px with interior edges gated by the split
+            # map (split blocks carry TX16/TX8 edges the decoder
+            # filters too).
             from rav1e_tpu.ops.tpu.deblock import deblock_search
             lf_lvl, db = deblock_search(
                 [fry, fru, frv],
                 [y, u.astype(jnp.int32), v.astype(jnp.int32)],
-                rd["base_lf"])
+                rd["base_lf"], block_y=16, block_c=8,
+                split_map=split.reshape(nby, nbx))
             fry, fru, frv = db
         else:
             lf_lvl = jnp.int32(0)

@@ -178,3 +178,35 @@ def test_compound_prediction():
                 assert np.array_equal(d[i].planes[j], recs[i][j]), \
                     (W, H, i, j)
                 assert np.array_equal(a[i][j], recs[i][j]), (W, H, i, j)
+
+
+def test_split_blocks_with_deblock():
+    """PARTITION_SPLIT blocks carry TX16/TX8 edges at 16-px offsets
+    that the decoder deblocks; the encoder's in-loop deblock must use
+    the same split-gated edge grid (regression: a fixed 32-px grid
+    passed only when the level search picked 0)."""
+    import jax.numpy as jnp
+    from scipy.ndimage import gaussian_filter, rotate
+    from rav1e_tpu.pipeline.tpu_intra import encode_keyframe_tpu
+    from rav1e_tpu.pipeline import tpu_inter as TI
+    rng = np.random.default_rng(4)
+    h, w = 96, 128
+    base = gaussian_filter(rng.normal(0, 60, (h * 2, w * 2)), 1.0)
+
+    def fr(ang):
+        r = rotate(base, ang, reshape=False, order=1)
+        y = (128 + r[h // 2:h // 2 + h, w // 2:w // 2 + w]
+             ).clip(0, 255).astype(np.uint8)
+        return [y, np.full((h // 2, w // 2), 120, np.uint8),
+                np.full((h // 2, w // 2), 135, np.uint8)]
+
+    f0, f1 = fr(0), fr(3)
+    q = 80
+    pk, rk = encode_keyframe_tpu(f0, qindex=q, speed=7,
+                                 cdef=(0, 0, 0, 0, 4))
+    pp, rp = TI.encode_pframe_tpu(f1, rk, qindex=q, cdef=(0, 0, 0, 0, 4))
+    d = dav1d.decode_all([pk, pp])
+    a = aom.decode_all([pk, pp])
+    for j in range(3):
+        assert np.array_equal(d[1].planes[j], rp[j]), j
+        assert np.array_equal(a[1][j], rp[j]), j
