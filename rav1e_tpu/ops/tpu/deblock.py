@@ -193,7 +193,8 @@ def _levels_to_thresholds(level):
 
 def deblock_plane_jax(plane, block: int, level_v, level_h,
                       is_luma: bool, bd: int = 8, split_map=None,
-                      outer_block: int = 32):
+                      outer_block: int = 32, edge_on_v=None,
+                      edge_on_h=None):
     """Filter one plane with traced levels. plane [H, W] int32; level 0
     disables (the filter mask never passes with limit>=1? no — gate
     explicitly). split_map: traced bool [bh, bw] per outer block —
@@ -239,6 +240,9 @@ def deblock_plane_jax(plane, block: int, level_v, level_h,
         pcols = out[:, pidx].reshape(H * len(xs), n)
         qcols = out[:, qidx].reshape(H * len(xs), n)
         m = edge_mask_v(xs)
+        if edge_on_v is not None:
+            eo = jnp.broadcast_to(edge_on_v[None, :], (H, len(xs)))
+            m = eo if m is None else (m & eo)
         m = m.reshape(-1) if m is not None else None
         np_, nq = _filter_stack(pcols, qcols, limit, blimit, thresh,
                                 size, bd, m)
@@ -257,6 +261,9 @@ def deblock_plane_jax(plane, block: int, level_v, level_h,
         prow = out[pidx, :].transpose(2, 0, 1).reshape(W * len(ys), n)
         qrow = out[qidx, :].transpose(2, 0, 1).reshape(W * len(ys), n)
         m = edge_mask_h(ys)
+        if edge_on_h is not None:
+            eo = jnp.broadcast_to(edge_on_h[None, :], (W, len(ys)))
+            m = eo if m is None else (m & eo)
         m = m.reshape(-1) if m is not None else None
         np_, nq = _filter_stack(prow, qrow, limit, blimit, thresh,
                                 size, bd, m)
@@ -297,6 +304,69 @@ def deblock_search(planes, srcs, base_level, block_y: int = 32,
         sse = sum(jnp.sum((o - s).astype(jnp.float32) ** 2)
                   for o, s in zip(out, srcs))
         return sse, out
+
+    sses, outs = jax.vmap(one)(cand)
+    k = jnp.argmin(sses)
+    return cand[k], [o[k] for o in outs]
+
+
+def deblock_search_tiled(planes, srcs, base_level, split_grid,
+                         axis_name: str, T: int, tile_idx,
+                         bd: int = 8):
+    """Tiled deblock + level search inside shard_map (SURVEY §5.7
+    "cross-tile halos ... the codec's ring attention").
+
+    planes/srcs: this shard's [h, tw] column slice. Halo columns are
+    exchanged once via ppermute (they are level-independent), then the
+    candidate ladder vmaps pure filtering over the extended arrays.
+    Tile-boundary edges are double-computed by both neighbors (each
+    keeps its own side — the filter output is identical); frame-edge
+    tiles gate their outer boundary edge off. SSEs psum over the tile
+    axis so every shard picks the same frame-global level."""
+    tw = planes[0].shape[1]
+    perm_r = [(i, i + 1) for i in range(T - 1)]   # send right
+    perm_l = [(i + 1, i) for i in range(T - 1)]   # send left
+
+    def halo_ext(x, hw):
+        left = jax.lax.ppermute(x[:, -hw:], axis_name, perm_r)
+        right = jax.lax.ppermute(x[:, :hw], axis_name, perm_l)
+        return jnp.concatenate([left, x, right], axis=1)
+
+    ye = halo_ext(planes[0], 32)
+    ue = halo_ext(planes[1], 16)
+    ve = halo_ext(planes[2], 16)
+    sg = jnp.concatenate(
+        [jax.lax.ppermute(split_grid[:, -1:], axis_name, perm_r),
+         split_grid,
+         jax.lax.ppermute(split_grid[:, :1], axis_name, perm_l)],
+        axis=1)
+
+    not_first = tile_idx != 0
+    not_last = tile_idx != T - 1
+
+    def edge_on(W_ext, block, lo, hi):
+        n_e = len(np.arange(block, W_ext, block))
+        eo = jnp.ones((n_e,), bool)
+        eo = eo.at[lo // block - 1].set(not_first)
+        eo = eo.at[hi // block - 1].set(not_last)
+        return eo
+
+    eo_y = edge_on(64 + tw, 16, 32, 32 + tw)
+    eo_c = edge_on(32 + tw // 2, 8, 16, 16 + tw // 2)
+
+    scales = jnp.asarray([0.0, 0.5, 1.0, 1.5, 2.0], jnp.float32)
+    cand = jnp.clip((scales * base_level).astype(jnp.int32), 0, 63)
+
+    def one(level):
+        oy = deblock_plane_jax(ye, 16, level, level, True, bd, sg,
+                               32, edge_on_v=eo_y)[:, 32:32 + tw]
+        ou = deblock_plane_jax(ue, 8, level, level, False, bd, sg,
+                               32, edge_on_v=eo_c)[:, 16:16 + tw // 2]
+        ov = deblock_plane_jax(ve, 8, level, level, False, bd, sg,
+                               32, edge_on_v=eo_c)[:, 16:16 + tw // 2]
+        sse = sum(jnp.sum((o - s).astype(jnp.float32) ** 2)
+                  for o, s in zip((oy, ou, ov), srcs))
+        return jax.lax.psum(sse, axis_name), (oy, ou, ov)
 
     sses, outs = jax.vmap(one)(cand)
     k = jnp.argmin(sses)

@@ -1,0 +1,142 @@
+"""Tile-parallel P-frame encoding over a device mesh.
+
+The production multi-chip path (SURVEY §2.1 parallelism table, §5.8):
+AV1 tiles are the natural shard boundary — per-tile entropy state is
+independent by spec. The frame's SB columns shard over the 'tile'
+mesh axis via shard_map; reference planes stay replicated per chip
+(§5.8 "replicate refs, shard residual/recon work" — a 4K 10-bit ref
+plane is ~25 MB, HBM-cheap), so motion search needs no halo at all.
+In-loop deblock crosses tile boundaries exactly as the spec demands,
+via a one-shot ppermute halo exchange + double-computed boundary
+edges (ops/tpu/deblock.py::deblock_search_tiled). Per-tile bitstreams
+pack independently on host (C++ packer per tile) and assemble into
+one tile group.
+
+Bit-exactness contract: the same mesh-sharded program on 1 device
+produces byte-identical packets to the T-device run (asserted by
+tests + __graft_entry__.dryrun_multichip), and every stream decodes
+bit-exactly on dav1d vs the encoder recon.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+from jax.sharding import PartitionSpec as P
+
+from rav1e_tpu.core.constants import FrameType
+from rav1e_tpu.entropy.obu import (
+    FrameParams,
+    Sequence,
+    TileInfo,
+    interframe_packet,
+)
+from rav1e_tpu.ops.ref.quant import ac_q as ac_q_lut, dc_q as dc_q_lut
+from rav1e_tpu.pipeline.tpu_inter import (
+    PAD,
+    _fetch_outputs,
+    build_rd_inter,
+    p_frame_body,
+)
+
+try:
+    from jax.experimental.shard_map import shard_map
+except ImportError:              # newer jax: promoted to jax.shard_map
+    from jax import shard_map
+
+_CORE_CACHE: dict = {}
+
+
+def _tiled_core(h: int, w: int, T: int, mesh: Mesh,
+                use_deblock: bool = True):
+    key = (h, w, T, use_deblock, tuple(d.id for d in mesh.devices.flat))
+    if key in _CORE_CACHE:
+        return _CORE_CACHE[key]
+    tw = w // T
+    assert tw % 64 == 0, "tile width must be SB (64px) aligned"
+    nby, nbx_t = h // 32, tw // 32
+    by = (np.repeat(np.arange(nby), nbx_t) * 32).astype(np.int32)
+    bx_local = (np.tile(np.arange(nbx_t), nby) * 32).astype(np.int32)
+
+    def tile_fn(y, u, v, ry, ru, rv, dcq, acq, cdef_prm, rd):
+        ti = jax.lax.axis_index("tile")
+        bx = jnp.asarray(bx_local) + ti * tw
+        ryp = jnp.pad(ry.astype(jnp.int32), PAD, mode="edge")
+        rup = jnp.pad(ru.astype(jnp.int32), PAD // 2, mode="edge")
+        rvp = jnp.pad(rv.astype(jnp.int32), PAD // 2, mode="edge")
+
+        deblock_fn = None
+        if use_deblock:
+            from rav1e_tpu.ops.tpu.deblock import deblock_search_tiled
+
+            def deblock_fn(planes, srcs, base_lf, split_grid):
+                return deblock_search_tiled(planes, srcs, base_lf,
+                                            split_grid, "tile", T, ti)
+
+        return p_frame_body(y.astype(jnp.int32), u, v, ryp, rup, rvp,
+                            dcq, acq, cdef_prm, rd,
+                            jnp.asarray(by), bx, nby, nbx_t,
+                            deblock_fn, None)
+
+    col = P(None, "tile")
+    rep = P()
+    blk = P("tile")
+    out_specs = (blk, blk, blk, blk, blk, blk, blk, blk, blk,
+                 col, col, col, rep, rep, blk, blk, blk)
+    step = jax.jit(shard_map(
+        tile_fn, mesh=mesh,
+        in_specs=(col, col, col, rep, rep, rep, rep, rep, rep, rep),
+        out_specs=out_specs, check_rep=False))
+    _CORE_CACHE[key] = (step, (nby, nbx_t))
+    return _CORE_CACHE[key]
+
+
+def encode_pframe_tiled(planes, ref_planes, qindex: int, mesh: Mesh,
+                        order_hint: int = 1,
+                        render_size: tuple | None = None):
+    """Encode one P frame with T = mesh.shape['tile'] AV1 tile columns
+    sharded across the mesh. Returns (packet, recon planes)."""
+    y, u, v = planes
+    h, w = y.shape
+    T = mesh.shape["tile"]
+    step, (nby, nbx_t) = _tiled_core(h, w, T, mesh)
+    rd = build_rd_inter(qindex)
+    outs = step(jnp.asarray(np.asarray(y)),
+                jnp.asarray(np.asarray(u)),
+                jnp.asarray(np.asarray(v)),
+                jnp.asarray(np.asarray(ref_planes[0], np.uint8)),
+                jnp.asarray(np.asarray(ref_planes[1], np.uint8)),
+                jnp.asarray(np.asarray(ref_planes[2], np.uint8)),
+                jnp.int32(dc_q_lut(qindex)), jnp.int32(ac_q_lut(qindex)),
+                jnp.asarray([0, 0, 0, 0, 3], jnp.int32), rd)
+    (mv8, skip, lv_y, lv_u, lv_v, split, mv16,
+     skip16) = _fetch_outputs(outs)
+    lf = int(np.asarray(outs[12]).reshape(-1)[0])
+    rec = [np.asarray(outs[9]).astype(np.int32),
+           np.asarray(outs[10]).astype(np.int32),
+           np.asarray(outs[11]).astype(np.int32)]
+
+    # ---- per-tile packing (independent entropy state per spec) ----
+    from rav1e_tpu.entropy.native import NativeTileWriter
+    cols_log2 = max(0, T - 1).bit_length()
+    seq = Sequence(width=w, height=h)
+    fp = FrameParams(frame_type=FrameType.INTER, base_q_idx=qindex,
+                     render_size=render_size,
+                     loop_filter_levels=(lf, lf, lf, lf))
+    ti = TileInfo(seq, cols_log2, 0)
+    assert ti.n_cols == T, (ti.n_cols, T)
+    B_t = nby * nbx_t
+    tiles = []
+    for t in range(T):
+        sl = slice(t * B_t, (t + 1) * B_t)
+        tw_writer = NativeTileWriter(h >> 2, (w // T) >> 2, qindex,
+                                     inter_frame=True)
+        tiles.append(tw_writer.write_inter_tile_fast2(
+            split[sl], mv8[sl], skip[sl], mv16[sl], skip16[sl],
+            lv_y[sl], lv_u[sl], lv_v[sl]))
+    pkt = interframe_packet(seq, fp, ti, tiles, order_hint)
+    return pkt, rec

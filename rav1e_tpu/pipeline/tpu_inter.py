@@ -124,360 +124,386 @@ def _mc_batch(ref_pad, pos_r, pos_c, mv8, n, ss):
     return jnp.clip(out, 0, 255)
 
 
+def to_blocks(plane, n):
+    return (plane.reshape(-1, n, plane.shape[1] // n, n)
+            .transpose(0, 2, 1, 3).reshape(-1, n, n))
+
+
+def from_blocks(blks, ph, pw, n):
+    return (blks.reshape(ph // n, pw // n, n, n)
+            .transpose(0, 2, 1, 3).reshape(ph, pw))
+
+
+def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
+                 by, bx, nby, nbx, deblock_fn=None, cdef_fn=None):
+    """The whole batched P-frame encode for one (sub)frame region:
+    grouped-conv full-pel search, subpel descent, 32-NONE vs 16-SPLIT
+    RDO with the WriterCounter-twin rate model, skip RD, recon
+    assembly, injected in-loop filters, compact level transfer.
+
+    y/u/v: local (tile) source planes; ryp/rup/rvp: PADDED full-frame
+    reference planes (replicated across shards - SURVEY §5.8
+    "replicate refs, shard residual/recon work"); by/bx: GLOBAL pixel
+    origins of the region's 32-blocks (may be traced, e.g. offset by
+    the shard's tile index); deblock_fn/cdef_fn: filter+search
+    callables (single-chip whole-frame or tiled halo-exchange
+    variants)."""
+    h, tw = y.shape[0], y.shape[1]
+    B = nby * nbx
+    blks = to_blocks(y, 32)                       # [B,32,32]
+
+    # ---- full-pel SSD search (grouped conv on the MXU) ----------
+    win_sz = 2 * SEARCH + 32
+    sq_sums = jax.lax.reduce_window(
+        (ryp * ryp).astype(jnp.float32), 0.0, jax.lax.add,
+        (32, 32), (1, 1), "valid")                # sliding 32x32 sums
+
+    def win_one(r0, c0):
+        return jax.lax.dynamic_slice(
+            ryp, (r0 + PAD - SEARCH, c0 + PAD - SEARCH),
+            (win_sz, win_sz))
+
+    wins = jax.vmap(win_one)(by, bx).astype(jnp.float32)
+
+    def sums_one(r0, c0):
+        return jax.lax.dynamic_slice(
+            sq_sums, (r0 + PAD - SEARCH, c0 + PAD - SEARCH),
+            (2 * SEARCH + 1, 2 * SEARCH + 1))
+
+    wsq = jax.vmap(sums_one)(by, bx)              # [B,33,33]
+    corr = jax.lax.conv_general_dilated(
+        wins[None], blks.astype(jnp.float32)[:, None],
+        (1, 1), "VALID", feature_group_count=B,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST)[0]   # [B,33,33]
+    ssd = wsq - 2.0 * corr + jnp.sum(
+        (blks * blks).astype(jnp.float32), axis=(1, 2))[:, None, None]
+    # real MV + mode-signaling rate (entropy/cost.py LUTs):
+    # every non-zero candidate codes NEWMV + the MV residual;
+    # (0,0) codes GLOBALMV
+    fp_idx = np.abs(np.arange(-SEARCH, SEARCH + 1)) * 8
+    mvb = rd["mv_bits"][jnp.asarray(fp_idx)]
+    mv_rate_grid = (mvb[:, None] + mvb[None, :] + rd["newmv"]
+                    ).at[SEARCH, SEARCH].set(rd["globalmv"])[None]
+    cost = ssd + rd["lam"] * mv_rate_grid
+    flat = jnp.argmin(cost.reshape(B, -1), axis=1)
+    mv_fp = jnp.stack([flat // (2 * SEARCH + 1) - SEARCH,
+                       flat % (2 * SEARCH + 1) - SEARCH], 1)
+
+    # ---- quarter-pel refinement (fixed-trip descent) ------------
+    def ssd8(mv8):
+        pred = _mc_batch(ryp, by, bx, mv8, 32, 0)
+        d = (pred - blks).astype(jnp.float32)
+        mvr = (rd["mv_bits"][jnp.abs(mv8[:, 0])]
+               + rd["mv_bits"][jnp.abs(mv8[:, 1])])
+        return jnp.sum(d * d, axis=(1, 2)) + rd["lam"] * mvr
+
+    mv8 = mv_fp * 8
+    best = ssd8(mv8)
+    for step_sz in (4, 2, 2):
+        cands = jnp.stack([
+            mv8 + jnp.array([-step_sz, 0]),
+            mv8 + jnp.array([step_sz, 0]),
+            mv8 + jnp.array([0, -step_sz]),
+            mv8 + jnp.array([0, step_sz])], 0)    # [4,B,2]
+        costs = jnp.stack([ssd8(c) for c in cands], 0)  # [4,B]
+        k = jnp.argmin(costs, axis=0)
+        cbest = jnp.take_along_axis(costs, k[None], 0)[0]
+        cmv = jnp.take_along_axis(
+            cands, k[None, :, None].repeat(2, -1), 0)[0]
+        better = cbest < best
+        mv8 = jnp.where(better[:, None], cmv, mv8)
+        best = jnp.where(better, cbest, best)
+    # zero-MV blocks stay GLOBALMV-zero
+    is_zero = jnp.all(mv_fp == 0, axis=1)
+    mv8 = jnp.where(is_zero[:, None], 0, mv8)
+
+    # ---- final prediction + residual coding ---------------------
+    pred_y = _mc_batch(ryp, by, bx, mv8, 32, 0)
+    pred_u = _mc_batch(rup, by // 2, bx // 2, mv8, 16, 1)
+    pred_v = _mc_batch(rvp, by // 2, bx // 2, mv8, 16, 1)
+    ub = to_blocks(u.astype(jnp.int32), 16)
+    vb = to_blocks(v.astype(jnp.int32), 16)
+
+    def code(resid, tx):
+        # dynamic-q quantize/dequant (ops.ref.quant semantics with
+        # dcq/acq as traced scalars)
+        cf = T.forward_transform(resid, tx, TxType.DCT_DCT)
+        n = tx.width
+        shift = 1 if n * n > 256 else 0
+        dc_mask = np.zeros((n, n), bool)
+        dc_mask[0, 0] = True
+        dc_mask = jnp.asarray(dc_mask)
+        q = jnp.where(dc_mask, dcq, acq).astype(jnp.int32)
+        bias = jnp.where(dc_mask, 21, 17)
+        a = jnp.abs(cf) << shift
+        lv = jnp.minimum((a + (q * bias) // 64) // q, (1 << 15) - 1)
+        lv = jnp.sign(cf) * lv
+        dqv = ((jnp.abs(lv) * q) & 0xFFFFFF) >> shift
+        dq = jnp.sign(lv) * dqv
+        r2 = T.inverse_transform(dq, tx, TxType.DCT_DCT)
+        return lv, r2
+
+    lv_y, r2_y = code(blks - pred_y, TxSize.TX_32X32)
+    lv_u, r2_u = code(ub - pred_u, TxSize.TX_16X16)
+    lv_v, r2_v = code(vb - pred_v, TxSize.TX_16X16)
+    # skip as an RD decision (rav1e prices skip=1 vs coded
+    # residual; src/rdo.rs luma_chroma_mode_rdo skip trial):
+    # sse(recon) + λ(skip0 + coeff bits)  vs  sse(pred) + λ·skip1
+    from rav1e_tpu.pipeline.tpu_intra import block_bits
+    lam = rd["lam"]
+
+    def mv_rate(mv):
+        r = (rd["mv_bits"][jnp.abs(mv[..., 0])]
+             + rd["mv_bits"][jnp.abs(mv[..., 1])])
+        zero = (mv[..., 0] == 0) & (mv[..., 1] == 0)
+        return jnp.where(zero, rd["globalmv"], r + rd["newmv"])
+
+    cd_y = jnp.clip(pred_y + r2_y, 0, 255)
+    cd_u = jnp.clip(pred_u + r2_u, 0, 255)
+    cd_v = jnp.clip(pred_v + r2_v, 0, 255)
+    sse_c = (jnp.sum((cd_y - blks).astype(jnp.float32) ** 2, (1, 2))
+             + jnp.sum((cd_u - ub).astype(jnp.float32) ** 2, (1, 2))
+             + jnp.sum((cd_v - vb).astype(jnp.float32) ** 2, (1, 2)))
+    sse_s = (jnp.sum((pred_y - blks).astype(jnp.float32) ** 2, (1, 2))
+             + jnp.sum((pred_u - ub).astype(jnp.float32) ** 2, (1, 2))
+             + jnp.sum((pred_v - vb).astype(jnp.float32) ** 2, (1, 2)))
+    cbits = (block_bits(lv_y, rd["y32"]) + block_bits(lv_u, rd["c16"])
+             + block_bits(lv_v, rd["c16"]))
+    skip = (sse_s + lam * rd["skip1"]
+            <= sse_c + lam * (rd["skip0"] + cbits))
+    sk3 = skip[:, None, None]
+    lv_y = jnp.where(sk3, 0, lv_y)
+    lv_u = jnp.where(sk3, 0, lv_u)
+    lv_v = jnp.where(sk3, 0, lv_v)
+    rec_y32 = jnp.where(sk3, pred_y, cd_y)
+    rec_u32 = jnp.where(sk3, pred_u, cd_u)
+    rec_v32 = jnp.where(sk3, pred_v, cd_v)
+    cost32 = (lam * mv_rate(mv8)
+              + jnp.where(skip, sse_s + lam * rd["skip1"],
+                          sse_c + lam * (rd["skip0"] + cbits)))
+
+    # ---- PARTITION_SPLIT alternative: per-16 MVs + TX16/TX8
+    # residuals (rav1e rdo_partition_decision restructured as a
+    # second fixed-shape candidate set) ----
+    offs_r = np.array([0, 0, 16, 16], np.int32)
+    offs_c = np.array([0, 16, 0, 16], np.int32)
+    by16 = (by[:, None] + offs_r[None, :]).reshape(-1)
+    bx16 = (bx[:, None] + offs_c[None, :]).reshape(-1)
+
+    def quads(x, n):
+        # [B, 2n, 2n] -> [4B, n, n] in (TL, TR, BL, BR) order
+        Bn = x.shape[0]
+        return (x.reshape(Bn, 2, n, 2, n).transpose(0, 1, 3, 2, 4)
+                .reshape(Bn * 4, n, n))
+
+    def unquads(x, n):
+        Bn = x.shape[0] // 4
+        return (x.reshape(Bn, 2, 2, n, n).transpose(0, 1, 3, 2, 4)
+                .reshape(Bn, 2 * n, 2 * n))
+
+    blks16 = quads(blks, 16)
+    ub8 = quads(ub, 8)
+    vb8 = quads(vb, 8)
+
+    def cost16_of(mv):
+        pred = _mc_batch(ryp, by16, bx16, mv, 16, 0)
+        d = (pred - blks16).astype(jnp.float32)
+        return (jnp.sum(d * d, axis=(1, 2))
+                + lam * (rd["mv_bits"][jnp.abs(mv[:, 0])]
+                         + rd["mv_bits"][jnp.abs(mv[:, 1])]))
+
+    mv16 = jnp.repeat(mv8, 4, axis=0)
+    best16 = cost16_of(mv16)
+    zcost = cost16_of(jnp.zeros_like(mv16))
+    zbet = zcost < best16
+    mv16 = jnp.where(zbet[:, None], 0, mv16)
+    best16 = jnp.minimum(best16, zcost)
+    for step_sz in (8, 4, 2, 2):
+        cands = jnp.stack([
+            mv16 + jnp.array([-step_sz, 0]),
+            mv16 + jnp.array([step_sz, 0]),
+            mv16 + jnp.array([0, -step_sz]),
+            mv16 + jnp.array([0, step_sz])], 0)
+        costs = jnp.stack([cost16_of(c) for c in cands], 0)
+        k = jnp.argmin(costs, axis=0)
+        cbest = jnp.take_along_axis(costs, k[None], 0)[0]
+        cmv = jnp.take_along_axis(
+            cands, k[None, :, None].repeat(2, -1), 0)[0]
+        better = cbest < best16
+        mv16 = jnp.where(better[:, None], cmv, mv16)
+        best16 = jnp.where(better, cbest, best16)
+
+    pred_y16 = _mc_batch(ryp, by16, bx16, mv16, 16, 0)
+    pred_u8 = _mc_batch(rup, by16 // 2, bx16 // 2, mv16, 8, 1)
+    pred_v8 = _mc_batch(rvp, by16 // 2, bx16 // 2, mv16, 8, 1)
+    lv_y16, r2_y16 = code(blks16 - pred_y16, TxSize.TX_16X16)
+    lv_u8, r2_u8 = code(ub8 - pred_u8, TxSize.TX_8X8)
+    lv_v8, r2_v8 = code(vb8 - pred_v8, TxSize.TX_8X8)
+    cd_y16 = jnp.clip(pred_y16 + r2_y16, 0, 255)
+    cd_u8 = jnp.clip(pred_u8 + r2_u8, 0, 255)
+    cd_v8 = jnp.clip(pred_v8 + r2_v8, 0, 255)
+    sse_c16 = (jnp.sum((cd_y16 - blks16).astype(jnp.float32) ** 2,
+                       (1, 2))
+               + jnp.sum((cd_u8 - ub8).astype(jnp.float32) ** 2,
+                         (1, 2))
+               + jnp.sum((cd_v8 - vb8).astype(jnp.float32) ** 2,
+                         (1, 2)))
+    sse_s16 = (jnp.sum((pred_y16 - blks16).astype(jnp.float32) ** 2,
+                       (1, 2))
+               + jnp.sum((pred_u8 - ub8).astype(jnp.float32) ** 2,
+                         (1, 2))
+               + jnp.sum((pred_v8 - vb8).astype(jnp.float32) ** 2,
+                         (1, 2)))
+    cbits16 = (block_bits(lv_y16, rd["y16"])
+               + block_bits(lv_u8, rd["c8"])
+               + block_bits(lv_v8, rd["c8"]))
+    skip16 = (sse_s16 + lam * rd["skip1"]
+              <= sse_c16 + lam * (rd["skip0"] + cbits16))
+    s163 = skip16[:, None, None]
+    lv_y16 = jnp.where(s163, 0, lv_y16)
+    lv_u8 = jnp.where(s163, 0, lv_u8)
+    lv_v8 = jnp.where(s163, 0, lv_v8)
+    rec_y16 = jnp.where(s163, pred_y16, cd_y16)
+    rec_u8 = jnp.where(s163, pred_u8, cd_u8)
+    rec_v8 = jnp.where(s163, pred_v8, cd_v8)
+    cost16 = (lam * mv_rate(mv16)
+              + jnp.where(skip16, sse_s16 + lam * rd["skip1"],
+                          sse_c16 + lam * (rd["skip0"] + cbits16)))
+    cost_split = (cost16.reshape(B, 4).sum(axis=1)
+                  + lam * rd["split_bits"])
+    split = cost_split < cost32
+    sp3 = split[:, None, None]
+
+    # ---- choose + assemble ----
+    lv_y = jnp.where(sp3, unquads(lv_y16, 16), lv_y)
+    lv_u = jnp.where(sp3, unquads(lv_u8, 8), lv_u)
+    lv_v = jnp.where(sp3, unquads(lv_v8, 8), lv_v)
+    rec_y = jnp.where(sp3, unquads(rec_y16, 16), rec_y32)
+    rec_u = jnp.where(sp3, unquads(rec_u8, 8), rec_u32)
+    rec_v = jnp.where(sp3, unquads(rec_v8, 8), rec_v32)
+    mv16_out = jnp.where(split[:, None, None],
+                         mv16.reshape(B, 4, 2),
+                         jnp.repeat(mv8[:, None, :], 4, axis=1))
+    skip16_out = jnp.where(split[:, None], skip16.reshape(B, 4),
+                           skip[:, None])
+    fry = from_blocks(rec_y, h, tw, 32)
+    fru = from_blocks(rec_u, h // 2, tw // 2, 16)
+    frv = from_blocks(rec_v, h // 2, tw // 2, 16)
+    srcs32 = [y, u.astype(jnp.int32), v.astype(jnp.int32)]
+    if deblock_fn is not None:
+        # in-loop deblock with level search (rav1e
+        # deblock_filter_optimize analog); 16-px edge grid with
+        # interior edges gated by the split map
+        lf_lvl, (fry, fru, frv) = deblock_fn(
+            [fry, fru, frv], srcs32, rd["base_lf"],
+            split.reshape(nby, nbx))
+    else:
+        lf_lvl = jnp.int32(0)
+    if cdef_fn is not None:
+        # in-loop CDEF with strength-set search (rdo_loop_decision
+        # analog); chosen entry signaled in the frame header
+        s16 = (skip16_out.reshape(nby, nbx, 2, 2)
+               .transpose(0, 2, 1, 3).reshape(nby * 2, nbx * 2))
+        skip8 = jnp.repeat(jnp.repeat(s16, 2, 0), 2, 1)
+        cdef_idx, (fry, fru, frv) = cdef_fn(
+            [fry, fru, frv], srcs32, skip8, cdef_prm[4])
+    else:
+        cdef_idx = jnp.int32(0)
+    # compact level transfer (see K32/K16 above): first K scan
+    # slots as int8 + per-block dense/saturation flag. Split
+    # blocks pack K/4 scan slots per 16/8 sub-TX into the same
+    # buffers (host rebuilds by the split flag).
+    scan32, scan16, scan8 = _scans()
+    sp32 = np.empty(1024, np.int32)
+    sp32[scan32] = np.arange(1024)
+    sp16 = np.empty(256, np.int32)
+    sp16[scan16] = np.arange(256)
+    sp8 = np.empty(64, np.int32)
+    sp8[scan8] = np.arange(64)
+    spm32 = jnp.asarray(sp32.reshape(32, 32))
+    spm16 = jnp.asarray(sp16.reshape(16, 16))
+    spm8 = jnp.asarray(sp8.reshape(8, 8))
+    eob_y = jnp.max(jnp.where(lv_y != 0, spm32 + 1, 0), axis=(1, 2))
+    eob_u = jnp.max(jnp.where(lv_u != 0, spm16 + 1, 0), axis=(1, 2))
+    eob_v = jnp.max(jnp.where(lv_v != 0, spm16 + 1, 0), axis=(1, 2))
+    eob_y16 = jnp.max(jnp.where(lv_y16 != 0, spm16 + 1, 0),
+                      axis=(1, 2)).reshape(B, 4).max(axis=1)
+    eob_u8 = jnp.max(jnp.where(lv_u8 != 0, spm8 + 1, 0),
+                     axis=(1, 2)).reshape(B, 4).max(axis=1)
+    eob_v8 = jnp.max(jnp.where(lv_v8 != 0, spm8 + 1, 0),
+                     axis=(1, 2)).reshape(B, 4).max(axis=1)
+    sat = ((jnp.abs(lv_y) > 127).any(axis=(1, 2))
+           | (jnp.abs(lv_u) > 127).any(axis=(1, 2))
+           | (jnp.abs(lv_v) > 127).any(axis=(1, 2)))
+    dense_none = (eob_y > K32) | (eob_u > K16) | (eob_v > K16)
+    dense_split = ((eob_y16 > K32 // 4) | (eob_u8 > K16 // 4)
+                   | (eob_v8 > K16 // 4))
+    dense = sat | jnp.where(split, dense_split, dense_none)
+    scn_y = jnp.take(lv_y.reshape(B, 1024),
+                     jnp.asarray(scan32[:K32]), axis=1)
+    scn_u = jnp.take(lv_u.reshape(B, 256),
+                     jnp.asarray(scan16[:K16]), axis=1)
+    scn_v = jnp.take(lv_v.reshape(B, 256),
+                     jnp.asarray(scan16[:K16]), axis=1)
+    scs_y = jnp.take(lv_y16.reshape(B, 4, 256),
+                     jnp.asarray(scan16[:K32 // 4]),
+                     axis=2).reshape(B, K32)
+    scs_u = jnp.take(lv_u8.reshape(B, 4, 64),
+                     jnp.asarray(scan8[:K16 // 4]),
+                     axis=2).reshape(B, K16)
+    scs_v = jnp.take(lv_v8.reshape(B, 4, 64),
+                     jnp.asarray(scan8[:K16 // 4]),
+                     axis=2).reshape(B, K16)
+    sc_y = jnp.where(split[:, None], scs_y, scn_y)
+    sc_u = jnp.where(split[:, None], scs_u, scn_u)
+    sc_v = jnp.where(split[:, None], scs_v, scn_v)
+    return (mv8, skip, dense,
+            jnp.clip(sc_y, -127, 127).astype(jnp.int8),
+            jnp.clip(sc_u, -127, 127).astype(jnp.int8),
+            jnp.clip(sc_v, -127, 127).astype(jnp.int8),
+            lv_y.astype(jnp.int16), lv_u.astype(jnp.int16),
+            lv_v.astype(jnp.int16),
+            fry.astype(jnp.uint8), fru.astype(jnp.uint8),
+            frv.astype(jnp.uint8), lf_lvl, cdef_idx,
+            split, mv16_out.astype(jnp.int32),
+            skip16_out)
+
+
+
 @lru_cache(maxsize=8)
 def _core(h: int, w: int, use_cdef: bool = False,
           use_deblock: bool = True):
-    """Batched P-frame step for an h x w frame. qindex enters as a
-    traced argument (dcq/acq scalars) so rate control never triggers a
-    recompile."""
+    """Single-chip batched P-frame step for an h x w frame. qindex
+    enters as a traced argument (dcq/acq scalars) so rate control
+    never triggers a recompile."""
     nby, nbx = h // 32, w // 32
-    B = nby * nbx
     by = (np.repeat(np.arange(nby), nbx) * 32).astype(np.int32)
     bx = (np.tile(np.arange(nbx), nby) * 32).astype(np.int32)
 
-    def to_blocks(plane, n):
-        return (plane.reshape(-1, n, plane.shape[1] // n, n)
-                .transpose(0, 2, 1, 3).reshape(-1, n, n))
+    deblock_fn = None
+    if use_deblock:
+        from rav1e_tpu.ops.tpu.deblock import deblock_search
 
-    def from_blocks(blks, ph, pw, n):
-        return (blks.reshape(ph // n, pw // n, n, n)
-                .transpose(0, 2, 1, 3).reshape(ph, pw))
+        def deblock_fn(planes, srcs, base_lf, split_grid):
+            return deblock_search(planes, srcs, base_lf,
+                                  block_y=16, block_c=8,
+                                  split_map=split_grid)
+
+    cdef_fn = None
+    if use_cdef:
+        from rav1e_tpu.ops.tpu.cdef import cdef_search_frame_jax
+        cdef_fn = cdef_search_frame_jax
 
     @jax.jit
     def step(y, ry, u, ru, v, rv, dcq, acq, cdef_prm, rd):
         y = y.astype(jnp.int32)
-        ry = ry.astype(jnp.int32)
-        ryp = jnp.pad(ry, PAD, mode="edge")
+        ryp = jnp.pad(ry.astype(jnp.int32), PAD, mode="edge")
         rup = jnp.pad(ru.astype(jnp.int32), PAD // 2, mode="edge")
         rvp = jnp.pad(rv.astype(jnp.int32), PAD // 2, mode="edge")
-        blks = to_blocks(y, 32)                       # [B,32,32]
-
-        # ---- full-pel SSD search (grouped conv on the MXU) ----------
-        win_sz = 2 * SEARCH + 32
-        sq_sums = jax.lax.reduce_window(
-            (ryp * ryp).astype(jnp.float32), 0.0, jax.lax.add,
-            (32, 32), (1, 1), "valid")                # sliding 32x32 sums
-
-        def win_one(r0, c0):
-            return jax.lax.dynamic_slice(
-                ryp, (r0 + PAD - SEARCH, c0 + PAD - SEARCH),
-                (win_sz, win_sz))
-
-        wins = jax.vmap(win_one)(by, bx).astype(jnp.float32)
-
-        def sums_one(r0, c0):
-            return jax.lax.dynamic_slice(
-                sq_sums, (r0 + PAD - SEARCH, c0 + PAD - SEARCH),
-                (2 * SEARCH + 1, 2 * SEARCH + 1))
-
-        wsq = jax.vmap(sums_one)(by, bx)              # [B,33,33]
-        corr = jax.lax.conv_general_dilated(
-            wins[None], blks.astype(jnp.float32)[:, None],
-            (1, 1), "VALID", feature_group_count=B,
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            precision=jax.lax.Precision.HIGHEST)[0]   # [B,33,33]
-        ssd = wsq - 2.0 * corr + jnp.sum(
-            (blks * blks).astype(jnp.float32), axis=(1, 2))[:, None, None]
-        # real MV + mode-signaling rate (entropy/cost.py LUTs):
-        # every non-zero candidate codes NEWMV + the MV residual;
-        # (0,0) codes GLOBALMV
-        fp_idx = np.abs(np.arange(-SEARCH, SEARCH + 1)) * 8
-        mvb = rd["mv_bits"][jnp.asarray(fp_idx)]
-        mv_rate = (mvb[:, None] + mvb[None, :] + rd["newmv"]
-                   ).at[SEARCH, SEARCH].set(rd["globalmv"])[None]
-        cost = ssd + rd["lam"] * mv_rate
-        flat = jnp.argmin(cost.reshape(B, -1), axis=1)
-        mv_fp = jnp.stack([flat // (2 * SEARCH + 1) - SEARCH,
-                           flat % (2 * SEARCH + 1) - SEARCH], 1)
-
-        # ---- quarter-pel refinement (fixed-trip descent) ------------
-        def ssd8(mv8):
-            pred = _mc_batch(ryp, by, bx, mv8, 32, 0)
-            d = (pred - blks).astype(jnp.float32)
-            mvr = (rd["mv_bits"][jnp.abs(mv8[:, 0])]
-                   + rd["mv_bits"][jnp.abs(mv8[:, 1])])
-            return jnp.sum(d * d, axis=(1, 2)) + rd["lam"] * mvr
-
-        mv8 = mv_fp * 8
-        best = ssd8(mv8)
-        for step_sz in (4, 2, 2):
-            cands = jnp.stack([
-                mv8 + jnp.array([-step_sz, 0]),
-                mv8 + jnp.array([step_sz, 0]),
-                mv8 + jnp.array([0, -step_sz]),
-                mv8 + jnp.array([0, step_sz])], 0)    # [4,B,2]
-            costs = jnp.stack([ssd8(c) for c in cands], 0)  # [4,B]
-            k = jnp.argmin(costs, axis=0)
-            cbest = jnp.take_along_axis(costs, k[None], 0)[0]
-            cmv = jnp.take_along_axis(
-                cands, k[None, :, None].repeat(2, -1), 0)[0]
-            better = cbest < best
-            mv8 = jnp.where(better[:, None], cmv, mv8)
-            best = jnp.where(better, cbest, best)
-        # zero-MV blocks stay GLOBALMV-zero
-        is_zero = jnp.all(mv_fp == 0, axis=1)
-        mv8 = jnp.where(is_zero[:, None], 0, mv8)
-
-        # ---- final prediction + residual coding ---------------------
-        pred_y = _mc_batch(ryp, by, bx, mv8, 32, 0)
-        pred_u = _mc_batch(rup, by // 2, bx // 2, mv8, 16, 1)
-        pred_v = _mc_batch(rvp, by // 2, bx // 2, mv8, 16, 1)
-        ub = to_blocks(u.astype(jnp.int32), 16)
-        vb = to_blocks(v.astype(jnp.int32), 16)
-
-        def code(resid, tx):
-            # dynamic-q quantize/dequant (ops.ref.quant semantics with
-            # dcq/acq as traced scalars)
-            cf = T.forward_transform(resid, tx, TxType.DCT_DCT)
-            n = tx.width
-            shift = 1 if n * n > 256 else 0
-            dc_mask = np.zeros((n, n), bool)
-            dc_mask[0, 0] = True
-            dc_mask = jnp.asarray(dc_mask)
-            q = jnp.where(dc_mask, dcq, acq).astype(jnp.int32)
-            bias = jnp.where(dc_mask, 21, 17)
-            a = jnp.abs(cf) << shift
-            lv = jnp.minimum((a + (q * bias) // 64) // q, (1 << 15) - 1)
-            lv = jnp.sign(cf) * lv
-            dqv = ((jnp.abs(lv) * q) & 0xFFFFFF) >> shift
-            dq = jnp.sign(lv) * dqv
-            r2 = T.inverse_transform(dq, tx, TxType.DCT_DCT)
-            return lv, r2
-
-        lv_y, r2_y = code(blks - pred_y, TxSize.TX_32X32)
-        lv_u, r2_u = code(ub - pred_u, TxSize.TX_16X16)
-        lv_v, r2_v = code(vb - pred_v, TxSize.TX_16X16)
-        # skip as an RD decision (rav1e prices skip=1 vs coded
-        # residual; src/rdo.rs luma_chroma_mode_rdo skip trial):
-        # sse(recon) + λ(skip0 + coeff bits)  vs  sse(pred) + λ·skip1
-        from rav1e_tpu.pipeline.tpu_intra import block_bits
-        lam = rd["lam"]
-
-        def mv_rate(mv):
-            r = (rd["mv_bits"][jnp.abs(mv[..., 0])]
-                 + rd["mv_bits"][jnp.abs(mv[..., 1])])
-            zero = (mv[..., 0] == 0) & (mv[..., 1] == 0)
-            return jnp.where(zero, rd["globalmv"], r + rd["newmv"])
-
-        cd_y = jnp.clip(pred_y + r2_y, 0, 255)
-        cd_u = jnp.clip(pred_u + r2_u, 0, 255)
-        cd_v = jnp.clip(pred_v + r2_v, 0, 255)
-        sse_c = (jnp.sum((cd_y - blks).astype(jnp.float32) ** 2, (1, 2))
-                 + jnp.sum((cd_u - ub).astype(jnp.float32) ** 2, (1, 2))
-                 + jnp.sum((cd_v - vb).astype(jnp.float32) ** 2, (1, 2)))
-        sse_s = (jnp.sum((pred_y - blks).astype(jnp.float32) ** 2, (1, 2))
-                 + jnp.sum((pred_u - ub).astype(jnp.float32) ** 2, (1, 2))
-                 + jnp.sum((pred_v - vb).astype(jnp.float32) ** 2, (1, 2)))
-        cbits = (block_bits(lv_y, rd["y32"]) + block_bits(lv_u, rd["c16"])
-                 + block_bits(lv_v, rd["c16"]))
-        skip = (sse_s + lam * rd["skip1"]
-                <= sse_c + lam * (rd["skip0"] + cbits))
-        sk3 = skip[:, None, None]
-        lv_y = jnp.where(sk3, 0, lv_y)
-        lv_u = jnp.where(sk3, 0, lv_u)
-        lv_v = jnp.where(sk3, 0, lv_v)
-        rec_y32 = jnp.where(sk3, pred_y, cd_y)
-        rec_u32 = jnp.where(sk3, pred_u, cd_u)
-        rec_v32 = jnp.where(sk3, pred_v, cd_v)
-        cost32 = (lam * mv_rate(mv8)
-                  + jnp.where(skip, sse_s + lam * rd["skip1"],
-                              sse_c + lam * (rd["skip0"] + cbits)))
-
-        # ---- PARTITION_SPLIT alternative: per-16 MVs + TX16/TX8
-        # residuals (rav1e rdo_partition_decision restructured as a
-        # second fixed-shape candidate set) ----
-        offs_r = np.array([0, 0, 16, 16], np.int32)
-        offs_c = np.array([0, 16, 0, 16], np.int32)
-        by16 = (by[:, None] + offs_r[None, :]).reshape(-1)
-        bx16 = (bx[:, None] + offs_c[None, :]).reshape(-1)
-
-        def quads(x, n):
-            # [B, 2n, 2n] -> [4B, n, n] in (TL, TR, BL, BR) order
-            Bn = x.shape[0]
-            return (x.reshape(Bn, 2, n, 2, n).transpose(0, 1, 3, 2, 4)
-                    .reshape(Bn * 4, n, n))
-
-        def unquads(x, n):
-            Bn = x.shape[0] // 4
-            return (x.reshape(Bn, 2, 2, n, n).transpose(0, 1, 3, 2, 4)
-                    .reshape(Bn, 2 * n, 2 * n))
-
-        blks16 = quads(blks, 16)
-        ub8 = quads(ub, 8)
-        vb8 = quads(vb, 8)
-
-        def cost16_of(mv):
-            pred = _mc_batch(ryp, by16, bx16, mv, 16, 0)
-            d = (pred - blks16).astype(jnp.float32)
-            return (jnp.sum(d * d, axis=(1, 2))
-                    + lam * (rd["mv_bits"][jnp.abs(mv[:, 0])]
-                             + rd["mv_bits"][jnp.abs(mv[:, 1])]))
-
-        mv16 = jnp.repeat(mv8, 4, axis=0)
-        best16 = cost16_of(mv16)
-        zcost = cost16_of(jnp.zeros_like(mv16))
-        zbet = zcost < best16
-        mv16 = jnp.where(zbet[:, None], 0, mv16)
-        best16 = jnp.minimum(best16, zcost)
-        for step_sz in (8, 4, 2, 2):
-            cands = jnp.stack([
-                mv16 + jnp.array([-step_sz, 0]),
-                mv16 + jnp.array([step_sz, 0]),
-                mv16 + jnp.array([0, -step_sz]),
-                mv16 + jnp.array([0, step_sz])], 0)
-            costs = jnp.stack([cost16_of(c) for c in cands], 0)
-            k = jnp.argmin(costs, axis=0)
-            cbest = jnp.take_along_axis(costs, k[None], 0)[0]
-            cmv = jnp.take_along_axis(
-                cands, k[None, :, None].repeat(2, -1), 0)[0]
-            better = cbest < best16
-            mv16 = jnp.where(better[:, None], cmv, mv16)
-            best16 = jnp.where(better, cbest, best16)
-
-        pred_y16 = _mc_batch(ryp, by16, bx16, mv16, 16, 0)
-        pred_u8 = _mc_batch(rup, by16 // 2, bx16 // 2, mv16, 8, 1)
-        pred_v8 = _mc_batch(rvp, by16 // 2, bx16 // 2, mv16, 8, 1)
-        lv_y16, r2_y16 = code(blks16 - pred_y16, TxSize.TX_16X16)
-        lv_u8, r2_u8 = code(ub8 - pred_u8, TxSize.TX_8X8)
-        lv_v8, r2_v8 = code(vb8 - pred_v8, TxSize.TX_8X8)
-        cd_y16 = jnp.clip(pred_y16 + r2_y16, 0, 255)
-        cd_u8 = jnp.clip(pred_u8 + r2_u8, 0, 255)
-        cd_v8 = jnp.clip(pred_v8 + r2_v8, 0, 255)
-        sse_c16 = (jnp.sum((cd_y16 - blks16).astype(jnp.float32) ** 2,
-                           (1, 2))
-                   + jnp.sum((cd_u8 - ub8).astype(jnp.float32) ** 2,
-                             (1, 2))
-                   + jnp.sum((cd_v8 - vb8).astype(jnp.float32) ** 2,
-                             (1, 2)))
-        sse_s16 = (jnp.sum((pred_y16 - blks16).astype(jnp.float32) ** 2,
-                           (1, 2))
-                   + jnp.sum((pred_u8 - ub8).astype(jnp.float32) ** 2,
-                             (1, 2))
-                   + jnp.sum((pred_v8 - vb8).astype(jnp.float32) ** 2,
-                             (1, 2)))
-        cbits16 = (block_bits(lv_y16, rd["y16"])
-                   + block_bits(lv_u8, rd["c8"])
-                   + block_bits(lv_v8, rd["c8"]))
-        skip16 = (sse_s16 + lam * rd["skip1"]
-                  <= sse_c16 + lam * (rd["skip0"] + cbits16))
-        s163 = skip16[:, None, None]
-        lv_y16 = jnp.where(s163, 0, lv_y16)
-        lv_u8 = jnp.where(s163, 0, lv_u8)
-        lv_v8 = jnp.where(s163, 0, lv_v8)
-        rec_y16 = jnp.where(s163, pred_y16, cd_y16)
-        rec_u8 = jnp.where(s163, pred_u8, cd_u8)
-        rec_v8 = jnp.where(s163, pred_v8, cd_v8)
-        cost16 = (lam * mv_rate(mv16)
-                  + jnp.where(skip16, sse_s16 + lam * rd["skip1"],
-                              sse_c16 + lam * (rd["skip0"] + cbits16)))
-        cost_split = (cost16.reshape(B, 4).sum(axis=1)
-                      + lam * rd["split_bits"])
-        split = cost_split < cost32
-        sp3 = split[:, None, None]
-
-        # ---- choose + assemble ----
-        lv_y = jnp.where(sp3, unquads(lv_y16, 16), lv_y)
-        lv_u = jnp.where(sp3, unquads(lv_u8, 8), lv_u)
-        lv_v = jnp.where(sp3, unquads(lv_v8, 8), lv_v)
-        rec_y = jnp.where(sp3, unquads(rec_y16, 16), rec_y32)
-        rec_u = jnp.where(sp3, unquads(rec_u8, 8), rec_u32)
-        rec_v = jnp.where(sp3, unquads(rec_v8, 8), rec_v32)
-        mv16_out = jnp.where(split[:, None, None],
-                             mv16.reshape(B, 4, 2),
-                             jnp.repeat(mv8[:, None, :], 4, axis=1))
-        skip16_out = jnp.where(split[:, None], skip16.reshape(B, 4),
-                               skip[:, None])
-        fry = from_blocks(rec_y, h, w, 32)
-        fru = from_blocks(rec_u, h // 2, w // 2, 16)
-        frv = from_blocks(rec_v, h // 2, w // 2, 16)
-        if use_deblock:
-            # in-loop deblock with whole-frame level search (rav1e
-            # deblock_filter_optimize analog; level signaled in the
-            # frame header, recon feeds the ref chain post-filter).
-            # Edge grid: 16-px with interior edges gated by the split
-            # map (split blocks carry TX16/TX8 edges the decoder
-            # filters too).
-            from rav1e_tpu.ops.tpu.deblock import deblock_search
-            lf_lvl, db = deblock_search(
-                [fry, fru, frv],
-                [y, u.astype(jnp.int32), v.astype(jnp.int32)],
-                rd["base_lf"], block_y=16, block_c=8,
-                split_map=split.reshape(nby, nbx))
-            fry, fru, frv = db
-        else:
-            lf_lvl = jnp.int32(0)
-        if use_cdef:
-            # in-loop CDEF with whole-frame strength-set search
-            # (rav1e rdo_loop_decision analog); chosen entry is
-            # signaled in the frame header
-            from rav1e_tpu.ops.tpu.cdef import cdef_search_frame_jax
-            s16 = (skip16_out.reshape(nby, nbx, 2, 2)
-                   .transpose(0, 2, 1, 3).reshape(nby * 2, nbx * 2))
-            skip8 = jnp.repeat(jnp.repeat(s16, 2, 0), 2, 1)
-            cdef_idx, (fry, fru, frv) = cdef_search_frame_jax(
-                [fry, fru, frv],
-                [y, u.astype(jnp.int32), v.astype(jnp.int32)],
-                skip8, cdef_prm[4])
-        else:
-            cdef_idx = jnp.int32(0)
-        # compact level transfer (see K32/K16 above): first K scan
-        # slots as int8 + per-block dense/saturation flag. Split
-        # blocks pack K/4 scan slots per 16/8 sub-TX into the same
-        # buffers (host rebuilds by the split flag).
-        scan32, scan16, scan8 = _scans()
-        sp32 = np.empty(1024, np.int32)
-        sp32[scan32] = np.arange(1024)
-        sp16 = np.empty(256, np.int32)
-        sp16[scan16] = np.arange(256)
-        sp8 = np.empty(64, np.int32)
-        sp8[scan8] = np.arange(64)
-        spm32 = jnp.asarray(sp32.reshape(32, 32))
-        spm16 = jnp.asarray(sp16.reshape(16, 16))
-        spm8 = jnp.asarray(sp8.reshape(8, 8))
-        eob_y = jnp.max(jnp.where(lv_y != 0, spm32 + 1, 0), axis=(1, 2))
-        eob_u = jnp.max(jnp.where(lv_u != 0, spm16 + 1, 0), axis=(1, 2))
-        eob_v = jnp.max(jnp.where(lv_v != 0, spm16 + 1, 0), axis=(1, 2))
-        eob_y16 = jnp.max(jnp.where(lv_y16 != 0, spm16 + 1, 0),
-                          axis=(1, 2)).reshape(B, 4).max(axis=1)
-        eob_u8 = jnp.max(jnp.where(lv_u8 != 0, spm8 + 1, 0),
-                         axis=(1, 2)).reshape(B, 4).max(axis=1)
-        eob_v8 = jnp.max(jnp.where(lv_v8 != 0, spm8 + 1, 0),
-                         axis=(1, 2)).reshape(B, 4).max(axis=1)
-        sat = ((jnp.abs(lv_y) > 127).any(axis=(1, 2))
-               | (jnp.abs(lv_u) > 127).any(axis=(1, 2))
-               | (jnp.abs(lv_v) > 127).any(axis=(1, 2)))
-        dense_none = (eob_y > K32) | (eob_u > K16) | (eob_v > K16)
-        dense_split = ((eob_y16 > K32 // 4) | (eob_u8 > K16 // 4)
-                       | (eob_v8 > K16 // 4))
-        dense = sat | jnp.where(split, dense_split, dense_none)
-        scn_y = jnp.take(lv_y.reshape(B, 1024),
-                         jnp.asarray(scan32[:K32]), axis=1)
-        scn_u = jnp.take(lv_u.reshape(B, 256),
-                         jnp.asarray(scan16[:K16]), axis=1)
-        scn_v = jnp.take(lv_v.reshape(B, 256),
-                         jnp.asarray(scan16[:K16]), axis=1)
-        scs_y = jnp.take(lv_y16.reshape(B, 4, 256),
-                         jnp.asarray(scan16[:K32 // 4]),
-                         axis=2).reshape(B, K32)
-        scs_u = jnp.take(lv_u8.reshape(B, 4, 64),
-                         jnp.asarray(scan8[:K16 // 4]),
-                         axis=2).reshape(B, K16)
-        scs_v = jnp.take(lv_v8.reshape(B, 4, 64),
-                         jnp.asarray(scan8[:K16 // 4]),
-                         axis=2).reshape(B, K16)
-        sc_y = jnp.where(split[:, None], scs_y, scn_y)
-        sc_u = jnp.where(split[:, None], scs_u, scn_u)
-        sc_v = jnp.where(split[:, None], scs_v, scn_v)
-        return (mv8, skip, dense,
-                jnp.clip(sc_y, -127, 127).astype(jnp.int8),
-                jnp.clip(sc_u, -127, 127).astype(jnp.int8),
-                jnp.clip(sc_v, -127, 127).astype(jnp.int8),
-                lv_y.astype(jnp.int16), lv_u.astype(jnp.int16),
-                lv_v.astype(jnp.int16),
-                fry.astype(jnp.uint8), fru.astype(jnp.uint8),
-                frv.astype(jnp.uint8), lf_lvl, cdef_idx,
-                split, mv16_out.astype(jnp.int32),
-                skip16_out)
+        return p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm,
+                            rd, jnp.asarray(by), jnp.asarray(bx),
+                            nby, nbx, deblock_fn, cdef_fn)
 
     return step, (nby, nbx)
 
