@@ -84,17 +84,20 @@ def main():
     # full-frame grouped-conv motion search (the MXU workhorse)
     from rav1e_tpu.pipeline.tpu_inter import _core, build_rd_inter
     from rav1e_tpu.ops.ref.quant import ac_q, dc_q
-    step, _ = _core(h, w, False, False)
+    step, _, _gd = _core(h, w, False, False)
     rd = build_rd_inter(100)
-    yy = jnp.asarray(rng.integers(0, 255, (h, w), dtype=np.uint8))
+    from rav1e_tpu.pipeline.tpu_inter import pack_src
+    src = jnp.asarray(pack_src(
+        [rng.integers(0, 255, (h, w), dtype=np.uint8),
+         rng.integers(0, 255, (h // 2, w // 2), dtype=np.uint8),
+         rng.integers(0, 255, (h // 2, w // 2), dtype=np.uint8)]))
     ry = jnp.asarray(rng.integers(0, 255, (h, w), dtype=np.uint8))
-    uu = jnp.asarray(rng.integers(0, 255, (h // 2, w // 2),
+    ru = jnp.asarray(rng.integers(0, 255, (h // 2, w // 2),
                                   dtype=np.uint8))
-    ru = uu
     prm = jnp.asarray([0, 0, 0, 0, 3], jnp.int32)
     dq, aq = jnp.int32(dc_q(100)), jnp.int32(ac_q(100))
     t = timeit(lambda *a: step(*a),
-               (yy, ry, uu, ru, uu, ru, dq, aq, prm, rd), args.iters)
+               (src, ry, ru, ru, dq, aq, prm, rd), args.iters)
     print(f"P-step (ME+MC+TX+RD):  {t*1e3:7.2f} ms  {mpix/t:8.1f} Mpix/s")
 
 

@@ -232,48 +232,63 @@ def deblock_plane_jax(plane, block: int, level_v, level_h,
             rows.append(m)
         return jnp.stack(rows, axis=1)
 
+    # Uniform edge spacing means the p/q samples of ALL edges are pure
+    # slices of the [.., G, block] group reshape, and the filtered
+    # plane reassembles by concatenation — no XLA gather/scatter
+    # anywhere (scatters serialized this pass on TPU; the uniform grid
+    # is what makes the whole-frame batch legal in the first place).
+    assert block >= size, (block, size)
     xs = np.arange(block, W, block)
     if len(xs):
+        assert W % block == 0, (W, block)
+        E = len(xs)
         limit, blimit, thresh = _levels_to_thresholds(level_v)
-        pidx = xs[:, None] - 1 - np.arange(n)[None, :]   # [E, n]
-        qidx = xs[:, None] + np.arange(n)[None, :]
-        pcols = out[:, pidx].reshape(H * len(xs), n)
-        qcols = out[:, qidx].reshape(H * len(xs), n)
+        g = out.reshape(H, W // block, block)
+        p = g[:, :-1, block - n:][..., ::-1]          # [H, E, n]
+        q = g[:, 1:, :n]
         m = edge_mask_v(xs)
         if edge_on_v is not None:
-            eo = jnp.broadcast_to(edge_on_v[None, :], (H, len(xs)))
+            eo = jnp.broadcast_to(edge_on_v[None, :], (H, E))
             m = eo if m is None else (m & eo)
         m = m.reshape(-1) if m is not None else None
-        np_, nq = _filter_stack(pcols, qcols, limit, blimit, thresh,
-                                size, bd, m)
+        np_, nq = _filter_stack(p.reshape(-1, n), q.reshape(-1, n),
+                                limit, blimit, thresh, size, bd, m)
         on = level_v > 0
-        np_ = jnp.where(on, np_, pcols).reshape(H, len(xs), n)
-        nq = jnp.where(on, nq, qcols).reshape(H, len(xs), n)
-        out = out.at[:, pidx].set(np_)
-        out = out.at[:, qidx].set(nq)
+        np_ = jnp.where(on, np_, p.reshape(-1, n)
+                        ).reshape(H, E, n)[..., ::-1]
+        nq = jnp.where(on, nq, q.reshape(-1, n)).reshape(H, E, n)
+        q_side = jnp.concatenate([g[:, :1, :n], nq], axis=1)
+        p_side = jnp.concatenate([np_, g[:, -1:, block - n:]], axis=1)
+        out = jnp.concatenate(
+            [q_side, g[:, :, n:block - n], p_side], axis=2
+        ).reshape(H, W)
 
     ys = np.arange(block, H, block)
     if len(ys):
+        assert H % block == 0, (H, block)
+        E = len(ys)
         limit, blimit, thresh = _levels_to_thresholds(level_h)
-        pidx = ys[:, None] - 1 - np.arange(n)[None, :]
-        qidx = ys[:, None] + np.arange(n)[None, :]
-        # [E, n, W] -> transpose to [W*E, n]
-        prow = out[pidx, :].transpose(2, 0, 1).reshape(W * len(ys), n)
-        qrow = out[qidx, :].transpose(2, 0, 1).reshape(W * len(ys), n)
+        g = out.reshape(H // block, block, W)
+        # [E, n, W] with row 0 nearest the edge -> [W, E, n]
+        p = g[:-1, block - n:, :][:, ::-1].transpose(2, 0, 1)
+        q = g[1:, :n, :].transpose(2, 0, 1)
         m = edge_mask_h(ys)
         if edge_on_h is not None:
-            eo = jnp.broadcast_to(edge_on_h[None, :], (W, len(ys)))
+            eo = jnp.broadcast_to(edge_on_h[None, :], (W, E))
             m = eo if m is None else (m & eo)
         m = m.reshape(-1) if m is not None else None
-        np_, nq = _filter_stack(prow, qrow, limit, blimit, thresh,
-                                size, bd, m)
+        np_, nq = _filter_stack(p.reshape(-1, n), q.reshape(-1, n),
+                                limit, blimit, thresh, size, bd, m)
         on = level_h > 0
-        np_ = jnp.where(on, np_, prow).reshape(W, len(ys), n
-                                               ).transpose(1, 2, 0)
-        nq = jnp.where(on, nq, qrow).reshape(W, len(ys), n
-                                             ).transpose(1, 2, 0)
-        out = out.at[pidx, :].set(np_)
-        out = out.at[qidx, :].set(nq)
+        np_ = jnp.where(on, np_, p.reshape(-1, n)
+                        ).reshape(W, E, n)[..., ::-1].transpose(1, 2, 0)
+        nq = jnp.where(on, nq, q.reshape(-1, n)
+                       ).reshape(W, E, n).transpose(1, 2, 0)
+        q_side = jnp.concatenate([g[:1, :n, :], nq], axis=0)
+        p_side = jnp.concatenate([np_, g[-1:, block - n:, :]], axis=0)
+        out = jnp.concatenate(
+            [q_side, g[:, n:block - n, :], p_side], axis=1
+        ).reshape(H, W)
     return out
 
 

@@ -471,12 +471,95 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
 
 
 
+# ---- single-buffer host<->device IO --------------------------------
+# The tunneled chip's host link charges ~38 ms fixed latency per
+# device->host transfer and ~14 MB/s each way (measured 2026-08-17).
+# All per-frame decisions therefore ship as ONE int8 buffer, and the
+# source planes upload as ONE packed uint8 array.
+
+REC_BYTES = 384      # per-block packed record size (379 used)
+
+
+def _i16_hi_lo(x):
+    """int16 -> (hi int8, lo int8) lanes (arithmetic-shift encoding;
+    host rebuilds hi*256 + lo)."""
+    x = x.astype(jnp.int32)
+    return (x >> 8).astype(jnp.int8), (x & 255).astype(jnp.uint8)
+
+
+def pack_outputs(o):
+    """Device-side: p_frame_body outputs -> one int8 [B+1, REC_BYTES]
+    buffer. Row layout: mv8 hi/lo int16[2] | mv16 int16[4,2] | 7 flag
+    bytes (skip, dense, split, skip16[4]) | sc_y[K32] | sc_u[K16] |
+    sc_v[K16]. Tail row: [lf_lvl, cdef_idx]."""
+    mv8, skip, dense = o[0], o[1], o[2]
+    sc_y, sc_u, sc_v = o[3], o[4], o[5]
+    lf, cdef_idx = o[12], o[13]
+    split, mv16, skip16 = o[14], o[15], o[16]
+    B = mv8.shape[0]
+
+    def words(x):
+        hi, lo = _i16_hi_lo(x.reshape(B, -1))
+        return jnp.stack([hi, lo.astype(jnp.int8)], -1).reshape(B, -1)
+
+    flags = jnp.concatenate(
+        [skip[:, None], dense[:, None], split[:, None], skip16],
+        axis=1).astype(jnp.int8)
+    row = jnp.concatenate([words(mv8), words(mv16), flags,
+                           sc_y, sc_u, sc_v], axis=1)
+    row = jnp.pad(row, ((0, 0), (0, REC_BYTES - row.shape[1])))
+    tail = jnp.zeros((1, REC_BYTES), jnp.int8)
+    tail = tail.at[0, 0].set(lf.astype(jnp.int8))
+    tail = tail.at[0, 1].set(cdef_idx.astype(jnp.int8))
+    return jnp.concatenate([row, tail], axis=0)
+
+
+def unpack_outputs(buf: np.ndarray):
+    """Host-side twin of pack_outputs. Returns (mv8, skip, dense,
+    sc_y, sc_u, sc_v, lf_lvl, cdef_idx, split, mv16, skip16)."""
+    buf = np.asarray(buf)
+    body, tail = buf[:-1], buf[-1]
+    B = body.shape[0]
+
+    def unwords(cols, shape):
+        w = body[:, cols].reshape(B, -1, 2).astype(np.int16)
+        return (w[:, :, 0] * 256 + (w[:, :, 1] & 0xFF)).reshape(shape)
+
+    mv8 = unwords(slice(0, 4), (B, 2)).astype(np.int32)
+    mv16 = unwords(slice(4, 20), (B, 4, 2)).astype(np.int32)
+    flags = body[:, 20:27] != 0
+    skip, dense, split = flags[:, 0], flags[:, 1], flags[:, 2]
+    skip16 = flags[:, 3:7]
+    off = 27
+    sc_y = body[:, off:off + K32].astype(np.int16)
+    sc_u = body[:, off + K32:off + K32 + K16].astype(np.int16)
+    sc_v = body[:, off + K32 + K16:off + K32 + 2 * K16].astype(np.int16)
+    return (mv8, skip, dense, sc_y, sc_u, sc_v,
+            int(tail[0]), int(tail[1]), split, mv16, skip16)
+
+
+def pack_src(planes) -> np.ndarray:
+    """Host-side: [y, u, v] 4:2:0 uint8 -> one [3h/2, w] uint8 array
+    (u|v side by side under y) for a single upload."""
+    y, u, v = (np.asarray(p, np.uint8) for p in planes)
+    return np.concatenate([y, np.concatenate([u, v], axis=1)], axis=0)
+
+
+def _unpack_src(buf, h, w):
+    y = buf[:h].astype(jnp.int32)
+    u = buf[h:, :w // 2].astype(jnp.int32)
+    v = buf[h:, w // 2:].astype(jnp.int32)
+    return y, u, v
+
+
 @lru_cache(maxsize=8)
 def _core(h: int, w: int, use_cdef: bool = False,
           use_deblock: bool = True):
     """Single-chip batched P-frame step for an h x w frame. qindex
     enters as a traced argument (dcq/acq scalars) so rate control
-    never triggers a recompile."""
+    never triggers a recompile. Takes the packed source buffer and
+    returns (packed decisions, full-precision levels (device-resident,
+    gathered only for dense blocks), recon planes)."""
     nby, nbx = h // 32, w // 32
     by = (np.repeat(np.arange(nby), nbx) * 32).astype(np.int32)
     bx = (np.tile(np.arange(nbx), nby) * 32).astype(np.int32)
@@ -496,16 +579,26 @@ def _core(h: int, w: int, use_cdef: bool = False,
         cdef_fn = cdef_search_frame_jax
 
     @jax.jit
-    def step(y, ry, u, ru, v, rv, dcq, acq, cdef_prm, rd):
-        y = y.astype(jnp.int32)
+    def step(src, ry, ru, rv, dcq, acq, cdef_prm, rd):
+        y, u, v = _unpack_src(src, h, w)
         ryp = jnp.pad(ry.astype(jnp.int32), PAD, mode="edge")
         rup = jnp.pad(ru.astype(jnp.int32), PAD // 2, mode="edge")
         rvp = jnp.pad(rv.astype(jnp.int32), PAD // 2, mode="edge")
-        return p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm,
-                            rd, jnp.asarray(by), jnp.asarray(bx),
-                            nby, nbx, deblock_fn, cdef_fn)
+        o = p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm,
+                         rd, jnp.asarray(by), jnp.asarray(bx),
+                         nby, nbx, deblock_fn, cdef_fn)
+        return (pack_outputs(o), o[6], o[7], o[8], o[9], o[10], o[11])
 
-    return step, (nby, nbx)
+    @jax.jit
+    def gather_dense(lv_y, lv_u, lv_v, idx):
+        """ONE transfer for all dense blocks' full-precision levels:
+        [D, 1024+256+256] int16."""
+        return jnp.concatenate(
+            [jnp.take(lv_y, idx, 0).reshape(idx.shape[0], -1),
+             jnp.take(lv_u, idx, 0).reshape(idx.shape[0], -1),
+             jnp.take(lv_v, idx, 0).reshape(idx.shape[0], -1)], axis=1)
+
+    return step, (nby, nbx), gather_dense
 
 
 def _quads_np(x, n):
@@ -569,6 +662,49 @@ def _fetch_outputs(o):
         lv_u[didx] = np.asarray(jnp.take(o[7], gi, axis=0))
         lv_v[didx] = np.asarray(jnp.take(o[8], gi, axis=0))
     return mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16
+
+
+def _fetch_packed(o, gather_dense):
+    """Pull one frame's decisions to host: ONE transfer of the packed
+    buffer + (rarely) one batched gather for dense/saturated blocks.
+
+    Returns (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16,
+    lf_lvl, cdef_idx)."""
+    (mv8, skip, dense, sc_y, sc_u, sc_v, lf, cdef_idx, split, mv16,
+     skip16) = unpack_outputs(o[0])
+    scan32, scan16, scan8 = _scans()
+    B = mv8.shape[0]
+    lv_y = np.zeros((B, 1024), np.int16)
+    lv_u = np.zeros((B, 256), np.int16)
+    lv_v = np.zeros((B, 256), np.int16)
+    ns = ~split
+    lv_y[np.ix_(ns, scan32[:K32])] = sc_y[ns]
+    lv_u[np.ix_(ns, scan16[:K16])] = sc_u[ns]
+    lv_v[np.ix_(ns, scan16[:K16])] = sc_v[ns]
+    lv_y = lv_y.reshape(B, 32, 32)
+    lv_u = lv_u.reshape(B, 16, 16)
+    lv_v = lv_v.reshape(B, 16, 16)
+    sidx = np.nonzero(split)[0]
+    if len(sidx):
+        S = len(sidx)
+        sy = np.zeros((S, 4, 256), np.int16)
+        sy[:, :, scan16[:K32 // 4]] = sc_y[sidx].reshape(S, 4, K32 // 4)
+        su = np.zeros((S, 4, 64), np.int16)
+        su[:, :, scan8[:K16 // 4]] = sc_u[sidx].reshape(S, 4, K16 // 4)
+        sv = np.zeros((S, 4, 64), np.int16)
+        sv[:, :, scan8[:K16 // 4]] = sc_v[sidx].reshape(S, 4, K16 // 4)
+        lv_y[sidx] = _unquads_np(sy.reshape(S, 4, 16, 16), 16)
+        lv_u[sidx] = _unquads_np(su.reshape(S, 4, 8, 8), 8)
+        lv_v[sidx] = _unquads_np(sv.reshape(S, 4, 8, 8), 8)
+    didx = np.nonzero(dense)[0]
+    if len(didx):
+        g = np.asarray(gather_dense(o[1], o[2], o[3],
+                                    jnp.asarray(didx)))
+        lv_y[didx] = g[:, :1024].reshape(-1, 32, 32)
+        lv_u[didx] = g[:, 1024:1280].reshape(-1, 16, 16)
+        lv_v[didx] = g[:, 1280:].reshape(-1, 16, 16)
+    return (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16,
+            lf, cdef_idx)
 
 
 def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
@@ -659,30 +795,28 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
     y, u, v = planes
     h, w = y.shape[0], y.shape[1]
     assert h % 32 == 0 and w % 32 == 0
-    step, (nby, nbx) = _core(h, w, cdef is not None)
+    step, (nby, nbx), gather_dense = _core(h, w, cdef is not None)
     if ref_dev is None:
         ref_dev = tuple(jnp.asarray(np.asarray(p, np.uint8))
                         for p in ref_planes)
     cdef_prm = jnp.asarray(
         list(cdef) if cdef is not None else [0, 0, 0, 0, 3], jnp.int32)
-    outs = step(jnp.asarray(y), ref_dev[0],
-                jnp.asarray(u), ref_dev[1],
-                jnp.asarray(v), ref_dev[2],
+    outs = step(jnp.asarray(pack_src(planes)), *ref_dev,
                 jnp.int32(dc_q_lut(qindex)), jnp.int32(ac_q_lut(qindex)),
                 cdef_prm, build_rd_inter(qindex))
-    rec_dev = outs[9:12]
-    (mv8, skip, lv_y, lv_u, lv_v, split, mv16,
-     skip16) = _fetch_outputs(outs)
+    rec_dev = outs[4:7]
+    (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16, lf_lvl,
+     cdef_idx) = _fetch_packed(outs, gather_dense)
     rec_y, rec_u, rec_v = [np.asarray(o) for o in rec_dev]
     cdef_hdr = None
     if cdef is not None:
         from rav1e_tpu.ops.tpu.cdef import CDEF_LADDER
-        sel = CDEF_LADDER[int(np.asarray(outs[13]))]
+        sel = CDEF_LADDER[cdef_idx]
         cdef_hdr = (*sel, cdef[4])
     pkt = _pack_pframe(h, w, qindex, order_hint, mv8, skip,
                        lv_y, lv_u, lv_v, use_native, cdef_hdr,
                        film_grain, render_size,
-                       int(np.asarray(outs[12])), split, mv16, skip16)
+                       lf_lvl, split, mv16, skip16)
     rec = [rec_y.astype(np.int32), rec_u.astype(np.int32),
            rec_v.astype(np.int32)]
     if return_device:
@@ -703,7 +837,7 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
     if len(frames) == 1:
         return pkts, recs
     h, w = frames[0][0].shape
-    step, _ = _core(h, w, cdef is not None)
+    step, _, gather_dense = _core(h, w, cdef is not None)
     dcq = jnp.int32(dc_q_lut(qindex))
     acq = jnp.int32(ac_q_lut(qindex))
     rd = build_rd_inter(qindex)
@@ -711,29 +845,29 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
         list(cdef) if cdef is not None else [0, 0, 0, 0, 3], jnp.int32)
     # dispatch every P step up front (jax async dispatch): the device
     # crunches frame i+1 while the host transfers + entropy-packs
-    # frame i
+    # frame i; each frame's IO is one packed upload + one packed fetch
+    # (the tunnel charges ~38 ms latency per transfer)
     ref_dev = tuple(jnp.asarray(np.asarray(p, np.uint8)) for p in rec)
     outs = []
     for f in frames[1:]:
-        o = step(jnp.asarray(f[0]), ref_dev[0],
-                 jnp.asarray(f[1]), ref_dev[1],
-                 jnp.asarray(f[2]), ref_dev[2], dcq, acq, cdef_prm, rd)
-        ref_dev = o[9:12]
+        o = step(jnp.asarray(pack_src(f)), *ref_dev,
+                 dcq, acq, cdef_prm, rd)
+        ref_dev = o[4:7]
         outs.append(o)
     for i, o in enumerate(outs, start=1):
-        (mv8, skip, lv_y, lv_u, lv_v, split, mv16,
-         skip16) = _fetch_outputs(o)
+        (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16, lf_lvl,
+         cdef_idx) = _fetch_packed(o, gather_dense)
         cdef_hdr = None
         if cdef is not None:
             from rav1e_tpu.ops.tpu.cdef import CDEF_LADDER
-            sel = CDEF_LADDER[int(np.asarray(o[13]))]
+            sel = CDEF_LADDER[cdef_idx]
             cdef_hdr = (*sel, cdef[4])
         pkts.append(_pack_pframe(h, w, qindex, i, mv8, skip,
                                  lv_y, lv_u, lv_v, cdef=cdef_hdr,
-                                 lf_level=int(np.asarray(o[12])),
+                                 lf_level=lf_lvl,
                                  split=split, mv16=mv16,
                                  skip16=skip16))
         # recons stay device-resident (uint8); consumers that need
         # them host-side (conformance checks) convert lazily
-        recs.append([o[9], o[10], o[11]])
+        recs.append([o[4], o[5], o[6]])
     return pkts, recs

@@ -1,0 +1,133 @@
+"""Property/fuzz ring: arbitrary configs + dimensions through the full
+encoder, every stream decoder-verified.
+
+Mirrors rav1e's cargo-fuzz targets (reference: fuzz/fuzz_targets/*,
+src/fuzzing.rs — SURVEY.md §4 ring 3): construct + encode with
+arbitrary configs/frames, catching panics on edge dimensions. Our
+variant goes further than the reference (which only checks for
+crashes): every fuzzed stream must also DECODE with dav1d.
+"""
+
+import numpy as np
+import pytest
+
+from rav1e_tpu.api.context import Config
+from rav1e_tpu.conform import dav1d
+
+
+def _run(ctx, frames):
+    for f in frames:
+        ctx.send_frame(f)
+    ctx.flush()
+    pkts = []
+    while True:
+        _, p = ctx.receive_packet()
+        if p is None:
+            break
+        pkts.append(p)
+    return pkts
+
+
+def _synth(rng, w, h, n, chroma="420", bit_depth=8):
+    ssx = 1 if chroma in ("420", "422") else 0
+    ssy = 1 if chroma == "420" else 0
+    cw, ch = (w + ssx) >> ssx, (h + ssy) >> ssy
+    hi = (1 << bit_depth) - 1
+    dt = np.uint8 if bit_depth == 8 else np.uint16
+    frames = []
+    base = rng.integers(0, hi + 1, (h, w)).astype(np.int64)
+    for t in range(n):
+        # moving structured content + noise: exercises ME, skip, splits
+        y = np.roll(base, t, axis=1) + rng.integers(-3, 4, (h, w))
+        u = rng.integers(0, hi + 1, (ch, cw))
+        v = np.full((ch, cw), hi // 2 + t, np.int64)
+        frames.append([p.clip(0, hi).astype(dt) for p in (y, u, v)])
+    return frames
+
+
+# 12 deterministic fuzz cases over the config/dimension space
+_CASES = []
+_rng0 = np.random.default_rng(0xF022)
+for _i in range(12):
+    w = int(_rng0.integers(8, 120))
+    h = int(_rng0.integers(8, 120))
+    q = int(_rng0.integers(30, 230))
+    chroma = str(_rng0.choice(["420", "420", "420", "422", "444"]))
+    bd = int(_rng0.choice([8, 8, 8, 10]))
+    tiles = int(_rng0.choice([1, 1, 2]))
+    low_latency = bool(_rng0.choice([True, True, False]))
+    _CASES.append((w, h, q, chroma, bd, tiles, low_latency))
+
+
+@pytest.mark.parametrize("w,h,q,chroma,bd,tiles,low_latency", _CASES)
+def test_fuzz_config_matrix(w, h, q, chroma, bd, tiles, low_latency):
+    rng = np.random.default_rng(w * 1000003 + h * 1009 + q)
+    frames = _synth(rng, w, h, 3, chroma, bd)
+    ctx = Config(width=w, height=h, quantizer=q, bit_depth=bd,
+                 chroma_sampling=chroma, tiles=tiles,
+                 low_latency=low_latency).new_context()
+    pkts = _run(ctx, frames)
+    shown = [p for p in pkts if p.frame_type != "HIDDEN"]
+    assert pkts and pkts[0].frame_type == "KEY"
+    dec = dav1d.decode_all([p.data for p in pkts])
+    assert len(dec) == len(frames), (len(dec), len(frames))
+    cw, chh = (w + 31) // 32 * 32, (h + 31) // 32 * 32
+    assert dec[0].planes[0].shape == (chh, cw)
+
+
+@pytest.mark.parametrize("q", [1, 30, 255])
+def test_fuzz_extreme_quantizers(q):
+    rng = np.random.default_rng(q)
+    frames = _synth(rng, 64, 48, 3)
+    ctx = Config(width=64, height=48, quantizer=q).new_context()
+    pkts = _run(ctx, frames)
+    dec = dav1d.decode_all([p.data for p in pkts])
+    assert len(dec) == len(frames)
+
+
+def test_fuzz_one_pixel_ish_frames():
+    """Smallest inputs: everything below one SB pads up."""
+    for (w, h) in [(1, 1), (2, 2), (8, 2), (2, 40)]:
+        rng = np.random.default_rng(w * 100 + h)
+        frames = _synth(rng, w, h, 2)
+        ctx = Config(width=w, height=h, quantizer=120).new_context()
+        pkts = _run(ctx, frames)
+        dec = dav1d.decode_all([p.data for p in pkts])
+        assert len(dec) == len(frames), (w, h)
+
+
+def test_fuzz_flat_and_saturated_content():
+    """All-black, all-white, and hard-edge frames (coefficient
+    saturation / all-skip edge cases)."""
+    w = h = 64
+    black = [np.zeros((h, w), np.uint8),
+             np.zeros((h // 2, w // 2), np.uint8),
+             np.zeros((h // 2, w // 2), np.uint8)]
+    white = [np.full((h, w), 255, np.uint8),
+             np.full((h // 2, w // 2), 255, np.uint8),
+             np.full((h // 2, w // 2), 255, np.uint8)]
+    checker = np.indices((h, w)).sum(0) % 2 * 255
+    hard = [checker.astype(np.uint8),
+            np.full((h // 2, w // 2), 128, np.uint8),
+            np.full((h // 2, w // 2), 128, np.uint8)]
+    ctx = Config(width=w, height=h, quantizer=80).new_context()
+    pkts = _run(ctx, [black, white, hard, black])
+    dec = dav1d.decode_all([p.data for p in pkts])
+    assert len(dec) == 4
+
+
+def test_fuzz_config_parse_garbage():
+    """Unknown keys go to extra; malformed numerics raise cleanly."""
+    cfg = Config.parse({"width": "64", "height": 64, "frobnicate": "x",
+                        "low_latency": "false"})
+    assert cfg.width == 64 and cfg.low_latency is False
+    assert "frobnicate" in cfg.extra
+    with pytest.raises(ValueError):
+        Config.parse({"width": "sixty-four"})
+    with pytest.raises(ValueError):
+        Config(width=0, height=64).new_context()
+    with pytest.raises(ValueError):
+        Config(width=64, height=64, bit_depth=9).new_context()
+    with pytest.raises(ValueError):
+        Config(width=64, height=64,
+               chroma_sampling="440").new_context()

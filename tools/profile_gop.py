@@ -69,7 +69,7 @@ def main():
     print(f"KF: compile+run {t_kf_compile:.1f}s, steady {t_kf:.3f}s")
 
     # ---- P pipeline, staged ----
-    step, _ = TI._core(h, w, False)
+    step, _, gather_dense = TI._core(h, w, False)
     rd = TI.build_rd_inter(q)
     dcq = jnp.int32(dc_q(q))
     acq = jnp.int32(ac_q(q))
@@ -77,9 +77,7 @@ def main():
     ref_dev = tuple(jnp.asarray(np.asarray(p, np.uint8)) for p in rec)
 
     # compile
-    o = step(jnp.asarray(frames[1][0]), ref_dev[0],
-             jnp.asarray(frames[1][1]), ref_dev[1],
-             jnp.asarray(frames[1][2]), ref_dev[2], dcq, acq,
+    o = step(jnp.asarray(TI.pack_src(frames[1])), *ref_dev, dcq, acq,
              cdef_prm, rd)
     jax.block_until_ready(o)
 
@@ -90,20 +88,22 @@ def main():
         jax.profiler.start_trace(args.trace)
     for i, f in enumerate(frames[1:], start=1):
         t0 = time.time()
-        dev_in = [jnp.asarray(f[j]) for j in range(3)]
+        dev_in = jnp.asarray(TI.pack_src(f))
         jax.block_until_ready(dev_in)
         t_up += time.time() - t0
         t0 = time.time()
-        o = step(dev_in[0], ref_dev[0], dev_in[1], ref_dev[1],
-                 dev_in[2], ref_dev[2], dcq, acq, cdef_prm, rd)
+        o = step(dev_in, *ref_dev, dcq, acq, cdef_prm, rd)
         jax.block_until_ready(o)
         t_dev += time.time() - t0
-        ref_dev = o[9:12]
+        ref_dev = o[4:7]
         t0 = time.time()
-        mv8, skip, lv_y, lv_u, lv_v = TI._fetch_outputs(o)
+        (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16, lf_lvl,
+         _ci) = TI._fetch_packed(o, gather_dense)
         t_fetch += time.time() - t0
         t0 = time.time()
-        TI._pack_pframe(h, w, q, i, mv8, skip, lv_y, lv_u, lv_v)
+        TI._pack_pframe(h, w, q, i, mv8, skip, lv_y, lv_u, lv_v,
+                        lf_level=lf_lvl, split=split, mv16=mv16,
+                        skip16=skip16)
         t_pack += time.time() - t0
     if args.trace:
         jax.profiler.stop_trace()
