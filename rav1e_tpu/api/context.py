@@ -359,7 +359,8 @@ class Context:
                 data, rec = encode_pframe_tpu(
                     planes, self._ref_rec, qindex=q,
                     order_hint=self._order_hint & 127, cdef=cdef,
-                    film_grain=grain, render_size=self._render)
+                    film_grain=grain, render_size=self._render,
+                    use_split=self.speed_settings.partition_split_rdo)
             else:
                 from rav1e_tpu.pipeline.inter import encode_pframe
                 data, rec = encode_pframe(

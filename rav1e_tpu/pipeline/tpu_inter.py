@@ -124,6 +124,57 @@ def _mc_batch(ref_pad, pos_r, pos_c, mv8, n, ss):
     return jnp.clip(out, 0, 255)
 
 
+def _gather_patch(ref_pad, pos_r, pos_c, mv8c, n, ss, M):
+    """ONE dynamic_slice per block: an (n+7+2M)^2 patch around the
+    center MV. All subpel-descent candidates within ±M px of the
+    center then evaluate from this patch with zero further gathers
+    (per-block gathers are the TPU cost of motion search — profiled
+    at 2/3 of the P-step before this restructure).
+
+    Returns (patch [B, n+7+2M, n+7+2M], ir0, ic0) with patch[b, 0, 0]
+    = ref row (ir0 - 3 - M), col (ic0 - 3 - M)."""
+    p = PAD >> ss
+    p16r = (pos_r << 4) + mv8c[:, 0] * (2 >> ss)
+    p16c = (pos_c << 4) + mv8c[:, 1] * (2 >> ss)
+    ir0, ic0 = p16r >> 4, p16c >> 4
+
+    def slice_one(r0, c0):
+        return jax.lax.dynamic_slice(
+            ref_pad, (r0 + p - 3 - M, c0 + p - 3 - M),
+            (n + 7 + 2 * M, n + 7 + 2 * M))
+
+    return jax.vmap(slice_one)(ir0, ic0), ir0, ic0
+
+
+def _mc_patch(patch, ir0, ic0, pos_r, pos_c, mv8, n, ss, M):
+    """Subpel prediction from pre-gathered patches (bit-exact twin of
+    _mc_batch): the whole-pixel drift vs the patch center (≤ M) folds
+    into an extended (8+2M)-tap filter with the 8 spec taps placed at
+    the drift offset — pure static slices + einsum, no gather."""
+    p16r = (pos_r << 4) + mv8[:, 0] * (2 >> ss)
+    p16c = (pos_c << 4) + mv8[:, 1] * (2 >> ss)
+    ir, fr = p16r >> 4, p16r & 15
+    ic, fc = p16c >> 4, p16c & 15
+    cr = jnp.clip(ir - ir0 + M, 0, 2 * M)
+    cc = jnp.clip(ic - ic0 + M, 0, 2 * M)
+    T = 8 + 2 * M
+
+    def ext(fil, carry):
+        # fil [B, 8] -> [B, T] with taps at offset carry (0..2M)
+        sh = jnp.stack([jnp.pad(fil, ((0, 0), (s, 2 * M - s)))
+                        for s in range(2 * M + 1)], axis=1)  # [B,2M+1,T]
+        oh = jax.nn.one_hot(carry, 2 * M + 1, dtype=fil.dtype)
+        return jnp.einsum("bs,bst->bt", oh, sh)
+
+    fh = ext(_FILT[fc], cc)
+    fv = ext(_FILT[fr], cr)
+    hstk = jnp.stack([patch[:, :, t: t + n] for t in range(T)], 0)
+    interm = _round2(jnp.einsum("bt,tbrc->brc", fh, hstk), 3)
+    vstk = jnp.stack([interm[:, t: t + n, :] for t in range(T)], 0)
+    out = _round2(jnp.einsum("bt,tbrc->brc", fv, vstk), 11)
+    return jnp.clip(out, 0, 255)
+
+
 def to_blocks(plane, n):
     return (plane.reshape(-1, n, plane.shape[1] // n, n)
             .transpose(0, 2, 1, 3).reshape(-1, n, n))
@@ -135,7 +186,8 @@ def from_blocks(blks, ph, pw, n):
 
 
 def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
-                 by, bx, nby, nbx, deblock_fn=None, cdef_fn=None):
+                 by, bx, nby, nbx, deblock_fn=None, cdef_fn=None,
+                 use_split: bool = True):
     """The whole batched P-frame encode for one (sub)frame region:
     grouped-conv full-pel search, subpel descent, 32-NONE vs 16-SPLIT
     RDO with the WriterCounter-twin rate model, skip RD, recon
@@ -191,14 +243,19 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
                        flat % (2 * SEARCH + 1) - SEARCH], 1)
 
     # ---- quarter-pel refinement (fixed-trip descent) ------------
-    def ssd8(mv8):
-        pred = _mc_batch(ryp, by, bx, mv8, 32, 0)
+    # one patch gather per block; descent drift <= 4+2+2 = 8 eighth-pel
+    # = 1 px, so every candidate (and the final prediction) evaluates
+    # in-patch (M=1)
+    mv8 = mv_fp * 8
+    patch32, pir0, pic0 = _gather_patch(ryp, by, bx, mv8, 32, 0, 1)
+
+    def ssd8(mv8c):
+        pred = _mc_patch(patch32, pir0, pic0, by, bx, mv8c, 32, 0, 1)
         d = (pred - blks).astype(jnp.float32)
-        mvr = (rd["mv_bits"][jnp.abs(mv8[:, 0])]
-               + rd["mv_bits"][jnp.abs(mv8[:, 1])])
+        mvr = (rd["mv_bits"][jnp.abs(mv8c[:, 0])]
+               + rd["mv_bits"][jnp.abs(mv8c[:, 1])])
         return jnp.sum(d * d, axis=(1, 2)) + rd["lam"] * mvr
 
-    mv8 = mv_fp * 8
     best = ssd8(mv8)
     for step_sz in (4, 2, 2):
         cands = jnp.stack([
@@ -219,7 +276,7 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
     mv8 = jnp.where(is_zero[:, None], 0, mv8)
 
     # ---- final prediction + residual coding ---------------------
-    pred_y = _mc_batch(ryp, by, bx, mv8, 32, 0)
+    pred_y = _mc_patch(patch32, pir0, pic0, by, bx, mv8, 32, 0, 1)
     pred_u = _mc_batch(rup, by // 2, bx // 2, mv8, 16, 1)
     pred_v = _mc_batch(rvp, by // 2, bx // 2, mv8, 16, 1)
     ub = to_blocks(u.astype(jnp.int32), 16)
@@ -285,7 +342,9 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
 
     # ---- PARTITION_SPLIT alternative: per-16 MVs + TX16/TX8
     # residuals (rav1e rdo_partition_decision restructured as a
-    # second fixed-shape candidate set) ----
+    # second fixed-shape candidate set). use_split=False stubs the
+    # candidate (cost=inf) so XLA dead-code-eliminates the search —
+    # speed presets >7 drop split RDO entirely. ----
     offs_r = np.array([0, 0, 16, 16], np.int32)
     offs_c = np.array([0, 16, 0, 16], np.int32)
     by16 = (by[:, None] + offs_r[None, :]).reshape(-1)
@@ -306,19 +365,53 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
     ub8 = quads(ub, 8)
     vb8 = quads(vb, 8)
 
-    def cost16_of(mv):
-        pred = _mc_batch(ryp, by16, bx16, mv, 16, 0)
+    if not use_split:
+        split = jnp.zeros((B,), bool)
+        sp3 = split[:, None, None]
+        rec_y = rec_y32
+        rec_u = rec_u32
+        rec_v = rec_v32
+        lv_y16 = jnp.zeros((B * 4, 16, 16), jnp.int32)
+        lv_u8 = jnp.zeros((B * 4, 8, 8), jnp.int32)
+        lv_v8 = jnp.zeros((B * 4, 8, 8), jnp.int32)
+        mv16_out = jnp.repeat(mv8[:, None, :], 4, axis=1)
+        skip16_out = jnp.repeat(skip[:, None], 4, axis=1)
+        return _finish_outputs(
+            y, u, v, h, tw, nby, nbx, B, rd, cdef_prm, mv8, skip,
+            split, sp3, mv16_out, skip16_out, lv_y, lv_u, lv_v,
+            lv_y16, lv_u8, lv_v8, rec_y, rec_u, rec_v,
+            deblock_fn, cdef_fn)
+
+    # two patch gathers (parent- and zero-centered), then the whole
+    # per-16 refinement runs in-patch: drift <= 8+4+2+2 = 16 eighth-pel
+    # = 2 px (M=2)
+    mv_par = jnp.repeat(mv8, 4, axis=0)
+    patch_p, pir_p, pic_p = _gather_patch(ryp, by16, bx16, mv_par,
+                                          16, 0, 2)
+    mv_zero = jnp.zeros_like(mv_par)
+    patch_z, pir_z, pic_z = _gather_patch(ryp, by16, bx16, mv_zero,
+                                          16, 0, 2)
+
+    def cost16_from(patch, ir0, ic0, mv):
+        pred = _mc_patch(patch, ir0, ic0, by16, bx16, mv, 16, 0, 2)
         d = (pred - blks16).astype(jnp.float32)
         return (jnp.sum(d * d, axis=(1, 2))
                 + lam * (rd["mv_bits"][jnp.abs(mv[:, 0])]
                          + rd["mv_bits"][jnp.abs(mv[:, 1])]))
 
-    mv16 = jnp.repeat(mv8, 4, axis=0)
-    best16 = cost16_of(mv16)
-    zcost = cost16_of(jnp.zeros_like(mv16))
-    zbet = zcost < best16
-    mv16 = jnp.where(zbet[:, None], 0, mv16)
-    best16 = jnp.minimum(best16, zcost)
+    best_par = cost16_from(patch_p, pir_p, pic_p, mv_par)
+    zcost = cost16_from(patch_z, pir_z, pic_z, mv_zero)
+    zbet = zcost < best_par
+    mv16 = jnp.where(zbet[:, None], 0, mv_par)
+    best16 = jnp.minimum(best_par, zcost)
+    z3 = zbet[:, None, None]
+    patch16 = jnp.where(z3, patch_z, patch_p)
+    pir16 = jnp.where(zbet, pir_z, pir_p)
+    pic16 = jnp.where(zbet, pic_z, pic_p)
+
+    def cost16_of(mv):
+        return cost16_from(patch16, pir16, pic16, mv)
+
     for step_sz in (8, 4, 2, 2):
         cands = jnp.stack([
             mv16 + jnp.array([-step_sz, 0]),
@@ -334,7 +427,8 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         mv16 = jnp.where(better[:, None], cmv, mv16)
         best16 = jnp.where(better, cbest, best16)
 
-    pred_y16 = _mc_batch(ryp, by16, bx16, mv16, 16, 0)
+    pred_y16 = _mc_patch(patch16, pir16, pic16, by16, bx16, mv16,
+                         16, 0, 2)
     pred_u8 = _mc_batch(rup, by16 // 2, bx16 // 2, mv16, 8, 1)
     pred_v8 = _mc_batch(rvp, by16 // 2, bx16 // 2, mv16, 8, 1)
     lv_y16, r2_y16 = code(blks16 - pred_y16, TxSize.TX_16X16)
@@ -387,6 +481,18 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
                          jnp.repeat(mv8[:, None, :], 4, axis=1))
     skip16_out = jnp.where(split[:, None], skip16.reshape(B, 4),
                            skip[:, None])
+    return _finish_outputs(
+        y, u, v, h, tw, nby, nbx, B, rd, cdef_prm, mv8, skip, split,
+        sp3, mv16_out, skip16_out, lv_y, lv_u, lv_v, lv_y16, lv_u8,
+        lv_v8, rec_y, rec_u, rec_v, deblock_fn, cdef_fn)
+
+
+def _finish_outputs(y, u, v, h, tw, nby, nbx, B, rd, cdef_prm, mv8,
+                    skip, split, sp3, mv16_out, skip16_out, lv_y, lv_u,
+                    lv_v, lv_y16, lv_u8, lv_v8, rec_y, rec_u, rec_v,
+                    deblock_fn, cdef_fn):
+    """Common tail of p_frame_body: in-loop filters + compact level
+    transfer + output tuple."""
     fry = from_blocks(rec_y, h, tw, 32)
     fru = from_blocks(rec_u, h // 2, tw // 2, 16)
     frv = from_blocks(rec_v, h // 2, tw // 2, 16)
@@ -554,7 +660,7 @@ def _unpack_src(buf, h, w):
 
 @lru_cache(maxsize=8)
 def _core(h: int, w: int, use_cdef: bool = False,
-          use_deblock: bool = True):
+          use_deblock: bool = True, use_split: bool = True):
     """Single-chip batched P-frame step for an h x w frame. qindex
     enters as a traced argument (dcq/acq scalars) so rate control
     never triggers a recompile. Takes the packed source buffer and
@@ -586,7 +692,7 @@ def _core(h: int, w: int, use_cdef: bool = False,
         rvp = jnp.pad(rv.astype(jnp.int32), PAD // 2, mode="edge")
         o = p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm,
                          rd, jnp.asarray(by), jnp.asarray(bx),
-                         nby, nbx, deblock_fn, cdef_fn)
+                         nby, nbx, deblock_fn, cdef_fn, use_split)
         return (pack_outputs(o), o[6], o[7], o[8], o[9], o[10], o[11])
 
     @jax.jit
@@ -787,7 +893,8 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
                       order_hint: int = 1, use_native: bool = True,
                       ref_dev=None, return_device: bool = False,
                       cdef: tuple | None = None, film_grain=None,
-                      render_size: tuple | None = None):
+                      render_size: tuple | None = None,
+                      use_split: bool = True):
     """TPU-batched P frame. Same bitstream contract as encode_pframe.
 
     ref_dev: optional device-resident reference planes (from a prior
@@ -795,7 +902,8 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
     y, u, v = planes
     h, w = y.shape[0], y.shape[1]
     assert h % 32 == 0 and w % 32 == 0
-    step, (nby, nbx), gather_dense = _core(h, w, cdef is not None)
+    step, (nby, nbx), gather_dense = _core(h, w, cdef is not None,
+                                           use_split=use_split)
     if ref_dev is None:
         ref_dev = tuple(jnp.asarray(np.asarray(p, np.uint8))
                         for p in ref_planes)
@@ -837,7 +945,10 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
     if len(frames) == 1:
         return pkts, recs
     h, w = frames[0][0].shape
-    step, _, gather_dense = _core(h, w, cdef is not None)
+    # SpeedSettings.partition_split_rdo: presets >7 drop the 32->16
+    # split candidate set entirely (XLA dead-code-eliminates it)
+    step, _, gather_dense = _core(h, w, cdef is not None,
+                                  use_split=speed <= 7)
     dcq = jnp.int32(dc_q_lut(qindex))
     acq = jnp.int32(ac_q_lut(qindex))
     rd = build_rd_inter(qindex)
