@@ -102,30 +102,27 @@ def compute_importances(stats: list) -> np.ndarray:
     if not stats:
         raise ValueError("need at least one frame pair")
     nby, nbx = stats[0][1].shape
+    gy = np.repeat(np.arange(nby), nbx)
+    gx = np.tile(np.arange(nbx), nby)
     imp = np.zeros((nby, nbx), np.float64)
     for mv, inter, intra in reversed(stats):
-        nxt = np.zeros((nby, nbx), np.float64)
         # propagation fraction: how predictable the block was
         frac = np.clip(1.0 - inter / (intra + 1.0), 0.0, 1.0)
-        flow = (imp + 1.0) * frac
+        flow = ((imp + 1.0) * frac).ravel()
         # scatter each block's flow to the up-to-4 blocks its
         # motion-projected footprint overlaps in the previous frame
-        for by in range(nby):
-            for bx in range(nbx):
-                f = flow[by, bx]
-                if f <= 0:
-                    continue
-                py = by * BLK + int(mv[by, bx, 0])
-                px = bx * BLK + int(mv[by, bx, 1])
-                py = min(max(py, 0), (nby - 1) * BLK)
-                px = min(max(px, 0), (nbx - 1) * BLK)
-                b0y, oy = divmod(py, BLK)
-                b0x, ox = divmod(px, BLK)
-                for (dy, wy) in ((0, BLK - oy), (1, oy)):
-                    for (dx, wx) in ((0, BLK - ox), (1, ox)):
-                        if wy and wx and b0y + dy < nby and b0x + dx < nbx:
-                            nxt[b0y + dy, b0x + dx] += \
-                                f * (wy * wx) / (BLK * BLK)
+        # (vectorized: 4 scatter-adds over the whole grid)
+        py = np.clip(gy * BLK + mv[..., 0].ravel(), 0, (nby - 1) * BLK)
+        px = np.clip(gx * BLK + mv[..., 1].ravel(), 0, (nbx - 1) * BLK)
+        b0y, oy = np.divmod(py, BLK)
+        b0x, ox = np.divmod(px, BLK)
+        nxt = np.zeros((nby, nbx), np.float64)
+        for dy, wy in ((0, BLK - oy), (1, oy)):
+            for dx, wx in ((0, BLK - ox), (1, ox)):
+                ty = np.minimum(b0y + dy, nby - 1)
+                tx = np.minimum(b0x + dx, nbx - 1)
+                np.add.at(nxt, (ty, tx),
+                          flow * (wy * wx) / (BLK * BLK))
         imp = nxt
     return imp
 
@@ -158,46 +155,82 @@ def activity_scales(y: np.ndarray, strength: float = 0.5) -> np.ndarray:
     return np.clip(s, 0.25, 4.0).astype(np.float32)
 
 
+@lru_cache(maxsize=4)
+def _pair_stats_packed_fn(h: int, w: int):
+    """Like _pair_stats_fn but takes two PACKED source buffers
+    (pipeline.tpu_inter.pack_src layout) so the session's single
+    per-frame upload feeds both lookahead and the encode step."""
+    import jax
+
+    from rav1e_tpu.pipeline.tpu_inter import _unpack_src
+    ch, cw = h // BLK * BLK, w // BLK * BLK
+    inner = _pair_stats_fn(ch, cw)
+
+    @jax.jit
+    def stats(cur_buf, prev_buf):
+        cur = _unpack_src(cur_buf, h, w)[0][:ch, :cw]
+        prev = _unpack_src(prev_buf, h, w)[0][:ch, :cw]
+        return inner(cur, prev)
+
+    return stats
+
+
 class Lookahead:
     """Sliding lookahead window over input frames.
 
-    Holds up to `depth` future frames of per-pair ME stats; `scales()`
-    returns the distortion-scale grid for the oldest frame (the next
-    to encode). Usage from the session: push frames as they arrive,
-    pop as they encode."""
+    Per-pair ME stats are computed incrementally as frames arrive
+    (push / push_packed); `scales()` returns the distortion-scale grid
+    for the frame at the current encode position, using up to `depth`
+    future pairs; `pop()` advances the position. Pushes may run
+    arbitrarily far ahead of pops (stats are tiny; frames are not
+    retained)."""
 
     def __init__(self, depth: int = 8, tune: str = "psnr"):
         self.depth = depth
         self.tune = tune
-        self._frames: list[np.ndarray] = []   # luma planes
+        self._prev = None                     # last pushed luma / buf
+        self._pending: list = []              # device stats not fetched
         self._stats: list = []                # stats[i]: f[i+1] vs f[i]
 
     def push(self, y: np.ndarray):
-        self._frames.append(np.asarray(y))
-        if len(self._frames) >= 2:
-            self._stats.append(pair_stats(self._frames[-1],
-                                          self._frames[-2]))
-        while len(self._frames) > self.depth + 1:
-            self.pop()
+        y = np.asarray(y)
+        if self._prev is not None:
+            self._stats.append(pair_stats(y, self._prev))
+        self._prev = y
+
+    def push_packed(self, buf, h: int, w: int):
+        """buf: device-resident packed source (pack_src layout). The
+        stats dispatch is async; results are fetched lazily."""
+        if self._prev is not None:
+            self._pending.append(
+                _pair_stats_packed_fn(h, w)(buf, self._prev))
+        self._prev = buf
+
+    def _drain(self):
+        for s in self._pending:
+            self._stats.append(tuple(np.asarray(x) for x in s))
+        self._pending.clear()
 
     def pop(self):
-        if self._frames:
-            self._frames.pop(0)
+        self._drain()
         if self._stats:
             self._stats.pop(0)
 
     def reset(self):
-        self._frames.clear()
+        self._drain()
         self._stats.clear()
 
-    def scales(self) -> np.ndarray | None:
-        """Distortion-scale grid (16x16 units) for the next frame."""
-        if not self._frames:
-            return None
+    def scales(self, cur_y: np.ndarray | None = None
+               ) -> np.ndarray | None:
+        """Distortion-scale grid (16x16 units) for the frame at the
+        current encode position; cur_y enables activity masking when
+        tune == psychovisual."""
+        self._drain()
         s = None
         if self._stats:
-            s = distortion_scales(compute_importances(self._stats))
-        if self.tune == "psychovisual":
-            a = activity_scales(self._frames[0])
+            s = distortion_scales(
+                compute_importances(self._stats[:self.depth]))
+        if self.tune == "psychovisual" and cur_y is not None:
+            a = activity_scales(cur_y)
             s = a if s is None else (s * a).astype(np.float32)
         return s

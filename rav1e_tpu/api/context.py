@@ -117,6 +117,7 @@ class Context:
         self._q: deque = deque()
         self._out: deque = deque()
         self._input_frameno = 0
+        self._force_key_framenos: set[int] = set()
         self._flushed = False
         self._limit_emitted = False
         self._detector = SceneChangeDetector(
@@ -130,6 +131,34 @@ class Context:
             pass_=int(cfg.extra.get("pass", 0) or 0))
         self._ref_rec = None      # previous reconstruction (numpy int32)
         self._order_hint = 0
+        # sequence-level color/HDR signaling (rav1e C API
+        # rav1e_config_set_color_description / set_content_light /
+        # set_mastering_display; SURVEY A.5)
+        self._seq_extra: dict = {}
+        if cfg.extra.get("still_picture"):
+            self._seq_extra["still_picture"] = str(
+                cfg.extra["still_picture"]).lower() in ("1", "true", "yes")
+        cd = cfg.extra.get("color_description")  # "cp,tc,mc"
+        if cd:
+            cp, tc, mc = (int(x) for x in str(cd).split(","))
+            self._seq_extra["color_description"] = (cp, tc, mc)
+        if cfg.extra.get("color_range") is not None:
+            self._seq_extra["color_range"] = int(
+                cfg.extra["color_range"])
+        self._metadata = b""
+        cl = cfg.extra.get("content_light")      # "max_cll,max_fall"
+        if cl:
+            from rav1e_tpu.entropy.obu import content_light_obu
+            cll, fall = (int(x) for x in str(cl).split(","))
+            self._metadata += content_light_obu(cll, fall)
+        md = cfg.extra.get("mastering_display")
+        if md:
+            # "rx,ry,gx,gy,bx,by,wx,wy,max_nits,min_nits"
+            from rav1e_tpu.entropy.obu import mastering_display_obu
+            v = [float(x) for x in str(md).split(",")]
+            self._metadata += mastering_display_obu(
+                [(v[0], v[1]), (v[2], v[3]), (v[4], v[5])],
+                (v[6], v[7]), v[8], v[9])
         # reordered (B-frame) mode: buffer groups of `bgroup` frames,
         # code the last as a non-shown anchor, the rest as B frames,
         # then a show_existing packet (rav1e low_latency=false path).
@@ -138,6 +167,24 @@ class Context:
             self._bgroup = max(2, int(cfg.extra.get("bgroup", 4) or 4))
         self._gbuf: list = []
         self._cur_slot = 0        # slot holding the forward reference
+        # lookahead importance propagation + activity masking feeding
+        # per-block DistortionScale weights into the TPU P-frame RDO
+        # (rav1e src/api/lookahead.rs + src/activity.rs; SURVEY §3.5).
+        # On by default for the thorough presets on the fast path;
+        # rdo_lookahead_frames=0 disables, any value forces on.
+        la_raw = cfg.extra.get("rdo_lookahead_frames", None)
+        la_depth = (int(la_raw) if la_raw is not None
+                    else (8 if cfg.speed <= 7 else 0))
+        self._lookahead = None
+        self._la_depth = 0
+        if (la_depth > 0 and not self._intra_only and not self._bgroup
+                and cfg.bit_depth == 8 and cfg.chroma_sampling == "420"
+                and not (self._tile_cols_log2 or self._tile_rows_log2)):
+            from rav1e_tpu.analysis.lookahead import Lookahead
+            tune = str(cfg.extra.get("tune", "Psnr")).lower()
+            self._lookahead = Lookahead(depth=min(la_depth, 32),
+                                        tune=tune)
+            self._la_depth = min(la_depth, 32)
 
     def _pad_planes(self, planes):
         """Edge-replicate planes up to the coded (32-aligned) size."""
@@ -183,8 +230,17 @@ class Context:
                 raise ValueError(
                     f"{name} plane dtype {p.dtype} does not match "
                     f"bit_depth {cfg.bit_depth} (want {np.dtype(want)})")
-        self._q.append((self._input_frameno,
-                        self._pad_planes([y, u, v])))
+        padded = self._pad_planes([y, u, v])
+        src_dev = None
+        if self._lookahead is not None:
+            # single upload per frame: the packed source feeds the
+            # lookahead ME stats now and the encode step later
+            import jax.numpy as jnp
+
+            from rav1e_tpu.pipeline.tpu_inter import pack_src
+            src_dev = jnp.asarray(pack_src(padded))
+            self._lookahead.push_packed(src_dev, self._ch, self._cw)
+        self._q.append((self._input_frameno, padded, src_dev))
         self._input_frameno += 1
         return EncoderStatus.SUCCESS
 
@@ -193,12 +249,17 @@ class Context:
     def receive_packet(self) -> tuple[EncoderStatus, Packet | None]:
         if self._out:
             return EncoderStatus.SUCCESS, self._out.popleft()
-        while self._q and not self._out:
-            frameno, planes = self._q.popleft()
+        # with lookahead, hold frames until the analysis window fills
+        # (rav1e returns NeedMoreData until rdo_lookahead_frames queue)
+        need = 0 if self._flushed else self._la_depth
+        while len(self._q) > need and not self._out:
+            frameno, planes, src_dev = self._q.popleft()
             if self._bgroup:
                 self._pump_reordered(frameno, planes)
             else:
-                self._out.append(self._encode_frame(frameno, planes))
+                self._out.append(
+                    self._encode_frame(frameno, planes,
+                                       src_dev=src_dev))
         if not self._out and self._flushed and self._gbuf:
             self._encode_group()
         if self._out:
@@ -212,7 +273,9 @@ class Context:
 
     def _pump_reordered(self, frameno: int, planes):
         is_key = (self._detector.analyze_next_frame(planes[0])
-                  or self._ref_rec is None)
+                  or self._ref_rec is None
+                  or frameno in self._force_key_framenos)
+        self._force_key_framenos.discard(frameno)
         if is_key:
             if self._gbuf:
                 self._encode_group()     # close the open group first
@@ -227,50 +290,130 @@ class Context:
     def _encode_group(self):
         """Code the buffered frames as anchor-P (non-shown) + B chain +
         show_existing; reference slots ping-pong between 1 and 2 so the
-        previous anchor stays live as the forward reference."""
+        previous anchor stays live as the forward reference.
+
+        The 8-bit 4:2:0 untiled config runs through the TPU-batched
+        pipelines (anchor: encode_pframe_tpu; B: encode_bframe_tpu
+        with per-block fwd/bwd/COMPOUND_AVERAGE RDO); anything else
+        takes the numpy reference pipelines."""
         from rav1e_tpu.entropy.obu import show_existing_packet
         from rav1e_tpu.pipeline.inter import encode_bframe, encode_pframe
         frames = self._gbuf
         self._gbuf = []
         if not frames:
             return
+        cfg = self.cfg
+        aq = str(cfg.extra.get("aq", "")).lower() in ("1", "true",
+                                                      "on", "yes")
+        tiled = self._tile_cols_log2 or self._tile_rows_log2
+        fast_ok = (cfg.bit_depth == 8 and cfg.chroma_sampling == "420"
+                   and not tiled and not aq)
         base = self._order_hint
         if len(frames) == 1:
             fn, pl = frames[0]
             q = self._rc.select_qi("INTER")
             cdef, grain = self._loop_params(False, q)
             slot_new = 2 if self._cur_slot == 1 else 1
-            data, rec = encode_pframe(
-                pl, self._ref_rec, qindex=q,
-                order_hint=(base + 1) & 127, cdef=cdef, film_grain=grain,
-                refresh_flags=1 << slot_new, ref_slot=self._cur_slot,
-                render_size=self._render)
+            if fast_ok:
+                from rav1e_tpu.pipeline.tpu_inter import encode_pframe_tpu
+                data, rec = encode_pframe_tpu(
+                    pl, self._ref_rec, qindex=q,
+                    order_hint=(base + 1) & 127, cdef=cdef,
+                    film_grain=grain, render_size=self._render,
+                    use_split=self.speed_settings.partition_split_rdo,
+                    refresh_flags=1 << slot_new,
+                    ref_slot=self._cur_slot)
+            else:
+                data, rec = encode_pframe(
+                    pl, self._ref_rec, qindex=q,
+                    order_hint=(base + 1) & 127, cdef=cdef,
+                    film_grain=grain,
+                    refresh_flags=1 << slot_new, ref_slot=self._cur_slot,
+                    render_size=self._render)
             self._finish(data, fn, "INTER", q, rec, slot_new, base + 1)
             return
         afn, apl = frames[-1]
         q = self._rc.select_qi("INTER")
         cdef, grain = self._loop_params(False, q)
         slot_new = 2 if self._cur_slot == 1 else 1
-        adata, arec = encode_pframe(
-            apl, self._ref_rec, qindex=q,
-            order_hint=(base + len(frames)) & 127, cdef=cdef,
-            film_grain=grain, refresh_flags=1 << slot_new,
-            ref_slot=self._cur_slot, show_frame=False,
-            render_size=self._render)
+        ahint = (base + len(frames)) & 127
+        if fast_ok:
+            from rav1e_tpu.pipeline.tpu_inter import (encode_bframe_tpu,
+                                                      encode_pframe_tpu)
+            adata, arec = encode_pframe_tpu(
+                apl, self._ref_rec, qindex=q, order_hint=ahint,
+                cdef=cdef, film_grain=grain, render_size=self._render,
+                use_split=self.speed_settings.partition_split_rdo,
+                refresh_flags=1 << slot_new, ref_slot=self._cur_slot,
+                show_frame=False)
+        else:
+            adata, arec = encode_pframe(
+                apl, self._ref_rec, qindex=q, order_hint=ahint,
+                cdef=cdef, film_grain=grain,
+                refresh_flags=1 << slot_new,
+                ref_slot=self._cur_slot, show_frame=False,
+                render_size=self._render)
         self._out.append(Packet(data=adata, input_frameno=afn,
                                 frame_type="INTER", qp=q))
         self._rc.update("INTER", q, len(adata) * 8)
         arec32 = [np.asarray(p).astype(np.int32) for p in arec]
-        for i, (fn, pl) in enumerate(frames[:-1], start=1):
-            qb = self._rc.select_qi("INTER")
-            bdata, _ = encode_bframe(
-                pl, self._ref_rec, arec32, qindex=qb,
-                order_hint=(base + i) & 127, cdef=cdef, film_grain=grain,
+        enc_b = encode_bframe_tpu if fast_ok else encode_bframe
+        hints = (base & 127, ahint)
+        if len(frames) == 4:
+            # depth-2 pyramid (rav1e InterConfig group_input_len=4,
+            # src/api/internal.rs): code t3 (anchor, above), then
+            # t1 (B0, refs base+t3, refreshes slot 3, non-shown),
+            # then t0 (B1, refs base+t1), SEF(t1), t2 (B1, refs
+            # t1+t3), SEF(t3). Per-level q via the B0/B1 subtypes.
+            (fn0, pl0), (fn1, pl1), (fn2, pl2) = frames[:3]
+            b0slot = 3
+            q0 = self._rc.select_qi("B0")
+            h1 = (base + 2) & 127
+            b0data, b0rec = enc_b(
+                pl1, self._ref_rec, arec32, qindex=q0,
+                order_hint=h1, cdef=cdef, film_grain=grain,
                 slot_fwd=self._cur_slot, slot_bwd=slot_new,
+                ref_hints=hints, render_size=self._render,
+                refresh_flags=1 << b0slot, show_frame=False)
+            self._out.append(Packet(data=b0data, input_frameno=fn1,
+                                    frame_type="INTER", qp=q0))
+            self._rc.update("B0", q0, len(b0data) * 8)
+            b0rec32 = [np.asarray(p).astype(np.int32) for p in b0rec]
+            q1 = self._rc.select_qi("B1")
+            bdata, _ = enc_b(
+                pl0, self._ref_rec, b0rec32, qindex=q1,
+                order_hint=(base + 1) & 127, cdef=cdef,
+                film_grain=grain, slot_fwd=self._cur_slot,
+                slot_bwd=b0slot, ref_hints=(base & 127, h1),
                 render_size=self._render)
-            self._out.append(Packet(data=bdata, input_frameno=fn,
-                                    frame_type="INTER", qp=qb))
-            self._rc.update("INTER", qb, len(bdata) * 8)
+            self._out.append(Packet(data=bdata, input_frameno=fn0,
+                                    frame_type="INTER", qp=q1))
+            self._rc.update("B1", q1, len(bdata) * 8)
+            self._out.append(Packet(data=show_existing_packet(b0slot),
+                                    input_frameno=fn1,
+                                    frame_type="SHOW_EXISTING", qp=q0))
+            q2 = self._rc.select_qi("B1")
+            bdata, _ = enc_b(
+                pl2, b0rec32, arec32, qindex=q2,
+                order_hint=(base + 3) & 127, cdef=cdef,
+                film_grain=grain, slot_fwd=b0slot,
+                slot_bwd=slot_new, ref_hints=(h1, ahint),
+                render_size=self._render)
+            self._out.append(Packet(data=bdata, input_frameno=fn2,
+                                    frame_type="INTER", qp=q2))
+            self._rc.update("B1", q2, len(bdata) * 8)
+        else:
+            for i, (fn, pl) in enumerate(frames[:-1], start=1):
+                qb = self._rc.select_qi("B0")
+                bdata, _ = enc_b(
+                    pl, self._ref_rec, arec32, qindex=qb,
+                    order_hint=(base + i) & 127, cdef=cdef,
+                    film_grain=grain,
+                    slot_fwd=self._cur_slot, slot_bwd=slot_new,
+                    ref_hints=hints, render_size=self._render)
+                self._out.append(Packet(data=bdata, input_frameno=fn,
+                                        frame_type="INTER", qp=qb))
+                self._rc.update("B0", qb, len(bdata) * 8)
         self._out.append(Packet(data=show_existing_packet(slot_new),
                                 input_frameno=afn,
                                 frame_type="SHOW_EXISTING", qp=q))
@@ -317,13 +460,21 @@ class Context:
         return cdef, grain
 
     def _encode_frame(self, frameno: int, planes,
-                      force_key: bool | None = None) -> Packet:
+                      force_key: bool | None = None,
+                      src_dev=None) -> Packet:
         cfg = self.cfg
         if force_key is None:
             is_key = (self._detector.analyze_next_frame(planes[0])
-                      or self._ref_rec is None or self._intra_only)
+                      or self._ref_rec is None or self._intra_only
+                      or frameno in self._force_key_framenos)
+            self._force_key_framenos.discard(frameno)
         else:
             is_key = force_key
+        dscale = None
+        if self._lookahead is not None:
+            if not is_key:
+                dscale = self._lookahead.scales(planes[0])
+            self._lookahead.pop()
         ftype = "KEY" if is_key else "INTER"
         q = self._rc.select_qi(ftype)
         cdef, grain = self._loop_params(is_key, q)
@@ -339,7 +490,8 @@ class Context:
                 from rav1e_tpu.pipeline.tpu_intra import encode_keyframe_tpu
                 data, rec = encode_keyframe_tpu(
                     planes, qindex=q, cdef=cdef, speed=cfg.speed,
-                    render_size=self._render)
+                    render_size=self._render,
+                    seq_extra=self._seq_extra or None)
             else:
                 from rav1e_tpu.pipeline.intra import encode_keyframe
                 data, rec = encode_keyframe(
@@ -350,7 +502,14 @@ class Context:
                     tile_cols_log2=self._tile_cols_log2,
                     tile_rows_log2=self._tile_rows_log2,
                     lr=self.speed_settings.lr and not tiled,
-                    render_size=self._render)
+                    render_size=self._render,
+                    seq_extra=self._seq_extra or None)
+            if self._metadata:
+                # metadata OBUs ride the keyframe temporal unit, after
+                # the 2-byte temporal delimiter and before the frame
+                # (spec 6.7.1 ordering; rav1e emits HDR metadata on
+                # every keyframe)
+                data = data[:2] + self._metadata + data[2:]
             self._order_hint = 0
         else:
             self._order_hint += 1
@@ -360,7 +519,9 @@ class Context:
                     planes, self._ref_rec, qindex=q,
                     order_hint=self._order_hint & 127, cdef=cdef,
                     film_grain=grain, render_size=self._render,
-                    use_split=self.speed_settings.partition_split_rdo)
+                    use_split=self.speed_settings.partition_split_rdo,
+                    use_satd=self.speed_settings.satd_subpel,
+                    dscale=dscale, src_dev=src_dev)
             else:
                 from rav1e_tpu.pipeline.inter import encode_pframe
                 data, rec = encode_pframe(
@@ -377,6 +538,33 @@ class Context:
 
     def flush(self):
         self.send_frame(None)
+
+    # -- C API support (rav1e src/capi.rs analogs) ---------------------------
+
+    def force_key_frame(self):
+        """Mark the NEXT frame passed to send_frame as a forced keyframe
+        (rav1e_frame_set_type FrameTypeOverride::Key)."""
+        self._force_key_framenos.add(self._input_frameno)
+
+    def sequence(self):
+        """Standalone Sequence matching what the pipelines will emit
+        (rav1e_container_sequence_header)."""
+        from rav1e_tpu.entropy.obu import Sequence
+        extra = self._seq_extra or {}
+        return Sequence(
+            width=self._cw, height=self._ch,
+            bit_depth=self.cfg.bit_depth,
+            subsampling_x=self._ss_x, subsampling_y=self._ss_y,
+            enable_cdef=True,
+            enable_intra_edge_filter=True,
+            still_picture=bool(extra.get("still_picture", False)),
+            color_range=int(extra.get("color_range", 0)),
+            color_description=extra.get("color_description"))
+
+    def twopass_bytes_needed(self) -> int:
+        """Bytes of pass-1 data wanted before the next pass-2 packet
+        (0 when satisfied; rav1e_twopass_bytes_needed)."""
+        return self._rc.twopass_bytes_needed()
 
     # -- two-pass plumbing (rav1e rav1e_twopass_out/in analogs) --------------
 

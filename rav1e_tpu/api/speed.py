@@ -23,6 +23,7 @@ class SpeedSettings:
     # inter
     search_px: int = 16            # full-pel search radius
     subpel: bool = True
+    satd_subpel: bool = False      # SATD distortion in subpel descent
     bframes: bool = False          # reordered GOPs
     # in-loop filters
     cdef_auto: bool = True
@@ -39,6 +40,7 @@ class SpeedSettings:
             cfl=s <= 6,
             search_px=24 if s <= 2 else (16 if s <= 6 else 8),
             subpel=s <= 8,
+            satd_subpel=s <= 6,    # rav1e use_satd_subpel (speeds <=6)
             bframes=s <= 4,
             cdef_auto=s <= 8,
             lr=s <= 3,

@@ -35,6 +35,21 @@ def main(argv=None):
                     help="write two-pass stats to FILE (pass 1)")
     ap.add_argument("--second-pass", default="",
                     help="read two-pass stats from FILE (pass 2)")
+    ap.add_argument("--low-latency",
+                    action=argparse.BooleanOptionalAction, default=True,
+                    help="--no-low-latency enables B-frame reordering")
+    ap.add_argument("--tune", default="Psnr",
+                    choices=["Psnr", "Psychovisual"])
+    ap.add_argument("--content-light", default="",
+                    help="HDR CLL metadata: MaxCLL,MaxFALL (nits)")
+    ap.add_argument("--mastering-display", default="",
+                    help="HDR MDCV metadata: rx,ry,gx,gy,bx,by,wx,wy,"
+                         "max_nits,min_nits")
+    ap.add_argument("--color-description", default="",
+                    help="primaries,transfer,matrix (spec code points)")
+    ap.add_argument("-s", "--set", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="raw config key (rav1e_config_parse analog)")
     args = ap.parse_args(argv)
 
     src = sys.stdin.buffer if args.input == "-" else args.input
@@ -52,12 +67,32 @@ def main(argv=None):
         extra["pass"] = 1
     elif args.second_pass:
         extra["pass"] = 2
+    if args.tune != "Psnr":
+        extra["tune"] = args.tune
+    if args.content_light:
+        extra["content_light"] = args.content_light
+    if args.mastering_display:
+        extra["mastering_display"] = args.mastering_display
+    if args.color_description:
+        extra["color_description"] = args.color_description
+    for kv in args.set:
+        k, _, v = kv.partition("=")
+        extra[k.strip()] = v.strip()
     cfg = Config(width=info.width, height=info.height,
                  quantizer=args.quantizer, speed=args.speed,
                  key_frame_interval=args.keyint, tiles=args.tiles,
                  bit_depth=info.bit_depth,
                  chroma_sampling=info.chroma,
+                 low_latency=args.low_latency,
                  extra=extra)
+    # raw keys may target Config fields too (rav1e_config_parse)
+    known = {k: v for k, v in extra.items() if hasattr(cfg, k)}
+    if known:
+        for k, v in known.items():
+            del cfg.extra[k]
+        patched = Config.parse({**known})
+        for k in known:
+            setattr(cfg, k, getattr(patched, k))
     ctx = cfg.new_context()
     if args.second_pass:
         with open(args.second_pass, "rb") as f:

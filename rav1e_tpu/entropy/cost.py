@@ -315,3 +315,15 @@ def rd_lambda(qindex: int, bit_depth: int = 8) -> float:
     # over-estimate adapted-CDF bits ~1.3-2x, so the effective
     # constant sits above rav1e's)
     return 0.25 * q * q
+
+
+def sad_lambda(qindex: int, bit_depth: int = 8) -> float:
+    """λ for amplitude-domain costs (SAD / normalized SATD):
+    cost = dist + λ_sad·bits. rav1e keeps a separate sad-domain
+    lambda proportional to qstep (src/rate.rs QuantizerParameters
+    lambda/sad_lambda pair); constant chosen so full-pel/subpel
+    decisions match the SSE-domain trade-off at the decision margin
+    (dSSE/dSATD ~ qstep/2 for near-deadzone residuals)."""
+    from rav1e_tpu.ops.ref.quant import dc_q
+    q = dc_q(qindex, 0, bit_depth) / (8 << (bit_depth - 8))
+    return 0.65 * q

@@ -590,6 +590,49 @@ def temporal_delimiter() -> bytes:
     return obu(ObuType.TEMPORAL_DELIMITER, b"")
 
 
+# -- metadata OBUs (spec 5.8; rav1e src/header.rs write_metadata_obu /
+#    capi rav1e_config_set_content_light / set_mastering_display) ----
+
+METADATA_TYPE_HDR_CLL = 1
+METADATA_TYPE_HDR_MDCV = 2
+
+
+def content_light_obu(max_cll: int, max_fall: int) -> bytes:
+    """HDR content-light-level metadata OBU (spec 5.8.3): nit-valued
+    MaxCLL / MaxFALL, both u16."""
+    b = BitWriter()
+    b.f(max_cll, 16)
+    b.f(max_fall, 16)
+    b.trailing_bits()
+    return obu(ObuType.METADATA,
+               uleb128(METADATA_TYPE_HDR_CLL) + b.bytes())
+
+
+def mastering_display_obu(primaries, white_point,
+                          max_luminance: float,
+                          min_luminance: float) -> bytes:
+    """HDR mastering-display-color-volume metadata OBU (spec 5.8.4).
+
+    primaries: 3 (x, y) CIE chromaticities in R,G,B order as floats
+    (coded 0.16 fixed, in the spec's G,B,R order); white_point: (x, y);
+    luminances in nits (coded 24.8 / 18.14 fixed)."""
+    def q16(v: float) -> int:
+        return max(0, min(0xFFFF, round(v * (1 << 16))))
+
+    b = BitWriter()
+    r, g, bl = primaries
+    for x, y in (g, bl, r):       # spec order: G, B, R
+        b.f(q16(x), 16)
+        b.f(q16(y), 16)
+    b.f(q16(white_point[0]), 16)
+    b.f(q16(white_point[1]), 16)
+    b.f(max(0, min(0xFFFFFFFF, round(max_luminance * 256))), 32)
+    b.f(max(0, min(0xFFFFFFFF, round(min_luminance * (1 << 14)))), 32)
+    b.trailing_bits()
+    return obu(ObuType.METADATA,
+               uleb128(METADATA_TYPE_HDR_MDCV) + b.bytes())
+
+
 def assemble_frame_obu(header: BitWriter, tiles: list[bytes],
                        ti: TileInfo, fp: FrameParams) -> bytes:
     """FRAME OBU = uncompressed header + tile group (spec 5.10/5.11)."""

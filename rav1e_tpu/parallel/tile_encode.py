@@ -86,7 +86,8 @@ def _tiled_core(h: int, w: int, T: int, mesh: Mesh,
     rep = P()
     blk = P("tile")
     out_specs = (blk, blk, blk, blk, blk, blk, blk, blk, blk,
-                 col, col, col, rep, rep, blk, blk, blk)
+                 col, col, col, rep, rep, blk, blk, blk,
+                 blk, blk)      # + choice, mvb8 (two-ref outputs)
     step = jax.jit(shard_map(
         tile_fn, mesh=mesh,
         in_specs=(col, col, col, rep, rep, rep, rep, rep, rep, rep),

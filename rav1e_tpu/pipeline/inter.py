@@ -236,7 +236,8 @@ def encode_bframe(planes, ref_fwd, ref_bwd, qindex: int = 100,
                   cdef: tuple | None = None, film_grain=None,
                   slot_fwd: int = 0, slot_bwd: int = 1,
                   ref_hints: tuple | None = None,
-                  render_size: tuple | None = None):
+                  render_size: tuple | None = None,
+                  refresh_flags: int = 0, show_frame: bool = True):
     """Encode one B frame: per block, single-ref prediction from either
     LAST (the forward recon, slot 0) or ALTREF (the backward recon,
     slot 1) - whichever wins the block SAD. No compound yet.
@@ -368,8 +369,8 @@ def encode_bframe(planes, ref_fwd, ref_bwd, qindex: int = 100,
     fh, bh2 = ref_hints or (0, order_hint + 1)
     fp.ref_order_hints = [fh] * 6 + [bh2]
     pkt = interframe_packet(seq, fp, ti, [tile], order_hint,
-                            refresh_flags=0, ref_idx=ref_idx,
-                            show_frame=True)
+                            refresh_flags=refresh_flags,
+                            ref_idx=ref_idx, show_frame=show_frame)
     return pkt, rec
 
 

@@ -122,7 +122,8 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
                     chroma_sampling: str = "420",
                     film_grain=None, lr: bool = False,
                     aq: bool = False, edge_filter: bool = True,
-                    render_size: tuple | None = None):
+                    render_size: tuple | None = None,
+                    seq_extra: dict | None = None):
     """Encode one 8-bit 4:2:0 KEY frame. Returns (packet, recon planes).
 
     planes: [y (h,w), u, v] uint8, dims multiples of 8. Tile counts are
@@ -145,6 +146,8 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
                    film_grain_params_present=film_grain is not None,
                    enable_restoration=lr,
                    enable_intra_edge_filter=edge_filter)
+    for k, v_ in (seq_extra or {}).items():
+        setattr(seq, k, v_)
     fp = FrameParams(frame_type=FrameType.KEY, base_q_idx=qindex,
                      render_size=render_size)
     fp.film_grain = film_grain

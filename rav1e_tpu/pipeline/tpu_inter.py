@@ -80,12 +80,13 @@ def build_rd_inter(qindex: int, bit_depth: int = 8) -> dict:
     mode bits, coefficient-rate LUTs (WriterCounter twin —
     entropy/cost.py; rav1e src/rdo.rs::compute_rd_cost analog)."""
     from rav1e_tpu.entropy.cost import (
-        inter_mode_bits, mv_component_bits, rd_lambda)
+        inter_mode_bits, mv_component_bits, rd_lambda, sad_lambda)
     from rav1e_tpu.ops.ref.deblock import level_from_qindex
     from rav1e_tpu.pipeline.tpu_intra import rate_luts
     imb = inter_mode_bits()
     return {
         "lam": jnp.float32(rd_lambda(qindex, bit_depth)),
+        "lam_sad": jnp.float32(sad_lambda(qindex, bit_depth)),
         "mv_bits": jnp.asarray(mv_component_bits()),
         "newmv": jnp.float32(imb["NEWMV"] + 1.2),  # + mv_joint avg
         "globalmv": jnp.float32(imb["GLOBALMV"]),
@@ -100,10 +101,13 @@ def build_rd_inter(qindex: int, bit_depth: int = 8) -> dict:
     }
 
 
-def _mc_batch(ref_pad, pos_r, pos_c, mv8, n, ss):
+def _mc_batch(ref_pad, pos_r, pos_c, mv8, n, ss, interm=False):
     """Batched sub-pel prediction. ref_pad padded by PAD>>ss with edge
     replication; pos_r/pos_c [B] plane-scale block origins; mv8 [B,2]
-    luma-scale 1/8-pel MVs; n = block size. Returns [B, n, n] int32."""
+    luma-scale 1/8-pel MVs; n = block size. Returns [B, n, n] int32.
+
+    interm=True keeps compound intermediate precision (spec 7.11.3.1
+    isCompound: InterRound1 = 7, unclipped) for COMPOUND_AVERAGE."""
     p = PAD >> ss
     p16r = (pos_r << 4) + mv8[:, 0] * (2 >> ss)
     p16c = (pos_c << 4) + mv8[:, 1] * (2 >> ss)
@@ -118,10 +122,18 @@ def _mc_batch(ref_pad, pos_r, pos_c, mv8, n, ss):
     fh = _FILT[fc]                               # [B, 8]
     fv = _FILT[fr]
     hstk = jnp.stack([patch[:, :, t: t + n] for t in range(8)], 0)
-    interm = _round2(jnp.einsum("bt,tbrc->brc", fh, hstk), 3)
-    vstk = jnp.stack([interm[:, t: t + n, :] for t in range(8)], 0)
+    intm = _round2(jnp.einsum("bt,tbrc->brc", fh, hstk), 3)
+    vstk = jnp.stack([intm[:, t: t + n, :] for t in range(8)], 0)
+    if interm:
+        return _round2(jnp.einsum("bt,tbrc->brc", fv, vstk), 7)
     out = _round2(jnp.einsum("bt,tbrc->brc", fv, vstk), 11)
     return jnp.clip(out, 0, 255)
+
+
+def _comp_avg(p0, p1):
+    """COMPOUND_AVERAGE of two intermediate-precision predictions
+    (ops/ref/mc.py mc_predict_avg twin): Round2(p0 + p1, 5), clipped."""
+    return jnp.clip(_round2(p0 + p1, 5), 0, 255)
 
 
 def _gather_patch(ref_pad, pos_r, pos_c, mv8c, n, ss, M):
@@ -146,7 +158,8 @@ def _gather_patch(ref_pad, pos_r, pos_c, mv8c, n, ss, M):
     return jax.vmap(slice_one)(ir0, ic0), ir0, ic0
 
 
-def _mc_patch(patch, ir0, ic0, pos_r, pos_c, mv8, n, ss, M):
+def _mc_patch(patch, ir0, ic0, pos_r, pos_c, mv8, n, ss, M,
+              interm=False):
     """Subpel prediction from pre-gathered patches (bit-exact twin of
     _mc_batch): the whole-pixel drift vs the patch center (≤ M) folds
     into an extended (8+2M)-tap filter with the 8 spec taps placed at
@@ -169,10 +182,36 @@ def _mc_patch(patch, ir0, ic0, pos_r, pos_c, mv8, n, ss, M):
     fh = ext(_FILT[fc], cc)
     fv = ext(_FILT[fr], cr)
     hstk = jnp.stack([patch[:, :, t: t + n] for t in range(T)], 0)
-    interm = _round2(jnp.einsum("bt,tbrc->brc", fh, hstk), 3)
-    vstk = jnp.stack([interm[:, t: t + n, :] for t in range(T)], 0)
+    intm = _round2(jnp.einsum("bt,tbrc->brc", fh, hstk), 3)
+    vstk = jnp.stack([intm[:, t: t + n, :] for t in range(T)], 0)
+    if interm:
+        return _round2(jnp.einsum("bt,tbrc->brc", fv, vstk), 7)
     out = _round2(jnp.einsum("bt,tbrc->brc", fv, vstk), 11)
     return jnp.clip(out, 0, 255)
+
+
+_HAD8 = np.array([[1, 1, 1, 1, 1, 1, 1, 1],
+                  [1, -1, 1, -1, 1, -1, 1, -1],
+                  [1, 1, -1, -1, 1, 1, -1, -1],
+                  [1, -1, -1, 1, 1, -1, -1, 1],
+                  [1, 1, 1, 1, -1, -1, -1, -1],
+                  [1, -1, 1, -1, -1, 1, -1, 1],
+                  [1, 1, -1, -1, -1, -1, 1, 1],
+                  [1, -1, -1, 1, -1, 1, 1, -1]], np.float32)
+
+
+def satd(d):
+    """SAD-normalized SATD over 8x8 Hadamard tiles (rav1e
+    src/dist.rs::get_satd, batched on the MXU): [B, n, n] residual ->
+    [B]. Normalization /8 puts it on the SAD amplitude scale."""
+    B, n, _ = d.shape
+    x = (d.reshape(B, n // 8, 8, n // 8, 8)
+         .transpose(0, 1, 3, 2, 4)
+         .reshape(B, -1, 8, 8).astype(jnp.float32))
+    h = jnp.asarray(_HAD8)
+    t = jnp.einsum("ij,bkjl,ml->bkim", h, x, h,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.sum(jnp.abs(t), axis=(1, 2, 3)) * 0.125
 
 
 def to_blocks(plane, n):
@@ -185,25 +224,13 @@ def from_blocks(blks, ph, pw, n):
             .transpose(0, 2, 1, 3).reshape(ph, pw))
 
 
-def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
-                 by, bx, nby, nbx, deblock_fn=None, cdef_fn=None,
-                 use_split: bool = True):
-    """The whole batched P-frame encode for one (sub)frame region:
-    grouped-conv full-pel search, subpel descent, 32-NONE vs 16-SPLIT
-    RDO with the WriterCounter-twin rate model, skip RD, recon
-    assembly, injected in-loop filters, compact level transfer.
-
-    y/u/v: local (tile) source planes; ryp/rup/rvp: PADDED full-frame
-    reference planes (replicated across shards - SURVEY §5.8
-    "replicate refs, shard residual/recon work"); by/bx: GLOBAL pixel
-    origins of the region's 32-blocks (may be traced, e.g. offset by
-    the shard's tile index); deblock_fn/cdef_fn: filter+search
-    callables (single-chip whole-frame or tiled halo-exchange
-    variants)."""
-    h, tw = y.shape[0], y.shape[1]
-    B = nby * nbx
-    blks = to_blocks(y, 32)                       # [B,32,32]
-
+def _search_one_ref(ryp, blks, by, bx, rd, B, use_satd=False):
+    """Motion search vs ONE padded reference plane: full-pel SSD via
+    grouped conv on the MXU, then quarter-pel fixed-trip descent from
+    a single pre-gathered patch per block (rav1e src/me.rs
+    estimate_motion, batched). Returns (mv8 [B,2] eighth-pel,
+    patch32, pir0, pic0) with the patch centered on the full-pel MV
+    so the final prediction also evaluates in-patch."""
     # ---- full-pel SSD search (grouped conv on the MXU) ----------
     win_sz = 2 * SEARCH + 32
     sq_sums = jax.lax.reduce_window(
@@ -251,9 +278,13 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
 
     def ssd8(mv8c):
         pred = _mc_patch(patch32, pir0, pic0, by, bx, mv8c, 32, 0, 1)
-        d = (pred - blks).astype(jnp.float32)
         mvr = (rd["mv_bits"][jnp.abs(mv8c[:, 0])]
                + rd["mv_bits"][jnp.abs(mv8c[:, 1])])
+        if use_satd:
+            # rav1e use_satd_subpel (src/me.rs): Hadamard distortion
+            # with the amplitude-domain lambda
+            return satd(pred - blks) + rd["lam_sad"] * mvr
+        d = (pred - blks).astype(jnp.float32)
         return jnp.sum(d * d, axis=(1, 2)) + rd["lam"] * mvr
 
     best = ssd8(mv8)
@@ -274,13 +305,104 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
     # zero-MV blocks stay GLOBALMV-zero
     is_zero = jnp.all(mv_fp == 0, axis=1)
     mv8 = jnp.where(is_zero[:, None], 0, mv8)
+    return mv8, patch32, pir0, pic0
 
-    # ---- final prediction + residual coding ---------------------
-    pred_y = _mc_patch(patch32, pir0, pic0, by, bx, mv8, 32, 0, 1)
-    pred_u = _mc_batch(rup, by // 2, bx // 2, mv8, 16, 1)
-    pred_v = _mc_batch(rvp, by // 2, bx // 2, mv8, 16, 1)
+
+def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
+                 by, bx, nby, nbx, deblock_fn=None, cdef_fn=None,
+                 use_split: bool = True,
+                 ryp2=None, rup2=None, rvp2=None, ds16=None,
+                 use_satd: bool = False):
+    """The whole batched P-frame encode for one (sub)frame region:
+    grouped-conv full-pel search, subpel descent, 32-NONE vs 16-SPLIT
+    RDO with the WriterCounter-twin rate model, skip RD, recon
+    assembly, injected in-loop filters, compact level transfer.
+
+    y/u/v: local (tile) source planes; ryp/rup/rvp: PADDED full-frame
+    reference planes (replicated across shards - SURVEY §5.8
+    "replicate refs, shard residual/recon work"); by/bx: GLOBAL pixel
+    origins of the region's 32-blocks (may be traced, e.g. offset by
+    the shard's tile index); deblock_fn/cdef_fn: filter+search
+    callables (single-chip whole-frame or tiled halo-exchange
+    variants)."""
+    h, tw = y.shape[0], y.shape[1]
+    B = nby * nbx
+    blks = to_blocks(y, 32)                       # [B,32,32]
+    # per-16 distortion scales (rav1e DistortionScale from lookahead
+    # importance + activity masking, src/rdo.rs) weight every SSE term
+    # in the RD decisions; ds16 [B,4] in (TL,TR,BL,BR) quad order
+    if ds16 is None:
+        ds16 = jnp.ones((B, 4), jnp.float32)
+    ds32 = jnp.mean(ds16, axis=1)                 # [B]
+    mv8, patch32, pir0, pic0 = _search_one_ref(ryp, blks, by, bx, rd,
+                                               B, use_satd)
+
     ub = to_blocks(u.astype(jnp.int32), 16)
     vb = to_blocks(v.astype(jnp.int32), 16)
+    if ryp2 is None:
+        # ---- single-ref final prediction ------------------------
+        pred_y = _mc_patch(patch32, pir0, pic0, by, bx, mv8, 32, 0, 1)
+        pred_u = _mc_batch(rup, by // 2, bx // 2, mv8, 16, 1)
+        pred_v = _mc_batch(rvp, by // 2, bx // 2, mv8, 16, 1)
+        choice = jnp.zeros((B,), jnp.int32)
+        mvb8 = jnp.zeros_like(mv8)
+    else:
+        # ---- B frame: fwd / bwd / compound-average RDO ----------
+        # (rav1e rdo_mode_decision inter loop over ref sets,
+        # restructured as three fixed candidates per block)
+        mvb8_, patchb, pbir, pbic = _search_one_ref(
+            ryp2, blks, by, bx, rd, B, use_satd)
+        lam = rd["lam"]
+
+        def mvr(mv):
+            r = (rd["mv_bits"][jnp.abs(mv[:, 0])]
+                 + rd["mv_bits"][jnp.abs(mv[:, 1])])
+            zero = (mv[:, 0] == 0) & (mv[:, 1] == 0)
+            return jnp.where(zero, rd["globalmv"], r + rd["newmv"])
+
+        pf_y = _mc_patch(patch32, pir0, pic0, by, bx, mv8, 32, 0, 1)
+        pb_y = _mc_patch(patchb, pbir, pbic, by, bx, mvb8_, 32, 0, 1)
+        if_y = _mc_patch(patch32, pir0, pic0, by, bx, mv8, 32, 0, 1,
+                         interm=True)
+        ib_y = _mc_patch(patchb, pbir, pbic, by, bx, mvb8_, 32, 0, 1,
+                         interm=True)
+        pc_y = _comp_avg(if_y, ib_y)
+
+        def sse_of(p):
+            d = (p - blks).astype(jnp.float32)
+            return jnp.sum(d * d, axis=(1, 2))
+
+        # compound signaling overhead vs single (comp_mode + second
+        # ref + drl): ~2 bits flat on top of both MV residuals
+        cost_f = ds32 * sse_of(pf_y) + lam * mvr(mv8)
+        cost_b = ds32 * sse_of(pb_y) + lam * mvr(mvb8_)
+        cost_c = (ds32 * sse_of(pc_y)
+                  + lam * (mvr(mv8) + mvr(mvb8_) + 2.0))
+        choice = jnp.argmin(
+            jnp.stack([cost_f, cost_b, cost_c], 1), axis=1)
+        ch3 = choice[:, None, None]
+        pred_y = jnp.where(ch3 == 0, pf_y,
+                           jnp.where(ch3 == 1, pb_y, pc_y))
+        pf_u = _mc_batch(rup, by // 2, bx // 2, mv8, 16, 1)
+        pf_v = _mc_batch(rvp, by // 2, bx // 2, mv8, 16, 1)
+        pb_u = _mc_batch(rup2, by // 2, bx // 2, mvb8_, 16, 1)
+        pb_v = _mc_batch(rvp2, by // 2, bx // 2, mvb8_, 16, 1)
+        pc_u = _comp_avg(
+            _mc_batch(rup, by // 2, bx // 2, mv8, 16, 1, interm=True),
+            _mc_batch(rup2, by // 2, bx // 2, mvb8_, 16, 1,
+                      interm=True))
+        pc_v = _comp_avg(
+            _mc_batch(rvp, by // 2, bx // 2, mv8, 16, 1, interm=True),
+            _mc_batch(rvp2, by // 2, bx // 2, mvb8_, 16, 1,
+                      interm=True))
+        pred_u = jnp.where(ch3 == 0, pf_u,
+                           jnp.where(ch3 == 1, pb_u, pc_u))
+        pred_v = jnp.where(ch3 == 0, pf_v,
+                           jnp.where(ch3 == 1, pb_v, pc_v))
+        # primary MV: fwd for single-fwd/compound, bwd for single-bwd;
+        # second MV only meaningful for compound
+        mvb8 = jnp.where((choice == 2)[:, None], mvb8_, 0)
+        mv8 = jnp.where((choice == 1)[:, None], mvb8_, mv8)
 
     def code(resid, tx):
         # dynamic-q quantize/dequant (ops.ref.quant semantics with
@@ -327,8 +449,8 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
              + jnp.sum((pred_v - vb).astype(jnp.float32) ** 2, (1, 2)))
     cbits = (block_bits(lv_y, rd["y32"]) + block_bits(lv_u, rd["c16"])
              + block_bits(lv_v, rd["c16"]))
-    skip = (sse_s + lam * rd["skip1"]
-            <= sse_c + lam * (rd["skip0"] + cbits))
+    skip = (ds32 * sse_s + lam * rd["skip1"]
+            <= ds32 * sse_c + lam * (rd["skip0"] + cbits))
     sk3 = skip[:, None, None]
     lv_y = jnp.where(sk3, 0, lv_y)
     lv_u = jnp.where(sk3, 0, lv_u)
@@ -337,8 +459,8 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
     rec_u32 = jnp.where(sk3, pred_u, cd_u)
     rec_v32 = jnp.where(sk3, pred_v, cd_v)
     cost32 = (lam * mv_rate(mv8)
-              + jnp.where(skip, sse_s + lam * rd["skip1"],
-                          sse_c + lam * (rd["skip0"] + cbits)))
+              + jnp.where(skip, ds32 * sse_s + lam * rd["skip1"],
+                          ds32 * sse_c + lam * (rd["skip0"] + cbits)))
 
     # ---- PARTITION_SPLIT alternative: per-16 MVs + TX16/TX8
     # residuals (rav1e rdo_partition_decision restructured as a
@@ -380,7 +502,7 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
             y, u, v, h, tw, nby, nbx, B, rd, cdef_prm, mv8, skip,
             split, sp3, mv16_out, skip16_out, lv_y, lv_u, lv_v,
             lv_y16, lv_u8, lv_v8, rec_y, rec_u, rec_v,
-            deblock_fn, cdef_fn)
+            deblock_fn, cdef_fn, choice, mvb8)
 
     # two patch gathers (parent- and zero-centered), then the whole
     # per-16 refinement runs in-patch: drift <= 8+4+2+2 = 16 eighth-pel
@@ -392,10 +514,12 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
     patch_z, pir_z, pic_z = _gather_patch(ryp, by16, bx16, mv_zero,
                                           16, 0, 2)
 
+    ds16f = ds16.reshape(B * 4)
+
     def cost16_from(patch, ir0, ic0, mv):
         pred = _mc_patch(patch, ir0, ic0, by16, bx16, mv, 16, 0, 2)
         d = (pred - blks16).astype(jnp.float32)
-        return (jnp.sum(d * d, axis=(1, 2))
+        return (ds16f * jnp.sum(d * d, axis=(1, 2))
                 + lam * (rd["mv_bits"][jnp.abs(mv[:, 0])]
                          + rd["mv_bits"][jnp.abs(mv[:, 1])]))
 
@@ -452,8 +576,8 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
     cbits16 = (block_bits(lv_y16, rd["y16"])
                + block_bits(lv_u8, rd["c8"])
                + block_bits(lv_v8, rd["c8"]))
-    skip16 = (sse_s16 + lam * rd["skip1"]
-              <= sse_c16 + lam * (rd["skip0"] + cbits16))
+    skip16 = (ds16f * sse_s16 + lam * rd["skip1"]
+              <= ds16f * sse_c16 + lam * (rd["skip0"] + cbits16))
     s163 = skip16[:, None, None]
     lv_y16 = jnp.where(s163, 0, lv_y16)
     lv_u8 = jnp.where(s163, 0, lv_u8)
@@ -462,8 +586,9 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
     rec_u8 = jnp.where(s163, pred_u8, cd_u8)
     rec_v8 = jnp.where(s163, pred_v8, cd_v8)
     cost16 = (lam * mv_rate(mv16)
-              + jnp.where(skip16, sse_s16 + lam * rd["skip1"],
-                          sse_c16 + lam * (rd["skip0"] + cbits16)))
+              + jnp.where(skip16, ds16f * sse_s16 + lam * rd["skip1"],
+                          ds16f * sse_c16
+                          + lam * (rd["skip0"] + cbits16)))
     cost_split = (cost16.reshape(B, 4).sum(axis=1)
                   + lam * rd["split_bits"])
     split = cost_split < cost32
@@ -484,13 +609,13 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
     return _finish_outputs(
         y, u, v, h, tw, nby, nbx, B, rd, cdef_prm, mv8, skip, split,
         sp3, mv16_out, skip16_out, lv_y, lv_u, lv_v, lv_y16, lv_u8,
-        lv_v8, rec_y, rec_u, rec_v, deblock_fn, cdef_fn)
+        lv_v8, rec_y, rec_u, rec_v, deblock_fn, cdef_fn, choice, mvb8)
 
 
 def _finish_outputs(y, u, v, h, tw, nby, nbx, B, rd, cdef_prm, mv8,
                     skip, split, sp3, mv16_out, skip16_out, lv_y, lv_u,
                     lv_v, lv_y16, lv_u8, lv_v8, rec_y, rec_u, rec_v,
-                    deblock_fn, cdef_fn):
+                    deblock_fn, cdef_fn, choice, mvb8):
     """Common tail of p_frame_body: in-loop filters + compact level
     transfer + output tuple."""
     fry = from_blocks(rec_y, h, tw, 32)
@@ -573,7 +698,8 @@ def _finish_outputs(y, u, v, h, tw, nby, nbx, B, rd, cdef_prm, mv8,
             fry.astype(jnp.uint8), fru.astype(jnp.uint8),
             frv.astype(jnp.uint8), lf_lvl, cdef_idx,
             split, mv16_out.astype(jnp.int32),
-            skip16_out)
+            skip16_out, choice.astype(jnp.int32),
+            mvb8.astype(jnp.int32))
 
 
 
@@ -583,7 +709,15 @@ def _finish_outputs(y, u, v, h, tw, nby, nbx, B, rd, cdef_prm, mv8,
 # All per-frame decisions therefore ship as ONE int8 buffer, and the
 # source planes upload as ONE packed uint8 array.
 
-REC_BYTES = 384      # per-block packed record size (379 used)
+HDR_BYTES = 32       # per-block control record (mv/flags/choice)
+LVL_BYTES = K32 + 2 * K16   # compact scan-order levels per coded block
+
+
+def _lvl_cap(B: int) -> int:
+    """Static capacity of the compacted level payload: covers frames
+    with up to ~25% coded (non-skip) blocks in one transfer; busier
+    frames spill the excess through the full-precision dense gather."""
+    return max(64, B // 4)
 
 
 def _i16_hi_lo(x):
@@ -594,15 +728,24 @@ def _i16_hi_lo(x):
 
 
 def pack_outputs(o):
-    """Device-side: p_frame_body outputs -> one int8 [B+1, REC_BYTES]
-    buffer. Row layout: mv8 hi/lo int16[2] | mv16 int16[4,2] | 7 flag
-    bytes (skip, dense, split, skip16[4]) | sc_y[K32] | sc_u[K16] |
-    sc_v[K16]. Tail row: [lf_lvl, cdef_idx]."""
+    """Device-side: p_frame_body outputs -> ONE flat int8 buffer of
+    [B+1 header rows | CAP+1 compacted level rows].
+
+    Header row (HDR_BYTES): mv8 hi/lo int16[2] | mv16 int16[4,2] |
+    7 flag bytes (skip, dense, split, skip16[4]) | mvb8 hi/lo
+    int16[2] | ref choice. Tail header row: [lf_lvl, cdef_idx].
+
+    Level rows (LVL_BYTES = sc_y[K32]|sc_u[K16]|sc_v[K16]): only
+    coded (non-skip, non-dense) blocks ship levels, stream-compacted
+    by block order; blocks past CAP spill to the dense gather. Skip
+    blocks (the majority at working q) cost 32 bytes, not 384."""
     mv8, skip, dense = o[0], o[1], o[2]
     sc_y, sc_u, sc_v = o[3], o[4], o[5]
     lf, cdef_idx = o[12], o[13]
     split, mv16, skip16 = o[14], o[15], o[16]
+    choice, mvb8 = o[17], o[18]
     B = mv8.shape[0]
+    cap = _lvl_cap(B)
 
     def words(x):
         hi, lo = _i16_hi_lo(x.reshape(B, -1))
@@ -611,21 +754,47 @@ def pack_outputs(o):
     flags = jnp.concatenate(
         [skip[:, None], dense[:, None], split[:, None], skip16],
         axis=1).astype(jnp.int8)
-    row = jnp.concatenate([words(mv8), words(mv16), flags,
-                           sc_y, sc_u, sc_v], axis=1)
-    row = jnp.pad(row, ((0, 0), (0, REC_BYTES - row.shape[1])))
-    tail = jnp.zeros((1, REC_BYTES), jnp.int8)
+    hdr = jnp.concatenate([words(mv8), words(mv16), flags,
+                           words(mvb8),
+                           choice[:, None].astype(jnp.int8)], axis=1)
+    tail = jnp.zeros((1, HDR_BYTES), jnp.int8)
     tail = tail.at[0, 0].set(lf.astype(jnp.int8))
     tail = tail.at[0, 1].set(cdef_idx.astype(jnp.int8))
-    return jnp.concatenate([row, tail], axis=0)
+    hdr = jnp.concatenate([hdr, tail], axis=0)
+
+    coded = (~skip) & (~dense)
+    rank = jnp.cumsum(coded.astype(jnp.int32)) - 1
+    rows = jnp.where(coded & (rank < cap), rank, cap)
+    sc = jnp.concatenate([sc_y, sc_u, sc_v], axis=1)  # [B, LVL_BYTES]
+    lvl = jnp.zeros((cap + 1, LVL_BYTES), jnp.int8).at[rows].set(
+        sc, mode="drop")
+    return jnp.concatenate([hdr.reshape(-1), lvl.reshape(-1)])
 
 
 def unpack_outputs(buf: np.ndarray):
     """Host-side twin of pack_outputs. Returns (mv8, skip, dense,
-    sc_y, sc_u, sc_v, lf_lvl, cdef_idx, split, mv16, skip16)."""
+    sc_y, sc_u, sc_v, lf_lvl, cdef_idx, split, mv16, skip16,
+    choice, mvb8) with sc_* scattered back to per-block [B, K] rows
+    (zeros for skip blocks); `dense` also marks coded blocks that
+    spilled past the compaction capacity."""
     buf = np.asarray(buf)
-    body, tail = buf[:-1], buf[-1]
-    B = body.shape[0]
+    total = buf.shape[0]
+    # solve B from total = (B+1)*HDR + (cap(B)+1)*LVL; cap has two
+    # regimes (fixed 64 floor vs B//4), so try both and verify
+    def size_of(b):
+        return (b + 1) * HDR_BYTES + (_lvl_cap(b) + 1) * LVL_BYTES
+
+    B = (total - 65 * LVL_BYTES) // HDR_BYTES - 1      # cap == 64
+    if size_of(max(B, 1)) != total:
+        B = max(1, (total - HDR_BYTES - LVL_BYTES)     # cap == B//4
+                // (HDR_BYTES + LVL_BYTES // 4) - 4)
+        while size_of(B) < total:
+            B += 1
+    assert size_of(B) == total, total
+    cap = _lvl_cap(B)
+    hdr = buf[:(B + 1) * HDR_BYTES].reshape(B + 1, HDR_BYTES)
+    lvl = buf[(B + 1) * HDR_BYTES:].reshape(cap + 1, LVL_BYTES)
+    body, tail = hdr[:-1], hdr[-1]
 
     def unwords(cols, shape):
         w = body[:, cols].reshape(B, -1, 2).astype(np.int16)
@@ -634,14 +803,25 @@ def unpack_outputs(buf: np.ndarray):
     mv8 = unwords(slice(0, 4), (B, 2)).astype(np.int32)
     mv16 = unwords(slice(4, 20), (B, 4, 2)).astype(np.int32)
     flags = body[:, 20:27] != 0
-    skip, dense, split = flags[:, 0], flags[:, 1], flags[:, 2]
+    skip, dense, split = flags[:, 0], flags[:, 1].copy(), flags[:, 2]
     skip16 = flags[:, 3:7]
-    off = 27
-    sc_y = body[:, off:off + K32].astype(np.int16)
-    sc_u = body[:, off + K32:off + K32 + K16].astype(np.int16)
-    sc_v = body[:, off + K32 + K16:off + K32 + 2 * K16].astype(np.int16)
+    mvb8 = unwords(slice(27, 31), (B, 2)).astype(np.int32)
+    choice = body[:, 31].astype(np.int32)
+    # re-derive the device's compaction order (block-index cumsum)
+    coded = ~skip & ~dense
+    rank = np.cumsum(coded) - 1
+    sel = coded & (rank < cap)
+    dense |= coded & (rank >= cap)     # spilled -> full-price gather
+    sc_y = np.zeros((B, K32), np.int16)
+    sc_u = np.zeros((B, K16), np.int16)
+    sc_v = np.zeros((B, K16), np.int16)
+    rows = lvl[rank[sel]]
+    sc_y[sel] = rows[:, :K32]
+    sc_u[sel] = rows[:, K32:K32 + K16]
+    sc_v[sel] = rows[:, K32 + K16:]
     return (mv8, skip, dense, sc_y, sc_u, sc_v,
-            int(tail[0]), int(tail[1]), split, mv16, skip16)
+            int(tail[0]), int(tail[1]), split, mv16, skip16,
+            choice, mvb8)
 
 
 def pack_src(planes) -> np.ndarray:
@@ -660,15 +840,21 @@ def _unpack_src(buf, h, w):
 
 @lru_cache(maxsize=8)
 def _core(h: int, w: int, use_cdef: bool = False,
-          use_deblock: bool = True, use_split: bool = True):
+          use_deblock: bool = True, use_split: bool = True,
+          two_ref: bool = False, use_satd: bool = False):
     """Single-chip batched P-frame step for an h x w frame. qindex
     enters as a traced argument (dcq/acq scalars) so rate control
     never triggers a recompile. Takes the packed source buffer and
     returns (packed decisions, full-precision levels (device-resident,
-    gathered only for dense blocks), recon planes)."""
+    gathered only for dense blocks), recon planes).
+
+    two_ref=True builds the B-frame step: the source searches both a
+    forward and a backward reference and each block picks single-fwd /
+    single-bwd / COMPOUND_AVERAGE by RD (split RDO unsupported)."""
     nby, nbx = h // 32, w // 32
     by = (np.repeat(np.arange(nby), nbx) * 32).astype(np.int32)
     bx = (np.tile(np.arange(nbx), nby) * 32).astype(np.int32)
+    assert not (two_ref and use_split)
 
     deblock_fn = None
     if use_deblock:
@@ -684,16 +870,37 @@ def _core(h: int, w: int, use_cdef: bool = False,
         from rav1e_tpu.ops.tpu.cdef import cdef_search_frame_jax
         cdef_fn = cdef_search_frame_jax
 
-    @jax.jit
-    def step(src, ry, ru, rv, dcq, acq, cdef_prm, rd):
-        y, u, v = _unpack_src(src, h, w)
-        ryp = jnp.pad(ry.astype(jnp.int32), PAD, mode="edge")
-        rup = jnp.pad(ru.astype(jnp.int32), PAD // 2, mode="edge")
-        rvp = jnp.pad(rv.astype(jnp.int32), PAD // 2, mode="edge")
-        o = p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm,
-                         rd, jnp.asarray(by), jnp.asarray(bx),
-                         nby, nbx, deblock_fn, cdef_fn, use_split)
-        return (pack_outputs(o), o[6], o[7], o[8], o[9], o[10], o[11])
+    def pad3(ry, ru, rv):
+        return (jnp.pad(ry.astype(jnp.int32), PAD, mode="edge"),
+                jnp.pad(ru.astype(jnp.int32), PAD // 2, mode="edge"),
+                jnp.pad(rv.astype(jnp.int32), PAD // 2, mode="edge"))
+
+    if two_ref:
+        @jax.jit
+        def step(src, ry, ru, rv, ry2, ru2, rv2, dcq, acq, cdef_prm,
+                 rd, ds):
+            y, u, v = _unpack_src(src, h, w)
+            ryp, rup, rvp = pad3(ry, ru, rv)
+            ryp2, rup2, rvp2 = pad3(ry2, ru2, rv2)
+            o = p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq,
+                             cdef_prm, rd, jnp.asarray(by),
+                             jnp.asarray(bx), nby, nbx, deblock_fn,
+                             cdef_fn, False, ryp2, rup2, rvp2,
+                             ds16=ds, use_satd=use_satd)
+            return (pack_outputs(o), o[6], o[7], o[8], o[9], o[10],
+                    o[11])
+    else:
+        @jax.jit
+        def step(src, ry, ru, rv, dcq, acq, cdef_prm, rd, ds):
+            y, u, v = _unpack_src(src, h, w)
+            ryp, rup, rvp = pad3(ry, ru, rv)
+            o = p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq,
+                             cdef_prm, rd, jnp.asarray(by),
+                             jnp.asarray(bx), nby, nbx, deblock_fn,
+                             cdef_fn, use_split, ds16=ds,
+                             use_satd=use_satd)
+            return (pack_outputs(o), o[6], o[7], o[8], o[9], o[10],
+                    o[11])
 
     @jax.jit
     def gather_dense(lv_y, lv_u, lv_v, idx):
@@ -775,9 +982,9 @@ def _fetch_packed(o, gather_dense):
     buffer + (rarely) one batched gather for dense/saturated blocks.
 
     Returns (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16,
-    lf_lvl, cdef_idx)."""
+    lf_lvl, cdef_idx, choice, mvb8)."""
     (mv8, skip, dense, sc_y, sc_u, sc_v, lf, cdef_idx, split, mv16,
-     skip16) = unpack_outputs(o[0])
+     skip16, choice, mvb8) = unpack_outputs(o[0])
     scan32, scan16, scan8 = _scans()
     B = mv8.shape[0]
     lv_y = np.zeros((B, 1024), np.int16)
@@ -810,13 +1017,14 @@ def _fetch_packed(o, gather_dense):
         lv_u[didx] = g[:, 1024:1280].reshape(-1, 16, 16)
         lv_v[didx] = g[:, 1280:].reshape(-1, 16, 16)
     return (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16,
-            lf, cdef_idx)
+            lf, cdef_idx, choice, mvb8)
 
 
 def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
                  use_native=True, cdef=None, film_grain=None,
                  render_size=None, lf_level=0, split=None, mv16=None,
-                 skip16=None):
+                 skip16=None, refresh_flags=0x01, ref_slot=0,
+                 show_frame=True):
     """Entropy-pack one P frame from batched pipeline outputs.
 
     split/mv16/skip16 (optional) describe PARTITION_SPLIT 32-blocks:
@@ -846,7 +1054,10 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
             else:
                 tile = tw.write_inter_tile_fast2(
                     split, mv8, skip, mv16, skip16, lv_y, lv_u, lv_v)
-            return interframe_packet(seq, fp, ti, [tile], order_hint)
+            return interframe_packet(seq, fp, ti, [tile], order_hint,
+                                     refresh_flags=refresh_flags,
+                                     ref_idx=[ref_slot] * 7,
+                                     show_frame=show_frame)
         except Exception:
             pass
     tw = TileWriter(mi_rows, mi_cols, qindex, inter_frame=True)
@@ -886,7 +1097,22 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
         blocks[(r, c)] = inter_block(mv8[b], skip[b], lv_y[b],
                                      lv_u[b], lv_v[b])
     tile = tw.write_tile(partitions, blocks)
-    return interframe_packet(seq, fp, ti, [tile], order_hint)
+    return interframe_packet(seq, fp, ti, [tile], order_hint,
+                             refresh_flags=refresh_flags,
+                             ref_idx=[ref_slot] * 7,
+                             show_frame=show_frame)
+
+
+def _ds16_quads(dscale, nby: int, nbx: int):
+    """Per-16 distortion-scale grid [2*nby, 2*nbx] -> [B,4] in the
+    quad (TL,TR,BL,BR) order p_frame_body expects; ones if None."""
+    if dscale is None:
+        return jnp.ones((nby * nbx, 4), jnp.float32)
+    g = np.asarray(dscale, np.float32)
+    assert g.shape == (2 * nby, 2 * nbx), (g.shape, nby, nbx)
+    return jnp.asarray(
+        g.reshape(nby, 2, nbx, 2).transpose(0, 2, 1, 3)
+        .reshape(nby * nbx, 4))
 
 
 def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
@@ -894,27 +1120,38 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
                       ref_dev=None, return_device: bool = False,
                       cdef: tuple | None = None, film_grain=None,
                       render_size: tuple | None = None,
-                      use_split: bool = True):
+                      use_split: bool = True,
+                      refresh_flags: int = 0x01, ref_slot: int = 0,
+                      show_frame: bool = True, dscale=None,
+                      src_dev=None, use_satd: bool = False):
     """TPU-batched P frame. Same bitstream contract as encode_pframe.
 
     ref_dev: optional device-resident reference planes (from a prior
-    call with return_device=True) — skips the host->device upload."""
+    call with return_device=True) — skips the host->device upload.
+    src_dev: optional device-resident packed source (pack_src output
+    uploaded earlier, e.g. at send_frame time) — same purpose.
+    dscale: optional per-16x16 distortion-scale grid [h/16, w/16]
+    (lookahead importance / activity masking, rav1e DistortionScale)."""
     y, u, v = planes
     h, w = y.shape[0], y.shape[1]
     assert h % 32 == 0 and w % 32 == 0
     step, (nby, nbx), gather_dense = _core(h, w, cdef is not None,
-                                           use_split=use_split)
+                                           use_split=use_split,
+                                           use_satd=use_satd)
     if ref_dev is None:
         ref_dev = tuple(jnp.asarray(np.asarray(p, np.uint8))
                         for p in ref_planes)
     cdef_prm = jnp.asarray(
         list(cdef) if cdef is not None else [0, 0, 0, 0, 3], jnp.int32)
-    outs = step(jnp.asarray(pack_src(planes)), *ref_dev,
+    if src_dev is None:
+        src_dev = jnp.asarray(pack_src(planes))
+    outs = step(src_dev, *ref_dev,
                 jnp.int32(dc_q_lut(qindex)), jnp.int32(ac_q_lut(qindex)),
-                cdef_prm, build_rd_inter(qindex))
+                cdef_prm, build_rd_inter(qindex),
+                _ds16_quads(dscale, nby, nbx))
     rec_dev = outs[4:7]
     (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16, lf_lvl,
-     cdef_idx) = _fetch_packed(outs, gather_dense)
+     cdef_idx, _, _) = _fetch_packed(outs, gather_dense)
     rec_y, rec_u, rec_v = [np.asarray(o) for o in rec_dev]
     cdef_hdr = None
     if cdef is not None:
@@ -924,11 +1161,129 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
     pkt = _pack_pframe(h, w, qindex, order_hint, mv8, skip,
                        lv_y, lv_u, lv_v, use_native, cdef_hdr,
                        film_grain, render_size,
-                       lf_lvl, split, mv16, skip16)
+                       lf_lvl, split, mv16, skip16,
+                       refresh_flags, ref_slot, show_frame)
     rec = [rec_y.astype(np.int32), rec_u.astype(np.int32),
            rec_v.astype(np.int32)]
     if return_device:
         return pkt, rec, rec_dev
+    return pkt, rec
+
+
+def _pack_bframe(h, w, qindex, order_hint, mv8, mvb8, choice, skip,
+                 lv_y, lv_u, lv_v, cdef=None, film_grain=None,
+                 render_size=None, lf_level=0, slot_fwd=0, slot_bwd=1,
+                 ref_hints=None, refresh_flags=0, show_frame=True):
+    """Entropy-pack one B frame from batched two-ref pipeline outputs.
+
+    choice[b] in {0: single-LAST(fwd), 1: single-ALTREF(bwd),
+    2: COMPOUND_AVERAGE (LAST, ALTREF)}; mv8 is the primary MV
+    (fwd for 0/2, bwd for 1), mvb8 the backward MV when compound.
+    Bitstream contract matches pipeline/inter.py::encode_bframe
+    (rav1e reordered InterConfig path, src/api/internal.rs)."""
+    seq = Sequence(width=w, height=h, enable_cdef=cdef is not None,
+                   film_grain_params_present=film_grain is not None)
+    lf = int(lf_level)
+    fp = FrameParams(frame_type=FrameType.INTER, base_q_idx=qindex,
+                     render_size=render_size,
+                     loop_filter_levels=(lf, lf, lf, lf))
+    fp.film_grain = film_grain
+    if cdef is not None:
+        (fp.cdef_y_pri, fp.cdef_y_sec, fp.cdef_uv_pri,
+         fp.cdef_uv_sec, fp.cdef_damping) = cdef
+    ti = TileInfo(seq)
+    mi_rows, mi_cols = h >> 2, w >> 2
+    nbx = w // 32
+    tw = TileWriter(mi_rows, mi_cols, qindex, inter_frame=True,
+                    ref_sign_bias={1: False, 7: True},
+                    reference_select=True)
+    partitions: dict = {}
+    blocks: dict = {}
+    for b in range(mv8.shape[0]):
+        by, bx = (b // nbx) * 32, (b % nbx) * 32
+        r, c = by >> 2, bx >> 2
+        partitions[(r, c, int(BlockSize.B64X64))] = PartitionType.SPLIT
+        partitions[(r, c, int(BlockSize.B32X32))] = PartitionType.NONE
+        ch = int(choice[b])
+        mv = (int(mv8[b, 0]), int(mv8[b, 1]))
+        if ch == 2:
+            mv2 = (int(mvb8[b, 0]), int(mvb8[b, 1]))
+            mode = (PredictionMode.GLOBAL_GLOBALMV
+                    if mv == (0, 0) and mv2 == (0, 0)
+                    else PredictionMode.NEW_NEWMV)
+            d = BlockDecision(y_mode=mode,
+                              uv_mode=PredictionMode.DC_PRED,
+                              skip=bool(skip[b]), mv=mv, ref=1)
+            d.ref2 = 7
+            d.mv2 = mv2
+        else:
+            mode = (PredictionMode.GLOBALMV if mv == (0, 0)
+                    else PredictionMode.NEWMV)
+            d = BlockDecision(y_mode=mode,
+                              uv_mode=PredictionMode.DC_PRED,
+                              skip=bool(skip[b]), mv=mv,
+                              ref=1 if ch == 0 else 7)
+        if not d.skip:
+            d.coeffs = {0: lv_y[b], 1: lv_u[b], 2: lv_v[b]}
+        blocks[(r, c)] = d
+    tile = tw.write_tile(partitions, blocks)
+    fp.reference_select = True
+    ref_idx = [slot_fwd] * 6 + [slot_bwd]
+    fh, bh2 = ref_hints or (0, order_hint + 1)
+    fp.ref_order_hints = [fh] * 6 + [bh2]
+    return interframe_packet(seq, fp, ti, [tile], order_hint,
+                             refresh_flags=refresh_flags,
+                             ref_idx=ref_idx, show_frame=show_frame)
+
+
+def encode_bframe_tpu(planes, ref_fwd, ref_bwd, qindex: int = 100,
+                      order_hint: int = 1,
+                      ref_dev_fwd=None, ref_dev_bwd=None,
+                      cdef: tuple | None = None, film_grain=None,
+                      slot_fwd: int = 0, slot_bwd: int = 1,
+                      ref_hints: tuple | None = None,
+                      render_size: tuple | None = None,
+                      dscale=None, src_dev=None,
+                      refresh_flags: int = 0, show_frame: bool = True):
+    """TPU-batched B frame: both references searched on-device, each
+    block picks single-fwd / single-bwd / COMPOUND_AVERAGE by RD.
+    Same bitstream contract as pipeline/inter.py::encode_bframe.
+
+    ref_dev_fwd/ref_dev_bwd: optional device-resident uint8 reference
+    planes — skip the host->device uploads."""
+    y, u, v = planes
+    h, w = y.shape[0], y.shape[1]
+    assert h % 32 == 0 and w % 32 == 0
+    step, (nby, nbx), gather_dense = _core(h, w, cdef is not None,
+                                           use_split=False,
+                                           two_ref=True)
+    if ref_dev_fwd is None:
+        ref_dev_fwd = tuple(jnp.asarray(np.asarray(p, np.uint8))
+                            for p in ref_fwd)
+    if ref_dev_bwd is None:
+        ref_dev_bwd = tuple(jnp.asarray(np.asarray(p, np.uint8))
+                            for p in ref_bwd)
+    cdef_prm = jnp.asarray(
+        list(cdef) if cdef is not None else [0, 0, 0, 0, 3], jnp.int32)
+    if src_dev is None:
+        src_dev = jnp.asarray(pack_src(planes))
+    outs = step(src_dev, *ref_dev_fwd,
+                *ref_dev_bwd, jnp.int32(dc_q_lut(qindex)),
+                jnp.int32(ac_q_lut(qindex)), cdef_prm,
+                build_rd_inter(qindex),
+                _ds16_quads(dscale, nby, nbx))
+    (mv8, skip, lv_y, lv_u, lv_v, _, _, _, lf_lvl,
+     cdef_idx, choice, mvb8) = _fetch_packed(outs, gather_dense)
+    rec = [np.asarray(o).astype(np.int32) for o in outs[4:7]]
+    cdef_hdr = None
+    if cdef is not None:
+        from rav1e_tpu.ops.tpu.cdef import CDEF_LADDER
+        sel = CDEF_LADDER[cdef_idx]
+        cdef_hdr = (*sel, cdef[4])
+    pkt = _pack_bframe(h, w, qindex, order_hint, mv8, mvb8, choice,
+                       skip, lv_y, lv_u, lv_v, cdef_hdr, film_grain,
+                       render_size, lf_lvl, slot_fwd, slot_bwd,
+                       ref_hints, refresh_flags, show_frame)
     return pkt, rec
 
 
@@ -946,9 +1301,11 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
         return pkts, recs
     h, w = frames[0][0].shape
     # SpeedSettings.partition_split_rdo: presets >7 drop the 32->16
-    # split candidate set entirely (XLA dead-code-eliminates it)
+    # split candidate set entirely (XLA dead-code-eliminates it);
+    # satd_subpel (<=6) switches the subpel metric to Hadamard
     step, _, gather_dense = _core(h, w, cdef is not None,
-                                  use_split=speed <= 7)
+                                  use_split=speed <= 7,
+                                  use_satd=speed <= 6)
     dcq = jnp.int32(dc_q_lut(qindex))
     acq = jnp.int32(ac_q_lut(qindex))
     rd = build_rd_inter(qindex)
@@ -959,15 +1316,16 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
     # frame i; each frame's IO is one packed upload + one packed fetch
     # (the tunnel charges ~38 ms latency per transfer)
     ref_dev = tuple(jnp.asarray(np.asarray(p, np.uint8)) for p in rec)
+    ones = _ds16_quads(None, h // 32, w // 32)
     outs = []
     for f in frames[1:]:
         o = step(jnp.asarray(pack_src(f)), *ref_dev,
-                 dcq, acq, cdef_prm, rd)
+                 dcq, acq, cdef_prm, rd, ones)
         ref_dev = o[4:7]
         outs.append(o)
     for i, o in enumerate(outs, start=1):
         (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16, lf_lvl,
-         cdef_idx) = _fetch_packed(o, gather_dense)
+         cdef_idx, _, _) = _fetch_packed(o, gather_dense)
         cdef_hdr = None
         if cdef is not None:
             from rav1e_tpu.ops.tpu.cdef import CDEF_LADDER

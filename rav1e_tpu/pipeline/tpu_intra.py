@@ -595,7 +595,8 @@ def _from_blocks(a: np.ndarray) -> np.ndarray:
 def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
                         speed: int = 6, deblock: bool = True,
                         cdef: tuple | None = None,
-                        render_size: tuple | None = None):
+                        render_size: tuple | None = None,
+                        seq_extra: dict | None = None):
     """TPU-batched KEY frame encode; dims must be multiples of 32.
 
     Returns (packet, recon planes) — recon is bit-exact decoder output
@@ -693,6 +694,8 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
 
     # ---- pack (host, serial; C++ packer when available) -------------------
     seq = Sequence(width=w, height=h, enable_cdef=cdef is not None)
+    for k, v_ in (seq_extra or {}).items():
+        setattr(seq, k, v_)
     fp = FrameParams(frame_type=FrameType.KEY, base_q_idx=qindex,
                      loop_filter_levels=(lf, lf, lf, lf),
                      render_size=render_size)

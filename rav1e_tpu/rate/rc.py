@@ -147,7 +147,15 @@ class RCState:
     def select_qi(self, frame_type: str) -> int:
         st = _SUBTYPE.get(frame_type, FS_P)
         if not self.cfg.target_bitrate:
-            return self.cfg.quantizer
+            # constant-quantizer mode still applies the per-subtype
+            # modulation (rav1e QuantizerParameters: pyramid levels run
+            # at higher q, keyframes lower — src/rate.rs select_qi)
+            if st in (FS_I, FS_P):
+                return self.cfg.quantizer
+            base = ac_q(self.cfg.quantizer)
+            off = (_LOG_Q_OFFSET[st] - _LOG_Q_OFFSET[FS_P]) / Q57_ONE
+            qi = self._qi_for_scale(base * 2.0 ** off)
+            return int(np.clip(qi, 1, 255))
         if self.pass_ == 2 and self._pass_in is not None:
             return self._select_qi_pass2(st)
         fullness = (self.reservoir / self.reservoir_cap
@@ -224,6 +232,14 @@ class RCState:
             total += bits
         return _SUMMARY.pack(TWOPASS_MAGIC, TWOPASS_VERSION, *counts,
                              *sums, total)
+
+    def twopass_bytes_needed(self) -> int:
+        """Pass-1 bytes still wanted before pass-2 can encode (rav1e
+        rav1e_twopass_bytes_needed; our twopass_in takes the whole
+        stream at once, so this is all-or-nothing)."""
+        if self.pass_ == 2 and getattr(self, "_pass_in", None) is None:
+            return _SUMMARY.size
+        return 0
 
     def twopass_in(self, data: bytes):
         """Load the full pass-1 stream: records then summary."""

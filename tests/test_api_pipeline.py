@@ -98,8 +98,15 @@ def test_context_bframe_reordering():
     pkts = _run(ctx, frames)
     order = [(p.frame_type, p.input_frameno) for p in pkts]
     assert order[0] == ("KEY", 0)
+    # depth-2 pyramid coding order (rav1e InterConfig
+    # group_input_len=4): anchor t+4, B0 t+2, B1 t+1, SEF(t+2),
+    # B1 t+3, SEF(t+4)
     assert order[1] == ("INTER", 4)          # anchor coded out of order
-    assert order[5] == ("SHOW_EXISTING", 4)  # displayed after the Bs
+    assert order[2] == ("INTER", 2)          # B0 (pyramid level 1)
+    assert order[3] == ("INTER", 1)          # B1
+    assert order[4] == ("SHOW_EXISTING", 2)
+    assert order[5] == ("INTER", 3)          # B1
+    assert order[6] == ("SHOW_EXISTING", 4)  # anchor displayed last
     d = dav1d.decode_all([p.data for p in pkts])
     a = aom.decode_all([p.data for p in pkts])
     assert len(d) == N and len(a) == N
@@ -195,3 +202,92 @@ def test_two_pass_rate_control():
         run_pass(2, b"X" * len(stats))
     with pytest.raises(ValueError, match="No TUs"):
         run_pass(2, b"")
+
+
+def test_hdr_metadata_and_color_description():
+    """HDR signaling: content-light + mastering-display metadata OBUs
+    ride the keyframe temporal unit and the sequence header carries
+    the color description (rav1e rav1e_config_set_content_light /
+    set_mastering_display / set_color_description, SURVEY A.5).
+    The stream must still decode bit-exactly on both oracles."""
+    rng = np.random.default_rng(9)
+    W, H = 96, 64
+    frames = []
+    for t in range(3):
+        y = rng.integers(0, 255, (H, W)).astype(np.uint8)
+        frames.append([y, np.full((H // 2, W // 2), 120, np.uint8),
+                       np.full((H // 2, W // 2), 135, np.uint8)])
+    ctx = Config.parse({
+        "width": W, "height": H, "quantizer": 120,
+        "content_light": "1000,400",
+        "mastering_display":
+            "0.680,0.320,0.265,0.690,0.150,0.060,0.3127,0.3290,"
+            "1000.0,0.005",
+        "color_description": "9,16,9",    # BT.2020 / PQ / BT.2020 NCL
+        "color_range": "1",
+    }).new_context()
+    pkts = _run(ctx, frames)
+    key = pkts[0].data
+    # the keyframe TU must contain both metadata OBUs (type 5) with
+    # metadata_type 1 (CLL) and 2 (MDCV)
+    found = set()
+    pos = 0
+    while pos < len(key):
+        obu_hdr = key[pos]
+        obu_type = (obu_hdr >> 3) & 0xF
+        size, nb = 0, 0
+        p = pos + 1
+        while True:
+            byte = key[p + nb]
+            size |= (byte & 0x7F) << (7 * nb)
+            nb += 1
+            if not byte & 0x80:
+                break
+        payload = key[p + nb: p + nb + size]
+        if obu_type == 5:
+            found.add(payload[0])
+            if payload[0] == 1:
+                assert payload[1:5] == bytes([0x03, 0xE8, 0x01, 0x90])
+        pos = p + nb + size
+    assert found == {1, 2}, found
+    d = dav1d.decode_all([p.data for p in pkts])
+    a = aom.decode_all([p.data for p in pkts])
+    assert len(d) == 3 and len(a) == 3
+    for i in range(3):
+        for j in range(3):
+            assert np.array_equal(d[i].planes[j], a[i][j]), (i, j)
+
+
+def test_still_picture():
+    """still_picture mode: one-frame stream with the sequence-header
+    flag set (rav1e still_picture config key)."""
+    rng = np.random.default_rng(2)
+    W, H = 64, 64
+    f = [rng.integers(0, 255, (H, W)).astype(np.uint8),
+         np.full((H // 2, W // 2), 120, np.uint8),
+         np.full((H // 2, W // 2), 135, np.uint8)]
+    ctx = Config.parse({"width": W, "height": H, "quantizer": 100,
+                        "still_picture": "1"}).new_context()
+    pkts = _run(ctx, [f])
+    assert len(pkts) == 1
+    # still_picture is bit 4 of the first seq-header payload byte
+    # (profile 3 bits then still_picture); find OBU type 1
+    key = pkts[0].data
+    pos = 0
+    seq_payload = None
+    while pos < len(key):
+        obu_type = (key[pos] >> 3) & 0xF
+        size, nb, p = 0, 0, pos + 1
+        while True:
+            byte = key[p + nb]
+            size |= (byte & 0x7F) << (7 * nb)
+            nb += 1
+            if not byte & 0x80:
+                break
+        if obu_type == 1:
+            seq_payload = key[p + nb: p + nb + size]
+        pos = p + nb + size
+    assert seq_payload is not None
+    assert (seq_payload[0] >> 4) & 1 == 1   # still_picture set
+    d = dav1d.decode_all([pkts[0].data])
+    assert len(d) == 1

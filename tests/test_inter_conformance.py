@@ -210,3 +210,52 @@ def test_split_blocks_with_deblock():
     for j in range(3):
         assert np.array_equal(d[1].planes[j], rp[j]), j
         assert np.array_equal(a[1][j], rp[j]), j
+
+
+def test_tpu_bframe_compound():
+    """TPU B-frame path: both references searched on-device, each block
+    picking single-fwd / single-bwd / COMPOUND_AVERAGE by RD. A fade
+    (frame = average of the two anchors + noise) forces compound to
+    win on most blocks; the chain (KEY, non-shown anchor P, B,
+    show_existing) must decode bit-exactly on both oracles.
+
+    Reference parity: rav1e rdo_mode_decision inter loop over ref sets
+    (src/rdo.rs) + reordered InterConfig (src/api/internal.rs)."""
+    from rav1e_tpu.entropy.obu import show_existing_packet
+    from rav1e_tpu.pipeline import tpu_inter as TI
+    rng = np.random.default_rng(3)
+    H, W = 96, 128
+    tex = rng.integers(40, 220, (H, W)).astype(np.float64)
+
+    def frame(y):
+        return [y.clip(0, 255).astype(np.uint8),
+                np.full((H // 2, W // 2), 120, np.uint8),
+                np.full((H // 2, W // 2), 136, np.uint8)]
+
+    f0 = frame(tex)
+    f2 = frame(255 - tex)
+    fmid = frame((tex + (255 - tex)) / 2 + rng.normal(0, 2, (H, W)))
+    kdata, krec = encode_keyframe_tpu(f0, qindex=110)
+    krec = [np.asarray(p, np.int32) for p in krec]
+    adata, arec = TI.encode_pframe_tpu(
+        f2, krec, qindex=110, order_hint=2, refresh_flags=0x02,
+        ref_slot=0, show_frame=False)
+    arec = [np.asarray(p, np.int32) for p in arec]
+    bdata, brec = TI.encode_bframe_tpu(
+        f1 := fmid, krec, arec, qindex=114, order_hint=1,
+        slot_fwd=0, slot_bwd=1, ref_hints=(0, 2))
+    brec = [np.asarray(p, np.int32) for p in brec]
+    pkts = [kdata, adata, bdata, show_existing_packet(1)]
+    order = [krec, brec, arec]
+    d = dav1d.decode_all(pkts)
+    a = aom.decode_all(pkts)
+    assert len(d) == 3 and len(a) == 3
+    for i in range(3):
+        for j in range(3):
+            assert np.array_equal(d[i].planes[j], order[i][j]), (i, j)
+            assert np.array_equal(a[i][j], order[i][j]), (i, j)
+    # the fade B frame must actually use compound averaging: its recon
+    # should be far closer to the source than either single reference
+    err_b = np.abs(brec[0] - f1[0].astype(np.int32)).mean()
+    err_f = np.abs(krec[0] - f1[0].astype(np.int32)).mean()
+    assert err_b < err_f / 4, (err_b, err_f)

@@ -76,9 +76,10 @@ def main():
     cdef_prm = jnp.asarray([0, 0, 0, 0, 3], jnp.int32)
     ref_dev = tuple(jnp.asarray(np.asarray(p, np.uint8)) for p in rec)
 
+    ds = TI._ds16_quads(None, h // 32, w // 32)
     # compile
     o = step(jnp.asarray(TI.pack_src(frames[1])), *ref_dev, dcq, acq,
-             cdef_prm, rd)
+             cdef_prm, rd, ds)
     jax.block_until_ready(o)
 
     n = len(frames) - 1
@@ -92,13 +93,13 @@ def main():
         jax.block_until_ready(dev_in)
         t_up += time.time() - t0
         t0 = time.time()
-        o = step(dev_in, *ref_dev, dcq, acq, cdef_prm, rd)
+        o = step(dev_in, *ref_dev, dcq, acq, cdef_prm, rd, ds)
         jax.block_until_ready(o)
         t_dev += time.time() - t0
         ref_dev = o[4:7]
         t0 = time.time()
         (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16, lf_lvl,
-         _ci) = TI._fetch_packed(o, gather_dense)
+         _ci, _ch, _m2) = TI._fetch_packed(o, gather_dense)
         t_fetch += time.time() - t0
         t0 = time.time()
         TI._pack_pframe(h, w, q, i, mv8, skip, lv_y, lv_u, lv_v,
