@@ -307,7 +307,9 @@ class Context:
                                                       "on", "yes")
         tiled = self._tile_cols_log2 or self._tile_rows_log2
         fast_ok = (cfg.bit_depth == 8 and cfg.chroma_sampling == "420"
-                   and not tiled and not aq)
+                   and not tiled and not aq
+                   and not getattr(self, "_lr_seq", False))
+        lr = getattr(self, "_lr_seq", False)
         base = self._order_hint
         if len(frames) == 1:
             fn, pl = frames[0]
@@ -327,7 +329,7 @@ class Context:
                 data, rec = encode_pframe(
                     pl, self._ref_rec, qindex=q,
                     order_hint=(base + 1) & 127, cdef=cdef,
-                    film_grain=grain,
+                    film_grain=grain, lr=lr,
                     refresh_flags=1 << slot_new, ref_slot=self._cur_slot,
                     render_size=self._render)
             self._finish(data, fn, "INTER", q, rec, slot_new, base + 1)
@@ -349,7 +351,7 @@ class Context:
         else:
             adata, arec = encode_pframe(
                 apl, self._ref_rec, qindex=q, order_hint=ahint,
-                cdef=cdef, film_grain=grain,
+                cdef=cdef, film_grain=grain, lr=lr,
                 refresh_flags=1 << slot_new,
                 ref_slot=self._cur_slot, show_frame=False,
                 render_size=self._render)
@@ -486,12 +488,14 @@ class Context:
         fast_ok = (cfg.bit_depth == 8 and cfg.chroma_sampling == "420"
                    and not tiled)
         if is_key:
-            if fast_ok and grain is None and not aq:
+            lr = self.speed_settings.lr and not tiled
+            if fast_ok and grain is None and not aq and not lr:
                 from rav1e_tpu.pipeline.tpu_intra import encode_keyframe_tpu
                 data, rec = encode_keyframe_tpu(
                     planes, qindex=q, cdef=cdef, speed=cfg.speed,
                     render_size=self._render,
                     seq_extra=self._seq_extra or None)
+                self._lr_seq = False
             else:
                 from rav1e_tpu.pipeline.intra import encode_keyframe
                 data, rec = encode_keyframe(
@@ -501,9 +505,13 @@ class Context:
                     chroma_sampling=cfg.chroma_sampling,
                     tile_cols_log2=self._tile_cols_log2,
                     tile_rows_log2=self._tile_rows_log2,
-                    lr=self.speed_settings.lr and not tiled,
+                    lr=lr,
                     render_size=self._render,
                     seq_extra=self._seq_extra or None)
+                # sequence header carries enable_restoration: every
+                # frame of this GOP must then signal lr_params, which
+                # only the reference inter path can do
+                self._lr_seq = lr
             if self._metadata:
                 # metadata OBUs ride the keyframe temporal unit, after
                 # the 2-byte temporal delimiter and before the frame
@@ -513,7 +521,8 @@ class Context:
             self._order_hint = 0
         else:
             self._order_hint += 1
-            if fast_ok and not aq:
+            if fast_ok and not aq and not getattr(self, "_lr_seq",
+                                                  False):
                 from rav1e_tpu.pipeline.tpu_inter import encode_pframe_tpu
                 data, rec = encode_pframe_tpu(
                     planes, self._ref_rec, qindex=q,
@@ -521,6 +530,7 @@ class Context:
                     film_grain=grain, render_size=self._render,
                     use_split=self.speed_settings.partition_split_rdo,
                     use_satd=self.speed_settings.satd_subpel,
+                    refine16=self.speed_settings.mv_refine_16,
                     dscale=dscale, src_dev=src_dev)
             else:
                 from rav1e_tpu.pipeline.inter import encode_pframe
@@ -530,6 +540,7 @@ class Context:
                     film_grain=grain, aq=aq, bit_depth=cfg.bit_depth,
                     tile_cols_log2=self._tile_cols_log2,
                     tile_rows_log2=self._tile_rows_log2,
+                    lr=getattr(self, "_lr_seq", False),
                     render_size=self._render)
         self._ref_rec = [np.asarray(p).astype(np.int32) for p in rec]
         self._rc.update(ftype, q, len(data) * 8)

@@ -24,6 +24,7 @@ class SpeedSettings:
     search_px: int = 16            # full-pel search radius
     subpel: bool = True
     satd_subpel: bool = False      # SATD distortion in subpel descent
+    mv_refine_16: bool = False     # per-16 subpel ME in split RDO
     bframes: bool = False          # reordered GOPs
     # in-loop filters
     cdef_auto: bool = True
@@ -41,6 +42,7 @@ class SpeedSettings:
             search_px=24 if s <= 2 else (16 if s <= 6 else 8),
             subpel=s <= 8,
             satd_subpel=s <= 6,    # rav1e use_satd_subpel (speeds <=6)
+            mv_refine_16=s <= 4,   # cheap {parent,0} per-16 MVs above
             bframes=s <= 4,
             cdef_auto=s <= 8,
             lr=s <= 3,

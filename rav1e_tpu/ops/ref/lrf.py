@@ -76,10 +76,12 @@ def wiener_filter_unit(src: np.ndarray, y0: int, x0: int, h: int, w: int,
 
 
 def solve_wiener(rec: np.ndarray, src: np.ndarray, y0: int, x0: int,
-                 h: int, w: int, n_iter: int = 3):
+                 h: int, w: int, n_iter: int = 3,
+                 chroma: bool = False):
     """Least-squares separable Wiener taps for one unit (alternating
     h/v solves; rav1e src/lrf.rs equivalent). Returns (vtaps, htaps)
-    integer taps within the spec ranges."""
+    integer taps within the spec ranges. chroma=True pins tap 0 to 0
+    (spec 5-tap chroma Wiener)."""
     r = rec[max(0, y0 - 3): y0 + h + 3, max(0, x0 - 3): x0 + w + 3]
     oy = y0 - max(0, y0 - 3)
     ox = x0 - max(0, x0 - 3)
@@ -98,12 +100,14 @@ def solve_wiener(rec: np.ndarray, src: np.ndarray, y0: int, x0: int,
             out += f[k] * np.roll(img, 3 - k, axis=axis)
         return out
 
+    j0 = 1 if chroma else 0      # chroma: tap 0 pinned to 0 (5-tap)
+
     def solve_axis(img, axis):
-        """LS for 3 free taps on `img` vs target; basis_j =
+        """LS for the free taps on `img` vs target; basis_j =
         (x[-j-1] + x[+j+1] - 2 x0) / 128."""
         x0c = img[3 + oy: 3 + oy + h, 3 + ox: 3 + ox + w]
         B = []
-        for j in range(3):
+        for j in range(j0, 3):
             d = 3 - j  # tap distance 3,2,1 for coeff index 0,1,2
             m = (np.roll(img, d, axis=axis) + np.roll(img, -d, axis=axis)
                  - 2 * img)[3 + oy: 3 + oy + h, 3 + ox: 3 + ox + w]
@@ -113,13 +117,15 @@ def solve_wiener(rec: np.ndarray, src: np.ndarray, y0: int, x0: int,
         try:
             sol, *_ = np.linalg.lstsq(Bm, resid, rcond=None)
         except np.linalg.LinAlgError:
-            return list(WIENER_TAPS_MID)
-        taps = [int(np.clip(round(sol[j]), WIENER_TAPS_MIN[j],
-                            WIENER_TAPS_MAX[j])) for j in range(3)]
+            return list(WIENER_TAPS_MID[j0:] if chroma
+                        else WIENER_TAPS_MID)
+        taps = [0] * j0 + [
+            int(np.clip(round(sol[j - j0]), WIENER_TAPS_MIN[j],
+                        WIENER_TAPS_MAX[j])) for j in range(j0, 3)]
         return taps
 
-    v = list(WIENER_TAPS_MID)
-    hh = list(WIENER_TAPS_MID)
+    v = [0] * j0 + list(WIENER_TAPS_MID[j0:])
+    hh = list(v)
     for _ in range(n_iter):
         vert = apply_axis(pad, v, 0)
         hh = solve_axis(vert, 1)
@@ -306,3 +312,104 @@ def count_units(frame_size: int, unit_size: int) -> int:
     """Spec count_units_in_frame: last partial unit merges when under
     half a unit."""
     return max((frame_size + (unit_size >> 1)) // unit_size, 1)
+
+
+def search_lr_plane(rec: np.ndarray, src: np.ndarray, bd: int = 8,
+                    ss: int = 0, unit_size: int = 64,
+                    sgr_sets=(0, 3, 6, 9, 11, 12, 14, 15),
+                    chroma: bool | None = None):
+    """Per-LRU restoration search for one plane (rav1e src/lrf.rs +
+    rdo_loop_decision's LRF leg, restructured as a whole-plane pass):
+    for every unit try the LS-solved Wiener taps, three Wiener
+    presets, and the LS-weight SGRPROJ sets; keep the SSE winner or
+    None.
+
+    rec: CDEF-output plane (the LR input); src: source plane.
+    ss: chroma subsampling shift (0 luma) — scales the stripe
+    geometry (64>>ss rows, first stripe short by 8>>ss) and pins
+    Wiener tap 0 for chroma. Returns (grid [n_ur][n_uc] of
+    None | ("W", vt, ht) | ("S", set, xqd0, xqd1), filtered plane,
+    used flag)."""
+    if chroma is None:
+        chroma = ss > 0
+    off = 8 >> ss
+    stripe_h = 64 >> ss
+    stripe_h0 = stripe_h - off
+    ph, pw = rec.shape
+    n_ur = count_units(ph, unit_size)
+    n_uc = count_units(pw, unit_size)
+    grid = [[None] * n_uc for _ in range(n_ur)]
+    presets = ([(3, -7, 15), (0, -4, 8), (1, -2, 4)] if not chroma
+               else [(0, -7, 15), (0, -4, 8), (0, -2, 4)])
+    filtered = rec.copy()
+    used = False
+    for ur in range(n_ur):
+        y0 = 0 if ur == 0 else ur * unit_size - off
+        y1 = ph if ur == n_ur - 1 else (ur + 1) * unit_size - off
+        for uc in range(n_uc):
+            x0 = uc * unit_size
+            x1 = pw if uc == n_uc - 1 else (uc + 1) * unit_size
+            h, w = y1 - y0, x1 - x0
+            base_sse = int(((rec[y0:y1, x0:x1]
+                             - src[y0:y1, x0:x1]) ** 2).sum())
+            vs, hs = solve_wiener(rec, src, y0, x0, h, w,
+                                  chroma=chroma)
+            best = None
+            for vt, ht in [(vs, hs)] + [(tp, tp) for tp in presets]:
+                f = wiener_filter_unit(rec, y0, x0, h, w, vt, ht,
+                                       bd=bd, stripe_h0=stripe_h0,
+                                       stripe_h=stripe_h)
+                sse = int(((f - src[y0:y1, x0:x1]) ** 2).sum())
+                if sse < base_sse and (best is None or sse < best[0]):
+                    best = (sse, tuple(vt), tuple(ht), f)
+            if best is not None:
+                best_sse, best_f = best[0], best[3]
+                best_kind = ("W", best[1], best[2])
+            else:
+                best_sse, best_f, best_kind = base_sse, None, None
+            tgt = src[y0:y1, x0:x1].astype(np.int64) << 4
+            for sset in sgr_sets:
+                s0c, s1c = SGR_PARAMS_S[sset]
+                f0s, f1s, us = sgr_pass_outputs(
+                    rec, y0, x0, h, w, sset, bd=bd,
+                    stripe_h0=stripe_h0, stripe_h=stripe_h)
+                a = (f0s - us).ravel().astype(np.float64)
+                b = (f1s - us).ravel().astype(np.float64)
+                t = ((tgt - us) << 7).ravel().astype(np.float64)
+                if s0c and s1c:
+                    g = np.array([[a @ a, a @ b], [a @ b, b @ b]])
+                    rhs = np.array([a @ t, b @ t])
+                    try:
+                        w0f, w2f = np.linalg.solve(
+                            g + 1e-6 * np.eye(2), rhs)
+                    except np.linalg.LinAlgError:
+                        continue
+                elif s0c:
+                    w0f = (a @ t) / max(a @ a, 1e-9)
+                    w2f = 0.0
+                else:
+                    w0f = 0.0
+                    w2f = (b @ t) / max(b @ b, 1e-9)
+                x0q = max(SGRPROJ_XQD_MIN[0],
+                          min(SGRPROJ_XQD_MAX[0], round(w0f)))
+                if not s0c:
+                    x0q = 0
+                x1q = max(SGRPROJ_XQD_MIN[1],
+                          min(SGRPROJ_XQD_MAX[1],
+                              (1 << 7) - x0q - round(w2f)))
+                if not s1c:
+                    x1q = max(SGRPROJ_XQD_MIN[1],
+                              min(SGRPROJ_XQD_MAX[1], (1 << 7) - x0q))
+                fs = sgr_filter_unit(rec, y0, x0, h, w, sset, x0q,
+                                     x1q, bd=bd, stripe_h0=stripe_h0,
+                                     stripe_h=stripe_h)
+                sse = int(((fs - src[y0:y1, x0:x1]) ** 2).sum())
+                if sse < best_sse:
+                    best_sse = sse
+                    best_kind = ("S", sset, x0q, x1q)
+                    best_f = fs
+            if best_kind is not None:
+                grid[ur][uc] = best_kind
+                filtered[y0:y1, x0:x1] = best_f
+                used = True
+    return grid, filtered, used

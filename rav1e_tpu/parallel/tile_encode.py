@@ -85,9 +85,12 @@ def _tiled_core(h: int, w: int, T: int, mesh: Mesh,
     col = P(None, "tile")
     rep = P()
     blk = P("tile")
-    out_specs = (blk, blk, blk, blk, blk, blk, blk, blk, blk,
-                 col, col, col, rep, rep, blk, blk, blk,
-                 blk, blk)      # + choice, mvb8 (two-ref outputs)
+    # p_frame_body output order: mv8, skip, scanline, lv_y/u/v,
+    # rec y/u/v (columns), lf, cdef_idx, split, mv16, skip16,
+    # choice, mvb8
+    out_specs = (blk, blk, blk, blk, blk, blk,
+                 col, col, col, rep, rep,
+                 blk, blk, blk, blk, blk)
     step = jax.jit(shard_map(
         tile_fn, mesh=mesh,
         in_specs=(col, col, col, rep, rep, rep, rep, rep, rep, rep),
@@ -116,10 +119,10 @@ def encode_pframe_tiled(planes, ref_planes, qindex: int, mesh: Mesh,
                 jnp.asarray([0, 0, 0, 0, 3], jnp.int32), rd)
     (mv8, skip, lv_y, lv_u, lv_v, split, mv16,
      skip16) = _fetch_outputs(outs)
-    lf = int(np.asarray(outs[12]).reshape(-1)[0])
-    rec = [np.asarray(outs[9]).astype(np.int32),
-           np.asarray(outs[10]).astype(np.int32),
-           np.asarray(outs[11]).astype(np.int32)]
+    lf = int(np.asarray(outs[9]).reshape(-1)[0])
+    rec = [np.asarray(outs[6]).astype(np.int32),
+           np.asarray(outs[7]).astype(np.int32),
+           np.asarray(outs[8]).astype(np.int32)]
 
     # ---- per-tile packing (independent entropy state per spec) ----
     from rav1e_tpu.entropy.native import NativeTileWriter

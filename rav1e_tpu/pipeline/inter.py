@@ -83,7 +83,8 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
                   cdef: tuple | None = None, bit_depth: int = 8,
                   refresh_flags: int = 0x01, ref_slot: int = 0,
                   show_frame: bool = True, film_grain=None,
-                  aq: bool = False, render_size: tuple | None = None):
+                  aq: bool = False, render_size: tuple | None = None,
+                  lr: bool = False):
     """Encode one P frame against ref_planes. Returns (packet, recon).
 
     Per 32x32 block: full-pel SAD search (+- search_px) with quarter-pel
@@ -118,7 +119,9 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
     ti = TileInfo(seq, tile_cols_log2, tile_rows_log2)
     mi_rows, mi_cols = h >> 2, w >> 2
     cls = TileWriter
-    if use_native:
+    if use_native and not lr:
+        # the native packer has no LR-unit syntax; LR frames take the
+        # python writer
         try:
             from rav1e_tpu.entropy.native import NativeTileWriter
             cls = NativeTileWriter
@@ -182,8 +185,10 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
             blocks[(r, c)] = d
 
     # pack per tile (ME/MC are frame-global; entropy state is
-    # tile-local, so each tile gets its own writer and local coords)
-    tiles = []
+    # tile-local, so each tile gets its own writer and local coords;
+    # tile BYTES are produced after the in-loop filter decisions so
+    # LR unit data can ride the tile bitstream)
+    tws = []
     for t_r in range(ti.n_rows):
         for t_c in range(ti.n_cols):
             r0 = min(ti.row_starts[t_r] * 16, mi_rows)
@@ -198,7 +203,7 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
             tblocks = {(r - r0, c - c0): d
                        for (r, c), d in blocks.items()
                        if r0 <= r < r1 and c0 <= c < c1}
-            tiles.append(tw.write_tile(tparts, tblocks))
+            tws.append((tw, tparts, tblocks))
     if cdef is not None:
         from rav1e_tpu.ops.ref.cdef import cdef_filter_frame
         skip8 = np.zeros((h // 8, w // 8), bool)
@@ -207,6 +212,14 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
         cdef_filter_frame(rec, skip8, fp.cdef_y_pri, fp.cdef_y_sec,
                           fp.cdef_uv_pri, fp.cdef_uv_sec,
                           fp.cdef_damping, bd=bit_depth)
+    if lr and ti.n_rows == 1 and ti.n_cols == 1:
+        # restoration for inter frames too (rav1e enables LRF on all
+        # frame types); sequence-level gating comes from the keyframe
+        from rav1e_tpu.pipeline.lr import apply_lr_frame
+        seq.enable_restoration = True
+        fp.lr_types = apply_lr_frame(rec, [y, u, v], tws[0][0],
+                                     bit_depth, 1, 1)
+    tiles = [tw.write_tile(p_t, b_t) for tw, p_t, b_t in tws]
     ref_idx = [ref_slot] * 7
     pkt = interframe_packet(seq, fp, ti, tiles, order_hint,
                             refresh_flags=refresh_flags, ref_idx=ref_idx,
@@ -237,7 +250,8 @@ def encode_bframe(planes, ref_fwd, ref_bwd, qindex: int = 100,
                   slot_fwd: int = 0, slot_bwd: int = 1,
                   ref_hints: tuple | None = None,
                   render_size: tuple | None = None,
-                  refresh_flags: int = 0, show_frame: bool = True):
+                  refresh_flags: int = 0, show_frame: bool = True,
+                  lr: bool = False):
     """Encode one B frame: per block, single-ref prediction from either
     LAST (the forward recon, slot 0) or ALTREF (the backward recon,
     slot 1) - whichever wins the block SAD. No compound yet.
@@ -264,7 +278,9 @@ def encode_bframe(planes, ref_fwd, ref_bwd, qindex: int = 100,
     ti = TileInfo(seq)
     mi_rows, mi_cols = h >> 2, w >> 2
     cls = TileWriter
-    if use_native:
+    if use_native and not lr:
+        # the native packer has no LR-unit syntax; LR frames take the
+        # python writer
         try:
             from rav1e_tpu.entropy.native import NativeTileWriter
             cls = NativeTileWriter
@@ -354,7 +370,6 @@ def encode_bframe(planes, ref_fwd, ref_bwd, qindex: int = 100,
             blocks[(r, c)] = d
     tw = cls(mi_rows, mi_cols, qindex, inter_frame=True,
              ref_sign_bias={1: False, 7: True}, reference_select=True)
-    tile = tw.write_tile(partitions, blocks)
     if cdef is not None:
         from rav1e_tpu.ops.ref.cdef import cdef_filter_frame
         skip8 = np.zeros((h // 8, w // 8), bool)
@@ -363,6 +378,12 @@ def encode_bframe(planes, ref_fwd, ref_bwd, qindex: int = 100,
         cdef_filter_frame(rec, skip8, fp.cdef_y_pri, fp.cdef_y_sec,
                           fp.cdef_uv_pri, fp.cdef_uv_sec,
                           fp.cdef_damping, bd=bit_depth)
+    if lr:
+        from rav1e_tpu.pipeline.lr import apply_lr_frame
+        seq.enable_restoration = True
+        fp.lr_types = apply_lr_frame(rec, [y, u, v], tw,
+                                     bit_depth, 1, 1)
+    tile = tw.write_tile(partitions, blocks)
     # ref_idx: LAST -> slot_fwd, ..., ALTREF(idx 6) -> slot_bwd
     ref_idx = [slot_fwd] * 6 + [slot_bwd]
     fp.reference_select = True

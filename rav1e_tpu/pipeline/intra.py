@@ -178,12 +178,12 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
             px0, px1 = mi_c0 * 4, mi_c1 * 4
             cy0, cy1 = py0 >> ss_y, py1 >> ss_y
             cx0, cx1 = px0 >> ss_x, px1 >> ss_x
-            tile, recs, tskip = _encode_keyframe_tile(
+            tw_t, parts_t, blocks_t, recs, tskip = _encode_keyframe_tile(
                 [y[py0:py1, px0:px1], u[cy0:cy1, cx0:cx1],
                  v[cy0:cy1, cx0:cx1]],
-                qindex, block, bit_depth, ss_x, ss_y, lr=lr,
+                qindex, block, bit_depth, ss_x, ss_y,
                 seg_alt_q=seg_alt_q, edge_filter=edge_filter)
-            tiles.append(tile)
+            tiles.append((tw_t, parts_t, blocks_t))
             frame_rec[0][py0:py1, px0:px1] = recs[0]
             frame_rec[1][cy0:cy1, cx0:cx1] = recs[1]
             frame_rec[2][cy0:cy1, cx0:cx1] = recs[2]
@@ -195,7 +195,14 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
         cdef_filter_frame(frame_rec, skip8, fp.cdef_y_pri, fp.cdef_y_sec,
                           fp.cdef_uv_pri, fp.cdef_uv_sec,
                           fp.cdef_damping, bd=bit_depth)
-    pkt = keyframe_packet(seq, fp, ti, tiles)
+    if lr:
+        from rav1e_tpu.pipeline.lr import apply_lr_frame
+        fp.lr_types = apply_lr_frame(frame_rec, [y, u, v],
+                                     tiles[0][0], bit_depth,
+                                     ss_x, ss_y)
+    tile_bytes = [tw_t.write_tile(p_t, b_t)
+                  for tw_t, p_t, b_t in tiles]
+    pkt = keyframe_packet(seq, fp, ti, tile_bytes)
     return pkt, frame_rec
 
 
@@ -411,131 +418,9 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
         for c in range(0, mi_cols, 16):
             plan(r, c, BlockSize.B64X64)
 
-    if lr:
-        # per-unit Wiener decision: try preset taps, keep SSE winners;
-        # the filter applies to the final recon (in-loop, post-CDEF)
-        from rav1e_tpu.ops.ref.lrf import (SGRPROJ_XQD_MAX,
-                                           SGRPROJ_XQD_MIN, SGR_PARAMS_S,
-                                           count_units, sgr_filter_unit,
-                                           sgr_pass_outputs, solve_wiener,
-                                           wiener_filter_unit)
-        rec_y = states[0].rec
-        src_y = states[0].src
-        ph, pw = rec_y.shape
-        n_ur = count_units(ph, 64)
-        n_uc = count_units(pw, 64)
-        grid = [[None] * n_uc for _ in range(n_ur)]
-        import os as _os
-        _force = _os.environ.get("RAV1E_TPU_LR_FORCE")  # debug hook
-        if _force:
-            parts = _force.split(",")
-            kind = ((parts[0], int(parts[1]), int(parts[2]), int(parts[3]))
-                    if parts[0] == "S" else
-                    ("W", tuple(map(int, parts[1:4])),
-                     tuple(map(int, parts[4:7]))))
-            filtered = rec_y.copy()
-            for ur in range(n_ur):
-                y0 = 0 if ur == 0 else ur * 64 - 8
-                y1 = ph if ur == n_ur - 1 else (ur + 1) * 64 - 8
-                for uc in range(n_uc):
-                    x0 = uc * 64
-                    x1 = pw if uc == n_uc - 1 else (uc + 1) * 64
-                    grid[ur][uc] = kind
-                    if kind[0] == "S":
-                        f = sgr_filter_unit(rec_y, y0, x0, y1 - y0,
-                                            x1 - x0, kind[1], kind[2],
-                                            kind[3], bd=bit_depth)
-                    else:
-                        f = wiener_filter_unit(rec_y, y0, x0, y1 - y0,
-                                               x1 - x0, kind[1], kind[2],
-                                               bd=bit_depth)
-                    filtered[y0:y1, x0:x1] = f
-            states[0].rec = filtered
-            tw.lr_data = {"types": [1, 0, 0], "units": {0: grid}}
-            tile = tw.write_tile(partitions, blocks)
-            return tile, [s.rec for s in states], \
-                tw.skip_grid.astype(bool)
-        presets = [(3, -7, 15), (0, -4, 8), (1, -2, 4)]
-        filtered = rec_y.copy()
-        for ur in range(n_ur):
-            # units are stripe-aligned: pixel -> unit row is
-            # (y + 8) // 64 (spec RESTORATION_UNIT_OFFSET), so unit 0
-            # covers 56 rows and the last unit absorbs the remainder
-            y0 = 0 if ur == 0 else ur * 64 - 8
-            y1 = ph if ur == n_ur - 1 else (ur + 1) * 64 - 8
-            for uc in range(n_uc):
-                x0 = uc * 64
-                x1 = pw if uc == n_uc - 1 else (uc + 1) * 64
-                base_sse = int(((rec_y[y0:y1, x0:x1]
-                                 - src_y[y0:y1, x0:x1]) ** 2).sum())
-                vs, hs = solve_wiener(rec_y, src_y, y0, x0,
-                                      y1 - y0, x1 - x0)
-                best = None
-                for vt, ht in [(vs, hs)] + [(tp, tp) for tp in presets]:
-                    f = wiener_filter_unit(rec_y, y0, x0, y1 - y0,
-                                           x1 - x0, vt, ht,
-                                           bd=bit_depth)
-                    sse = int(((f - src_y[y0:y1, x0:x1]) ** 2).sum())
-                    if sse < base_sse and (best is None or sse < best[0]):
-                        best = (sse, vt, ht, f)
-                best_kind = None
-                if best is not None:
-                    best_kind = ("W", best[1], best[2])
-                    best_sse, best_f = best[0], best[3]
-                else:
-                    best_sse, best_f = base_sse, None
-                # SGRPROJ candidates: per-set LS weight solve on the
-                # raw pass outputs.  The coded pair (xqd0, xqd1)
-                # weights pass 0 and the SOURCE; pass 1 receives
-                # 128 - xqd0 - xqd1 (see lrf.sgr_weights).
-                tgt = src_y[y0:y1, x0:x1].astype(np.int64) << 4
-                for sset in (0, 3, 6, 9, 11, 12, 14, 15):
-                    s0c, s1c = SGR_PARAMS_S[sset]
-                    f0s, f1s, us = sgr_pass_outputs(
-                        rec_y, y0, x0, y1 - y0, x1 - x0, sset,
-                        bd=bit_depth)
-                    a = (f0s - us).ravel().astype(np.float64)
-                    b = (f1s - us).ravel().astype(np.float64)
-                    t = ((tgt - us) << 7).ravel().astype(np.float64)
-                    # solve min ||w0*a + w2*b - t|| for active passes
-                    if s0c and s1c:
-                        g = np.array([[a @ a, a @ b], [a @ b, b @ b]])
-                        rhs = np.array([a @ t, b @ t])
-                        try:
-                            w0f, w2f = np.linalg.solve(
-                                g + 1e-6 * np.eye(2), rhs)
-                        except np.linalg.LinAlgError:
-                            continue
-                    elif s0c:
-                        w0f = (a @ t) / max(a @ a, 1e-9)
-                        w2f = 0.0
-                    else:
-                        w0f = 0.0
-                        w2f = (b @ t) / max(b @ b, 1e-9)
-                    x0q = max(SGRPROJ_XQD_MIN[0],
-                              min(SGRPROJ_XQD_MAX[0], round(w0f)))
-                    if not s0c:
-                        x0q = 0
-                    # coded second value is the source weight w1
-                    x1q = max(SGRPROJ_XQD_MIN[1],
-                              min(SGRPROJ_XQD_MAX[1],
-                                  (1 << 7) - x0q - round(w2f)))
-                    if not s1c:
-                        x1q = max(SGRPROJ_XQD_MIN[1],
-                                  min(SGRPROJ_XQD_MAX[1],
-                                      (1 << 7) - x0q))
-                    fs = sgr_filter_unit(rec_y, y0, x0, y1 - y0,
-                                         x1 - x0, sset, x0q, x1q,
-                                         bd=bit_depth)
-                    sse = int(((fs - src_y[y0:y1, x0:x1]) ** 2).sum())
-                    if sse < best_sse:
-                        best_sse = sse
-                        best_kind = ("S", sset, x0q, x1q)
-                        best_f = fs
-                if best_kind is not None:
-                    grid[ur][uc] = best_kind
-                    filtered[y0:y1, x0:x1] = best_f
-        states[0].rec = filtered
-        tw.lr_data = {"types": [1, 0, 0], "units": {0: grid}}
-    tile = tw.write_tile(partitions, blocks)
-    return tile, [s.rec for s in states], tw.skip_grid.astype(bool)
+    # tile writing is deferred to the frame level so in-loop filter
+    # decisions computed on the full frame (CDEF, loop restoration)
+    # can be signaled inside the tile bitstream (rav1e interleaves
+    # rdo_loop_decision per-SB; we batch whole-frame, same stream)
+    return (tw, partitions, blocks, [s.rec for s in states],
+            tw.skip_grid.astype(bool))

@@ -45,14 +45,6 @@ from rav1e_tpu.ops.tpu import transforms as T
 PAD = 32          # ref padding: search 16 + subpel drift + filter taps
 SEARCH = 16       # full-pel search radius (px)
 
-# compact level transfer: ship the first K scan-ordered coefficients
-# as int8 (the tunneled chip's host link is the bottleneck - profiled
-# 267ms/frame for full int8 planes at 1080p); blocks that are denser
-# or saturate are re-fetched at full precision in ONE gather.
-K32 = 160         # luma TX_32X32 slots kept
-K16 = 96          # chroma TX_16X16 slots kept
-
-
 def _scans():
     from rav1e_tpu.entropy.coeffs import TX_CLASS_2D, scan_order
     return (scan_order(32, 32, TX_CLASS_2D),
@@ -312,7 +304,7 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
                  by, bx, nby, nbx, deblock_fn=None, cdef_fn=None,
                  use_split: bool = True,
                  ryp2=None, rup2=None, rvp2=None, ds16=None,
-                 use_satd: bool = False):
+                 use_satd: bool = False, refine16: bool = True):
     """The whole batched P-frame encode for one (sub)frame region:
     grouped-conv full-pel search, subpel descent, 32-NONE vs 16-SPLIT
     RDO with the WriterCounter-twin rate model, skip RD, recon
@@ -504,57 +496,95 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
             lv_y16, lv_u8, lv_v8, rec_y, rec_u, rec_v,
             deblock_fn, cdef_fn, choice, mvb8)
 
-    # two patch gathers (parent- and zero-centered), then the whole
-    # per-16 refinement runs in-patch: drift <= 8+4+2+2 = 16 eighth-pel
-    # = 2 px (M=2)
-    mv_par = jnp.repeat(mv8, 4, axis=0)
-    patch_p, pir_p, pic_p = _gather_patch(ryp, by16, bx16, mv_par,
-                                          16, 0, 2)
-    mv_zero = jnp.zeros_like(mv_par)
-    patch_z, pir_z, pic_z = _gather_patch(ryp, by16, bx16, mv_zero,
-                                          16, 0, 2)
-
     ds16f = ds16.reshape(B * 4)
+    mv_par = jnp.repeat(mv8, 4, axis=0)
+    if refine16:
+        # two patch gathers (parent- and zero-centered), then the
+        # whole per-16 refinement runs in-patch: drift <= 8+4+2+2 =
+        # 16 eighth-pel = 2 px (M=2)
+        patch_p, pir_p, pic_p = _gather_patch(ryp, by16, bx16, mv_par,
+                                              16, 0, 2)
+        mv_zero = jnp.zeros_like(mv_par)
+        patch_z, pir_z, pic_z = _gather_patch(ryp, by16, bx16, mv_zero,
+                                              16, 0, 2)
 
-    def cost16_from(patch, ir0, ic0, mv):
-        pred = _mc_patch(patch, ir0, ic0, by16, bx16, mv, 16, 0, 2)
-        d = (pred - blks16).astype(jnp.float32)
-        return (ds16f * jnp.sum(d * d, axis=(1, 2))
-                + lam * (rd["mv_bits"][jnp.abs(mv[:, 0])]
-                         + rd["mv_bits"][jnp.abs(mv[:, 1])]))
+        def cost16_from(patch, ir0, ic0, mv):
+            pred = _mc_patch(patch, ir0, ic0, by16, bx16, mv, 16, 0, 2)
+            d = (pred - blks16).astype(jnp.float32)
+            return (ds16f * jnp.sum(d * d, axis=(1, 2))
+                    + lam * (rd["mv_bits"][jnp.abs(mv[:, 0])]
+                             + rd["mv_bits"][jnp.abs(mv[:, 1])]))
 
-    best_par = cost16_from(patch_p, pir_p, pic_p, mv_par)
-    zcost = cost16_from(patch_z, pir_z, pic_z, mv_zero)
-    zbet = zcost < best_par
-    mv16 = jnp.where(zbet[:, None], 0, mv_par)
-    best16 = jnp.minimum(best_par, zcost)
-    z3 = zbet[:, None, None]
-    patch16 = jnp.where(z3, patch_z, patch_p)
-    pir16 = jnp.where(zbet, pir_z, pir_p)
-    pic16 = jnp.where(zbet, pic_z, pic_p)
+        best_par = cost16_from(patch_p, pir_p, pic_p, mv_par)
+        zcost = cost16_from(patch_z, pir_z, pic_z, mv_zero)
+        zbet = zcost < best_par
+        mv16 = jnp.where(zbet[:, None], 0, mv_par)
+        best16 = jnp.minimum(best_par, zcost)
+        z3 = zbet[:, None, None]
+        patch16 = jnp.where(z3, patch_z, patch_p)
+        pir16 = jnp.where(zbet, pir_z, pir_p)
+        pic16 = jnp.where(zbet, pic_z, pic_p)
 
-    def cost16_of(mv):
-        return cost16_from(patch16, pir16, pic16, mv)
+        def cost16_of(mv):
+            return cost16_from(patch16, pir16, pic16, mv)
 
-    for step_sz in (8, 4, 2, 2):
-        cands = jnp.stack([
-            mv16 + jnp.array([-step_sz, 0]),
-            mv16 + jnp.array([step_sz, 0]),
-            mv16 + jnp.array([0, -step_sz]),
-            mv16 + jnp.array([0, step_sz])], 0)
-        costs = jnp.stack([cost16_of(c) for c in cands], 0)
-        k = jnp.argmin(costs, axis=0)
-        cbest = jnp.take_along_axis(costs, k[None], 0)[0]
-        cmv = jnp.take_along_axis(
-            cands, k[None, :, None].repeat(2, -1), 0)[0]
-        better = cbest < best16
-        mv16 = jnp.where(better[:, None], cmv, mv16)
-        best16 = jnp.where(better, cbest, best16)
+        for step_sz in (8, 4, 2, 2):
+            cands = jnp.stack([
+                mv16 + jnp.array([-step_sz, 0]),
+                mv16 + jnp.array([step_sz, 0]),
+                mv16 + jnp.array([0, -step_sz]),
+                mv16 + jnp.array([0, step_sz])], 0)
+            costs = jnp.stack([cost16_of(c) for c in cands], 0)
+            k = jnp.argmin(costs, axis=0)
+            cbest = jnp.take_along_axis(costs, k[None], 0)[0]
+            cmv = jnp.take_along_axis(
+                cands, k[None, :, None].repeat(2, -1), 0)[0]
+            better = cbest < best16
+            mv16 = jnp.where(better[:, None], cmv, mv16)
+            best16 = jnp.where(better, cbest, best16)
 
-    pred_y16 = _mc_patch(patch16, pir16, pic16, by16, bx16, mv16,
-                         16, 0, 2)
-    pred_u8 = _mc_batch(rup, by16 // 2, bx16 // 2, mv16, 8, 1)
-    pred_v8 = _mc_batch(rvp, by16 // 2, bx16 // 2, mv16, 8, 1)
+        pred_y16 = _mc_patch(patch16, pir16, pic16, by16, bx16, mv16,
+                             16, 0, 2)
+        pred_u8 = _mc_batch(rup, by16 // 2, bx16 // 2, mv16, 8, 1)
+        pred_v8 = _mc_batch(rvp, by16 // 2, bx16 // 2, mv16, 8, 1)
+    else:
+        # cheap split (faster presets): per-16 MV in {parent, 0} —
+        # BOTH predictions are free: parent = quadrant of the
+        # 32-block subpel prediction; zero = the co-located reference
+        # block (a static reshape + row gather, no dynamic slices,
+        # no 8-tap work). Profiled: the full per-16 descent was 217
+        # ms of a 385 ms 1080p step.
+        hF = ryp.shape[0] - 2 * PAD
+        wF = ryp.shape[1] - 2 * PAD
+        idx16 = (by16 // 16) * (wF // 16) + bx16 // 16
+        refy16 = to_blocks(
+            jax.lax.slice(ryp, (PAD, PAD), (PAD + hF, PAD + wF)), 16)
+        refu8 = to_blocks(
+            jax.lax.slice(rup, (PAD // 2, PAD // 2),
+                          (PAD // 2 + hF // 2, PAD // 2 + wF // 2)), 8)
+        refv8 = to_blocks(
+            jax.lax.slice(rvp, (PAD // 2, PAD // 2),
+                          (PAD // 2 + hF // 2, PAD // 2 + wF // 2)), 8)
+        pz_y = jnp.take(refy16, idx16, axis=0)
+        pz_u = jnp.take(refu8, idx16, axis=0)
+        pz_v = jnp.take(refv8, idx16, axis=0)
+        pp_y = quads(pred_y, 16)
+        pp_u = quads(pred_u, 8)
+        pp_v = quads(pred_v, 8)
+
+        def cost16_pred(pred, mv):
+            d = (pred - blks16).astype(jnp.float32)
+            return (ds16f * jnp.sum(d * d, axis=(1, 2))
+                    + lam * (rd["mv_bits"][jnp.abs(mv[:, 0])]
+                             + rd["mv_bits"][jnp.abs(mv[:, 1])]))
+
+        zbet = (cost16_pred(pz_y, jnp.zeros_like(mv_par))
+                < cost16_pred(pp_y, mv_par))
+        mv16 = jnp.where(zbet[:, None], 0, mv_par)
+        z3 = zbet[:, None, None]
+        pred_y16 = jnp.where(z3, pz_y, pp_y)
+        pred_u8 = jnp.where(z3, pz_u, pp_u)
+        pred_v8 = jnp.where(z3, pz_v, pp_v)
     lv_y16, r2_y16 = code(blks16 - pred_y16, TxSize.TX_16X16)
     lv_u8, r2_u8 = code(ub8 - pred_u8, TxSize.TX_8X8)
     lv_v8, r2_v8 = code(vb8 - pred_v8, TxSize.TX_8X8)
@@ -641,58 +671,12 @@ def _finish_outputs(y, u, v, h, tw, nby, nbx, B, rd, cdef_prm, mv8,
             [fry, fru, frv], srcs32, skip8, cdef_prm[4])
     else:
         cdef_idx = jnp.int32(0)
-    # compact level transfer (see K32/K16 above): first K scan
-    # slots as int8 + per-block dense/saturation flag. Split
-    # blocks pack K/4 scan slots per 16/8 sub-TX into the same
-    # buffers (host rebuilds by the split flag).
-    scan32, scan16, scan8 = _scans()
-    sp32 = np.empty(1024, np.int32)
-    sp32[scan32] = np.arange(1024)
-    sp16 = np.empty(256, np.int32)
-    sp16[scan16] = np.arange(256)
-    sp8 = np.empty(64, np.int32)
-    sp8[scan8] = np.arange(64)
-    spm32 = jnp.asarray(sp32.reshape(32, 32))
-    spm16 = jnp.asarray(sp16.reshape(16, 16))
-    spm8 = jnp.asarray(sp8.reshape(8, 8))
-    eob_y = jnp.max(jnp.where(lv_y != 0, spm32 + 1, 0), axis=(1, 2))
-    eob_u = jnp.max(jnp.where(lv_u != 0, spm16 + 1, 0), axis=(1, 2))
-    eob_v = jnp.max(jnp.where(lv_v != 0, spm16 + 1, 0), axis=(1, 2))
-    eob_y16 = jnp.max(jnp.where(lv_y16 != 0, spm16 + 1, 0),
-                      axis=(1, 2)).reshape(B, 4).max(axis=1)
-    eob_u8 = jnp.max(jnp.where(lv_u8 != 0, spm8 + 1, 0),
-                     axis=(1, 2)).reshape(B, 4).max(axis=1)
-    eob_v8 = jnp.max(jnp.where(lv_v8 != 0, spm8 + 1, 0),
-                     axis=(1, 2)).reshape(B, 4).max(axis=1)
-    sat = ((jnp.abs(lv_y) > 127).any(axis=(1, 2))
-           | (jnp.abs(lv_u) > 127).any(axis=(1, 2))
-           | (jnp.abs(lv_v) > 127).any(axis=(1, 2)))
-    dense_none = (eob_y > K32) | (eob_u > K16) | (eob_v > K16)
-    dense_split = ((eob_y16 > K32 // 4) | (eob_u8 > K16 // 4)
-                   | (eob_v8 > K16 // 4))
-    dense = sat | jnp.where(split, dense_split, dense_none)
-    scn_y = jnp.take(lv_y.reshape(B, 1024),
-                     jnp.asarray(scan32[:K32]), axis=1)
-    scn_u = jnp.take(lv_u.reshape(B, 256),
-                     jnp.asarray(scan16[:K16]), axis=1)
-    scn_v = jnp.take(lv_v.reshape(B, 256),
-                     jnp.asarray(scan16[:K16]), axis=1)
-    scs_y = jnp.take(lv_y16.reshape(B, 4, 256),
-                     jnp.asarray(scan16[:K32 // 4]),
-                     axis=2).reshape(B, K32)
-    scs_u = jnp.take(lv_u8.reshape(B, 4, 64),
-                     jnp.asarray(scan8[:K16 // 4]),
-                     axis=2).reshape(B, K16)
-    scs_v = jnp.take(lv_v8.reshape(B, 4, 64),
-                     jnp.asarray(scan8[:K16 // 4]),
-                     axis=2).reshape(B, K16)
-    sc_y = jnp.where(split[:, None], scs_y, scn_y)
-    sc_u = jnp.where(split[:, None], scs_u, scn_u)
-    sc_v = jnp.where(split[:, None], scs_v, scn_v)
-    return (mv8, skip, dense,
-            jnp.clip(sc_y, -127, 127).astype(jnp.int8),
-            jnp.clip(sc_u, -127, 127).astype(jnp.int8),
-            jnp.clip(sc_v, -127, 127).astype(jnp.int8),
+    # scan-order level line [B, 1536]: y(1024) | u(256) | v(256),
+    # split blocks contribute per-sub-TX scans in quadrant order —
+    # the nonzero stream (pack_outputs) makes the transfer scale with
+    # the actual coefficient content
+    sl = scanline(lv_y, lv_u, lv_v, lv_y16, lv_u8, lv_v8, split, B)
+    return (mv8, skip, sl,
             lv_y.astype(jnp.int16), lv_u.astype(jnp.int16),
             lv_v.astype(jnp.int16),
             fry.astype(jnp.uint8), fru.astype(jnp.uint8),
@@ -700,6 +684,25 @@ def _finish_outputs(y, u, v, h, tw, nby, nbx, B, rd, cdef_prm, mv8,
             split, mv16_out.astype(jnp.int32),
             skip16_out, choice.astype(jnp.int32),
             mvb8.astype(jnp.int32))
+
+
+def scanline(lv_y, lv_u, lv_v, lv_y16, lv_u8, lv_v8, split, B):
+    """Device-side [B, 1536] int16 scan-ordered level line (split
+    blocks: quadrant-major sub-TX scans)."""
+    scan32, scan16, scan8 = _scans()
+    y_n = jnp.take(lv_y.reshape(B, 1024), jnp.asarray(scan32), axis=1)
+    u_n = jnp.take(lv_u.reshape(B, 256), jnp.asarray(scan16), axis=1)
+    v_n = jnp.take(lv_v.reshape(B, 256), jnp.asarray(scan16), axis=1)
+    y_s = jnp.take(lv_y16.reshape(B, 4, 256),
+                   jnp.asarray(scan16), axis=2).reshape(B, 1024)
+    u_s = jnp.take(lv_u8.reshape(B, 4, 64),
+                   jnp.asarray(scan8), axis=2).reshape(B, 256)
+    v_s = jnp.take(lv_v8.reshape(B, 4, 64),
+                   jnp.asarray(scan8), axis=2).reshape(B, 256)
+    s1 = split[:, None]
+    return jnp.concatenate(
+        [jnp.where(s1, y_s, y_n), jnp.where(s1, u_s, u_n),
+         jnp.where(s1, v_s, v_n)], axis=1).astype(jnp.int16)
 
 
 
@@ -710,14 +713,59 @@ def _finish_outputs(y, u, v, h, tw, nby, nbx, B, rd, cdef_prm, mv8,
 # source planes upload as ONE packed uint8 array.
 
 HDR_BYTES = 32       # per-block control record (mv/flags/choice)
-LVL_BYTES = K32 + 2 * K16   # compact scan-order levels per coded block
+SL_LEN = 1536        # scan-line length per block (y 1024 + u/v 256)
 
 
-def _lvl_cap(B: int) -> int:
-    """Static capacity of the compacted level payload: covers frames
-    with up to ~25% coded (non-skip) blocks in one transfer; busier
-    frames spill the excess through the full-precision dense gather."""
-    return max(64, B // 4)
+def _stream_cap(B: int) -> int:
+    """Static capacity of the nonzero-coefficient stream (entries).
+    64 nonzeros/block average covers busy frames; blocks past the cap
+    fall back to the full-precision dense gather."""
+    return B * 64
+
+
+@lru_cache(maxsize=2)
+def _stream_maps():
+    """Host inverse maps: stream position p (0..1535) -> plane and
+    raster (spatial) index within the plane's level array, for the
+    NONE-partition and SPLIT layouts."""
+    scan32, scan16, scan8 = _scans()
+    pl = np.empty(SL_LEN, np.int8)
+    pl[:1024] = 0
+    pl[1024:1280] = 1
+    pl[1280:] = 2
+    idx_ns = np.empty(SL_LEN, np.int32)
+    idx_ns[:1024] = scan32
+    idx_ns[1024:1280] = scan16
+    idx_ns[1280:] = scan16
+    idx_sp = np.empty(SL_LEN, np.int32)
+    for p in range(1024):
+        q, s = p // 256, scan16[p % 256]
+        sr, sc = s // 16, s % 16
+        idx_sp[p] = (16 * (q // 2) + sr) * 32 + 16 * (q % 2) + sc
+    for base in (1024, 1280):
+        for k in range(256):
+            q, s = k // 64, scan8[k % 64]
+            sr, sc = s // 8, s % 8
+            idx_sp[base + k] = (8 * (q // 2) + sr) * 16 + 8 * (q % 2) + sc
+    return pl, idx_ns, idx_sp
+
+
+def nnz_stream(sl, cap):
+    """Device-side stream compaction of the scan line: returns
+    (counts [B] int32, pos [cap+1] int32, val [cap+1] int32) with the
+    nonzero entries of `sl` laid out block-major; entries past `cap`
+    land in the dump slot (host full-gathers those blocks)."""
+    B, L = sl.shape
+    flat = sl.reshape(-1).astype(jnp.int32)
+    nz = flat != 0
+    g = jnp.cumsum(nz.astype(jnp.int32))
+    tgt = jnp.where(nz & (g <= cap), g - 1, cap)
+    posl = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32),
+                            (B, L)).reshape(-1)
+    pos = jnp.zeros((cap + 1,), jnp.int32).at[tgt].set(posl)
+    val = jnp.zeros((cap + 1,), jnp.int32).at[tgt].set(flat)
+    counts = jnp.sum(nz.reshape(B, L).astype(jnp.int32), axis=1)
+    return counts, pos, val
 
 
 def _i16_hi_lo(x):
@@ -728,32 +776,34 @@ def _i16_hi_lo(x):
 
 
 def pack_outputs(o):
-    """Device-side: p_frame_body outputs -> ONE flat int8 buffer of
-    [B+1 header rows | CAP+1 compacted level rows].
+    """Device-side: p_frame_body outputs -> ONE flat int8 buffer:
+    [B+1 header rows | counts int16[B] | pos int16[cap+1] |
+    val int16[cap+1]].
 
     Header row (HDR_BYTES): mv8 hi/lo int16[2] | mv16 int16[4,2] |
-    7 flag bytes (skip, dense, split, skip16[4]) | mvb8 hi/lo
-    int16[2] | ref choice. Tail header row: [lf_lvl, cdef_idx].
+    7 flag bytes (skip, 0, split, skip16[4]) | mvb8 hi/lo int16[2] |
+    ref choice. Tail header row: [lf_lvl, cdef_idx].
 
-    Level rows (LVL_BYTES = sc_y[K32]|sc_u[K16]|sc_v[K16]): only
-    coded (non-skip, non-dense) blocks ship levels, stream-compacted
-    by block order; blocks past CAP spill to the dense gather. Skip
-    blocks (the majority at working q) cost 32 bytes, not 384."""
-    mv8, skip, dense = o[0], o[1], o[2]
-    sc_y, sc_u, sc_v = o[3], o[4], o[5]
-    lf, cdef_idx = o[12], o[13]
-    split, mv16, skip16 = o[14], o[15], o[16]
-    choice, mvb8 = o[17], o[18]
+    Levels travel as a stream of (scan position, value) pairs for the
+    NONZERO coefficients only (nnz_stream), so the transfer scales
+    with the frame's actual coefficient content instead of a fixed
+    per-block budget — the tunneled chip link is ~17 MB/s."""
+    mv8, skip, sl = o[0], o[1], o[2]
+    lf, cdef_idx = o[9], o[10]
+    split, mv16, skip16 = o[11], o[12], o[13]
+    choice, mvb8 = o[14], o[15]
     B = mv8.shape[0]
-    cap = _lvl_cap(B)
+    cap = _stream_cap(B)
 
     def words(x):
         hi, lo = _i16_hi_lo(x.reshape(B, -1))
         return jnp.stack([hi, lo.astype(jnp.int8)], -1).reshape(B, -1)
 
+    zero = jnp.zeros((B, 1), jnp.int8)
     flags = jnp.concatenate(
-        [skip[:, None], dense[:, None], split[:, None], skip16],
-        axis=1).astype(jnp.int8)
+        [skip[:, None].astype(jnp.int8), zero,
+         split[:, None].astype(jnp.int8),
+         skip16.astype(jnp.int8)], axis=1)
     hdr = jnp.concatenate([words(mv8), words(mv16), flags,
                            words(mvb8),
                            choice[:, None].astype(jnp.int8)], axis=1)
@@ -762,39 +812,42 @@ def pack_outputs(o):
     tail = tail.at[0, 1].set(cdef_idx.astype(jnp.int8))
     hdr = jnp.concatenate([hdr, tail], axis=0)
 
-    coded = (~skip) & (~dense)
-    rank = jnp.cumsum(coded.astype(jnp.int32)) - 1
-    rows = jnp.where(coded & (rank < cap), rank, cap)
-    sc = jnp.concatenate([sc_y, sc_u, sc_v], axis=1)  # [B, LVL_BYTES]
-    lvl = jnp.zeros((cap + 1, LVL_BYTES), jnp.int8).at[rows].set(
-        sc, mode="drop")
-    return jnp.concatenate([hdr.reshape(-1), lvl.reshape(-1)])
+    counts, pos, val = nnz_stream(sl, cap)
+
+    def words1(x):
+        x = x.astype(jnp.int32)
+        return jnp.stack([(x >> 8).astype(jnp.int8),
+                          (x & 255).astype(jnp.int8)], -1).reshape(-1)
+
+    return jnp.concatenate([hdr.reshape(-1), words1(counts),
+                            words1(pos), words1(val)])
 
 
 def unpack_outputs(buf: np.ndarray):
-    """Host-side twin of pack_outputs. Returns (mv8, skip, dense,
-    sc_y, sc_u, sc_v, lf_lvl, cdef_idx, split, mv16, skip16,
-    choice, mvb8) with sc_* scattered back to per-block [B, K] rows
-    (zeros for skip blocks); `dense` also marks coded blocks that
-    spilled past the compaction capacity."""
+    """Host-side twin of pack_outputs. Returns (mv8, skip, split,
+    mv16, skip16, choice, mvb8, lf_lvl, cdef_idx, counts, pos, val)
+    — the caller (_fetch_packed / unpack_stream) scatters the stream
+    back into per-block level arrays."""
     buf = np.asarray(buf)
     total = buf.shape[0]
-    # solve B from total = (B+1)*HDR + (cap(B)+1)*LVL; cap has two
-    # regimes (fixed 64 floor vs B//4), so try both and verify
-    def size_of(b):
-        return (b + 1) * HDR_BYTES + (_lvl_cap(b) + 1) * LVL_BYTES
-
-    B = (total - 65 * LVL_BYTES) // HDR_BYTES - 1      # cap == 64
-    if size_of(max(B, 1)) != total:
-        B = max(1, (total - HDR_BYTES - LVL_BYTES)     # cap == B//4
-                // (HDR_BYTES + LVL_BYTES // 4) - 4)
-        while size_of(B) < total:
-            B += 1
-    assert size_of(B) == total, total
-    cap = _lvl_cap(B)
-    hdr = buf[:(B + 1) * HDR_BYTES].reshape(B + 1, HDR_BYTES)
-    lvl = buf[(B + 1) * HDR_BYTES:].reshape(cap + 1, LVL_BYTES)
+    # total = (B+1)*HDR + 2B + 4*(64B+1)
+    B = (total - HDR_BYTES - 4) // (HDR_BYTES + 2 + 4 * 64)
+    assert (B + 1) * HDR_BYTES + 2 * B + 4 * (_stream_cap(B) + 1) \
+        == total, total
+    cap = _stream_cap(B)
+    o0 = (B + 1) * HDR_BYTES
+    hdr = buf[:o0].reshape(B + 1, HDR_BYTES)
     body, tail = hdr[:-1], hdr[-1]
+
+    def unw(raw):
+        w = raw.reshape(-1, 2).astype(np.int32)
+        return w[:, 0] * 256 + (w[:, 1] & 0xFF)
+
+    counts = unw(buf[o0:o0 + 2 * B])
+    o1 = o0 + 2 * B
+    pos = unw(buf[o1:o1 + 2 * (cap + 1)])
+    o2 = o1 + 2 * (cap + 1)
+    val = unw(buf[o2:]).astype(np.int16)
 
     def unwords(cols, shape):
         w = body[:, cols].reshape(B, -1, 2).astype(np.int16)
@@ -803,25 +856,43 @@ def unpack_outputs(buf: np.ndarray):
     mv8 = unwords(slice(0, 4), (B, 2)).astype(np.int32)
     mv16 = unwords(slice(4, 20), (B, 4, 2)).astype(np.int32)
     flags = body[:, 20:27] != 0
-    skip, dense, split = flags[:, 0], flags[:, 1].copy(), flags[:, 2]
+    skip, split = flags[:, 0], flags[:, 2]
     skip16 = flags[:, 3:7]
     mvb8 = unwords(slice(27, 31), (B, 2)).astype(np.int32)
     choice = body[:, 31].astype(np.int32)
-    # re-derive the device's compaction order (block-index cumsum)
-    coded = ~skip & ~dense
-    rank = np.cumsum(coded) - 1
-    sel = coded & (rank < cap)
-    dense |= coded & (rank >= cap)     # spilled -> full-price gather
-    sc_y = np.zeros((B, K32), np.int16)
-    sc_u = np.zeros((B, K16), np.int16)
-    sc_v = np.zeros((B, K16), np.int16)
-    rows = lvl[rank[sel]]
-    sc_y[sel] = rows[:, :K32]
-    sc_u[sel] = rows[:, K32:K32 + K16]
-    sc_v[sel] = rows[:, K32 + K16:]
-    return (mv8, skip, dense, sc_y, sc_u, sc_v,
-            int(tail[0]), int(tail[1]), split, mv16, skip16,
-            choice, mvb8)
+    return (mv8, skip, split, mv16, skip16, choice, mvb8,
+            int(tail[0]), int(tail[1]), counts, pos, val)
+
+
+def unpack_stream(counts, pos, val, split, cap=None):
+    """Scatter the nonzero stream back into per-block level arrays
+    (lv_y [B,32,32], lv_u/lv_v [B,16,16] int16). Returns the arrays
+    plus `over` — blocks whose entries ran past the stream capacity
+    (caller full-gathers those)."""
+    B = counts.shape[0]
+    if cap is None:
+        cap = _stream_cap(B)
+    ends = np.cumsum(counts)
+    n = int(min(ends[-1], cap))
+    over = ends > cap
+    lv_y = np.zeros((B, 1024), np.int16)
+    lv_u = np.zeros((B, 256), np.int16)
+    lv_v = np.zeros((B, 256), np.int16)
+    if n:
+        p = pos[:n]
+        v = val[:n]
+        blk = np.searchsorted(ends, np.arange(n), side="right")
+        pl, idx_ns, idx_sp = _stream_maps()
+        plane = pl[p]
+        sidx = np.where(split[blk], idx_sp[p], idx_ns[p])
+        m = plane == 0
+        lv_y[blk[m], sidx[m]] = v[m]
+        m = plane == 1
+        lv_u[blk[m], sidx[m]] = v[m]
+        m = plane == 2
+        lv_v[blk[m], sidx[m]] = v[m]
+    return (lv_y.reshape(B, 32, 32), lv_u.reshape(B, 16, 16),
+            lv_v.reshape(B, 16, 16), over)
 
 
 def pack_src(planes) -> np.ndarray:
@@ -841,7 +912,8 @@ def _unpack_src(buf, h, w):
 @lru_cache(maxsize=8)
 def _core(h: int, w: int, use_cdef: bool = False,
           use_deblock: bool = True, use_split: bool = True,
-          two_ref: bool = False, use_satd: bool = False):
+          two_ref: bool = False, use_satd: bool = False,
+          refine16: bool = True):
     """Single-chip batched P-frame step for an h x w frame. qindex
     enters as a traced argument (dcq/acq scalars) so rate control
     never triggers a recompile. Takes the packed source buffer and
@@ -887,8 +959,8 @@ def _core(h: int, w: int, use_cdef: bool = False,
                              jnp.asarray(bx), nby, nbx, deblock_fn,
                              cdef_fn, False, ryp2, rup2, rvp2,
                              ds16=ds, use_satd=use_satd)
-            return (pack_outputs(o), o[6], o[7], o[8], o[9], o[10],
-                    o[11])
+            return (pack_outputs(o), o[3], o[4], o[5],
+                    o[6], o[7], o[8])
     else:
         @jax.jit
         def step(src, ry, ru, rv, dcq, acq, cdef_prm, rd, ds):
@@ -898,9 +970,9 @@ def _core(h: int, w: int, use_cdef: bool = False,
                              cdef_prm, rd, jnp.asarray(by),
                              jnp.asarray(bx), nby, nbx, deblock_fn,
                              cdef_fn, use_split, ds16=ds,
-                             use_satd=use_satd)
-            return (pack_outputs(o), o[6], o[7], o[8], o[9], o[10],
-                    o[11])
+                             use_satd=use_satd, refine16=refine16)
+            return (pack_outputs(o), o[3], o[4], o[5],
+                    o[6], o[7], o[8])
 
     @jax.jit
     def gather_dense(lv_y, lv_u, lv_v, idx):
@@ -914,102 +986,47 @@ def _core(h: int, w: int, use_cdef: bool = False,
     return step, (nby, nbx), gather_dense
 
 
-def _quads_np(x, n):
-    B = x.shape[0]
-    return (x.reshape(B, 2, n, 2, n).transpose(0, 1, 3, 2, 4)
-            .reshape(B, 4, n, n))
-
-
-def _unquads_np(x, n):
-    B = x.shape[0]
-    return (x.reshape(B, 2, 2, n, n).transpose(0, 1, 3, 2, 4)
-            .reshape(B, 2 * n, 2 * n))
-
-
 def _fetch_outputs(o):
-    """Pull one frame's pipeline outputs to host: compact scan-order
-    int8 slices + ONE full-precision gather for dense/saturated
-    blocks (minimizes bytes AND round-trips over the tunnel).
+    """Pull one frame's RAW p_frame_body outputs to host (tile-
+    parallel path: outputs are already sharded small). Scatters the
+    scan line back to spatial level arrays.
 
     Returns (mv8, skip32, lv_y, lv_u, lv_v, split, mv16, skip16);
     for split blocks the level arrays hold the four sub-TX blocks in
     quadrant layout."""
-    import jax.numpy as jnp
-    scan32, scan16, scan8 = _scans()
     mv8 = np.asarray(o[0])
     skip = np.asarray(o[1])
-    dense = np.asarray(o[2])
-    split = np.asarray(o[14])
-    mv16 = np.asarray(o[15])
-    skip16 = np.asarray(o[16])
+    split = np.asarray(o[11])
+    mv16 = np.asarray(o[12])
+    skip16 = np.asarray(o[13])
+    sl = np.asarray(o[2])
     B = mv8.shape[0]
-    sc_y = np.asarray(o[3]).astype(np.int16)
-    sc_u = np.asarray(o[4]).astype(np.int16)
-    sc_v = np.asarray(o[5]).astype(np.int16)
+    pl, idx_ns, idx_sp = _stream_maps()
     lv_y = np.zeros((B, 1024), np.int16)
     lv_u = np.zeros((B, 256), np.int16)
     lv_v = np.zeros((B, 256), np.int16)
-    ns = ~split
-    lv_y[np.ix_(ns, scan32[:K32])] = sc_y[ns]
-    lv_u[np.ix_(ns, scan16[:K16])] = sc_u[ns]
-    lv_v[np.ix_(ns, scan16[:K16])] = sc_v[ns]
-    lv_y = lv_y.reshape(B, 32, 32)
-    lv_u = lv_u.reshape(B, 16, 16)
-    lv_v = lv_v.reshape(B, 16, 16)
-    sidx = np.nonzero(split)[0]
-    if len(sidx):
-        S = len(sidx)
-        sy = np.zeros((S, 4, 256), np.int16)
-        sy[:, :, scan16[:K32 // 4]] = sc_y[sidx].reshape(S, 4, K32 // 4)
-        su = np.zeros((S, 4, 64), np.int16)
-        su[:, :, scan8[:K16 // 4]] = sc_u[sidx].reshape(S, 4, K16 // 4)
-        sv = np.zeros((S, 4, 64), np.int16)
-        sv[:, :, scan8[:K16 // 4]] = sc_v[sidx].reshape(S, 4, K16 // 4)
-        lv_y[sidx] = _unquads_np(sy.reshape(S, 4, 16, 16), 16)
-        lv_u[sidx] = _unquads_np(su.reshape(S, 4, 8, 8), 8)
-        lv_v[sidx] = _unquads_np(sv.reshape(S, 4, 8, 8), 8)
-    didx = np.nonzero(dense)[0]
-    if len(didx):
-        gi = jnp.asarray(didx)
-        lv_y[didx] = np.asarray(jnp.take(o[6], gi, axis=0))
-        lv_u[didx] = np.asarray(jnp.take(o[7], gi, axis=0))
-        lv_v[didx] = np.asarray(jnp.take(o[8], gi, axis=0))
-    return mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16
+    blk, p = np.nonzero(sl)
+    v = sl[blk, p]
+    plane = pl[p]
+    sidx = np.where(split[blk], idx_sp[p], idx_ns[p])
+    for pi, lv in ((0, lv_y), (1, lv_u), (2, lv_v)):
+        m = plane == pi
+        lv[blk[m], sidx[m]] = v[m]
+    return (mv8, skip, lv_y.reshape(B, 32, 32),
+            lv_u.reshape(B, 16, 16), lv_v.reshape(B, 16, 16),
+            split, mv16, skip16)
 
 
 def _fetch_packed(o, gather_dense):
     """Pull one frame's decisions to host: ONE transfer of the packed
-    buffer + (rarely) one batched gather for dense/saturated blocks.
+    buffer + (rarely) one batched gather for stream-overflow blocks.
 
     Returns (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16,
     lf_lvl, cdef_idx, choice, mvb8)."""
-    (mv8, skip, dense, sc_y, sc_u, sc_v, lf, cdef_idx, split, mv16,
-     skip16, choice, mvb8) = unpack_outputs(o[0])
-    scan32, scan16, scan8 = _scans()
-    B = mv8.shape[0]
-    lv_y = np.zeros((B, 1024), np.int16)
-    lv_u = np.zeros((B, 256), np.int16)
-    lv_v = np.zeros((B, 256), np.int16)
-    ns = ~split
-    lv_y[np.ix_(ns, scan32[:K32])] = sc_y[ns]
-    lv_u[np.ix_(ns, scan16[:K16])] = sc_u[ns]
-    lv_v[np.ix_(ns, scan16[:K16])] = sc_v[ns]
-    lv_y = lv_y.reshape(B, 32, 32)
-    lv_u = lv_u.reshape(B, 16, 16)
-    lv_v = lv_v.reshape(B, 16, 16)
-    sidx = np.nonzero(split)[0]
-    if len(sidx):
-        S = len(sidx)
-        sy = np.zeros((S, 4, 256), np.int16)
-        sy[:, :, scan16[:K32 // 4]] = sc_y[sidx].reshape(S, 4, K32 // 4)
-        su = np.zeros((S, 4, 64), np.int16)
-        su[:, :, scan8[:K16 // 4]] = sc_u[sidx].reshape(S, 4, K16 // 4)
-        sv = np.zeros((S, 4, 64), np.int16)
-        sv[:, :, scan8[:K16 // 4]] = sc_v[sidx].reshape(S, 4, K16 // 4)
-        lv_y[sidx] = _unquads_np(sy.reshape(S, 4, 16, 16), 16)
-        lv_u[sidx] = _unquads_np(su.reshape(S, 4, 8, 8), 8)
-        lv_v[sidx] = _unquads_np(sv.reshape(S, 4, 8, 8), 8)
-    didx = np.nonzero(dense)[0]
+    (mv8, skip, split, mv16, skip16, choice, mvb8, lf, cdef_idx,
+     counts, pos, val) = unpack_outputs(o[0])
+    lv_y, lv_u, lv_v, over = unpack_stream(counts, pos, val, split)
+    didx = np.nonzero(over)[0]
     if len(didx):
         g = np.asarray(gather_dense(o[1], o[2], o[3],
                                     jnp.asarray(didx)))
@@ -1123,7 +1140,8 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
                       use_split: bool = True,
                       refresh_flags: int = 0x01, ref_slot: int = 0,
                       show_frame: bool = True, dscale=None,
-                      src_dev=None, use_satd: bool = False):
+                      src_dev=None, use_satd: bool = False,
+                      refine16: bool = True):
     """TPU-batched P frame. Same bitstream contract as encode_pframe.
 
     ref_dev: optional device-resident reference planes (from a prior
@@ -1137,7 +1155,8 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
     assert h % 32 == 0 and w % 32 == 0
     step, (nby, nbx), gather_dense = _core(h, w, cdef is not None,
                                            use_split=use_split,
-                                           use_satd=use_satd)
+                                           use_satd=use_satd,
+                                           refine16=refine16)
     if ref_dev is None:
         ref_dev = tuple(jnp.asarray(np.asarray(p, np.uint8))
                         for p in ref_planes)
@@ -1305,7 +1324,8 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
     # satd_subpel (<=6) switches the subpel metric to Hadamard
     step, _, gather_dense = _core(h, w, cdef is not None,
                                   use_split=speed <= 7,
-                                  use_satd=speed <= 6)
+                                  use_satd=speed <= 6,
+                                  refine16=speed <= 4)
     dcq = jnp.int32(dc_q_lut(qindex))
     acq = jnp.int32(ac_q_lut(qindex))
     rd = build_rd_inter(qindex)

@@ -38,6 +38,7 @@ from rav1e_tpu.entropy.obu import FrameParams, Sequence, TileInfo, keyframe_pack
 from rav1e_tpu.entropy.tile import BlockDecision, TileWriter
 from rav1e_tpu.ops.ref.quant import ac_q, dc_q, tx_scale
 from rav1e_tpu.ops.tpu import transforms as T
+from rav1e_tpu.pipeline.tpu_inter import nnz_stream, scanline
 from rav1e_tpu.ops.tpu.intra import predict_modes
 
 LB = 32  # luma block
@@ -581,6 +582,125 @@ def _deblock_search_jit(planes, srcs, base, blk_y, blk_c, split_map):
     return deblock_search(planes, srcs, base, blk_y, blk_c, 8, split_map)
 
 
+KF_META = 16         # per-block meta row: flags + modes + cfl
+
+
+def _kf_stream_cap(B: int) -> int:
+    """Keyframes are coefficient-dense; double the P-path stream
+    budget (128 nonzeros/block average)."""
+    return B * 128
+
+
+@partial(jax.jit,
+         static_argnames=("split_rdo", "use_cdef", "use_deblock"))
+def _finalize_kf(state, srcs, base_lf, cdef_prm, split_rdo, use_cdef,
+                 use_deblock):
+    """Device-side keyframe epilogue: skip flags, in-loop deblock
+    level search, CDEF, and compact meta packing so the host does ONE
+    small fetch instead of pulling the full int32 state (~25 MB at
+    1080p over the tunneled chip link).
+
+    Returns (meta flat int8 = [B+1 hdr rows | counts | nonzero
+    pos/val stream], rec_packed [3h/2, w] uint8, lv_y/lv_u/lv_v
+    int16 device arrays for the overflow gather). Hdr row: flags
+    (skip, split) | my[5] | mu[5] | cf[2]; tail row: [lf_lvl]."""
+    ry, ru, rv, ly, lu, lvv, my, mu, sp, cf = state
+    bh, bw = sp.shape
+    B = bh * bw
+    split = sp.reshape(B)
+
+    def quads(x, n):
+        Bq = x.shape[0]
+        return (x.reshape(Bq, 2, n, 2, n).transpose(0, 1, 3, 2, 4)
+                .reshape(Bq, 4, n, n))
+
+    ly_f = ly.reshape(B, LB, LB)
+    lu_f = lu.reshape(B, CB, CB)
+    lv_f = lvv.reshape(B, CB, CB)
+    ly_q = quads(ly_f, LB // 2)
+    lu_q = quads(lu_f, CB // 2)
+    lv_q = quads(lv_f, CB // 2)
+
+    # ---- skip flags (device twin of the host all-zero test) ------
+    nz_y = (ly_q != 0).any(axis=(2, 3))
+    nz_u = (lu_q != 0).any(axis=(2, 3))
+    nz_v = (lv_q != 0).any(axis=(2, 3))
+    skip_q = ~(nz_y | nz_u | nz_v)                      # [B, 4]
+    skip_b = skip_q.all(axis=1)                         # [B]
+
+    # ---- nonzero coefficient stream (shared with the P path;
+    # imported at module scope — importing inside this traced
+    # function would create tpu_inter's module-level device constants
+    # under the tracer and leak) -----
+    sl = scanline(ly_f, lu_f, lv_f, ly_q, lu_q, lv_q, split, B)
+    counts, pos, val = nnz_stream(sl, _kf_stream_cap(B))
+
+    # ---- in-loop filters, all on device --------------------------
+    planes = [_from_blocks_j(ry), _from_blocks_j(ru),
+              _from_blocks_j(rv)]
+    lf_lvl = jnp.int32(0)
+    if use_deblock:
+        from rav1e_tpu.ops.tpu.deblock import deblock_search
+        blk_y, blk_c = (16, 8) if split_rdo else (LB, CB)
+        src_planes = [_from_blocks_j(s) for s in srcs]
+        lf_lvl, planes = deblock_search(
+            planes, src_planes, base_lf, blk_y, blk_c, 8,
+            sp if split_rdo else None)
+    if use_cdef:
+        from rav1e_tpu.ops.tpu.cdef import cdef_filter_frame_jax
+        sk = jnp.where(split[:, None], skip_q,
+                       skip_b[:, None].repeat(4, 1)).reshape(bh, bw,
+                                                             2, 2)
+        skip8 = (sk.transpose(0, 2, 1, 3).reshape(bh * 2, bw * 2)
+                 .repeat(2, 0).repeat(2, 1))
+        planes = cdef_filter_frame_jax(
+            [p.astype(jnp.int32) for p in planes], skip8,
+            cdef_prm[0], cdef_prm[1], cdef_prm[2], cdef_prm[3],
+            cdef_prm[4])
+
+    h, w = bh * LB, bw * LB
+    rec_packed = jnp.concatenate(
+        [planes[0].astype(jnp.uint8),
+         jnp.concatenate([planes[1].astype(jnp.uint8),
+                          planes[2].astype(jnp.uint8)], axis=1)],
+        axis=0)
+
+    # ---- meta buffer: hdr rows | counts | pos | val --------------
+    flags = jnp.stack([skip_b, split], axis=1).astype(jnp.int8)
+    row = jnp.concatenate(
+        [flags, my.reshape(B, 5).astype(jnp.int8),
+         mu.reshape(B, 5).astype(jnp.int8),
+         cf.reshape(B, 2).astype(jnp.int8)], axis=1)
+    row = jnp.pad(row, ((0, 0), (0, KF_META - row.shape[1])))
+    tail = jnp.zeros((1, KF_META), jnp.int8)
+    tail = tail.at[0, 0].set(lf_lvl.astype(jnp.int8))
+    hdr = jnp.concatenate([row, tail], axis=0)
+
+    def words1(x):
+        x = x.astype(jnp.int32)
+        return jnp.stack([(x >> 8).astype(jnp.int8),
+                          (x & 255).astype(jnp.int8)], -1).reshape(-1)
+
+    meta = jnp.concatenate([hdr.reshape(-1), words1(counts),
+                            words1(pos), words1(val)])
+    return (meta, rec_packed, ly_f.astype(jnp.int16),
+            lu_f.astype(jnp.int16), lv_f.astype(jnp.int16))
+
+
+def _from_blocks_j(a):
+    """jnp twin of _from_blocks."""
+    bh, bw, b, _ = a.shape
+    return a.transpose(0, 2, 1, 3).reshape(bh * b, bw * b)
+
+
+@jax.jit
+def _gather_dense_kf(lv_y, lv_u, lv_v, idx):
+    return jnp.concatenate(
+        [jnp.take(lv_y, idx, 0).reshape(idx.shape[0], -1),
+         jnp.take(lv_u, idx, 0).reshape(idx.shape[0], -1),
+         jnp.take(lv_v, idx, 0).reshape(idx.shape[0], -1)], axis=1)
+
+
 def _to_blocks(p: np.ndarray, b: int) -> np.ndarray:
     h, w = p.shape
     return (p.reshape(h // b, b, w // b, b).transpose(0, 2, 1, 3)
@@ -671,26 +791,49 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     state = wavefront_frame(state, (sy, su, sv), jnp.asarray(ii_tab),
                             jnp.asarray(jj_tab), jnp.asarray(mask_tab),
                             rd, modes_y, modes_uv, modes_quad, split_rdo)
-    (ry, ru, rv, ly, lu, lvv, my, mu, sp,
-     cfm) = [np.asarray(s) for s in state]
 
-    # ---- in-loop deblock: whole-frame level search (jitted) ---------------
+    # ---- device epilogue: filters + compact meta, ONE fetch ---------------
     from rav1e_tpu.ops.ref.deblock import level_from_qindex
-    lf = 0
-    if deblock:
-        from rav1e_tpu.ops.tpu.deblock import deblock_search
-        base = level_from_qindex(qindex)
-        split_arg = jnp.asarray(sp) if split_rdo else None
-        blk_y, blk_c = (16, 8) if split_rdo else (LB, CB)
-        lvl, db = _deblock_search_jit(
-            [jnp.asarray(_from_blocks(ry)), jnp.asarray(_from_blocks(ru)),
-             jnp.asarray(_from_blocks(rv))],
-            [jnp.asarray(y.astype(np.int32)),
-             jnp.asarray(u.astype(np.int32)),
-             jnp.asarray(v.astype(np.int32))],
-            jnp.int32(base), blk_y, blk_c, split_arg)
-        lf = int(lvl)
-        deblocked = [np.asarray(p) for p in db]
+    cdef_prm = jnp.asarray(
+        list(cdef) if cdef is not None else [0, 0, 0, 0, 3], jnp.int32)
+    meta_d, rec_packed_d, lvy_d, lvu_d, lvv_d = _finalize_kf(
+        state, (sy, su, sv), jnp.int32(level_from_qindex(qindex)),
+        cdef_prm, split_rdo, cdef is not None, deblock)
+    meta = np.asarray(meta_d)
+    B = bh * bw
+    cap = _kf_stream_cap(B)
+    o0 = (B + 1) * KF_META
+    body = meta[:o0].reshape(B + 1, KF_META)
+    body, mtail = body[:-1], body[-1]
+    lf = int(mtail[0])
+    sp = (body[:, 1] != 0).reshape(bh, bw)
+    my = body[:, 2:7].astype(np.int32).reshape(bh, bw, 5)
+    mu = body[:, 7:12].astype(np.int32).reshape(bh, bw, 5)
+    cfm = body[:, 12:14].astype(np.int32).reshape(bh, bw, 2)
+
+    def unw(raw):
+        w = raw.reshape(-1, 2).astype(np.int32)
+        return w[:, 0] * 256 + (w[:, 1] & 0xFF)
+
+    o1 = o0 + 2 * B
+    counts = unw(meta[o0:o1])
+    o2 = o1 + 2 * (cap + 1)
+    pos = unw(meta[o1:o2])
+    val = unw(meta[o2:]).astype(np.int16)
+    from rav1e_tpu.pipeline.tpu_inter import unpack_stream
+    lv_y, lv_u, lv_v, over = unpack_stream(counts, pos, val,
+                                           sp.reshape(B),
+                                           cap=cap)
+    didx = np.nonzero(over)[0]
+    if len(didx):
+        g = np.asarray(_gather_dense_kf(lvy_d, lvu_d, lvv_d,
+                                        jnp.asarray(didx)))
+        lv_y[didx] = g[:, :1024].reshape(-1, 32, 32)
+        lv_u[didx] = g[:, 1024:1280].reshape(-1, 16, 16)
+        lv_v[didx] = g[:, 1280:].reshape(-1, 16, 16)
+    ly = lv_y.reshape(bh, bw, 32, 32)
+    lu = lv_u.reshape(bh, bw, 16, 16)
+    lvv = lv_v.reshape(bh, bw, 16, 16)
 
     # ---- pack (host, serial; C++ packer when available) -------------------
     seq = Sequence(width=w, height=h, enable_cdef=cdef is not None)
@@ -758,31 +901,10 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
             partitions[(r, c, int(BlockSize.B64X64))] = PartitionType.SPLIT
     tile = tw.write_tile(partitions, blocks)
     pkt = keyframe_packet(seq, fp, ti, [tile])
-    if deblock and lf > 0:
-        rec = deblocked
-    else:
-        rec = [_from_blocks(ry), _from_blocks(ru), _from_blocks(rv)]
-    if cdef is not None:
-        from rav1e_tpu.ops.tpu.cdef import cdef_filter_frame_jax
-        skip_blk = np.array(
-            [[blocks[(bi * 8, bj * 8)].skip
-              if (bi * 8, bj * 8) in blocks else
-              all(blocks[(bi * 8 + dr, bj * 8 + dc)].skip
-                  for dr, dc in ((0, 0), (0, 4), (4, 0), (4, 4)))
-              for bj in range(bw)] for bi in range(bh)])
-        skip8 = np.repeat(np.repeat(skip_blk, 4, 0), 4, 1)
-        # per-16 split blocks: use each quadrant's own skip flag
-        for bi in range(bh):
-            for bj in range(bw):
-                if sp[bi, bj]:
-                    for q, (dr, dc) in enumerate(
-                            ((0, 0), (0, 4), (4, 0), (4, 4))):
-                        s = blocks[(bi * 8 + dr, bj * 8 + dc)].skip
-                        skip8[bi * 4 + dr // 2: bi * 4 + dr // 2 + 2,
-                              bj * 4 + dc // 2: bj * 4 + dc // 2 + 2] = s
-        out = cdef_filter_frame_jax(
-            [jnp.asarray(rec[0]), jnp.asarray(rec[1]),
-             jnp.asarray(rec[2])], jnp.asarray(skip8),
-            *[jnp.int32(xv) for xv in cdef])
-        rec = [np.asarray(p) for p in out]
+    # final reconstruction (deblock+CDEF already applied on device):
+    # one packed uint8 fetch
+    rp = np.asarray(rec_packed_d)
+    rec = [rp[:h].astype(np.int32),
+           rp[h:, :w // 2].astype(np.int32),
+           rp[h:, w // 2:].astype(np.int32)]
     return pkt, rec

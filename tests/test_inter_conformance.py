@@ -259,3 +259,37 @@ def test_tpu_bframe_compound():
     err_b = np.abs(brec[0] - f1[0].astype(np.int32)).mean()
     err_f = np.abs(krec[0] - f1[0].astype(np.int32)).mean()
     assert err_b < err_f / 4, (err_b, err_f)
+
+
+def test_inter_frame_loop_restoration():
+    """P frames restore too (rav1e enables LRF on all frame types):
+    KF with enable_restoration=1, then a P frame whose luma AND
+    chroma planes carry Wiener/SGR units — both oracles must decode
+    bit-exactly to the LR-filtered recon."""
+    from scipy.ndimage import gaussian_filter
+
+    from rav1e_tpu.pipeline.intra import encode_keyframe
+
+    rng = np.random.default_rng(31)
+    H, W = 96, 128
+    base = gaussian_filter(rng.normal(0, 60, (H + 8, W + 8)), 1.2)
+    cb = gaussian_filter(rng.normal(0, 40, (H // 2 + 8, W // 2 + 8)), 1.0)
+
+    def frame(t):
+        y = (128 + base[t:t + H, 2 * t:2 * t + W]).clip(0, 255)
+        u = (128 + cb[t:t + H // 2, t:t + W // 2]).clip(0, 255)
+        v = (128 - cb[t:t + H // 2, t:t + W // 2]).clip(0, 255)
+        return [y.astype(np.uint8), u.astype(np.uint8),
+                v.astype(np.uint8)]
+
+    f0, f1 = frame(0), frame(3)
+    # coarse q so restoration has distortion to repair
+    kpkt, krec = encode_keyframe(f0, qindex=160, lr=True)
+    ppkt, prec = encode_pframe(f1, krec, qindex=160, order_hint=1,
+                               lr=True)
+    d = dav1d.decode_all([kpkt, ppkt])
+    a = aom.decode_all([kpkt, ppkt])
+    for i, rec in enumerate([krec, prec]):
+        for j in range(3):
+            assert np.array_equal(d[i].planes[j], rec[j]), (i, j)
+            assert np.array_equal(a[i][j], rec[j]), (i, j)
