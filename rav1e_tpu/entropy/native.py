@@ -73,6 +73,7 @@ def _load():
         C.POINTER(C.c_uint8), C.POINTER(C.c_int32),
         C.POINTER(C.c_uint8), C.POINTER(C.c_int16),
         C.POINTER(C.c_int16), C.POINTER(C.c_int16),
+        C.POINTER(C.c_uint8), C.c_int,
         C.POINTER(C.c_uint8), C.c_long]
     lib.packer_done.restype = C.c_long
     lib.packer_done.argtypes = [C.c_void_p, C.POINTER(C.c_uint8), C.c_long]
@@ -330,7 +331,9 @@ class NativeTileWriter(TileWriter):
                                skip32: np.ndarray, mv16: np.ndarray,
                                skip16: np.ndarray, lv_y: np.ndarray,
                                lv_u: np.ndarray,
-                               lv_v: np.ndarray) -> bytes:
+                               lv_v: np.ndarray,
+                               cdef_idx: np.ndarray | None = None,
+                               cdef_bits: int = 0) -> bytes:
         """One-call C++ pack of a mixed 32/16-partition P-frame tile
         (PARTITION_SPLIT 32-blocks carry four 16x16 sub-blocks in
         quadrant layout). Byte-identical to write_tile over the
@@ -354,6 +357,10 @@ class NativeTileWriter(TileWriter):
         lv_y = np.ascontiguousarray(lv_y, np.int16)
         lv_u = np.ascontiguousarray(lv_u, np.int16)
         lv_v = np.ascontiguousarray(lv_v, np.int16)
+        nsb = ((self.mi_rows + 15) // 16) * ((self.mi_cols + 15) // 16)
+        cdef_map = np.ascontiguousarray(
+            cdef_idx if cdef_idx is not None else np.zeros(nsb),
+            np.uint8).reshape(-1)
         cap = 1 << 24
         buf = (C.c_uint8 * cap)()
         n = self._lib.packer_inter_tile2(
@@ -367,7 +374,8 @@ class NativeTileWriter(TileWriter):
             lv_y.ctypes.data_as(C.POINTER(C.c_int16)),
             lv_u.ctypes.data_as(C.POINTER(C.c_int16)),
             lv_v.ctypes.data_as(C.POINTER(C.c_int16)),
-            buf, cap)
+            cdef_map.ctypes.data_as(C.POINTER(C.c_uint8)),
+            int(cdef_bits), buf, cap)
         assert n > 0
         out = bytes(buf[:n])
         self._lib.packer_free(self._h)

@@ -181,13 +181,16 @@ class FrameParams:
     # per-plane frame restoration types, spec Remap_Lr_Type indices
     # (0 NONE, 1 SWITCHABLE, 2 WIENER, 3 SGRPROJ); unit size 64 fixed
     lr_types: tuple = (0, 0, 0)
-    # CDEF (written only when seq.enable_cdef): uniform strength set,
-    # cdef_bits = 0 so the per-SB index costs zero tile bits
+    # CDEF (written only when seq.enable_cdef): either one uniform
+    # strength (cdef_bits = 0, per-SB index free) or a multi-entry
+    # set via cdef_strengths (list of (y_pri, y_sec, uv_pri, uv_sec);
+    # cdef_bits = log2(len), each SB codes a literal index)
     cdef_damping: int = 3      # 3..6
     cdef_y_pri: int = 0
     cdef_y_sec: int = 0        # {0, 1, 2, 4}
     cdef_uv_pri: int = 0
     cdef_uv_sec: int = 0
+    cdef_strengths: list | None = None
     # render size (spec 5.9.6): display dims when the coded frame is
     # padded (arbitrary-resolution input padded to the SB grid). None
     # or == coded dims -> render_and_frame_size_different = 0.
@@ -446,11 +449,22 @@ def _write_cdef_lr(b: BitWriter, seq: Sequence, fp: FrameParams):
     """cdef_params (spec 5.9.19) + lr_params (off)."""
     if seq.enable_cdef:
         b.f(fp.cdef_damping - 3, 2)
-        b.f(0, 2)  # cdef_bits = 0 -> one uniform strength, free per-SB
-        b.f(fp.cdef_y_pri, 4)
-        b.f(min(fp.cdef_y_sec, 3), 2)   # coded 3 means strength 4
-        b.f(fp.cdef_uv_pri, 4)
-        b.f(min(fp.cdef_uv_sec, 3), 2)
+        if fp.cdef_strengths:
+            n = len(fp.cdef_strengths)
+            bits = max(n - 1, 0).bit_length()
+            assert n == 1 << bits and bits <= 3, n
+            b.f(bits, 2)
+            for (yp, ys, up, us) in fp.cdef_strengths:
+                b.f(yp, 4)
+                b.f(min(ys, 3), 2)      # coded 3 means strength 4
+                b.f(up, 4)
+                b.f(min(us, 3), 2)
+        else:
+            b.f(0, 2)  # cdef_bits = 0 -> one strength, free per-SB
+            b.f(fp.cdef_y_pri, 4)
+            b.f(min(fp.cdef_y_sec, 3), 2)
+            b.f(fp.cdef_uv_pri, 4)
+            b.f(min(fp.cdef_uv_sec, 3), 2)
     # lr_params (spec 5.9.20): unit size fixed at 64 (lr_unit_shift 0)
     if seq.enable_restoration:
         uses_lr = any(t != 0 for t in fp.lr_types)

@@ -256,6 +256,24 @@ class TileWriter:
         self.lr_ref = [[list(WIENER_TAPS_MID), list(WIENER_TAPS_MID)]
                        for _ in range(3)]
         self.lr_sgr_ref = [[-32, 31] for _ in range(3)]
+        # per-SB CDEF index (spec read_cdef, 5.11.56): when the frame
+        # header signals cdef_bits > 0, the first non-skip block of
+        # each 64x64 unit codes a literal index into the strength set
+        self.cdef_bits = 0
+        self.cdef_idx_map = None        # [sb_r][sb_c] tile-local
+        self._cdef_done = np.zeros(((mi_rows + 15) // 16,
+                                    (mi_cols + 15) // 16), bool)
+
+    def _write_cdef_idx(self, r: int, c: int, skip: bool):
+        """read_cdef inverse (called after the post-skip segment id)."""
+        if self.cdef_bits == 0 or skip:
+            return
+        sr, sc = r // 16, c // 16
+        if self._cdef_done[sr, sc]:
+            return
+        self._cdef_done[sr, sc] = True
+        self.ec.encode_literal(int(self.cdef_idx_map[sr][sc]),
+                               self.cdef_bits)
 
     # ---- partition coding --------------------------------------------------
 
@@ -400,6 +418,7 @@ class TileWriter:
         self.ec.encode_symbol(int(d.skip), self.cdfs.skip[sctx])
         if self.seg_enabled:   # SegIdPreSkip == 0: after the skip bit
             self._write_segment_id(r, c, bsize, d.seg_id, d.skip)
+        self._write_cdef_idx(r, c, d.skip)
         # intra_frame_y_mode
         above_m = int(self.mode_grid[r - 1, c]) if r > 0 else 0
         left_m = int(self.mode_grid[r, c - 1]) if c > 0 else 0
@@ -575,6 +594,7 @@ class TileWriter:
         self.ec.encode_symbol(int(d.skip), self.cdfs.skip[above_sk + left_sk])
         if self.seg_enabled:   # SegIdPreSkip == 0: after the skip bit
             self._write_segment_id(r, c, bsize, d.seg_id, d.skip)
+        self._write_cdef_idx(r, c, d.skip)
         # is_inter
         ii_ctx = ictx.intra_inter_ctx(r, c)
         self.ec.encode_symbol(1, self.cdfs.intra_inter[ii_ctx])

@@ -858,6 +858,11 @@ struct InterTile2 {
   std::vector<uint8_t> above_part, left_part;
   std::vector<uint8_t> acoef_y, lcoef_y, acoef_u, lcoef_u, acoef_v,
       lcoef_v;
+  // per-64x64 CDEF index literal (spec read_cdef): first non-skip
+  // block of each SB codes cdef_bits raw bits
+  const uint8_t* cdef_idx = nullptr;
+  int cdef_bits = 0, nsb_c = 0;
+  std::vector<uint8_t> cdef_done;
   int at(int r, int c) const { return r * mi_cols + c; }
 };
 
@@ -1035,7 +1040,8 @@ long packer_inter_tile2(void* h, int mi_rows, int mi_cols,
                         const int32_t* mv8, const uint8_t* skip32,
                         const int32_t* mv16, const uint8_t* skip16,
                         const int16_t* lv_y, const int16_t* lv_u,
-                        const int16_t* lv_v, uint8_t* out, long cap) {
+                        const int16_t* lv_v, const uint8_t* cdef_idx,
+                        int cdef_bits, uint8_t* out, long cap) {
   Packer* p = (Packer*)h;
   InterTileFams F;
   int eob_pt_64;
@@ -1075,6 +1081,10 @@ long packer_inter_tile2(void* h, int mi_rows, int mi_cols,
   t.lcoef_u.assign((mi_rows + 1) / 2, 0);
   t.acoef_v.assign((mi_cols + 1) / 2, 0);
   t.lcoef_v.assign((mi_rows + 1) / 2, 0);
+  t.cdef_idx = cdef_idx;
+  t.cdef_bits = cdef_bits;
+  t.nsb_c = (mi_cols + 15) / 16;
+  t.cdef_done.assign(t.nsb_c * ((mi_rows + 15) / 16), 0);
 
   auto part_ctx = [&](int r, int c, int bit) {
     int above = (t.above_part[c] >> bit) & 1;
@@ -1099,6 +1109,13 @@ long packer_inter_tile2(void* h, int mi_rows, int mi_cols,
     int above_sk = r > 0 ? t.skip_mi[t.at(r - 1, c)] : 0;
     int left_sk = c > 0 ? t.skip_mi[t.at(r, c - 1)] : 0;
     p->symbol_fam(F.skip, above_sk + left_sk, skipf);
+    if (t.cdef_bits > 0 && !skipf) {
+      int sb = (r / 16) * t.nsb_c + (c / 16);
+      if (!t.cdef_done[sb]) {
+        t.cdef_done[sb] = 1;
+        p->ec.literal((uint32_t)t.cdef_idx[sb], t.cdef_bits);
+      }
+    }
     p->symbol_fam(F.intra_inter, 0, 1);
     int k = (int)(r > 0) + (int)(c > 0);
     int sr = k == 0 ? 1 : 2;

@@ -225,3 +225,46 @@ def cdef_search_frame_jax(planes, srcs, skip8, damping):
     sses, outs = jax.vmap(one)(cand)
     k = jnp.argmin(sses)
     return k, [o[k] for o in outs]
+
+
+def cdef_search_persb_jax(planes, srcs, skip8, damping):
+    """Per-64x64-SB CDEF strength-index RDO over the 8-entry ladder
+    (rav1e rdo_loop_decision's per-SB index into the frame's strength
+    presets, cdef_bits = 3). All 8 filtered frames are computed once;
+    each SB picks its SSE-argmin entry and the output is assembled by
+    per-SB selection. Returns (idx_sb [H/64, W/64] int32, planes)."""
+    cand = jnp.asarray(np.array(CDEF_LADDER, np.int32))
+
+    def one(c):
+        return cdef_filter_frame_jax(planes, skip8, c[0], c[1], c[2],
+                                     c[3], damping)
+
+    outs = jax.vmap(one)(cand)          # [8, ...] per plane
+    h, w = planes[0].shape
+    nby, nbx = h // 32, w // 32
+    nr, nc = (nby + 1) // 2, (nbx + 1) // 2
+    K = len(CDEF_LADDER)
+
+    def blk_sse(out, src, b):
+        d = (out - src[None]).astype(jnp.float32) ** 2
+        return d.reshape(K, nby, b, nbx, b).sum((2, 4))
+
+    sse32 = (blk_sse(outs[0], srcs[0], 32)
+             + blk_sse(outs[1], srcs[1], 16)
+             + blk_sse(outs[2], srcs[2], 16))      # [8, nby, nbx]
+    # aggregate 32-blocks 2x2 into 64-SBs (frame need not be
+    # 64-aligned: edge SBs just cover fewer 32-blocks)
+    ssep = jnp.pad(sse32, ((0, 0), (0, nr * 2 - nby),
+                           (0, nc * 2 - nbx)))
+    sse_sb = ssep.reshape(K, nr, 2, nc, 2).sum((2, 4))
+    idx = jnp.argmin(sse_sb, axis=0)               # [nr, nc]
+    idx32 = jnp.repeat(jnp.repeat(idx, 2, 0), 2, 1)[:nby, :nbx]
+
+    def assemble(out, b):
+        blk = out.reshape(K, nby, b, nbx, b)
+        sel = jnp.take_along_axis(
+            blk, idx32[None, :, None, :, None], axis=0)[0]
+        return sel.reshape(nby * b, nbx * b)
+
+    return idx, [assemble(outs[0], 32), assemble(outs[1], 16),
+                 assemble(outs[2], 16)]

@@ -670,7 +670,8 @@ def _finish_outputs(y, u, v, h, tw, nby, nbx, B, rd, cdef_prm, mv8,
         cdef_idx, (fry, fru, frv) = cdef_fn(
             [fry, fru, frv], srcs32, skip8, cdef_prm[4])
     else:
-        cdef_idx = jnp.int32(0)
+        cdef_idx = jnp.zeros(((nby + 1) // 2, (nbx + 1) // 2),
+                             jnp.int32)
     # scan-order level line [B, 1536]: y(1024) | u(256) | v(256),
     # split blocks contribute per-sub-TX scans in quadrant order —
     # the nonzero stream (pack_outputs) makes the transfer scale with
@@ -809,7 +810,6 @@ def pack_outputs(o):
                            choice[:, None].astype(jnp.int8)], axis=1)
     tail = jnp.zeros((1, HDR_BYTES), jnp.int8)
     tail = tail.at[0, 0].set(lf.astype(jnp.int8))
-    tail = tail.at[0, 1].set(cdef_idx.astype(jnp.int8))
     hdr = jnp.concatenate([hdr, tail], axis=0)
 
     counts, pos, val = nnz_stream(sl, cap)
@@ -820,20 +820,21 @@ def pack_outputs(o):
                           (x & 255).astype(jnp.int8)], -1).reshape(-1)
 
     return jnp.concatenate([hdr.reshape(-1), words1(counts),
-                            words1(pos), words1(val)])
+                            words1(pos), words1(val),
+                            cdef_idx.reshape(-1).astype(jnp.int8)])
 
 
-def unpack_outputs(buf: np.ndarray):
+def unpack_outputs(buf: np.ndarray, nby: int, nbx: int):
     """Host-side twin of pack_outputs. Returns (mv8, skip, split,
-    mv16, skip16, choice, mvb8, lf_lvl, cdef_idx, counts, pos, val)
+    mv16, skip16, choice, mvb8, lf_lvl, cdef_map, counts, pos, val)
     — the caller (_fetch_packed / unpack_stream) scatters the stream
     back into per-block level arrays."""
     buf = np.asarray(buf)
     total = buf.shape[0]
-    # total = (B+1)*HDR + 2B + 4*(64B+1)
-    B = (total - HDR_BYTES - 4) // (HDR_BYTES + 2 + 4 * 64)
+    B = nby * nbx
+    nsb = ((nby + 1) // 2) * ((nbx + 1) // 2)
     assert (B + 1) * HDR_BYTES + 2 * B + 4 * (_stream_cap(B) + 1) \
-        == total, total
+        + nsb == total, total
     cap = _stream_cap(B)
     o0 = (B + 1) * HDR_BYTES
     hdr = buf[:o0].reshape(B + 1, HDR_BYTES)
@@ -847,7 +848,9 @@ def unpack_outputs(buf: np.ndarray):
     o1 = o0 + 2 * B
     pos = unw(buf[o1:o1 + 2 * (cap + 1)])
     o2 = o1 + 2 * (cap + 1)
-    val = unw(buf[o2:]).astype(np.int16)
+    val = unw(buf[o2:o2 + 2 * (cap + 1)]).astype(np.int16)
+    cdef_map = (buf[o2 + 2 * (cap + 1):].astype(np.uint8)
+                .reshape((nby + 1) // 2, (nbx + 1) // 2))
 
     def unwords(cols, shape):
         w = body[:, cols].reshape(B, -1, 2).astype(np.int16)
@@ -861,7 +864,7 @@ def unpack_outputs(buf: np.ndarray):
     mvb8 = unwords(slice(27, 31), (B, 2)).astype(np.int32)
     choice = body[:, 31].astype(np.int32)
     return (mv8, skip, split, mv16, skip16, choice, mvb8,
-            int(tail[0]), int(tail[1]), counts, pos, val)
+            int(tail[0]), cdef_map, counts, pos, val)
 
 
 def unpack_stream(counts, pos, val, split, cap=None):
@@ -939,8 +942,10 @@ def _core(h: int, w: int, use_cdef: bool = False,
 
     cdef_fn = None
     if use_cdef:
-        from rav1e_tpu.ops.tpu.cdef import cdef_search_frame_jax
-        cdef_fn = cdef_search_frame_jax
+        # per-64x64-SB strength-index RDO over the 8-entry ladder
+        # (rav1e rdo_loop_decision per-SB cdef index, cdef_bits=3)
+        from rav1e_tpu.ops.tpu.cdef import cdef_search_persb_jax
+        cdef_fn = cdef_search_persb_jax
 
     def pad3(ry, ru, rv):
         return (jnp.pad(ry.astype(jnp.int32), PAD, mode="edge"),
@@ -1017,14 +1022,14 @@ def _fetch_outputs(o):
             split, mv16, skip16)
 
 
-def _fetch_packed(o, gather_dense):
+def _fetch_packed(o, gather_dense, nby, nbx):
     """Pull one frame's decisions to host: ONE transfer of the packed
     buffer + (rarely) one batched gather for stream-overflow blocks.
 
     Returns (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16,
     lf_lvl, cdef_idx, choice, mvb8)."""
-    (mv8, skip, split, mv16, skip16, choice, mvb8, lf, cdef_idx,
-     counts, pos, val) = unpack_outputs(o[0])
+    (mv8, skip, split, mv16, skip16, choice, mvb8, lf, cdef_map,
+     counts, pos, val) = unpack_outputs(o[0], nby, nbx)
     lv_y, lv_u, lv_v, over = unpack_stream(counts, pos, val, split)
     didx = np.nonzero(over)[0]
     if len(didx):
@@ -1034,7 +1039,7 @@ def _fetch_packed(o, gather_dense):
         lv_u[didx] = g[:, 1024:1280].reshape(-1, 16, 16)
         lv_v[didx] = g[:, 1280:].reshape(-1, 16, 16)
     return (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16,
-            lf, cdef_idx, choice, mvb8)
+            lf, cdef_map, choice, mvb8)
 
 
 def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
@@ -1046,7 +1051,15 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
 
     split/mv16/skip16 (optional) describe PARTITION_SPLIT 32-blocks:
     four 16x16 sub-blocks with their own MVs and TX16/TX8 residuals
-    stored in quadrant layout inside lv_*."""
+    stored in quadrant layout inside lv_*.
+
+    cdef: None, a 5-tuple (single frame-wide strength), or
+    ((base5, damping...), idx_map) — the per-SB form signals the
+    8-entry ladder in the header (cdef_bits=3) and a literal index
+    per 64x64 SB in the tile (spec read_cdef)."""
+    cdef_map = None
+    if cdef is not None and isinstance(cdef[1], np.ndarray):
+        cdef, cdef_map = cdef
     seq = Sequence(width=w, height=h, enable_cdef=cdef is not None,
                    film_grain_params_present=film_grain is not None)
     lf = int(lf_level)
@@ -1054,7 +1067,13 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
                      render_size=render_size,
                      loop_filter_levels=(lf, lf, lf, lf))
     fp.film_grain = film_grain
-    if cdef is not None:
+    cdef_bits = 0
+    if cdef_map is not None:
+        from rav1e_tpu.ops.tpu.cdef import CDEF_LADDER
+        fp.cdef_damping = cdef[4]
+        fp.cdef_strengths = [tuple(e) for e in CDEF_LADDER]
+        cdef_bits = 3
+    elif cdef is not None:
         (fp.cdef_y_pri, fp.cdef_y_sec, fp.cdef_uv_pri,
          fp.cdef_uv_sec, fp.cdef_damping) = cdef
     ti = TileInfo(seq)
@@ -1065,12 +1084,19 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
             from rav1e_tpu.entropy.native import NativeTileWriter
             tw = NativeTileWriter(mi_rows, mi_cols, qindex,
                                   inter_frame=True)
-            if split is None:
+            if split is None and cdef_bits == 0:
                 tile = tw.write_inter_tile_fast(mv8, skip, lv_y, lv_u,
                                                 lv_v)
             else:
+                B = mv8.shape[0]
+                if split is None:
+                    split = np.zeros(B, bool)
+                    mv16 = np.repeat(mv8[:, None, :], 4, axis=1)
+                    skip16 = np.repeat(
+                        np.asarray(skip).reshape(B, 1), 4, axis=1)
                 tile = tw.write_inter_tile_fast2(
-                    split, mv8, skip, mv16, skip16, lv_y, lv_u, lv_v)
+                    split, mv8, skip, mv16, skip16, lv_y, lv_u, lv_v,
+                    cdef_idx=cdef_map, cdef_bits=cdef_bits)
             return interframe_packet(seq, fp, ti, [tile], order_hint,
                                      refresh_flags=refresh_flags,
                                      ref_idx=[ref_slot] * 7,
@@ -1078,6 +1104,9 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
         except Exception:
             pass
     tw = TileWriter(mi_rows, mi_cols, qindex, inter_frame=True)
+    if cdef_bits:
+        tw.cdef_bits = cdef_bits
+        tw.cdef_idx_map = cdef_map
     partitions: dict = {}
     blocks: dict = {}
 
@@ -1170,15 +1199,11 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
                 _ds16_quads(dscale, nby, nbx))
     rec_dev = outs[4:7]
     (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16, lf_lvl,
-     cdef_idx, _, _) = _fetch_packed(outs, gather_dense)
+     cdef_map, _, _) = _fetch_packed(outs, gather_dense, nby, nbx)
     rec_y, rec_u, rec_v = [np.asarray(o) for o in rec_dev]
-    cdef_hdr = None
-    if cdef is not None:
-        from rav1e_tpu.ops.tpu.cdef import CDEF_LADDER
-        sel = CDEF_LADDER[cdef_idx]
-        cdef_hdr = (*sel, cdef[4])
     pkt = _pack_pframe(h, w, qindex, order_hint, mv8, skip,
-                       lv_y, lv_u, lv_v, use_native, cdef_hdr,
+                       lv_y, lv_u, lv_v, use_native,
+                       (cdef, cdef_map) if cdef is not None else None,
                        film_grain, render_size,
                        lf_lvl, split, mv16, skip16,
                        refresh_flags, ref_slot, show_frame)
@@ -1200,6 +1225,9 @@ def _pack_bframe(h, w, qindex, order_hint, mv8, mvb8, choice, skip,
     (fwd for 0/2, bwd for 1), mvb8 the backward MV when compound.
     Bitstream contract matches pipeline/inter.py::encode_bframe
     (rav1e reordered InterConfig path, src/api/internal.rs)."""
+    cdef_map = None
+    if cdef is not None and isinstance(cdef[1], np.ndarray):
+        cdef, cdef_map = cdef
     seq = Sequence(width=w, height=h, enable_cdef=cdef is not None,
                    film_grain_params_present=film_grain is not None)
     lf = int(lf_level)
@@ -1207,7 +1235,11 @@ def _pack_bframe(h, w, qindex, order_hint, mv8, mvb8, choice, skip,
                      render_size=render_size,
                      loop_filter_levels=(lf, lf, lf, lf))
     fp.film_grain = film_grain
-    if cdef is not None:
+    if cdef_map is not None:
+        from rav1e_tpu.ops.tpu.cdef import CDEF_LADDER
+        fp.cdef_damping = cdef[4]
+        fp.cdef_strengths = [tuple(e) for e in CDEF_LADDER]
+    elif cdef is not None:
         (fp.cdef_y_pri, fp.cdef_y_sec, fp.cdef_uv_pri,
          fp.cdef_uv_sec, fp.cdef_damping) = cdef
     ti = TileInfo(seq)
@@ -1216,6 +1248,9 @@ def _pack_bframe(h, w, qindex, order_hint, mv8, mvb8, choice, skip,
     tw = TileWriter(mi_rows, mi_cols, qindex, inter_frame=True,
                     ref_sign_bias={1: False, 7: True},
                     reference_select=True)
+    if cdef_map is not None:
+        tw.cdef_bits = 3
+        tw.cdef_idx_map = cdef_map
     partitions: dict = {}
     blocks: dict = {}
     for b in range(mv8.shape[0]):
@@ -1292,15 +1327,13 @@ def encode_bframe_tpu(planes, ref_fwd, ref_bwd, qindex: int = 100,
                 build_rd_inter(qindex),
                 _ds16_quads(dscale, nby, nbx))
     (mv8, skip, lv_y, lv_u, lv_v, _, _, _, lf_lvl,
-     cdef_idx, choice, mvb8) = _fetch_packed(outs, gather_dense)
+     cdef_map, choice, mvb8) = _fetch_packed(outs, gather_dense,
+                                             nby, nbx)
     rec = [np.asarray(o).astype(np.int32) for o in outs[4:7]]
-    cdef_hdr = None
-    if cdef is not None:
-        from rav1e_tpu.ops.tpu.cdef import CDEF_LADDER
-        sel = CDEF_LADDER[cdef_idx]
-        cdef_hdr = (*sel, cdef[4])
     pkt = _pack_bframe(h, w, qindex, order_hint, mv8, mvb8, choice,
-                       skip, lv_y, lv_u, lv_v, cdef_hdr, film_grain,
+                       skip, lv_y, lv_u, lv_v,
+                       (cdef, cdef_map) if cdef is not None else None,
+                       film_grain,
                        render_size, lf_lvl, slot_fwd, slot_bwd,
                        ref_hints, refresh_flags, show_frame)
     return pkt, rec
@@ -1345,17 +1378,12 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
         outs.append(o)
     for i, o in enumerate(outs, start=1):
         (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16, lf_lvl,
-         cdef_idx, _, _) = _fetch_packed(o, gather_dense)
-        cdef_hdr = None
-        if cdef is not None:
-            from rav1e_tpu.ops.tpu.cdef import CDEF_LADDER
-            sel = CDEF_LADDER[cdef_idx]
-            cdef_hdr = (*sel, cdef[4])
-        pkts.append(_pack_pframe(h, w, qindex, i, mv8, skip,
-                                 lv_y, lv_u, lv_v, cdef=cdef_hdr,
-                                 lf_level=lf_lvl,
-                                 split=split, mv16=mv16,
-                                 skip16=skip16))
+         cdef_map, _, _) = _fetch_packed(o, gather_dense,
+                                         h // 32, w // 32)
+        pkts.append(_pack_pframe(
+            h, w, qindex, i, mv8, skip, lv_y, lv_u, lv_v,
+            cdef=(cdef, cdef_map) if cdef is not None else None,
+            lf_level=lf_lvl, split=split, mv16=mv16, skip16=skip16))
         # recons stay device-resident (uint8); consumers that need
         # them host-side (conformance checks) convert lazily
         recs.append([o[4], o[5], o[6]])

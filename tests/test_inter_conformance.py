@@ -293,3 +293,41 @@ def test_inter_frame_loop_restoration():
         for j in range(3):
             assert np.array_equal(d[i].planes[j], rec[j]), (i, j)
             assert np.array_equal(a[i][j], rec[j]), (i, j)
+
+
+def test_per_sb_cdef_index():
+    """CDEF with the 8-entry strength set signaled in the frame
+    header (cdef_bits=3) and a per-64x64-SB literal index chosen by
+    SSE argmin — the native packer and the python writer both code
+    read_cdef, and the stream is bit-exact on both oracles."""
+    from scipy.ndimage import gaussian_filter
+
+    from rav1e_tpu.pipeline.tpu_intra import encode_keyframe_tpu
+    from rav1e_tpu.pipeline.tpu_inter import encode_pframe_tpu
+
+    rng = np.random.default_rng(44)
+    H, W = 96, 160          # not 64-aligned: edge SBs cover 1 or 2
+    tex = gaussian_filter(rng.normal(0, 50, (H + 32, W + 32)), 1.5)
+
+    def fr(t):
+        y = (128 + tex[t * 2:t * 2 + H, 3 * t:3 * t + W]).clip(0, 255)
+        return [y.astype(np.uint8),
+                np.full((H // 2, W // 2), 118, np.uint8),
+                np.full((H // 2, W // 2), 130, np.uint8)]
+
+    cd = (3, 1, 2, 1, 3)
+    pk, rk = encode_keyframe_tpu(fr(0), qindex=140, speed=6, cdef=cd)
+    ref = [np.asarray(p).astype(np.int32) for p in rk]
+    recs = [ref]
+    pkts = [pk]
+    for t, us in ((1, True), (2, False)):
+        p, r = encode_pframe_tpu(fr(t), recs[-1], qindex=140,
+                                 order_hint=t, cdef=cd, use_split=us)
+        recs.append([np.asarray(x).astype(np.int32) for x in r])
+        pkts.append(p)
+    d = dav1d.decode_all(pkts)
+    a = aom.decode_all(pkts)
+    for i in range(3):
+        for j in range(3):
+            assert np.array_equal(d[i].planes[j], recs[i][j]), (i, j)
+            assert np.array_equal(a[i][j], recs[i][j]), (i, j)
