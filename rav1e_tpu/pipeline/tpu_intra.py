@@ -20,7 +20,7 @@ native C++ packer (two-plane IR, SURVEY §7.0).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -582,6 +582,331 @@ def _deblock_search_jit(planes, srcs, base, blk_y, blk_c, split_map):
     return deblock_search(planes, srcs, base, blk_y, blk_c, 8, split_map)
 
 
+# ---- two-phase keyframe: batched mode pass + light recon wavefront --------
+#
+# Profiled on the tunneled v5e: the all-in-one wavefront costs ~17 ms
+# of scatter/gather overhead PLUS ~24 ms of 13-mode candidate work per
+# diagonal (126 diagonals at 1080p -> 5.2 s/frame). The split:
+#   phase 1  mode_pass: the SAME wavefront body, launched once with
+#            every block on a single "diagonal" and the SOURCE planes
+#            standing in for the recon state - with source edges there
+#            are no cross-block dependencies, so the whole 13-mode RDO
+#            runs as one fully-batched dispatch. Only the decision
+#            grids (modes, split, CfL alphas) are kept.
+#   phase 2  recon_wavefront below: decoder-order reconstruction with
+#            ONE mode per block, on diagonal-skewed state arrays where
+#            every read/write is a contiguous dynamic row slice (no
+#            scatters). Decisions come from source-edge RDO instead of
+#            recon-edge RDO - at working q the edges differ by
+#            quantization noise only (rav1e-style speed/quality trade).
+
+
+@lru_cache(maxsize=8)
+def _skew_tables(bh: int, bw: int, ext: bool):
+    """Host tables for the diagonal-skewed layout: block (i, j) lives
+    at [d, s] with d = (2 if ext else 1)*i + j, s = i. Returns
+    (ii [D,S], jj [D,S] clamped block indices, has_l [D,S],
+    valid [D,S], unskew_d [bh,bw], unskew_s [bh,bw])."""
+    stride = 2 if ext else 1
+    D = stride * (bh - 1) + bw
+    S = bh
+    ii = np.zeros((D, S), np.int32)
+    jj = np.zeros((D, S), np.int32)
+    valid = np.zeros((D, S), bool)
+    un_d = np.zeros((bh, bw), np.int32)
+    un_s = np.zeros((bh, bw), np.int32)
+    for i in range(bh):
+        for j in range(bw):
+            d = stride * i + j
+            ii[d, i], jj[d, i], valid[d, i] = i, j, True
+            un_d[i, j], un_s[i, j] = d, i
+    has_l = valid & (jj > 0)
+    return ii, jj, has_l, valid, un_d, un_s
+
+
+def _mode_lut(modes):
+    lut = np.zeros(32, np.int32)
+    for k, m in enumerate(modes):
+        lut[int(m)] = k
+    return lut
+
+
+def _tts_select(modes, tx):
+    """(distinct TxType list, per-mode tx-id LUT) for chroma chains."""
+    from rav1e_tpu.entropy.tile import chroma_tx_type
+    tts = []
+    lut = np.zeros(32, np.int32)
+    for m in list(modes) + [P.UV_CFL_PRED]:
+        tt = chroma_tx_type(m, tx, True)
+        if tt not in tts:
+            tts.append(tt)
+        lut[int(m)] = tts.index(tt)
+    return tuple(tts), lut
+
+
+@partial(jax.jit, static_argnames=("modes_y", "modes_uv", "modes_quad",
+                                   "split_rdo", "use_cfl", "ext"))
+def recon_wavefront(sy_sk, su_sk, sv_sk, ym_sk, uvm_sk, sp_sk, cf_sk,
+                    has_l_tab, tr_tab, rd, modes_y, modes_uv,
+                    modes_quad, split_rdo, use_cfl, ext):
+    """Decoder-order reconstruction with FIXED per-block decisions.
+
+    All arrays are diagonal-skewed: index [d, s] holds block
+    (i=s, j=d-2s) (2i+j schedule when ext, else i+j). State rows are
+    offset +3 so neighbor reads (d-1..d-3) never clamp. Returns
+    skewed (rec_y, rec_u, rec_v, lv_y, lv_u, lv_v)."""
+    D, S = sp_sk.shape
+    qdc, qac = rd["qdc"], rd["qac"]
+    qdc_c, qac_c = rd["qdc_c"], rd["qac_c"]
+    luty = jnp.asarray(_mode_lut(modes_y))
+    lutq = jnp.asarray(_mode_lut(modes_quad))
+    lutuv_np = _mode_lut(modes_uv)
+    lutuv_np[int(P.UV_CFL_PRED)] = len(modes_uv)
+    lutuv = jnp.asarray(lutuv_np)
+    tts16, tid16_np = _tts_select(modes_uv, TxSize.TX_16X16)
+    tts8, tid8_np = _tts_select(modes_uv, TxSize.TX_8X8)
+    tid16 = jnp.asarray(tid16_np)
+    tid8 = jnp.asarray(tid8_np)
+    o_a, o_l, o_tl = (2, 1, 3) if ext else (1, 1, 2)
+    slot_has_a = jnp.arange(S) > 0
+
+    def shift1(x):
+        return jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], 0)
+
+    def rows(arr, r):
+        return jax.lax.dynamic_slice(
+            arr, (r,) + (0,) * (arr.ndim - 1),
+            (1,) + arr.shape[1:])[0]
+
+    def code_one(pred, src, tx, dq0, dq1, tt=TxType.DCT_DCT):
+        resid = src - pred
+        cf = T.forward_transform(resid, tx, tt)
+        lv = _q_dyn(cf, tx, dq0, dq1)
+        dqv = _dq_dyn(lv, tx, dq0, dq1)
+        r2 = T.inverse_transform(dqv, tx, tt)
+        return jnp.clip(pred + r2, 0, 255).astype(jnp.int32), lv
+
+    def code_sel(pred, src, tx, dq0, dq1, tts, tid):
+        """TX chain per distinct chroma TxType, select by tid [S]."""
+        recs, lvs = [], []
+        for tt in tts:
+            r_, l_ = code_one(pred, src, tx, dq0, dq1, tt)
+            recs.append(r_)
+            lvs.append(l_)
+        rec = jnp.stack(recs, 0)
+        lv = jnp.stack(lvs, 0)
+        t3 = tid[None, :, None, None]
+        return (jnp.take_along_axis(rec, t3, 0)[0],
+                jnp.take_along_axis(lv, t3, 0)[0])
+
+    def sel_modes(preds, k):
+        return jnp.take_along_axis(
+            preds, k[None, :, None, None], 0)[0]
+
+    state = (
+        jnp.zeros((D + 3, S, LB, LB), jnp.int32),
+        jnp.zeros((D + 3, S, CB, CB), jnp.int32),
+        jnp.zeros((D + 3, S, CB, CB), jnp.int32),
+        jnp.zeros((D, S, LB, LB), jnp.int32),
+        jnp.zeros((D, S, CB, CB), jnp.int32),
+        jnp.zeros((D, S, CB, CB), jnp.int32),
+    )
+
+    def body(d, st):
+        ry_sk, ru_sk, rv_sk, lvy_sk, lvu_sk, lvv_sk = st
+        row = d + 3
+        sy_d = rows(sy_sk, d)
+        su_d = rows(su_sk, d)
+        sv_d = rows(sv_sk, d)
+        ym_d = rows(ym_sk, d)
+        uvm_d = rows(uvm_sk, d)
+        sp_d = rows(sp_sk, d)
+        cf_d = rows(cf_sk, d)
+        has_l = rows(has_l_tab, d)
+        tr_ok = rows(tr_tab, d)
+
+        # ---- luma edges (contiguous row reads + static shifts) ----
+        ra = rows(ry_sk, row - o_a)
+        rl = rows(ry_sk, row - o_l)
+        rtl = rows(ry_sk, row - o_tl)
+        a_y = shift1(ra[:, LB - 1, :])
+        l_y = rl[:, :, LB - 1]
+        tl_y = shift1(rtl[:, LB - 1, LB - 1])
+        aext = lext = None
+        if ext:
+            ar = shift1(rl[:, LB - 1, :])     # (i-1, j+1): diag d-1
+            aext = jnp.concatenate(
+                [a_y, jnp.where(tr_ok[:, None], ar,
+                                jnp.repeat(a_y[:, -1:], LB, 1))], 1)
+            lext = jnp.concatenate(
+                [l_y, jnp.repeat(l_y[:, -1:], LB, 1)], 1)
+
+        # ---- luma 32 (single chosen mode) ----
+        preds32 = predict_modes(modes_y, a_y, l_y, tl_y, slot_has_a,
+                                has_l, LB, LB, aext=aext, lext=lext)
+        p32 = sel_modes(preds32, luty[ym_d[:, 0]])
+        rec32, lv32 = code_one(p32, sy_d, TxSize.TX_32X32, qdc, qac)
+
+        if split_rdo:
+            # ---- luma 16-quads, one mode each ----
+            cur = jnp.zeros((S, LB, LB), jnp.int32)
+            clv = jnp.zeros((S, LB, LB), jnp.int32)
+            half = CB
+            for qi, (r0, c0) in enumerate(
+                    ((0, 0), (0, half), (half, 0), (half, half))):
+                if r0 > 0:
+                    sa = cur[:, r0 - 1, c0: c0 + half]
+                    ha = jnp.ones((S,), bool)
+                else:
+                    sa = a_y[:, c0: c0 + half]
+                    ha = slot_has_a
+                if c0 > 0:
+                    sl = cur[:, r0: r0 + half, c0 - 1]
+                    hl = jnp.ones((S,), bool)
+                else:
+                    sl = l_y[:, r0: r0 + half]
+                    hl = has_l
+                if r0 > 0 and c0 > 0:
+                    stl = cur[:, r0 - 1, c0 - 1]
+                elif r0 > 0:
+                    stl = jnp.where(has_l, l_y[:, r0 - 1], 0)
+                elif c0 > 0:
+                    stl = jnp.where(slot_has_a, a_y[:, c0 - 1], 0)
+                else:
+                    stl = tl_y
+                pq = predict_modes(modes_quad, sa, sl, stl, ha, hl,
+                                   half, half)
+                psel = sel_modes(pq, lutq[ym_d[:, 1 + qi]])
+                rq, lq = code_one(psel,
+                                  sy_d[:, r0: r0 + half,
+                                       c0: c0 + half],
+                                  TxSize.TX_16X16, qdc, qac)
+                cur = cur.at[:, r0: r0 + half, c0: c0 + half].set(rq)
+                clv = clv.at[:, r0: r0 + half, c0: c0 + half].set(lq)
+            s3 = sp_d[:, None, None]
+            rec_y_d = jnp.where(s3, cur, rec32)
+            lv_y_d = jnp.where(s3, clv, lv32)
+        else:
+            rec_y_d = rec32
+            lv_y_d = lv32
+
+        # ---- chroma edges ----
+        def chroma_edges(rp):
+            ca = shift1(rows(rp, row - o_a)[:, CB - 1, :])
+            cl = rows(rp, row - o_l)[:, :, CB - 1]
+            ctl = shift1(rows(rp, row - o_tl)[:, CB - 1, CB - 1])
+            return ca, cl, ctl
+
+        au, lu_, tlu = chroma_edges(ru_sk)
+        av, lv_, tlv = chroma_edges(rv_sk)
+
+        # ---- chroma 16 (chosen mode incl. CfL) ----
+        pu = predict_modes(modes_uv, au, lu_, tlu, slot_has_a, has_l,
+                           CB, CB)
+        pv = predict_modes(modes_uv, av, lv_, tlv, slot_has_a, has_l,
+                           CB, CB)
+        if use_cfl:
+            yr = rec_y_d
+            L = ((yr[:, 0::2, 0::2] + yr[:, 0::2, 1::2]
+                  + yr[:, 1::2, 0::2] + yr[:, 1::2, 1::2]) << 1)
+            avg = (jnp.sum(L, axis=(1, 2), keepdims=True)
+                   + (1 << 7)) >> 8
+            ac = L - avg
+
+            def cfl_pred(dc, alpha):
+                scl = alpha[:, None, None] * ac
+                return jnp.clip(
+                    dc + jnp.sign(scl) * ((jnp.abs(scl) + 32) >> 6),
+                    0, 255)
+
+            pu = jnp.concatenate(
+                [pu, cfl_pred(pu[0], cf_d[:, 0])[None]], 0)
+            pv = jnp.concatenate(
+                [pv, cfl_pred(pv[0], cf_d[:, 1])[None]], 0)
+        ku = lutuv[uvm_d[:, 0]]
+        selu = sel_modes(pu, ku)
+        selv = sel_modes(pv, ku)
+        rec_u16, lv_u16 = code_sel(selu, su_d, TxSize.TX_16X16,
+                                   qdc_c, qac_c, tts16,
+                                   tid16[uvm_d[:, 0]])
+        rec_v16, lv_v16 = code_sel(selv, sv_d, TxSize.TX_16X16,
+                                   qdc_c, qac_c, tts16,
+                                   tid16[uvm_d[:, 0]])
+
+        if split_rdo:
+            # ---- chroma 8-quads ----
+            cu = jnp.zeros((S, CB, CB), jnp.int32)
+            cv = jnp.zeros((S, CB, CB), jnp.int32)
+            cul = jnp.zeros((S, CB, CB), jnp.int32)
+            cvl = jnp.zeros((S, CB, CB), jnp.int32)
+            h8 = CB // 2
+            for qi, (r0, c0) in enumerate(
+                    ((0, 0), (0, h8), (h8, 0), (h8, h8))):
+                def sub_edges(cur_, ea, el, etl):
+                    if r0 > 0:
+                        sa = cur_[:, r0 - 1, c0: c0 + h8]
+                        ha = jnp.ones((S,), bool)
+                    else:
+                        sa = ea[:, c0: c0 + h8]
+                        ha = slot_has_a
+                    if c0 > 0:
+                        sl = cur_[:, r0: r0 + h8, c0 - 1]
+                        hl = jnp.ones((S,), bool)
+                    else:
+                        sl = el[:, r0: r0 + h8]
+                        hl = has_l
+                    if r0 > 0 and c0 > 0:
+                        stl = cur_[:, r0 - 1, c0 - 1]
+                    elif r0 > 0:
+                        stl = jnp.where(has_l, el[:, r0 - 1], 0)
+                    elif c0 > 0:
+                        stl = jnp.where(slot_has_a, ea[:, c0 - 1], 0)
+                    else:
+                        stl = etl
+                    return sa, sl, stl, ha, hl
+
+                kq = lutuv[uvm_d[:, 1 + qi]]
+                tq = tid8[uvm_d[:, 1 + qi]]
+                for (cur_, clv_, ea, el, etl, src) in (
+                        (cu, cul, au, lu_, tlu, su_d),
+                        (cv, cvl, av, lv_, tlv, sv_d)):
+                    sa, sl, stl, ha, hl = sub_edges(cur_, ea, el, etl)
+                    pq = predict_modes(modes_uv, sa, sl, stl, ha, hl,
+                                       h8, h8)
+                    psel = sel_modes(pq, kq)
+                    rq, lq = code_sel(
+                        psel, src[:, r0: r0 + h8, c0: c0 + h8],
+                        TxSize.TX_8X8, qdc_c, qac_c, tts8, tq)
+                    cur_2 = cur_.at[:, r0: r0 + h8,
+                                    c0: c0 + h8].set(rq)
+                    clv_2 = clv_.at[:, r0: r0 + h8,
+                                    c0: c0 + h8].set(lq)
+                    if src is su_d:
+                        cu, cul = cur_2, clv_2
+                    else:
+                        cv, cvl = cur_2, clv_2
+            s3 = sp_d[:, None, None]
+            rec_u_d = jnp.where(s3, cu, rec_u16)
+            rec_v_d = jnp.where(s3, cv, rec_v16)
+            lv_u_d = jnp.where(s3, cul, lv_u16)
+            lv_v_d = jnp.where(s3, cvl, lv_v16)
+        else:
+            rec_u_d, rec_v_d = rec_u16, rec_v16
+            lv_u_d, lv_v_d = lv_u16, lv_v16
+
+        dus = jax.lax.dynamic_update_slice
+        ry_sk = dus(ry_sk, rec_y_d[None], (row, 0, 0, 0))
+        ru_sk = dus(ru_sk, rec_u_d[None], (row, 0, 0, 0))
+        rv_sk = dus(rv_sk, rec_v_d[None], (row, 0, 0, 0))
+        lvy_sk = dus(lvy_sk, lv_y_d[None], (d, 0, 0, 0))
+        lvu_sk = dus(lvu_sk, lv_u_d[None], (d, 0, 0, 0))
+        lvv_sk = dus(lvv_sk, lv_v_d[None], (d, 0, 0, 0))
+        return (ry_sk, ru_sk, rv_sk, lvy_sk, lvu_sk, lvv_sk)
+
+    st = jax.lax.fori_loop(0, D, body, state)
+    return (st[0][3:], st[1][3:], st[2][3:], st[3], st[4], st[5])
+
+
 KF_META = 16         # per-block meta row: flags + modes + cfl
 
 
@@ -729,44 +1054,18 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     sy = jnp.asarray(_to_blocks(y, LB))
     su = jnp.asarray(_to_blocks(u, CB))
     sv = jnp.asarray(_to_blocks(v, CB))
-    state = (
-        jnp.zeros((bh, bw, LB, LB), jnp.int32),
-        jnp.zeros((bh, bw, CB, CB), jnp.int32),
-        jnp.zeros((bh, bw, CB, CB), jnp.int32),
-        jnp.zeros((bh, bw, LB, LB), jnp.int32),
-        jnp.zeros((bh, bw, CB, CB), jnp.int32),
-        jnp.zeros((bh, bw, CB, CB), jnp.int32),
-        jnp.zeros((bh, bw, 5), jnp.int32),
-        jnp.zeros((bh, bw, 5), jnp.int32),
-        jnp.zeros((bh, bw), bool),
-        jnp.zeros((bh, bw, 2), jnp.int32),
-    )
-    # directional modes read the above-right extension, whose source
-    # block (i-1, j+1) sits on the SAME i+j anti-diagonal — so the
-    # full-toolset schedule is d = 2i + j (the video-coding WPP
-    # "2-column offset" wavefront). Cheap toolsets keep i+j.
     modes_y = MODES_FULL if speed <= 6 else (
         MODES_7 if speed <= 8 else MODES_FAST)
     modes_quad = MODES_QUAD if speed <= 6 else modes_y
     modes_uv = MODES_UV_FULL if speed <= 6 else (
         MODES_UV if speed <= 8 else MODES_FAST)
     split_rdo = speed <= 7
+    # D45/D67 read the above-right extension, whose source block
+    # (i-1, j+1) sits on the SAME i+j anti-diagonal — so the
+    # full-toolset recon schedule is d = 2i + j (the video-coding WPP
+    # "2-column offset" wavefront). Cheap toolsets keep i+j.
     ext = any(m in (P.D45_PRED, P.D67_PRED, P.D203_PRED)
               for m in modes_y)
-    cells_of = ((lambda d: [(i, d - 2 * i) for i in range(bh)
-                            if 0 <= d - 2 * i < bw]) if ext else
-                (lambda d: [(i, d - i) for i in range(max(0, d - bw + 1),
-                                                      min(d, bh - 1) + 1)]))
-    n_diag = (2 * bh + bw - 2) if ext else (bh + bw - 1)
-    maxlen = max(len(cells_of(d)) for d in range(n_diag))
-    # padded lanes scatter out of bounds (dropped by XLA) so they can
-    # never clobber real blocks via duplicate indices
-    ii_tab = np.full((n_diag, maxlen), bh, np.int32)
-    jj_tab = np.full((n_diag, maxlen), bw, np.int32)
-    mask_tab = np.zeros((n_diag, maxlen), bool)
-    for d in range(n_diag):
-        for k, (i, j) in enumerate(cells_of(d)):
-            ii_tab[d, k], jj_tab[d, k], mask_tab[d, k] = i, j, True
     rd = build_rd(qindex, modes_y, modes_uv, modes_quad=modes_quad,
                   use_cfl=speed <= 6)
     if ext:
@@ -788,9 +1087,65 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
         # D203 reads below-left: only selectable where the decoder
         # replicates (it would use real pixels we haven't computed yet)
         rd["d203_ok"] = jnp.asarray(~has_bl)
-    state = wavefront_frame(state, (sy, su, sv), jnp.asarray(ii_tab),
-                            jnp.asarray(jj_tab), jnp.asarray(mask_tab),
-                            rd, modes_y, modes_uv, modes_quad, split_rdo)
+    else:
+        has_tr = np.zeros((bh, bw), bool)
+
+    # ---- phase 1: mode decisions from SOURCE edges, fully batched --
+    # (the regular wavefront body, launched once with every block on
+    # one "diagonal" and the source planes standing in for the recon
+    # state — no cross-block dependencies, one big dispatch)
+    B = bh * bw
+    ii_all = np.repeat(np.arange(bh), bw).astype(np.int32)[None]
+    jj_all = np.tile(np.arange(bw), bh).astype(np.int32)[None]
+    mask_all = np.ones((1, B), bool)
+    state0 = (
+        sy, su, sv,
+        jnp.zeros((bh, bw, LB, LB), jnp.int32),
+        jnp.zeros((bh, bw, CB, CB), jnp.int32),
+        jnp.zeros((bh, bw, CB, CB), jnp.int32),
+        jnp.zeros((bh, bw, 5), jnp.int32),
+        jnp.zeros((bh, bw, 5), jnp.int32),
+        jnp.zeros((bh, bw), bool),
+        jnp.zeros((bh, bw, 2), jnp.int32),
+    )
+    import os as _os
+    import time as _time
+    _timing = bool(_os.environ.get("RAV1E_TPU_TIMING"))
+    _t0 = _time.time()
+    dec = wavefront_frame(state0, (sy, su, sv), jnp.asarray(ii_all),
+                          jnp.asarray(jj_all), jnp.asarray(mask_all),
+                          rd, modes_y, modes_uv, modes_quad, split_rdo)
+    my_d, mu_d, sp_d, cf_d = dec[6], dec[7], dec[8], dec[9]
+    if _timing:
+        jax.block_until_ready(my_d)
+        print(f"# kf phase1 {_time.time()-_t0:.3f}s")
+        _t0 = _time.time()
+
+    # ---- phase 2: decoder-order recon on skewed arrays -------------
+    (ii_sk, jj_sk, has_l_sk, valid_sk,
+     un_d, un_s) = _skew_tables(bh, bw, ext)
+    tr_sk = jnp.asarray(has_tr[ii_sk, jj_sk] & valid_sk)
+    isk, jsk = jnp.asarray(ii_sk), jnp.asarray(jj_sk)
+
+    def skew(arr):
+        return arr[isk, jsk]
+
+    ry_sk, ru_sk, rv_sk, ly_sk, lu_sk, lvv_sk = recon_wavefront(
+        skew(sy), skew(su), skew(sv), skew(my_d), skew(mu_d),
+        skew(sp_d), skew(cf_d), jnp.asarray(has_l_sk), tr_sk, rd,
+        modes_y, modes_uv, modes_quad, split_rdo, speed <= 6, ext)
+    if _timing:
+        jax.block_until_ready(ry_sk)
+        print(f"# kf phase2 {_time.time()-_t0:.3f}s")
+        _t0 = _time.time()
+    ud, us = jnp.asarray(un_d), jnp.asarray(un_s)
+
+    def unskew(sk):
+        return sk[ud, us]
+
+    state = (unskew(ry_sk), unskew(ru_sk), unskew(rv_sk),
+             unskew(ly_sk), unskew(lu_sk), unskew(lvv_sk),
+             my_d, mu_d, sp_d, cf_d)
 
     # ---- device epilogue: filters + compact meta, ONE fetch ---------------
     from rav1e_tpu.ops.ref.deblock import level_from_qindex
@@ -799,6 +1154,10 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     meta_d, rec_packed_d, lvy_d, lvu_d, lvv_d = _finalize_kf(
         state, (sy, su, sv), jnp.int32(level_from_qindex(qindex)),
         cdef_prm, split_rdo, cdef is not None, deblock)
+    if _timing:
+        jax.block_until_ready(meta_d)
+        print(f"# kf epilogue {_time.time()-_t0:.3f}s")
+        _t0 = _time.time()
     meta = np.asarray(meta_d)
     B = bh * bw
     cap = _kf_stream_cap(B)
@@ -834,6 +1193,9 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     ly = lv_y.reshape(bh, bw, 32, 32)
     lu = lv_u.reshape(bh, bw, 16, 16)
     lvv = lv_v.reshape(bh, bw, 16, 16)
+    if _timing:
+        print(f"# kf fetch+unpack {_time.time()-_t0:.3f}s")
+        _t0 = _time.time()
 
     # ---- pack (host, serial; C++ packer when available) -------------------
     seq = Sequence(width=w, height=h, enable_cdef=cdef is not None)
@@ -901,6 +1263,9 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
             partitions[(r, c, int(BlockSize.B64X64))] = PartitionType.SPLIT
     tile = tw.write_tile(partitions, blocks)
     pkt = keyframe_packet(seq, fp, ti, [tile])
+    if _timing:
+        print(f"# kf hostpack {_time.time()-_t0:.3f}s")
+        _t0 = _time.time()
     # final reconstruction (deblock+CDEF already applied on device):
     # one packed uint8 fetch
     rp = np.asarray(rec_packed_d)

@@ -69,7 +69,7 @@ def main():
     print(f"KF: compile+run {t_kf_compile:.1f}s, steady {t_kf:.3f}s")
 
     # ---- P pipeline, staged ----
-    step, _, gather_dense = TI._core(h, w, False)
+    step, _, gather_dense = TI._core(h, w, False, refine16=False)
     rd = TI.build_rd_inter(q)
     dcq = jnp.int32(dc_q(q))
     acq = jnp.int32(ac_q(q))
