@@ -75,6 +75,14 @@ def _load():
         C.POINTER(C.c_int16), C.POINTER(C.c_int16),
         C.POINTER(C.c_uint8), C.c_int,
         C.POINTER(C.c_uint8), C.c_long]
+    lib.packer_intra_tile.restype = C.c_long
+    lib.packer_intra_tile.argtypes = [
+        C.c_void_p, C.c_int, C.c_int, C.POINTER(C.c_int32),
+        C.POINTER(C.c_uint8), C.POINTER(C.c_uint8),
+        C.POINTER(C.c_uint8), C.POINTER(C.c_int8),
+        C.POINTER(C.c_int16), C.POINTER(C.c_int16),
+        C.POINTER(C.c_int16), C.POINTER(C.c_uint8), C.c_int,
+        C.POINTER(C.c_uint8), C.c_long]
     lib.packer_done.restype = C.c_long
     lib.packer_done.argtypes = [C.c_void_p, C.POINTER(C.c_uint8), C.c_long]
     lib.packer_free.argtypes = [C.c_void_p]
@@ -321,6 +329,54 @@ class NativeTileWriter(TileWriter):
             lv_u.ctypes.data_as(C.POINTER(C.c_int16)),
             lv_v.ctypes.data_as(C.POINTER(C.c_int16)),
             buf, cap)
+        assert n > 0
+        out = bytes(buf[:n])
+        self._lib.packer_free(self._h)
+        self._h = None
+        return out
+
+    def write_intra_tile_fast(self, split: np.ndarray,
+                              ymodes: np.ndarray, uvmodes: np.ndarray,
+                              cfl: np.ndarray, lv_y: np.ndarray,
+                              lv_u: np.ndarray, lv_v: np.ndarray,
+                              cdef_idx: np.ndarray | None = None,
+                              cdef_bits: int = 0) -> bytes:
+        """One-call C++ pack of a KEY-frame tile from the batched TPU
+        keyframe pipeline outputs (32-blocks or 4x16 splits, kf modes,
+        CfL alphas, quadrant-packed levels). Byte-identical to
+        write_tile over the equivalent partitions/blocks dicts."""
+        fam = self._fam
+        order = ["partition_mid", "skip", "kf_y_mode", "angle_delta",
+                 "uv_mode_cfl", "cfl_sign", "cfl_alpha",
+                 "intra_ext_tx2", "eob_pt_1024", "eob_pt_256",
+                 "eob_pt_64", "eob_hi_bit", "txb_skip",
+                 "coeff_base_eob", "coeff_base", "coeff_br", "dc_sign"]
+        fam_ids = np.asarray([fam[n].fam for n in order], np.int32)
+        split = np.ascontiguousarray(split, np.uint8).reshape(-1)
+        ymodes = np.ascontiguousarray(ymodes, np.uint8).reshape(-1)
+        uvmodes = np.ascontiguousarray(uvmodes, np.uint8).reshape(-1)
+        cfl = np.ascontiguousarray(cfl, np.int8).reshape(-1)
+        lv_y = np.ascontiguousarray(lv_y, np.int16)
+        lv_u = np.ascontiguousarray(lv_u, np.int16)
+        lv_v = np.ascontiguousarray(lv_v, np.int16)
+        nsb = ((self.mi_rows + 15) // 16) * ((self.mi_cols + 15) // 16)
+        cdef_map = np.ascontiguousarray(
+            cdef_idx if cdef_idx is not None else np.zeros(nsb),
+            np.uint8).reshape(-1)
+        cap = 1 << 24
+        buf = (C.c_uint8 * cap)()
+        n = self._lib.packer_intra_tile(
+            self._h, self.mi_rows, self.mi_cols,
+            fam_ids.ctypes.data_as(C.POINTER(C.c_int32)),
+            split.ctypes.data_as(C.POINTER(C.c_uint8)),
+            ymodes.ctypes.data_as(C.POINTER(C.c_uint8)),
+            uvmodes.ctypes.data_as(C.POINTER(C.c_uint8)),
+            cfl.ctypes.data_as(C.POINTER(C.c_int8)),
+            lv_y.ctypes.data_as(C.POINTER(C.c_int16)),
+            lv_u.ctypes.data_as(C.POINTER(C.c_int16)),
+            lv_v.ctypes.data_as(C.POINTER(C.c_int16)),
+            cdef_map.ctypes.data_as(C.POINTER(C.c_uint8)),
+            int(cdef_bits), buf, cap)
         assert n > 0
         out = bytes(buf[:n])
         self._lib.packer_free(self._h)

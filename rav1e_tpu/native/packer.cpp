@@ -1310,6 +1310,249 @@ long packer_inter_tile2(void* h, int mi_rows, int mi_cols,
   return (long)p->ec.done(out, (size_t)cap);
 }
 
+// ---- one-call KEY-frame (intra) tile writer --------------------------------
+// Ports TileWriter.write_tile + write_intra_block for the block class
+// the batched TPU keyframe pipeline emits: 32x32 blocks (or 4x16x16
+// via PARTITION_SPLIT), kf_y_mode with neighbor contexts, angle-delta
+// 0 for directional modes, uv_mode_cfl (+ CfL sign/alpha), luma
+// TX32 (DCT, no tx symbol) / TX16 quads (intra tx set 2 symbol),
+// chroma TX16/TX8. Byte-identical to the python writer.
+
+struct IntraTileFams {
+  int part_mid, skip, kf_y_mode, angle_delta, uv_mode_cfl, cfl_sign,
+      cfl_alpha, intra_ext_tx2;
+  int eob_pt_1024, eob_pt_256, eob_pt_64, eob_hi_bit, txb_skip,
+      coeff_base_eob, coeff_base, coeff_br, dc_sign;
+};
+
+long packer_intra_tile(void* h, int mi_rows, int mi_cols,
+                       const int32_t* fam_ids, const uint8_t* split,
+                       const uint8_t* ymodes, const uint8_t* uvmodes,
+                       const int8_t* cfl, const int16_t* lv_y,
+                       const int16_t* lv_u, const int16_t* lv_v,
+                       const uint8_t* cdef_idx, int cdef_bits,
+                       uint8_t* out, long cap) {
+  Packer* p = (Packer*)h;
+  IntraTileFams F;
+  {
+    const int32_t* f = fam_ids;
+    F.part_mid = *f++; F.skip = *f++; F.kf_y_mode = *f++;
+    F.angle_delta = *f++; F.uv_mode_cfl = *f++; F.cfl_sign = *f++;
+    F.cfl_alpha = *f++; F.intra_ext_tx2 = *f++;
+    F.eob_pt_1024 = *f++; F.eob_pt_256 = *f++; F.eob_pt_64 = *f++;
+    F.eob_hi_bit = *f++; F.txb_skip = *f++; F.coeff_base_eob = *f++;
+    F.coeff_base = *f++; F.coeff_br = *f++; F.dc_sign = *f++;
+  }
+  int nbx = mi_cols / 8;
+  int M = mi_rows * mi_cols;
+  std::vector<uint8_t> skip_mi(M, 0), ymode_mi(M, 0);
+  std::vector<uint8_t> above_part(mi_cols, 0), left_part(16, 0);
+  std::vector<uint8_t> acoef_y(mi_cols, 0), lcoef_y(mi_rows, 0);
+  std::vector<uint8_t> acoef_u((mi_cols + 1) / 2, 0),
+      lcoef_u((mi_rows + 1) / 2, 0), acoef_v((mi_cols + 1) / 2, 0),
+      lcoef_v((mi_rows + 1) / 2, 0);
+  int nsb_c = (mi_cols + 15) / 16;
+  std::vector<uint8_t> cdef_done(nsb_c * ((mi_rows + 15) / 16), 0);
+  auto at = [&](int r, int c) { return r * mi_cols + c; };
+  static const int IMC[13] = {0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0};
+
+  auto part_ctx = [&](int r, int c, int bit) {
+    int above = (above_part[c] >> bit) & 1;
+    int left = (left_part[r & 15] >> bit) & 1;
+    return left * 2 + above;
+  };
+  auto update_part = [&](int r, int c, int sub_wlog, int bw, int bh) {
+    uint8_t aval = (uint8_t)(31 & ~((1 << sub_wlog) - 1));
+    for (int i = 0; i < bw && c + i < mi_cols; i++)
+      above_part[c + i] = aval;
+    int lo = r & 15;
+    for (int i = 0; i < bh && lo + i < 16; i++) left_part[lo + i] = aval;
+  };
+  auto split_bool = [&](int ctx, int size_idx, bool vert_alike,
+                        int bit) {
+    Cdf& cdf = p->fams[F.part_mid][size_idx * 4 + ctx];
+    static const int VSET[6] = {2, 3, 4, 6, 7, 9};
+    static const int HSET[6] = {1, 3, 4, 5, 6, 8};
+    const int* ks = vert_alike ? VSET : HSET;
+    uint32_t psum = 0;
+    for (int i = 0; i < 6; i++) {
+      int kk = ks[i];
+      if (kk >= cdf.n) continue;
+      uint32_t prev = (kk == 0) ? PROB_TOP : cdf.v[kk - 1];
+      psum += prev - cdf.v[kk];
+    }
+    uint16_t derived[3] = {(uint16_t)psum, 0, 0};
+    p->ec.symbol_raw(bit, derived, 2);
+  };
+
+  // one intra block of bw4 x bw4 mi (bw4 in {8, 4})
+  auto write_blockI = [&](int r, int c, int bw4, int ym, int uvm,
+                          int au, int av, const int16_t* ly, int lys,
+                          const int16_t* lu, int lus,
+                          const int16_t* lvv2, int lvs) {
+    int n = bw4 * 4;
+    bool nz = false;
+    for (int rr = 0; rr < n && !nz; rr++)
+      for (int cc = 0; cc < n; cc++)
+        if (ly[rr * lys + cc]) { nz = true; break; }
+    for (int rr = 0; rr < n / 2 && !nz; rr++)
+      for (int cc = 0; cc < n / 2; cc++)
+        if (lu[rr * lus + cc] || lvv2[rr * lvs + cc]) {
+          nz = true;
+          break;
+        }
+    int skipf = nz ? 0 : 1;
+    int above_sk = r > 0 ? skip_mi[at(r - 1, c)] : 0;
+    int left_sk = c > 0 ? skip_mi[at(r, c - 1)] : 0;
+    p->symbol_fam(F.skip, above_sk + left_sk, skipf);
+    if (cdef_bits > 0 && !skipf) {
+      int sb = (r / 16) * nsb_c + (c / 16);
+      if (!cdef_done[sb]) {
+        cdef_done[sb] = 1;
+        p->ec.literal((uint32_t)cdef_idx[sb], cdef_bits);
+      }
+    }
+    int am = r > 0 ? ymode_mi[at(r - 1, c)] : 0;
+    int lm = c > 0 ? ymode_mi[at(r, c - 1)] : 0;
+    p->symbol_fam(F.kf_y_mode, IMC[am] * 5 + IMC[lm], ym);
+    if (ym >= 1 && ym <= 8)                 // directional: delta 0
+      p->symbol_fam(F.angle_delta, ym - 1, 3);
+    p->symbol_fam(F.uv_mode_cfl, ym, uvm);
+    if (uvm == 13) {                        // UV_CFL_PRED
+      int su = au == 0 ? 0 : (au < 0 ? 1 : 2);
+      int sv = av == 0 ? 0 : (av < 0 ? 1 : 2);
+      int js = su * 3 + sv - 1;
+      p->symbol_fam(F.cfl_sign, 0, js);
+      int aau = au < 0 ? -au : au, aav = av < 0 ? -av : av;
+      if (su) p->symbol_fam(F.cfl_alpha, js - 2, aau - 1);
+      if (sv) p->symbol_fam(F.cfl_alpha, sv * 3 + su - 3, aav - 1);
+    }
+    if (uvm >= 1 && uvm <= 8)
+      p->symbol_fam(F.angle_delta, uvm - 1, 3);
+    if (!skipf) {
+      auto tu = [&](int plane, const int16_t* lvp, int stride, int tn,
+                    int tctx, uint8_t* acoef, uint8_t* lcoef, int u_c,
+                    int u_r, int eob_fam, int ttf, int ttrec,
+                    int ttsym) {
+        int un = tn / 4;
+        int ptype = plane == 0 ? 0 : 1;
+        int skip_ctx;
+        if (plane == 0)
+          skip_ctx = 0;
+        else {
+          int a = 0, l = 0;
+          for (int i = 0; i < un; i++) {
+            if (acoef[u_c + i]) a = 1;
+            if (lcoef[u_r + i]) l = 1;
+          }
+          skip_ctx = 7 + a + l;
+        }
+        int dcs = 0;
+        for (int i = 0; i < un; i++) {
+          int ca = acoef[u_c + i] >> 6, cl = lcoef[u_r + i] >> 6;
+          dcs += ca == 2 ? 1 : (ca == 1 ? -1 : 0);
+          dcs += cl == 2 ? 1 : (cl == 1 ? -1 : 0);
+        }
+        int dc_ctx = dcs == 0 ? 0 : (dcs < 0 ? 1 : 2);
+        int32_t lv[32 * 32];
+        for (int rr = 0; rr < tn; rr++)
+          for (int cc = 0; cc < tn; cc++)
+            lv[rr * tn + cc] = lvp[rr * stride + cc];
+        int eob_rec = tn == 32 ? ptype : ptype * 2;
+        int cul = coeffs_impl(
+            p, ptype, tn, tn, tctx, imin(tctx, 3), C2D, eob_fam,
+            eob_rec, F.eob_hi_bit, (tctx * 2 + ptype) * 11,
+            F.txb_skip, tctx * 13 + skip_ctx, F.coeff_base_eob,
+            (tctx * 2 + ptype) * 4, F.coeff_base,
+            (tctx * 2 + ptype) * 41, F.coeff_br,
+            (imin(tctx, 3) * 2 + ptype) * 21, F.dc_sign,
+            ptype * 3 + dc_ctx, ttf, ttrec, ttsym, lv);
+        for (int i = 0; i < un; i++) {
+          acoef[u_c + i] = (uint8_t)cul;
+          lcoef[u_r + i] = (uint8_t)cul;
+        }
+      };
+      if (bw4 == 8) {
+        // TX_32X32 luma: intra tx set 0, no symbol
+        tu(0, ly, lys, 32, 3, acoef_y.data(), lcoef_y.data(), c, r,
+           F.eob_pt_1024, -1, 0, 0);
+        tu(1, lu, lus, 16, 2, acoef_u.data(), lcoef_u.data(), c / 2,
+           r / 2, F.eob_pt_256, -1, 0, 0);
+        tu(2, lvv2, lvs, 16, 2, acoef_v.data(), lcoef_v.data(), c / 2,
+           r / 2, F.eob_pt_256, -1, 0, 0);
+      } else {
+        // TX_16X16 luma intra: set 2 -> DCT symbol 1, rec sqr*13+mode
+        tu(0, ly, lys, 16, 2, acoef_y.data(), lcoef_y.data(), c, r,
+           F.eob_pt_256, F.intra_ext_tx2, 2 * 13 + ym, 1);
+        tu(1, lu, lus, 8, 1, acoef_u.data(), lcoef_u.data(), c / 2,
+           r / 2, F.eob_pt_64, -1, 0, 0);
+        tu(2, lvv2, lvs, 8, 1, acoef_v.data(), lcoef_v.data(), c / 2,
+           r / 2, F.eob_pt_64, -1, 0, 0);
+      }
+    } else {
+      for (int i = 0; i < bw4; i++) {
+        acoef_y[c + i] = 0;
+        lcoef_y[r + i] = 0;
+      }
+      for (int i = 0; i < bw4 / 2; i++) {
+        acoef_u[c / 2 + i] = 0;
+        lcoef_u[r / 2 + i] = 0;
+        acoef_v[c / 2 + i] = 0;
+        lcoef_v[r / 2 + i] = 0;
+      }
+    }
+    for (int rr = r; rr < r + bw4; rr++)
+      for (int cc = c; cc < c + bw4; cc++) {
+        skip_mi[at(rr, cc)] = (uint8_t)skipf;
+        ymode_mi[at(rr, cc)] = (uint8_t)ym;
+      }
+  };
+
+  for (int r = 0; r < mi_rows; r += 16) {
+    std::fill(left_part.begin(), left_part.end(), 0);
+    for (int c = 0; c < mi_cols; c += 16) {
+      bool rows64 = r + 8 < mi_rows, cols64 = c + 8 < mi_cols;
+      int ctx64 = part_ctx(r, c, 3);
+      if (rows64 && cols64) {
+        p->symbol_fam(F.part_mid, 2 * 4 + ctx64, 3 /* SPLIT */);
+      } else if (cols64) {
+        split_bool(ctx64, 2, true, 1);
+      } else if (rows64) {
+        split_bool(ctx64, 2, false, 1);
+      }
+      for (int k = 0; k < 4; k++) {
+        int rr = r + (k >> 1) * 8, cc = c + (k & 1) * 8;
+        if (rr >= mi_rows || cc >= mi_cols) continue;
+        int g = (rr / 8) * nbx + (cc / 8);
+        int ctx32 = part_ctx(rr, cc, 2);
+        if (split[g]) {
+          p->symbol_fam(F.part_mid, 1 * 4 + ctx32, 3 /* SPLIT */);
+          for (int q = 0; q < 4; q++) {
+            int qr = rr + (q >> 1) * 4, qc = cc + (q & 1) * 4;
+            int ctx16 = part_ctx(qr, qc, 1);
+            p->symbol_fam(F.part_mid, 0 * 4 + ctx16, 0 /* NONE */);
+            int py = (q >> 1) * 16, px = (q & 1) * 16;
+            int cy = (q >> 1) * 8, cx = (q & 1) * 8;
+            write_blockI(qr, qc, 4, ymodes[g * 5 + 1 + q],
+                         uvmodes[g * 5 + 1 + q], 0, 0,
+                         lv_y + g * 1024 + py * 32 + px, 32,
+                         lv_u + g * 256 + cy * 16 + cx, 16,
+                         lv_v + g * 256 + cy * 16 + cx, 16);
+            update_part(qr, qc, 2, 4, 4);
+          }
+        } else {
+          p->symbol_fam(F.part_mid, 1 * 4 + ctx32, 0 /* NONE */);
+          write_blockI(rr, cc, 8, ymodes[g * 5], uvmodes[g * 5],
+                       cfl[g * 2], cfl[g * 2 + 1], lv_y + g * 1024,
+                       32, lv_u + g * 256, 16, lv_v + g * 256, 16);
+          update_part(rr, cc, 3, 8, 8);
+        }
+      }
+    }
+  }
+  return (long)p->ec.done(out, (size_t)cap);
+}
+
 void packer_split_bool(void* h, int fam, int rec, int bit,
                        const int32_t* ks, int nks) {
   Packer* p = (Packer*)h;

@@ -1209,11 +1209,28 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
          fp.cdef_uv_sec, fp.cdef_damping) = cdef
     ti = TileInfo(seq)
     mi_rows, mi_cols = h >> 2, w >> 2
+    tile = None
     try:
+        # one-call C++ intra packer (0.86 s -> ms at 1080p; the
+        # per-block python dict build below is the fallback)
         from rav1e_tpu.entropy.native import NativeTileWriter
         tw = NativeTileWriter(mi_rows, mi_cols, qindex)
+        tile = tw.write_intra_tile_fast(
+            sp.reshape(-1), my.reshape(-1, 5), mu.reshape(-1, 5),
+            cfm.reshape(-1, 2), ly.reshape(-1, 32, 32),
+            lu.reshape(-1, 16, 16), lvv.reshape(-1, 16, 16))
     except Exception:
-        tw = TileWriter(mi_rows, mi_cols, qindex)
+        tile = None
+    if tile is not None:
+        pkt = keyframe_packet(seq, fp, ti, [tile])
+        if _timing:
+            print(f"# kf hostpack {_time.time()-_t0:.3f}s")
+        rp = np.asarray(rec_packed_d)
+        rec = [rp[:h].astype(np.int32),
+               rp[h:, :w // 2].astype(np.int32),
+               rp[h:, w // 2:].astype(np.int32)]
+        return pkt, rec
+    tw = TileWriter(mi_rows, mi_cols, qindex)
     partitions: dict = {}
     blocks: dict = {}
     for bi in range(bh):

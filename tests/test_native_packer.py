@@ -98,3 +98,93 @@ def test_inter_tile2_byte_identity(seed):
     native = tw.write_inter_tile_fast2(*grid)
     ref = _python_pack(mi_rows, mi_cols, q, grid)
     assert native == ref
+
+
+def test_native_intra_tile_byte_identity():
+    """packer_intra_tile (one-call C++ KF packer) must emit byte-
+    identical tiles to the python TileWriter over the same
+    decisions, including splits, CfL, directional modes and the
+    per-SB CDEF index literal."""
+    from rav1e_tpu.core.constants import (BlockSize, PartitionType,
+                                          PredictionMode, TxType)
+    from rav1e_tpu.entropy.native import NativeTileWriter
+    from rav1e_tpu.entropy.tile import BlockDecision, TileWriter
+
+    rng = np.random.default_rng(9)
+    bh, bw = 3, 5                   # 96x160: partial bottom/right SBs
+    mi_rows, mi_cols = bh * 8, bw * 8
+    B = bh * bw
+    split = rng.random(B) < 0.4
+    ymodes = rng.integers(0, 13, (B, 5)).astype(np.uint8)
+    uvmodes = rng.integers(0, 13, (B, 5)).astype(np.uint8)
+    cfl = np.zeros((B, 2), np.int8)
+    for b in range(B):
+        if not split[b] and rng.random() < 0.4:
+            uvmodes[b, 0] = int(PredictionMode.UV_CFL_PRED)
+            cfl[b] = rng.integers(-16, 17, 2)
+            if cfl[b, 0] == 0 and cfl[b, 1] == 0:
+                cfl[b, 0] = 3
+    lv_y = rng.integers(-6, 7, (B, 32, 32)).astype(np.int16)
+    lv_u = rng.integers(-4, 5, (B, 16, 16)).astype(np.int16)
+    lv_v = rng.integers(-4, 5, (B, 16, 16)).astype(np.int16)
+    # sparsify + some all-skip blocks
+    lv_y[np.abs(lv_y) < 5] = 0
+    lv_u[np.abs(lv_u) < 3] = 0
+    lv_v[np.abs(lv_v) < 3] = 0
+    for b in range(0, B, 4):
+        lv_y[b] = 0
+        lv_u[b] = 0
+        lv_v[b] = 0
+    nsb = ((mi_rows + 15) // 16) * ((mi_cols + 15) // 16)
+    cdef_map = rng.integers(0, 8, nsb).astype(np.uint8)
+
+    ntw = NativeTileWriter(mi_rows, mi_cols, 120)
+    fast = ntw.write_intra_tile_fast(split, ymodes, uvmodes, cfl,
+                                     lv_y, lv_u, lv_v,
+                                     cdef_idx=cdef_map, cdef_bits=3)
+
+    tw = TileWriter(mi_rows, mi_cols, 120)
+    tw.cdef_bits = 3
+    tw.cdef_idx_map = cdef_map.reshape(-1, (mi_cols + 15) // 16)
+    partitions, blocks = {}, {}
+    for b in range(B):
+        r, c = (b // bw) * 8, (b % bw) * 8
+        if split[b]:
+            partitions[(r, c, int(BlockSize.B32X32))] = \
+                PartitionType.SPLIT
+            for q, (dr, dc) in enumerate(
+                    ((0, 0), (0, 4), (4, 0), (4, 4))):
+                py, px, cy, cx = dr * 4, dc * 4, dr * 2, dc * 2
+                yl = lv_y[b][py:py + 16, px:px + 16]
+                ul = lv_u[b][cy:cy + 8, cx:cx + 8]
+                vl = lv_v[b][cy:cy + 8, cx:cx + 8]
+                d = BlockDecision(
+                    y_mode=PredictionMode(int(ymodes[b, 1 + q])),
+                    uv_mode=PredictionMode(int(uvmodes[b, 1 + q])),
+                    skip=not (yl.any() or ul.any() or vl.any()))
+                if not d.skip:
+                    d.coeffs = {0: yl, 1: ul, 2: vl,
+                                "y_tx_type": TxType.DCT_DCT}
+                blocks[(r + dr, c + dc)] = d
+                partitions[(r + dr, c + dc, int(BlockSize.B16X16))] = \
+                    PartitionType.NONE
+        else:
+            d = BlockDecision(
+                y_mode=PredictionMode(int(ymodes[b, 0])),
+                uv_mode=PredictionMode(int(uvmodes[b, 0])),
+                skip=not (lv_y[b].any() or lv_u[b].any()
+                          or lv_v[b].any()))
+            if d.uv_mode == PredictionMode.UV_CFL_PRED:
+                d.cfl_alpha_idx = (int(cfl[b, 0]), int(cfl[b, 1]))
+            if not d.skip:
+                d.coeffs = {0: lv_y[b], 1: lv_u[b], 2: lv_v[b],
+                            "y_tx_type": TxType.DCT_DCT}
+            blocks[(r, c)] = d
+            partitions[(r, c, int(BlockSize.B32X32))] = \
+                PartitionType.NONE
+    for r in range(0, mi_rows, 16):
+        for c in range(0, mi_cols, 16):
+            partitions[(r, c, int(BlockSize.B64X64))] = \
+                PartitionType.SPLIT
+    ref = tw.write_tile(partitions, blocks)
+    assert fast == ref, (len(fast), len(ref))
