@@ -54,15 +54,19 @@ def main():
     from rav1e_tpu.conform import dav1d
 
     frames = synth_1080p(n=16)
+    # the rav1e-s6-comparable toolset: split RDO, SATD subpel, in-loop
+    # deblock level search, per-SB CDEF strength RDO (VERDICT r1
+    # flagged the old bench's light config)
+    cdef = (0, 0, 0, 0, 3)
     # warmup/compile on a 2-frame prefix (persistent cache hides this
     # across runs; excluded from timing)
     t0 = time.time()
-    encode_gop_tpu(frames[:2], qindex=100)
+    encode_gop_tpu(frames[:2], qindex=100, speed=6, cdef=cdef)
     warm = time.time() - t0
     print(f"# warmup {warm:.1f}s", file=sys.stderr)
 
     t0 = time.time()
-    pkts, recs = encode_gop_tpu(frames, qindex=100)
+    pkts, recs = encode_gop_tpu(frames, qindex=100, speed=6, cdef=cdef)
     dt = time.time() - t0
     fps = len(frames) / dt
     total_bytes = sum(len(p) for p in pkts)

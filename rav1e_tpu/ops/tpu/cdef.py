@@ -42,34 +42,6 @@ def _dir_matrices():
     return mats, wts
 
 
-@lru_cache(maxsize=None)
-def _tap_tables(n: int):
-    """Per-direction tap index tables into a flattened (n+4)x(n+4)
-    patch: primary [8][4][n*n], secondary [8][8][n*n]."""
-    span = n + 4
-    base_r = np.arange(n)[:, None] + 2
-    base_c = np.arange(n)[None, :] + 2
-    pri = np.zeros((8, 4, n * n), np.int32)
-    sec = np.zeros((8, 8, n * n), np.int32)
-    for d in range(8):
-        t = 0
-        for k in range(2):
-            dy, dx = CDEF_DIRECTIONS[d][k]
-            for sgn in (1, -1):
-                pri[d, t] = ((base_r + sgn * dy) * span
-                             + base_c + sgn * dx).ravel()
-                t += 1
-        t = 0
-        for k in range(2):
-            for d2 in ((d + 2) & 7, (d - 2) & 7):
-                dy, dx = CDEF_DIRECTIONS[d2][k]
-                for sgn in (1, -1):
-                    sec[d, t] = ((base_r + sgn * dy) * span
-                                 + base_c + sgn * dx).ravel()
-                    t += 1
-    return pri, sec  # numpy (converted per-trace at the use site)
-
-
 def _msb(x):
     return jnp.floor(jnp.log2(jnp.maximum(x, 1).astype(jnp.float32))
                      ).astype(jnp.int32)
@@ -119,82 +91,26 @@ def cdef_directions_jax(yblks):
     return best, var.astype(jnp.int32)
 
 
-def _filter_plane(plane, skip8, pri, sec, damping, dirs, var, n,
-                  is_luma):
-    """Filter one plane; blocks of size n, dirs/var [B] from luma."""
-    h, w = plane.shape
-    nby, nbx = h // n, w // n
-    B = nby * nbx
-    P = jnp.pad(plane.astype(jnp.int32), 2, constant_values=LARGE)
-    by = jnp.asarray((np.repeat(np.arange(nby), nbx) * n).astype(np.int32))
-    bx = jnp.asarray((np.tile(np.arange(nbx), nby) * n).astype(np.int32))
-
-    def patch_one(r0, c0):
-        return jax.lax.dynamic_slice(P, (r0, c0), (n + 4, n + 4))
-
-    patch = jax.vmap(patch_one)(by, bx).reshape(B, -1)  # [B,(n+4)^2]
-    x = patch.reshape(B, n + 4, n + 4)[:, 2:2 + n, 2:2 + n] \
-        .reshape(B, n * n).astype(jnp.int32)
-    pri_np, sec_np = _tap_tables(n)
-    pri_t, sec_t = jnp.asarray(pri_np), jnp.asarray(sec_np)
-    # per-plane primary strength / dir handling
-    if is_luma:
-        vs = jnp.where((var >> 6) > 0,
-                       jnp.minimum(_msb(var >> 6), 12), 0)
-        pri_adj = jnp.where(var > 0, (pri * (4 + vs) + 8) >> 4, 0)
-        d_eff = jnp.where(pri > 0, dirs, 0)
-    else:
-        pri_adj = jnp.full(dirs.shape, pri, jnp.int32)
-        d_eff = jnp.where(pri > 0, dirs, 0)
-    pdamp = damping if is_luma else damping - 1
-    taps0 = jnp.asarray([t[0] for t in PRI_TAPS])
-    taps1 = jnp.asarray([t[1] for t in PRI_TAPS])
-    parity = pri_adj & 1
-    # tap order in _tap_tables: (k0,+), (k0,-), (k1,+), (k1,-)
-    pri_taps = jnp.stack([taps0[parity], taps0[parity],
-                          taps1[parity], taps1[parity]], 1)  # [B,4]
-    s = jnp.zeros((B, n * n), jnp.int32)
-    mx = x
-    mn = x
-    pidx = pri_t[d_eff]                           # [B, 4, n*n]
-    for t in range(4):
-        p = jnp.take_along_axis(patch, pidx[:, t], 1).astype(jnp.int32)
-        valid = p != LARGE
-        c = _constrain(p - x, pri_adj[:, None], pdamp)
-        s = s + jnp.where(valid, pri_taps[:, t, None] * c, 0)
-        mx = jnp.where(valid, jnp.maximum(mx, p), mx)
-        mn = jnp.where(valid, jnp.minimum(mn, p), mn)
-    sidx = sec_t[d_eff]                           # [B, 8, n*n]
-    for t in range(8):
-        p = jnp.take_along_axis(patch, sidx[:, t], 1).astype(jnp.int32)
-        valid = (p != LARGE) & (sec > 0)
-        c = _constrain(p - x, sec, pdamp)
-        s = s + jnp.where(valid, SEC_TAPS[t // 4] * c, 0)
-        mx = jnp.where(valid, jnp.maximum(mx, p), mx)
-        mn = jnp.where(valid, jnp.minimum(mn, p), mn)
-    y = x + ((8 + s - (s < 0)) >> 4)
-    y = jnp.clip(y, mn, mx)
-    active = (~skip8.reshape(B)) & ((pri_adj > 0) | (sec > 0))
-    y = jnp.where(active[:, None], y, x)
-    out = y.reshape(nby, nbx, n, n).transpose(0, 2, 1, 3).reshape(h, w)
-    return out.astype(plane.dtype)
-
-
 def cdef_filter_frame_jax(planes, skip8, y_pri, y_sec, uv_pri, uv_sec,
                           damping):
-    """JAX CDEF over [y, u, v] int32 planes. skip8 [h/8, w/8] bool."""
-    y = planes[0]
-    h, w = y.shape
-    yb = (y.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
-          .reshape(-1, 8, 8).astype(jnp.int32))
-    dirs, var = cdef_directions_jax(yb)
-    out_y = _filter_plane(y, skip8, y_pri, y_sec, damping, dirs, var,
-                          8, True)
-    out_u = _filter_plane(planes[1], skip8, uv_pri, uv_sec, damping,
-                          dirs, var, 4, False)
-    out_v = _filter_plane(planes[2], skip8, uv_pri, uv_sec, damping,
-                          dirs, var, 4, False)
-    return [out_y, out_u, out_v]
+    """JAX CDEF over [y, u, v] int32 planes. skip8 [h/8, w/8] bool.
+
+    Plane-space formulation: every tap is a static shifted slice of
+    the padded plane selected per-pixel by the 8x8-block direction —
+    no per-block gathers. d_eff = 0 when pri == 0 (spec: the clamp
+    window still uses the primary taps of direction 0)."""
+    dg, vg = _dirs_var(planes[0])
+
+    def fp(plane, n, pri, sec, is_luma):
+        deff = jnp.where(pri > 0, dg, 0)
+        pp = _prep_plane(plane, _upsample(deff, n), n, is_luma)
+        return _filter_from_prep(
+            pp, _upsample(skip8, n), pri, sec, damping,
+            _upsample(vg, n) if is_luma else None)
+
+    return [fp(planes[0], 8, y_pri, y_sec, True),
+            fp(planes[1], 4, uv_pri, uv_sec, False),
+            fp(planes[2], 4, uv_pri, uv_sec, False)]
 
 
 # secondary strengths must be in {0, 1, 2, 4} (spec 2-bit code, 3->4)
@@ -227,20 +143,146 @@ def cdef_search_frame_jax(planes, srcs, skip8, damping):
     return k, [o[k] for o in outs]
 
 
+@lru_cache(maxsize=None)
+def _shift_tables():
+    """Per-direction tap offsets: primary [8][4], secondary [8][8]
+    (dy, dx) — slot order: (k0,+),(k0,-),(k1,+),
+    (k1,-) primary; ((d+2,k),±),((d-2,k),±) per k secondary."""
+    pri = [[None] * 4 for _ in range(8)]
+    sec = [[None] * 8 for _ in range(8)]
+    for d in range(8):
+        t = 0
+        for k in range(2):
+            dy, dx = CDEF_DIRECTIONS[d][k]
+            for sgn in (1, -1):
+                pri[d][t] = (sgn * dy, sgn * dx)
+                t += 1
+        t = 0
+        for k in range(2):
+            for d2 in ((d + 2) & 7, (d - 2) & 7):
+                dy, dx = CDEF_DIRECTIONS[d2][k]
+                for sgn in (1, -1):
+                    sec[d][t] = (sgn * dy, sgn * dx)
+                    t += 1
+    return pri, sec
+
+
+def _prep_plane(plane, dirs_pix, n, is_luma):
+    """Candidate-independent part of the CDEF filter, in PLANE space:
+    tap values as static shifted slices of the padded plane selected
+    per-pixel by direction — no gathers (the per-block dynamic_slice /
+    take_along_axis formulation profiled at ~750 ms/frame at 1080p;
+    this one is pure VPU shifts+selects).
+
+    dirs_pix [h, w] int32: luma-block direction upsampled to this
+    plane's pixels. d_eff == dirs for every non-identity ladder entry
+    (pri > 0); the identity entry's output is discarded by `active`."""
+    h, w = plane.shape
+    x = plane.astype(jnp.int32)
+    P = jnp.pad(x, 2, constant_values=LARGE)
+    pri_off, sec_off = _shift_tables()
+
+    def shifted(dy, dx):
+        return jax.lax.slice(P, (2 + dy, 2 + dx), (2 + dy + h, 2 + dx + w))
+
+    def select(offsets_per_dir):
+        acc = jnp.zeros((h, w), jnp.int32)
+        for d in range(8):
+            dy, dx = offsets_per_dir[d]
+            acc = acc + jnp.where(dirs_pix == d, shifted(dy, dx), 0)
+        return acc
+
+    p_pri = [select([pri_off[d][t] for d in range(8)])
+             for t in range(4)]
+    p_sec = [select([sec_off[d][t] for d in range(8)])
+             for t in range(8)]
+    return dict(x=x, p_pri=p_pri, p_sec=p_sec, n=n, is_luma=is_luma,
+                dtype=plane.dtype)
+
+
+def _filter_from_prep(pp, skip_pix, pri, sec, damping, var_pix):
+    """Apply one (pri, sec) strength pair from precomputed tap planes.
+    Elementwise twin of ops.ref.cdef's filter tail — identical
+    arithmetic.
+    skip_pix / var_pix are per-pixel maps on this plane's grid."""
+    x = pp["x"]
+    if pp["is_luma"]:
+        vs = jnp.where((var_pix >> 6) > 0,
+                       jnp.minimum(_msb(var_pix >> 6), 12), 0)
+        pri_adj = jnp.where(var_pix > 0, (pri * (4 + vs) + 8) >> 4, 0)
+    else:
+        pri_adj = jnp.full(x.shape, pri, jnp.int32)
+    pdamp = damping if pp["is_luma"] else damping - 1
+    taps0 = jnp.asarray([t[0] for t in PRI_TAPS])
+    taps1 = jnp.asarray([t[1] for t in PRI_TAPS])
+    parity = pri_adj & 1
+    pri_taps = [taps0[parity], taps0[parity], taps1[parity],
+                taps1[parity]]
+    s = jnp.zeros_like(x)
+    mx = x
+    mn = x
+    for t in range(4):
+        p = pp["p_pri"][t]
+        valid = p != LARGE
+        c = _constrain(p - x, pri_adj, pdamp)
+        s = s + jnp.where(valid, pri_taps[t] * c, 0)
+        mx = jnp.where(valid, jnp.maximum(mx, p), mx)
+        mn = jnp.where(valid, jnp.minimum(mn, p), mn)
+    for t in range(8):
+        p = pp["p_sec"][t]
+        valid = (p != LARGE) & (sec > 0)
+        c = _constrain(p - x, sec, pdamp)
+        s = s + jnp.where(valid, SEC_TAPS[t // 4] * c, 0)
+        mx = jnp.where(valid, jnp.maximum(mx, p), mx)
+        mn = jnp.where(valid, jnp.minimum(mn, p), mn)
+    y = x + ((8 + s - (s < 0)) >> 4)
+    y = jnp.clip(y, mn, mx)
+    active = (~skip_pix) & ((pri_adj > 0) | (sec > 0))
+    y = jnp.where(active, y, x)
+    return y.astype(pp["dtype"])
+
+
+def _upsample(grid, n):
+    return jnp.repeat(jnp.repeat(grid, n, axis=0), n, axis=1)
+
+
+def _dirs_var(y):
+    """Direction/variance per 8x8 luma block, as [h/8, w/8] grids."""
+    h, w = y.shape
+    yb = (y.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+          .reshape(-1, 8, 8).astype(jnp.int32))
+    dirs, var = cdef_directions_jax(yb)
+    return dirs.reshape(h // 8, w // 8), var.reshape(h // 8, w // 8)
+
+
 def cdef_search_persb_jax(planes, srcs, skip8, damping):
     """Per-64x64-SB CDEF strength-index RDO over the 8-entry ladder
     (rav1e rdo_loop_decision's per-SB index into the frame's strength
-    presets, cdef_bits = 3). All 8 filtered frames are computed once;
-    each SB picks its SSE-argmin entry and the output is assembled by
-    per-SB selection. Returns (idx_sb [H/64, W/64] int32, planes)."""
-    cand = jnp.asarray(np.array(CDEF_LADDER, np.int32))
+    presets, cdef_bits = 3). Direction analysis and the per-direction
+    tap selection run ONCE (plane-space static shifts, no gathers);
+    the 8 candidates only redo the elementwise constrain/weight math.
+    Each SB picks its SSE-argmin entry.
+    Returns (idx_sb [ceil(H/64), ceil(W/64)] int32, planes)."""
+    y = planes[0]
+    h, w = y.shape
+    dg, vg = _dirs_var(y)
+    pp_y = _prep_plane(y, _upsample(dg, 8), 8, True)
+    pp_u = _prep_plane(planes[1], _upsample(dg, 4), 4, False)
+    pp_v = _prep_plane(planes[2], _upsample(dg, 4), 4, False)
+    var_y = _upsample(vg, 8)
+    skip_y = _upsample(skip8, 8)
+    skip_c = _upsample(skip8, 4)
 
     def one(c):
-        return cdef_filter_frame_jax(planes, skip8, c[0], c[1], c[2],
-                                     c[3], damping)
+        return [_filter_from_prep(pp_y, skip_y, c[0], c[1], damping,
+                                  var_y),
+                _filter_from_prep(pp_u, skip_c, c[2], c[3], damping,
+                                  None),
+                _filter_from_prep(pp_v, skip_c, c[2], c[3], damping,
+                                  None)]
 
+    cand = jnp.asarray(np.array(CDEF_LADDER, np.int32))
     outs = jax.vmap(one)(cand)          # [8, ...] per plane
-    h, w = planes[0].shape
     nby, nbx = h // 32, w // 32
     nr, nc = (nby + 1) // 2, (nbx + 1) // 2
     K = len(CDEF_LADDER)

@@ -71,6 +71,30 @@ def _fwd_mats(tx_size: TxSize, tx_type: TxType):
             float(scale))
 
 
+@lru_cache(maxsize=None)
+def _inv_mats(tx_size: TxSize, tx_type: TxType):
+    fv, fw, scale = _fwd_mats(tx_size, tx_type)
+    return (np.asarray(np.linalg.inv(fv.astype(np.float64)),
+                       np.float32),
+            np.asarray(np.linalg.inv(fw.astype(np.float64)),
+                       np.float32),
+            float(scale))
+
+
+@partial(jax.jit, static_argnames=("tx_size", "tx_type"))
+def inverse_approx(coeffs: jnp.ndarray, tx_size: TxSize,
+                   tx_type: TxType) -> jnp.ndarray:
+    """Float inverse on the MXU — NOT bit-exact (the integer
+    butterfly network costs ~10x more). For mode-RDO ranking only;
+    final reconstruction must use inverse_transform."""
+    iv, iw, scale = _inv_mats(tx_size, tx_type)
+    x = coeffs.astype(jnp.float32) * (1.0 / scale)
+    with jax.default_matmul_precision("float32"):
+        t = jnp.einsum("ij,...jk->...ik", jnp.asarray(iv), x)
+        t = jnp.einsum("...ij,jk->...ik", t, jnp.asarray(iw))
+    return jnp.round(t).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("tx_size", "tx_type"))
 def forward_transform(residual: jnp.ndarray, tx_size: TxSize,
                       tx_type: TxType) -> jnp.ndarray:

@@ -82,6 +82,8 @@ def build_rd_inter(qindex: int, bit_depth: int = 8) -> dict:
         "mv_bits": jnp.asarray(mv_component_bits()),
         "newmv": jnp.float32(imb["NEWMV"] + 1.2),  # + mv_joint avg
         "globalmv": jnp.float32(imb["GLOBALMV"]),
+        "nearest": jnp.float32(imb["NEARESTMV"]),
+        "near": jnp.float32(imb["NEARMV"]),
         "skip0": jnp.float32(imb["skip0"]),
         "skip1": jnp.float32(imb["skip1"]),
         "y32": rate_luts(qindex, TxSize.TX_32X32, 0),
@@ -332,8 +334,47 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
     ub = to_blocks(u.astype(jnp.int32), 16)
     vb = to_blocks(v.astype(jnp.int32), 16)
     if ryp2 is None:
-        # ---- single-ref final prediction ------------------------
-        pred_y = _mc_patch(patch32, pir0, pic0, by, bx, mv8, 32, 0, 1)
+        # ---- single-ref: neighbor-MV candidates + final prediction
+        # (rav1e rdo_mode_decision's NEARESTMV/NEARMV trials from the
+        # mv stack, restructured batched: the left/above ME MVs stand
+        # in for the stack entries — after coding-order aliasing in
+        # the packer a matching MV costs only the mode symbol) ------
+        lam = rd["lam"]
+        pred_own = _mc_patch(patch32, pir0, pic0, by, bx, mv8, 32,
+                             0, 1)
+        mvg = mv8.reshape(nby, nbx, 2)
+        mvl = jnp.concatenate([mvg[:, :1], mvg[:, :-1]],
+                              1).reshape(B, 2)
+        mva = jnp.concatenate([mvg[:1], mvg[:-1]], 0).reshape(B, 2)
+        pl = _mc_batch(ryp, by, bx, mvl, 32, 0)
+        pa = _mc_batch(ryp, by, bx, mva, 32, 0)
+
+        def sse32(p):
+            d = (p - blks).astype(jnp.float32)
+            return jnp.sum(d * d, (1, 2))
+
+        def mvr1(mv):
+            r = (rd["mv_bits"][jnp.abs(mv[:, 0])]
+                 + rd["mv_bits"][jnp.abs(mv[:, 1])])
+            zero = (mv[:, 0] == 0) & (mv[:, 1] == 0)
+            return jnp.where(zero, rd["globalmv"], r + rd["newmv"])
+
+        zl = (mvl[:, 0] == 0) & (mvl[:, 1] == 0)
+        za = (mva[:, 0] == 0) & (mva[:, 1] == 0)
+        cand_r = jnp.stack(
+            [mvr1(mv8),
+             jnp.where(zl, rd["globalmv"], rd["nearest"]),
+             jnp.where(za, rd["globalmv"], rd["near"])], 0)  # [3,B]
+        cc = (ds32[None] * jnp.stack([sse32(pred_own), sse32(pl),
+                                      sse32(pa)], 0)
+              + lam * cand_r)
+        k = jnp.argmin(cc, 0)                         # own wins ties
+        k3 = k[:, None, None]
+        pred_y = jnp.where(k3 == 0, pred_own,
+                           jnp.where(k3 == 1, pl, pa))
+        mv8 = jnp.where(k[:, None] == 0, mv8,
+                        jnp.where(k[:, None] == 1, mvl, mva))
+        rate32 = jnp.take_along_axis(cand_r, k[None], 0)[0]
         pred_u = _mc_batch(rup, by // 2, bx // 2, mv8, 16, 1)
         pred_v = _mc_batch(rvp, by // 2, bx // 2, mv8, 16, 1)
         choice = jnp.zeros((B,), jnp.int32)
@@ -395,6 +436,7 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         # second MV only meaningful for compound
         mvb8 = jnp.where((choice == 2)[:, None], mvb8_, 0)
         mv8 = jnp.where((choice == 1)[:, None], mvb8_, mv8)
+        rate32 = None
 
     def code(resid, tx):
         # dynamic-q quantize/dequant (ops.ref.quant semantics with
@@ -450,7 +492,7 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
     rec_y32 = jnp.where(sk3, pred_y, cd_y)
     rec_u32 = jnp.where(sk3, pred_u, cd_u)
     rec_v32 = jnp.where(sk3, pred_v, cd_v)
-    cost32 = (lam * mv_rate(mv8)
+    cost32 = (lam * (mv_rate(mv8) if rate32 is None else rate32)
               + jnp.where(skip, ds32 * sse_s + lam * rd["skip1"],
                           ds32 * sse_c + lam * (rd["skip0"] + cbits)))
 
@@ -1346,7 +1388,7 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
 
     pkts, recs = [], []
     pkt, rec = encode_keyframe_tpu(frames[0], qindex=qindex, speed=speed,
-                                   deblock=False, cdef=cdef)
+                                   cdef=cdef)
     pkts.append(pkt)
     recs.append(rec)
     if len(frames) == 1:
@@ -1370,21 +1412,39 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
     # (the tunnel charges ~38 ms latency per transfer)
     ref_dev = tuple(jnp.asarray(np.asarray(p, np.uint8)) for p in rec)
     ones = _ds16_quads(None, h // 32, w // 32)
+    import os as _os
+    import time as _time
+    _timing = bool(_os.environ.get("RAV1E_TPU_TIMING"))
+    _t0 = _time.time()
     outs = []
     for f in frames[1:]:
         o = step(jnp.asarray(pack_src(f)), *ref_dev,
                  dcq, acq, cdef_prm, rd, ones)
         ref_dev = o[4:7]
         outs.append(o)
+    if _timing:
+        print(f"# gop dispatch {_time.time()-_t0:.3f}s")
+        jax.block_until_ready(outs[-1][0])
+        print(f"# gop device-drain {_time.time()-_t0:.3f}s")
+        _t0 = _time.time()
+    _tf = _tp = 0.0
     for i, o in enumerate(outs, start=1):
+        _t1 = _time.time()
         (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16, lf_lvl,
          cdef_map, _, _) = _fetch_packed(o, gather_dense,
                                          h // 32, w // 32)
+        _t2 = _time.time()
+        _tf += _t2 - _t1
         pkts.append(_pack_pframe(
             h, w, qindex, i, mv8, skip, lv_y, lv_u, lv_v,
             cdef=(cdef, cdef_map) if cdef is not None else None,
             lf_level=lf_lvl, split=split, mv16=mv16, skip16=skip16))
+        _tp += _time.time() - _t2
         # recons stay device-resident (uint8); consumers that need
         # them host-side (conformance checks) convert lazily
         recs.append([o[4], o[5], o[6]])
+    if _timing:
+        n = len(outs)
+        print(f"# gop fetch {_tf/n*1e3:.1f}ms/f pack {_tp/n*1e3:.1f}ms/f"
+              f" tail {_time.time()-_t0:.3f}s")
     return pkts, recs

@@ -210,9 +210,15 @@ def _dq_dyn(lv, tx_size, dcq, acq):
     return jnp.sign(lv) * dqv
 
 
-def _cand_eval(preds, srcb, tx_size, dqs, tts, maxpx=255):
+def _cand_eval(preds, srcb, tx_size, dqs, tts, maxpx=255,
+               approx=False):
     """Evaluate K prediction candidates: returns (rec, lv, sse) stacked
-    [K, N, h, w] / [K, N]; tts: per-candidate TxType list."""
+    [K, N, h, w] / [K, N]; tts: per-candidate TxType list.
+
+    approx=True swaps the spec-exact integer inverse for the float
+    MXU inverse (~10x cheaper) — for mode RANKING only; callers must
+    reconstruct survivors exactly."""
+    inv = T.inverse_approx if approx else T.inverse_transform
     K, n, blkh, blkw = preds.shape
     recs, lvs = [], []
     if len(set(tts)) == 1:
@@ -220,7 +226,7 @@ def _cand_eval(preds, srcb, tx_size, dqs, tts, maxpx=255):
         cf = T.forward_transform(resid, tx_size, tts[0])
         lv = _q_dyn(cf, tx_size, dqs[0], dqs[1])
         dq = _dq_dyn(lv, tx_size, dqs[0], dqs[1])
-        r2 = T.inverse_transform(dq, tx_size, tts[0])
+        r2 = inv(dq, tx_size, tts[0])
         recb = jnp.clip(preds.reshape(K * n, blkh, blkw) + r2, 0, maxpx)
         recb = recb.astype(jnp.int32).reshape(K, n, blkh, blkw)
         lvk = lv.reshape(K, n, blkh, blkw)
@@ -230,7 +236,7 @@ def _cand_eval(preds, srcb, tx_size, dqs, tts, maxpx=255):
             cf = T.forward_transform(resid, tx_size, tts[k])
             lv = _q_dyn(cf, tx_size, dqs[0], dqs[1])
             dq = _dq_dyn(lv, tx_size, dqs[0], dqs[1])
-            r2 = T.inverse_transform(dq, tx_size, tts[k])
+            r2 = inv(dq, tx_size, tts[k])
             recs.append(jnp.clip(preds[k] + r2, 0, maxpx).astype(jnp.int32))
             lvs.append(lv)
         recb = jnp.stack(recs, 0)
@@ -241,7 +247,8 @@ def _cand_eval(preds, srcb, tx_size, dqs, tts, maxpx=255):
 
 
 def _quad_plane(edge_above, edge_left, edge_tl, has_a0, has_l0, srcb,
-                tx_size, dqs, modes, lam, tts, L, mbits):
+                tx_size, dqs, modes, lam, tts, L, mbits,
+                approx=False):
     """Evaluate the 4-way split of a block: each half-size sub-block
     RDO'd sequentially (TL, TR, BL, BR) using in-progress recon.
 
@@ -279,7 +286,8 @@ def _quad_plane(edge_above, edge_left, edge_tl, has_a0, has_l0, srcb,
         preds = predict_modes(modes, above, left, tl, has_a, has_l,
                               half, half)
         sub_src = srcb[:, r0: r0 + half, c0: c0 + half]
-        recb, lvk, sse = _cand_eval(preds, sub_src, tx_size, dqs, tts)
+        recb, lvk, sse = _cand_eval(preds, sub_src, tx_size, dqs, tts,
+                                    approx=approx)
         cost = sse + lam * (block_bits(lvk, L) + mbits[:, None])
         best = jnp.argmin(cost, axis=0)
         sel = jnp.arange(n)
@@ -294,10 +302,10 @@ def _quad_plane(edge_above, edge_left, edge_tl, has_a0, has_l0, srcb,
 
 
 @partial(jax.jit, static_argnames=("modes_y", "modes_uv", "modes_quad",
-                                   "split_rdo"))
+                                   "split_rdo", "approx"))
 def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
                     modes_y, modes_uv, modes_quad=None,
-                    split_rdo=False):
+                    split_rdo=False, approx=False):
     """Whole-frame wavefront: fori_loop over diagonals, one dispatch.
 
     With split_rdo, each 32x32 node also evaluates the PARTITION_SPLIT
@@ -361,7 +369,7 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
                                 LB, LB, aext=aext, lext=lext)
         rec32, lv32, sse32 = _cand_eval(
             preds32, srcb_y, TxSize.TX_32X32, (qdc, qac),
-            [TxType.DCT_DCT] * len(modes_y))
+            [TxType.DCT_DCT] * len(modes_y), approx=approx)
         cost32 = sse32 + lam * (block_bits(lv32, rd["y32"])
                                 + rd["ybits"][:, None])
         if d203_pen is not None:
@@ -385,7 +393,8 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
             a, l_, tl = gather_edges(rec, ii, jj, blk, blk)
             preds = predict_modes(modes_uv, a, l_, tl, has_a, has_l,
                                   blk, blk)
-            return (*_cand_eval(preds, src[ii, jj], tx, dqs, tts),
+            return (*_cand_eval(preds, src[ii, jj], tx, dqs, tts,
+                                approx=approx),
                     preds)
 
         ur, ulv, usse, pu_ = chroma_cands(ru, su, TxSize.TX_16X16,
@@ -432,10 +441,10 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
             ctt = chroma_tx_type(P.UV_CFL_PRED, TxSize.TX_16X16, True)
             ruc, luc, suc = _cand_eval(pred_cu[None], su[ii, jj],
                                        TxSize.TX_16X16, (qdc_c, qac_c),
-                                       [ctt])
+                                       [ctt], approx=approx)
             rvc, lvc, svc = _cand_eval(pred_cv[None], sv[ii, jj],
                                        TxSize.TX_16X16, (qdc_c, qac_c),
-                                       [ctt])
+                                       [ctt], approx=approx)
             both_zero = (au == 0) & (av == 0)
             cfl_cost = (suc[0] + svc[0]
                         + lam * (block_bits(luc[0], rd["c16"])
@@ -458,7 +467,7 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
                 a_y, l_y, tl_y, has_a, has_l, srcb_y, TxSize.TX_16X16,
                 (qdc, qac), modes_quad, lam,
                 [TxType.DCT_DCT] * len(modes_quad), rd["y16"],
-                rd["yqbits"])
+                rd["yqbits"], approx=approx)
             # ---- chroma 8-quad: joint u+v per sub-block with shared
             # mode pick ----
             cts8 = [chroma_tx_type(m, TxSize.TX_8X8, True)
@@ -511,9 +520,11 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
                 ssub_u = srcu[:, r0: r0 + half, c0: c0 + half]
                 ssub_v = srcv[:, r0: r0 + half, c0: c0 + half]
                 ru8, lu8, su8 = _cand_eval(pu, ssub_u, TxSize.TX_8X8,
-                                           (qdc_c, qac_c), cts8)
+                                           (qdc_c, qac_c), cts8,
+                                           approx=approx)
                 rv8, lv8, sv8 = _cand_eval(pv, ssub_v, TxSize.TX_8X8,
-                                           (qdc_c, qac_c), cts8)
+                                           (qdc_c, qac_c), cts8,
+                                           approx=approx)
                 cst = (su8 + sv8
                        + lam * (block_bits(lu8, rd["c8"])
                                 + block_bits(lv8, rd["c8"])
@@ -917,9 +928,10 @@ def _kf_stream_cap(B: int) -> int:
 
 
 @partial(jax.jit,
-         static_argnames=("split_rdo", "use_cdef", "use_deblock"))
+         static_argnames=("split_rdo", "use_cdef", "use_deblock",
+                          "cdef_rdo"))
 def _finalize_kf(state, srcs, base_lf, cdef_prm, split_rdo, use_cdef,
-                 use_deblock):
+                 use_deblock, cdef_rdo=False):
     """Device-side keyframe epilogue: skip flags, in-loop deblock
     level search, CDEF, and compact meta packing so the host does ONE
     small fetch instead of pulling the full int32 state (~25 MB at
@@ -971,17 +983,29 @@ def _finalize_kf(state, srcs, base_lf, cdef_prm, split_rdo, use_cdef,
         lf_lvl, planes = deblock_search(
             planes, src_planes, base_lf, blk_y, blk_c, 8,
             sp if split_rdo else None)
+    nr, nc = (bh + 1) // 2, (bw + 1) // 2
+    cdef_idx = jnp.zeros((nr, nc), jnp.int32)
     if use_cdef:
-        from rav1e_tpu.ops.tpu.cdef import cdef_filter_frame_jax
         sk = jnp.where(split[:, None], skip_q,
                        skip_b[:, None].repeat(4, 1)).reshape(bh, bw,
                                                              2, 2)
         skip8 = (sk.transpose(0, 2, 1, 3).reshape(bh * 2, bw * 2)
                  .repeat(2, 0).repeat(2, 1))
-        planes = cdef_filter_frame_jax(
-            [p.astype(jnp.int32) for p in planes], skip8,
-            cdef_prm[0], cdef_prm[1], cdef_prm[2], cdef_prm[3],
-            cdef_prm[4])
+        if cdef_rdo:
+            # per-64x64-SB strength-index RDO over the 8-entry ladder
+            # (rav1e rdo_loop_decision, cdef_bits=3) vs the SOURCE
+            from rav1e_tpu.ops.tpu.cdef import cdef_search_persb_jax
+            src_p = [_from_blocks_j(s).astype(jnp.int32)
+                     for s in srcs]
+            cdef_idx, planes = cdef_search_persb_jax(
+                [p.astype(jnp.int32) for p in planes], src_p,
+                skip8, cdef_prm[4])
+        else:
+            from rav1e_tpu.ops.tpu.cdef import cdef_filter_frame_jax
+            planes = cdef_filter_frame_jax(
+                [p.astype(jnp.int32) for p in planes], skip8,
+                cdef_prm[0], cdef_prm[1], cdef_prm[2], cdef_prm[3],
+                cdef_prm[4])
 
     h, w = bh * LB, bw * LB
     rec_packed = jnp.concatenate(
@@ -1007,7 +1031,8 @@ def _finalize_kf(state, srcs, base_lf, cdef_prm, split_rdo, use_cdef,
                           (x & 255).astype(jnp.int8)], -1).reshape(-1)
 
     meta = jnp.concatenate([hdr.reshape(-1), words1(counts),
-                            words1(pos), words1(val)])
+                            words1(pos), words1(val),
+                            cdef_idx.reshape(-1).astype(jnp.int8)])
     return (meta, rec_packed, ly_f.astype(jnp.int16),
             lu_f.astype(jnp.int16), lv_f.astype(jnp.int16))
 
@@ -1041,8 +1066,15 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
                         speed: int = 6, deblock: bool = True,
                         cdef: tuple | None = None,
                         render_size: tuple | None = None,
-                        seq_extra: dict | None = None):
+                        seq_extra: dict | None = None,
+                        cdef_rdo: bool = True):
     """TPU-batched KEY frame encode; dims must be multiples of 32.
+
+    cdef: None disables CDEF at the sequence level; a 5-tuple enables
+    it — with cdef_rdo (default) the 8-entry ladder is signaled
+    (cdef_bits=3) and each 64x64 SB picks its SSE-argmin index on
+    device (rav1e rdo_loop_decision); cdef[4] supplies the damping.
+    cdef_rdo=False applies the 5-tuple as a fixed frame-wide strength.
 
     Returns (packet, recon planes) — recon is bit-exact decoder output
     (including deblocking when enabled).
@@ -1114,7 +1146,8 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     _t0 = _time.time()
     dec = wavefront_frame(state0, (sy, su, sv), jnp.asarray(ii_all),
                           jnp.asarray(jj_all), jnp.asarray(mask_all),
-                          rd, modes_y, modes_uv, modes_quad, split_rdo)
+                          rd, modes_y, modes_uv, modes_quad, split_rdo,
+                          approx=True)
     my_d, mu_d, sp_d, cf_d = dec[6], dec[7], dec[8], dec[9]
     if _timing:
         jax.block_until_ready(my_d)
@@ -1151,9 +1184,11 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     from rav1e_tpu.ops.ref.deblock import level_from_qindex
     cdef_prm = jnp.asarray(
         list(cdef) if cdef is not None else [0, 0, 0, 0, 3], jnp.int32)
+    use_cdef_rdo = cdef is not None and cdef_rdo
     meta_d, rec_packed_d, lvy_d, lvu_d, lvv_d = _finalize_kf(
         state, (sy, su, sv), jnp.int32(level_from_qindex(qindex)),
-        cdef_prm, split_rdo, cdef is not None, deblock)
+        cdef_prm, split_rdo, cdef is not None, deblock,
+        cdef_rdo=use_cdef_rdo)
     if _timing:
         jax.block_until_ready(meta_d)
         print(f"# kf epilogue {_time.time()-_t0:.3f}s")
@@ -1178,7 +1213,11 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     counts = unw(meta[o0:o1])
     o2 = o1 + 2 * (cap + 1)
     pos = unw(meta[o1:o2])
-    val = unw(meta[o2:]).astype(np.int16)
+    o3 = o2 + 2 * (cap + 1)
+    val = unw(meta[o2:o3]).astype(np.int16)
+    nr, nc = (bh + 1) // 2, (bw + 1) // 2
+    cdef_map = (meta[o3:].astype(np.uint8).reshape(nr, nc)
+                if use_cdef_rdo else None)
     from rav1e_tpu.pipeline.tpu_inter import unpack_stream
     lv_y, lv_u, lv_v, over = unpack_stream(counts, pos, val,
                                            sp.reshape(B),
@@ -1204,7 +1243,13 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     fp = FrameParams(frame_type=FrameType.KEY, base_q_idx=qindex,
                      loop_filter_levels=(lf, lf, lf, lf),
                      render_size=render_size)
-    if cdef is not None:
+    cdef_bits = 0
+    if cdef_map is not None:
+        from rav1e_tpu.ops.tpu.cdef import CDEF_LADDER
+        fp.cdef_damping = cdef[4]
+        fp.cdef_strengths = [tuple(e) for e in CDEF_LADDER]
+        cdef_bits = 3
+    elif cdef is not None:
         (fp.cdef_y_pri, fp.cdef_y_sec, fp.cdef_uv_pri,
          fp.cdef_uv_sec, fp.cdef_damping) = cdef
     ti = TileInfo(seq)
@@ -1218,7 +1263,8 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
         tile = tw.write_intra_tile_fast(
             sp.reshape(-1), my.reshape(-1, 5), mu.reshape(-1, 5),
             cfm.reshape(-1, 2), ly.reshape(-1, 32, 32),
-            lu.reshape(-1, 16, 16), lvv.reshape(-1, 16, 16))
+            lu.reshape(-1, 16, 16), lvv.reshape(-1, 16, 16),
+            cdef_idx=cdef_map, cdef_bits=cdef_bits)
     except Exception:
         tile = None
     if tile is not None:
@@ -1231,6 +1277,9 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
                rp[h:, w // 2:].astype(np.int32)]
         return pkt, rec
     tw = TileWriter(mi_rows, mi_cols, qindex)
+    if cdef_bits:
+        tw.cdef_bits = cdef_bits
+        tw.cdef_idx_map = cdef_map
     partitions: dict = {}
     blocks: dict = {}
     for bi in range(bh):
