@@ -123,7 +123,8 @@ class Context:
         self._detector = SceneChangeDetector(
             bit_depth=cfg.bit_depth,
             min_kf_interval=cfg.min_key_frame_interval,
-            max_kf_interval=cfg.key_frame_interval)
+            max_kf_interval=cfg.key_frame_interval,
+            mode=self.speed_settings.scene_mode)
         self._rc = RCState(RCConfig(
             target_bitrate=int(cfg.extra.get("bitrate", 0) or 0),
             framerate=float(cfg.extra.get("framerate", 30.0) or 30.0),

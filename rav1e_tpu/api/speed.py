@@ -29,6 +29,8 @@ class SpeedSettings:
     # in-loop filters
     cdef_auto: bool = True
     lr: bool = False
+    # analysis
+    scene_mode: str = "fast"       # rav1e fast_scene_detection flag
 
     @classmethod
     def from_preset(cls, speed: int) -> "SpeedSettings":
@@ -46,4 +48,7 @@ class SpeedSettings:
             bframes=s <= 4,
             cdef_auto=s <= 8,
             lr=s <= 3,
+            # rav1e: standard (cost-based) scene detection below
+            # speed 10's fast_scene_detection
+            scene_mode="standard" if s <= 5 else "fast",
         )
