@@ -82,7 +82,7 @@ def _load():
         C.POINTER(C.c_uint8), C.POINTER(C.c_int8),
         C.POINTER(C.c_int16), C.POINTER(C.c_int16),
         C.POINTER(C.c_int16), C.POINTER(C.c_uint8), C.c_int,
-        C.POINTER(C.c_uint8), C.c_long]
+        C.POINTER(C.c_uint8), C.POINTER(C.c_uint8), C.c_long]
     lib.packer_done.restype = C.c_long
     lib.packer_done.argtypes = [C.c_void_p, C.POINTER(C.c_uint8), C.c_long]
     lib.packer_free.argtypes = [C.c_void_p]
@@ -340,7 +340,8 @@ class NativeTileWriter(TileWriter):
                               cfl: np.ndarray, lv_y: np.ndarray,
                               lv_u: np.ndarray, lv_v: np.ndarray,
                               cdef_idx: np.ndarray | None = None,
-                              cdef_bits: int = 0) -> bytes:
+                              cdef_bits: int = 0,
+                              ytx: np.ndarray | None = None) -> bytes:
         """One-call C++ pack of a KEY-frame tile from the batched TPU
         keyframe pipeline outputs (32-blocks or 4x16 splits, kf modes,
         CfL alphas, quadrant-packed levels). Byte-identical to
@@ -363,6 +364,9 @@ class NativeTileWriter(TileWriter):
         cdef_map = np.ascontiguousarray(
             cdef_idx if cdef_idx is not None else np.zeros(nsb),
             np.uint8).reshape(-1)
+        ytx_arr = np.ascontiguousarray(
+            ytx if ytx is not None
+            else np.ones((split.size, 4)), np.uint8).reshape(-1)
         cap = 1 << 24
         buf = (C.c_uint8 * cap)()
         n = self._lib.packer_intra_tile(
@@ -376,7 +380,9 @@ class NativeTileWriter(TileWriter):
             lv_u.ctypes.data_as(C.POINTER(C.c_int16)),
             lv_v.ctypes.data_as(C.POINTER(C.c_int16)),
             cdef_map.ctypes.data_as(C.POINTER(C.c_uint8)),
-            int(cdef_bits), buf, cap)
+            int(cdef_bits),
+            ytx_arr.ctypes.data_as(C.POINTER(C.c_uint8)),
+            buf, cap)
         assert n > 0
         out = bytes(buf[:n])
         self._lib.packer_free(self._h)

@@ -1331,6 +1331,7 @@ long packer_intra_tile(void* h, int mi_rows, int mi_cols,
                        const int8_t* cfl, const int16_t* lv_y,
                        const int16_t* lv_u, const int16_t* lv_v,
                        const uint8_t* cdef_idx, int cdef_bits,
+                       const uint8_t* ytx,
                        uint8_t* out, long cap) {
   Packer* p = (Packer*)h;
   IntraTileFams F;
@@ -1385,11 +1386,13 @@ long packer_intra_tile(void* h, int mi_rows, int mi_cols,
     p->ec.symbol_raw(bit, derived, 2);
   };
 
-  // one intra block of bw4 x bw4 mi (bw4 in {8, 4})
+  // one intra block of bw4 x bw4 mi (bw4 in {8, 4}); tt16 = the
+  // intra_ext_tx2 symbol for the TX16 luma (1 = DCT, 2..4 = ADST
+  // combos; coeff scan/contexts identical across the 2D class)
   auto write_blockI = [&](int r, int c, int bw4, int ym, int uvm,
                           int au, int av, const int16_t* ly, int lys,
                           const int16_t* lu, int lus,
-                          const int16_t* lvv2, int lvs) {
+                          const int16_t* lvv2, int lvs, int tt16) {
     int n = bw4 * 4;
     bool nz = false;
     for (int rr = 0; rr < n && !nz; rr++)
@@ -1481,9 +1484,9 @@ long packer_intra_tile(void* h, int mi_rows, int mi_cols,
         tu(2, lvv2, lvs, 16, 2, acoef_v.data(), lcoef_v.data(), c / 2,
            r / 2, F.eob_pt_256, -1, 0, 0);
       } else {
-        // TX_16X16 luma intra: set 2 -> DCT symbol 1, rec sqr*13+mode
+        // TX_16X16 luma intra: set 2 symbol, rec sqr*13+mode
         tu(0, ly, lys, 16, 2, acoef_y.data(), lcoef_y.data(), c, r,
-           F.eob_pt_256, F.intra_ext_tx2, 2 * 13 + ym, 1);
+           F.eob_pt_256, F.intra_ext_tx2, 2 * 13 + ym, tt16);
         tu(1, lu, lus, 8, 1, acoef_u.data(), lcoef_u.data(), c / 2,
            r / 2, F.eob_pt_64, -1, 0, 0);
         tu(2, lvv2, lvs, 8, 1, acoef_v.data(), lcoef_v.data(), c / 2,
@@ -1537,14 +1540,15 @@ long packer_intra_tile(void* h, int mi_rows, int mi_cols,
                          uvmodes[g * 5 + 1 + q], 0, 0,
                          lv_y + g * 1024 + py * 32 + px, 32,
                          lv_u + g * 256 + cy * 16 + cx, 16,
-                         lv_v + g * 256 + cy * 16 + cx, 16);
+                         lv_v + g * 256 + cy * 16 + cx, 16,
+                         ytx[g * 4 + q]);
             update_part(qr, qc, 2, 4, 4);
           }
         } else {
           p->symbol_fam(F.part_mid, 1 * 4 + ctx32, 0 /* NONE */);
           write_blockI(rr, cc, 8, ymodes[g * 5], uvmodes[g * 5],
                        cfl[g * 2], cfl[g * 2 + 1], lv_y + g * 1024,
-                       32, lv_u + g * 256, 16, lv_v + g * 256, 16);
+                       32, lv_u + g * 256, 16, lv_v + g * 256, 16, 1);
           update_part(rr, cc, 3, 8, 8);
         }
       }

@@ -299,7 +299,7 @@ def _search_one_ref(ryp, blks, by, bx, rd, B, use_satd=False):
     # zero-MV blocks stay GLOBALMV-zero
     is_zero = jnp.all(mv_fp == 0, axis=1)
     mv8 = jnp.where(is_zero[:, None], 0, mv8)
-    return mv8, patch32, pir0, pic0
+    return mv8, patch32, pir0, pic0, ssd
 
 
 def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
@@ -328,8 +328,8 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
     if ds16 is None:
         ds16 = jnp.ones((B, 4), jnp.float32)
     ds32 = jnp.mean(ds16, axis=1)                 # [B]
-    mv8, patch32, pir0, pic0 = _search_one_ref(ryp, blks, by, bx, rd,
-                                               B, use_satd)
+    mv8, patch32, pir0, pic0, ssd0 = _search_one_ref(
+        ryp, blks, by, bx, rd, B, use_satd)
 
     ub = to_blocks(u.astype(jnp.int32), 16)
     vb = to_blocks(v.astype(jnp.int32), 16)
@@ -338,20 +338,22 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         # (rav1e rdo_mode_decision's NEARESTMV/NEARMV trials from the
         # mv stack, restructured batched: the left/above ME MVs stand
         # in for the stack entries — after coding-order aliasing in
-        # the packer a matching MV costs only the mode symbol) ------
+        # the packer a matching MV costs only the mode symbol).
+        # Candidates are priced from the ALREADY-COMPUTED full-pel SSD
+        # grid (zero extra gathers); only the one selected MV pays a
+        # final _mc_batch prediction. ------------------------------
         lam = rd["lam"]
-        pred_own = _mc_patch(patch32, pir0, pic0, by, bx, mv8, 32,
-                             0, 1)
         mvg = mv8.reshape(nby, nbx, 2)
         mvl = jnp.concatenate([mvg[:, :1], mvg[:, :-1]],
                               1).reshape(B, 2)
         mva = jnp.concatenate([mvg[:1], mvg[:-1]], 0).reshape(B, 2)
-        pl = _mc_batch(ryp, by, bx, mvl, 32, 0)
-        pa = _mc_batch(ryp, by, bx, mva, 32, 0)
 
-        def sse32(p):
-            d = (p - blks).astype(jnp.float32)
-            return jnp.sum(d * d, (1, 2))
+        def grid_sse(mv):
+            fy = jnp.clip((mv[:, 0] + 4) >> 3, -SEARCH, SEARCH)
+            fx = jnp.clip((mv[:, 1] + 4) >> 3, -SEARCH, SEARCH)
+            flat = (fy + SEARCH) * (2 * SEARCH + 1) + (fx + SEARCH)
+            return jnp.take_along_axis(
+                ssd0.reshape(B, -1), flat[:, None], 1)[:, 0]
 
         def mvr1(mv):
             r = (rd["mv_bits"][jnp.abs(mv[:, 0])]
@@ -365,16 +367,14 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
             [mvr1(mv8),
              jnp.where(zl, rd["globalmv"], rd["nearest"]),
              jnp.where(za, rd["globalmv"], rd["near"])], 0)  # [3,B]
-        cc = (ds32[None] * jnp.stack([sse32(pred_own), sse32(pl),
-                                      sse32(pa)], 0)
+        cc = (ds32[None] * jnp.stack([grid_sse(mv8), grid_sse(mvl),
+                                      grid_sse(mva)], 0)
               + lam * cand_r)
         k = jnp.argmin(cc, 0)                         # own wins ties
-        k3 = k[:, None, None]
-        pred_y = jnp.where(k3 == 0, pred_own,
-                           jnp.where(k3 == 1, pl, pa))
         mv8 = jnp.where(k[:, None] == 0, mv8,
                         jnp.where(k[:, None] == 1, mvl, mva))
         rate32 = jnp.take_along_axis(cand_r, k[None], 0)[0]
+        pred_y = _mc_batch(ryp, by, bx, mv8, 32, 0)
         pred_u = _mc_batch(rup, by // 2, bx // 2, mv8, 16, 1)
         pred_v = _mc_batch(rvp, by // 2, bx // 2, mv8, 16, 1)
         choice = jnp.zeros((B,), jnp.int32)
@@ -383,7 +383,7 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         # ---- B frame: fwd / bwd / compound-average RDO ----------
         # (rav1e rdo_mode_decision inter loop over ref sets,
         # restructured as three fixed candidates per block)
-        mvb8_, patchb, pbir, pbic = _search_one_ref(
+        mvb8_, patchb, pbir, pbic, _ = _search_one_ref(
             ryp2, blks, by, bx, rd, B, use_satd)
         lam = rd["lam"]
 
@@ -973,53 +973,94 @@ def _core(h: int, w: int, use_cdef: bool = False,
     bx = (np.tile(np.arange(nbx), nby) * 32).astype(np.int32)
     assert not (two_ref and use_split)
 
-    deblock_fn = None
-    if use_deblock:
-        from rav1e_tpu.ops.tpu.deblock import deblock_search
-
-        def deblock_fn(planes, srcs, base_lf, split_grid):
-            return deblock_search(planes, srcs, base_lf,
-                                  block_y=16, block_c=8,
-                                  split_map=split_grid)
-
-    cdef_fn = None
-    if use_cdef:
-        # per-64x64-SB strength-index RDO over the 8-entry ladder
-        # (rav1e rdo_loop_decision per-SB cdef index, cdef_bits=3)
-        from rav1e_tpu.ops.tpu.cdef import cdef_search_persb_jax
-        cdef_fn = cdef_search_persb_jax
-
     def pad3(ry, ru, rv):
         return (jnp.pad(ry.astype(jnp.int32), PAD, mode="edge"),
                 jnp.pad(ru.astype(jnp.int32), PAD // 2, mode="edge"),
                 jnp.pad(rv.astype(jnp.int32), PAD // 2, mode="edge"))
 
+    # The in-loop filter searches run as a SEPARATE dispatch chained
+    # on device: fused into the decision program they degraded XLA's
+    # schedule (~+320 ms/frame at 1080p for a 3 ms CDEF search);
+    # standalone they cost what they compute.
+    @jax.jit
+    def filt(src, fry, fru, frv, base_lf, cdef_prm, split, skip16):
+        y, u, v = _unpack_src(src, h, w)
+        srcs32 = [y, u.astype(jnp.int32), v.astype(jnp.int32)]
+        planes = [fry.astype(jnp.int32), fru.astype(jnp.int32),
+                  frv.astype(jnp.int32)]
+        lf_lvl = jnp.int32(0)
+        if use_deblock:
+            from rav1e_tpu.ops.tpu.deblock import deblock_search
+            lf_lvl, planes = deblock_search(
+                planes, srcs32, base_lf, block_y=16, block_c=8,
+                split_map=split.reshape(nby, nbx))
+        if use_cdef:
+            # per-64x64-SB strength-index RDO over the 8-entry ladder
+            # (rav1e rdo_loop_decision per-SB index, cdef_bits=3)
+            from rav1e_tpu.ops.tpu.cdef import cdef_search_persb_jax
+            s16 = (skip16.reshape(nby, nbx, 2, 2)
+                   .transpose(0, 2, 1, 3).reshape(nby * 2, nbx * 2))
+            skip8 = jnp.repeat(jnp.repeat(s16, 2, 0), 2, 1)
+            cdef_idx, planes = cdef_search_persb_jax(
+                planes, srcs32, skip8, cdef_prm[4])
+        else:
+            cdef_idx = jnp.zeros(((nby + 1) // 2, (nbx + 1) // 2),
+                                 jnp.int32)
+        return (lf_lvl, cdef_idx, planes[0].astype(jnp.uint8),
+                planes[1].astype(jnp.uint8), planes[2].astype(jnp.uint8))
+
+    @jax.jit
+    def pack(o, lf_lvl, cdef_idx):
+        o = list(o)
+        o[9], o[10] = lf_lvl, cdef_idx
+        return pack_outputs(o)
+
     if two_ref:
         @jax.jit
-        def step(src, ry, ru, rv, ry2, ru2, rv2, dcq, acq, cdef_prm,
+        def core(src, ry, ru, rv, ry2, ru2, rv2, dcq, acq, cdef_prm,
                  rd, ds):
             y, u, v = _unpack_src(src, h, w)
             ryp, rup, rvp = pad3(ry, ru, rv)
             ryp2, rup2, rvp2 = pad3(ry2, ru2, rv2)
-            o = p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq,
-                             cdef_prm, rd, jnp.asarray(by),
-                             jnp.asarray(bx), nby, nbx, deblock_fn,
-                             cdef_fn, False, ryp2, rup2, rvp2,
-                             ds16=ds, use_satd=use_satd)
-            return (pack_outputs(o), o[3], o[4], o[5],
-                    o[6], o[7], o[8])
+            return p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq,
+                                cdef_prm, rd, jnp.asarray(by),
+                                jnp.asarray(bx), nby, nbx, None,
+                                None, False, ryp2, rup2, rvp2,
+                                ds16=ds, use_satd=use_satd)
+
+        def step(src, ry, ru, rv, ry2, ru2, rv2, dcq, acq, cdef_prm,
+                 rd, ds):
+            o = core(src, ry, ru, rv, ry2, ru2, rv2, dcq, acq,
+                     cdef_prm, rd, ds)
+            if not (use_deblock or use_cdef):
+                return (pack(o, o[9], o[10]), o[3], o[4], o[5],
+                        o[6], o[7], o[8])
+            lf_lvl, cdef_idx, fry, fru, frv = filt(
+                src, o[6], o[7], o[8], rd["base_lf"], cdef_prm,
+                o[11], o[13])
+            return (pack(o, lf_lvl, cdef_idx), o[3], o[4], o[5],
+                    fry, fru, frv)
     else:
         @jax.jit
-        def step(src, ry, ru, rv, dcq, acq, cdef_prm, rd, ds):
+        def core(src, ry, ru, rv, dcq, acq, cdef_prm, rd, ds):
             y, u, v = _unpack_src(src, h, w)
             ryp, rup, rvp = pad3(ry, ru, rv)
-            o = p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq,
-                             cdef_prm, rd, jnp.asarray(by),
-                             jnp.asarray(bx), nby, nbx, deblock_fn,
-                             cdef_fn, use_split, ds16=ds,
-                             use_satd=use_satd, refine16=refine16)
-            return (pack_outputs(o), o[3], o[4], o[5],
-                    o[6], o[7], o[8])
+            return p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq,
+                                cdef_prm, rd, jnp.asarray(by),
+                                jnp.asarray(bx), nby, nbx, None,
+                                None, use_split, ds16=ds,
+                                use_satd=use_satd, refine16=refine16)
+
+        def step(src, ry, ru, rv, dcq, acq, cdef_prm, rd, ds):
+            o = core(src, ry, ru, rv, dcq, acq, cdef_prm, rd, ds)
+            if not (use_deblock or use_cdef):
+                return (pack(o, o[9], o[10]), o[3], o[4], o[5],
+                        o[6], o[7], o[8])
+            lf_lvl, cdef_idx, fry, fru, frv = filt(
+                src, o[6], o[7], o[8], rd["base_lf"], cdef_prm,
+                o[11], o[13])
+            return (pack(o, lf_lvl, cdef_idx), o[3], o[4], o[5],
+                    fry, fru, frv)
 
     @jax.jit
     def gather_dense(lv_y, lv_u, lv_v, idx):

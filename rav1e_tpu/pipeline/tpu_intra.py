@@ -137,9 +137,14 @@ def block_bits(lv, L) -> jnp.ndarray:
 
 
 def build_rd(qindex: int, modes_y, modes_uv, bit_depth: int = 8,
-             modes_quad=None, use_cfl: bool = False) -> dict:
+             modes_quad=None, use_cfl: bool = False,
+             tx_search: bool = False) -> dict:
     """All traced RD inputs for wavefront_frame: quantizers, λ, rate
-    LUTs, per-candidate mode-signaling bits, partition bits."""
+    LUTs, per-candidate mode-signaling bits, partition bits.
+
+    tx_search adds "ytxb" [len(QUAD_TXS), K]: intra_ext_tx2 symbol
+    bits per (tx candidate, quad mode) — its presence enables the
+    luma TX16 tx-type loop in _quad_plane."""
     from rav1e_tpu.entropy.cost import mode_cost_tables, rd_lambda
     mc = mode_cost_tables()
 
@@ -157,6 +162,18 @@ def build_rd(qindex: int, modes_y, modes_uv, bit_depth: int = 8,
                        for m in (modes_quad or modes_y)], np.float32)
     pm = mc["partition_mid"]
     out = {}
+    if tx_search:
+        # intra_ext_tx2 symbol cost by (tx candidate, mode): CDF row
+        # sqr(16x16)=2, per prediction-mode context
+        from rav1e_tpu.entropy.cost import symbol_bits, tables
+        t2 = tables()["intra_ext_tx2"]
+        qb = np.zeros((len(QUAD_TXS), len(modes_quad or modes_y)),
+                      np.float32)
+        for mi, m in enumerate(modes_quad or modes_y):
+            b = symbol_bits(t2[2, int(m)])      # [sqr=2][mode] row
+            for ti in range(len(QUAD_TXS)):
+                qb[ti, mi] = b[ti + 1]          # set-2 symbols 1..4
+        out["ytxb"] = jnp.asarray(qb)
     if use_cfl:
         # CFL mode + joint sign (ZERO_ZERO excluded) + 2 alpha symbols
         out["cfl_bits"] = jnp.float32(
@@ -246,21 +263,33 @@ def _cand_eval(preds, srcb, tx_size, dqs, tts, maxpx=255,
     return recb, lvk, sse
 
 
+# luma TX16 intra tx-type candidates: symbols 1..4 of INTRA_TX_SET2
+# (spec Tx_Type_Intra_Inv set 2; IDTX excluded — screen-content tool)
+QUAD_TXS = (TxType.DCT_DCT, TxType.ADST_ADST, TxType.ADST_DCT,
+            TxType.DCT_ADST)
+
+
 def _quad_plane(edge_above, edge_left, edge_tl, has_a0, has_l0, srcb,
                 tx_size, dqs, modes, lam, tts, L, mbits,
-                approx=False):
+                approx=False, txbits=None):
     """Evaluate the 4-way split of a block: each half-size sub-block
     RDO'd sequentially (TL, TR, BL, BR) using in-progress recon.
 
+    txbits [len(QUAD_TXS), K]: when given, every mode is also searched
+    over the QUAD_TXS luma tx types (rav1e rdo_tx_size_type's type
+    loop) priced at the intra_ext_tx2 symbol cost.
+
     edge_above: [N, B] bottom row of the block above (valid if has_a0);
     edge_left: [N, B]; edge_tl: [N]. Returns (rec [N,B,B], lv [N,B,B],
-    modes [N,4], total cost [N])."""
+    modes [N,4], tx symbols [N,4] int32, total cost [N])."""
     half = tx_size.height
     B = half * 2
     n = srcb.shape[0]
+    K = len(modes)
     cur_rec = jnp.zeros((n, B, B), jnp.int32)
     cur_lv = jnp.zeros((n, B, B), jnp.int32)
     sub_modes = []
+    sub_txs = []
     total = jnp.zeros((n,), jnp.float32)
     for (r0, c0) in ((0, 0), (0, half), (half, 0), (half, half)):
         if r0 > 0:
@@ -286,26 +315,51 @@ def _quad_plane(edge_above, edge_left, edge_tl, has_a0, has_l0, srcb,
         preds = predict_modes(modes, above, left, tl, has_a, has_l,
                               half, half)
         sub_src = srcb[:, r0: r0 + half, c0: c0 + half]
-        recb, lvk, sse = _cand_eval(preds, sub_src, tx_size, dqs, tts,
-                                    approx=approx)
-        cost = sse + lam * (block_bits(lvk, L) + mbits[:, None])
-        best = jnp.argmin(cost, axis=0)
         sel = jnp.arange(n)
+        if txbits is None:
+            recb, lvk, sse = _cand_eval(preds, sub_src, tx_size, dqs,
+                                        tts, approx=approx)
+            cost = sse + lam * (block_bits(lvk, L) + mbits[:, None])
+            best = jnp.argmin(cost, axis=0)
+            rec_s, lv_s = recb[best, sel], lvk[best, sel]
+            tx_s = jnp.ones((n,), jnp.int32)     # DCT: set-2 symbol 1
+            cbest = cost[best, sel]
+        else:
+            recs, lvs, costs = [], [], []
+            for ti, tt in enumerate(QUAD_TXS):
+                recb, lvk, sse = _cand_eval(preds, sub_src, tx_size,
+                                            dqs, [tt] * K,
+                                            approx=approx)
+                costs.append(sse + lam * (block_bits(lvk, L)
+                                          + mbits[:, None]
+                                          + txbits[ti][:, None]))
+                recs.append(recb)
+                lvs.append(lvk)
+            cost = jnp.concatenate(costs, 0)      # [4K, n]
+            recb = jnp.concatenate(recs, 0)
+            lvk = jnp.concatenate(lvs, 0)
+            best = jnp.argmin(cost, axis=0)
+            rec_s, lv_s = recb[best, sel], lvk[best, sel]
+            tx_s = best // K + 1                  # set-2 symbols 1..4
+            cbest = cost[best, sel]
+            best = best % K                       # mode index
         cur_rec = cur_rec.at[:, r0: r0 + half, c0: c0 + half].set(
-            recb[best, sel])
+            rec_s)
         cur_lv = cur_lv.at[:, r0: r0 + half, c0: c0 + half].set(
-            lvk[best, sel])
+            lv_s)
         mode_tab = jnp.asarray(np.array([int(m) for m in modes], np.int32))
         sub_modes.append(mode_tab[best])
-        total = total + cost[best, sel]
-    return cur_rec, cur_lv, jnp.stack(sub_modes, axis=-1), total
+        sub_txs.append(tx_s)
+        total = total + cbest
+    return (cur_rec, cur_lv, jnp.stack(sub_modes, axis=-1),
+            jnp.stack(sub_txs, axis=-1), total)
 
 
 @partial(jax.jit, static_argnames=("modes_y", "modes_uv", "modes_quad",
-                                   "split_rdo", "approx"))
+                                   "split_rdo", "approx", "dense"))
 def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
                     modes_y, modes_uv, modes_quad=None,
-                    split_rdo=False, approx=False):
+                    split_rdo=False, approx=False, dense=False):
     """Whole-frame wavefront: fori_loop over diagonals, one dispatch.
 
     With split_rdo, each 32x32 node also evaluates the PARTITION_SPLIT
@@ -318,7 +372,14 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
     "has_tr"/"d203_ok" [bh,bw] grids (decoder decode-order edge
     availability) when modes_y includes extension-reading directional
     modes; the diagonal schedule must then be 2i+j (the above-right
-    source block sits on diagonal d-1)."""
+    source block sits on diagonal d-1).
+
+    dense=True is the phase-1 mode-pass specialization: every block on
+    ONE diagonal in raster order (ii/jj = full iota). All block reads
+    become static reshapes and edge reads become static row/col shifts
+    of the block grid — the generic traced-index gathers/scatters move
+    the whole frame through XLA gather at 1080p and dominated phase-1
+    device time."""
     if modes_quad is None:
         modes_quad = modes_y
     lam = rd["lam"]
@@ -326,16 +387,47 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
     qdc_c, qac_c = rd["qdc_c"], rd["qac_c"]
     from rav1e_tpu.entropy.tile import chroma_tx_type
 
-    def gather_edges(rec, ii, jj, blkh, blkw):
-        above = rec[jnp.maximum(ii - 1, 0), jj][:, blkh - 1, :]
-        left = rec[ii, jnp.maximum(jj - 1, 0)][:, :, blkw - 1]
-        tl = rec[jnp.maximum(ii - 1, 0),
-                 jnp.maximum(jj - 1, 0)][:, blkh - 1, blkw - 1]
-        return above, left, tl
+    bh_g, bw_g = state[0].shape[0], state[0].shape[1]
+
+    def _dn(a):     # row i <- max(i-1, 0)
+        return jnp.concatenate([a[:1], a[:-1]], 0)
+
+    def _rt(a):     # col j <- max(j-1, 0)
+        return jnp.concatenate([a[:, :1], a[:, :-1]], 1)
+
+    def _lt(a):     # col j <- min(j+1, bw-1)
+        return jnp.concatenate([a[:, 1:], a[:, -1:]], 1)
 
     def body(d, st):
         (ry, ru, rv, ly, lu, lvv, my, mu, sp, cf) = st
-        ii, jj, mask = ii_tab[d], jj_tab[d], mask_tab[d]
+        if dense:
+            ii = jnp.asarray(np.repeat(np.arange(bh_g), bw_g)
+                             .astype(np.int32))
+            jj = jnp.asarray(np.tile(np.arange(bw_g), bh_g)
+                             .astype(np.int32))
+            mask = jnp.ones((bh_g * bw_g,), bool)
+
+            def blk(arr):
+                return arr.reshape((-1,) + arr.shape[2:])
+
+            def gather_edges(rec, _ii, _jj, blkh, blkw):
+                above = blk(_dn(rec))[:, blkh - 1, :]
+                left = blk(_rt(rec))[:, :, blkw - 1]
+                tl = blk(_rt(_dn(rec)))[:, blkh - 1, blkw - 1]
+                return above, left, tl
+        else:
+            ii, jj, mask = ii_tab[d], jj_tab[d], mask_tab[d]
+
+            def blk(arr):
+                return arr[ii, jj]
+
+            def gather_edges(rec, _ii, _jj, blkh, blkw):
+                above = rec[jnp.maximum(_ii - 1, 0), _jj][:, blkh - 1, :]
+                left = rec[_ii, jnp.maximum(_jj - 1, 0)][:, :, blkw - 1]
+                tl = rec[jnp.maximum(_ii - 1, 0),
+                         jnp.maximum(_jj - 1, 0)][:, blkh - 1, blkw - 1]
+                return above, left, tl
+
         n = ii.shape[0]
         sel = jnp.arange(n)
         has_a = ii > 0
@@ -344,7 +436,7 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
 
         # ---- luma 32 candidates ----
         sy = srcs[0]
-        srcb_y = sy[ii, jj]
+        srcb_y = blk(sy)
         a_y, l_y, tl_y = gather_edges(ry, ii, jj, LB, LB)
         aext = lext = None
         d203_pen = None
@@ -352,19 +444,24 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
             # above-right row from block (i-1, j+1): one diagonal
             # earlier under the 2i+j schedule, so already final
             bh_, bw_ = rd["has_tr"].shape
-            ar = ry[jnp.maximum(ii - 1, 0),
-                    jnp.minimum(jj + 1, bw_ - 1)][:, LB - 1, :]
-            tr_ok = rd["has_tr"][jnp.minimum(ii, bh_ - 1),
-                                 jnp.minimum(jj, bw_ - 1)]
+            if dense:
+                ar = blk(_lt(_dn(ry)))[:, LB - 1, :]
+                tr_ok = rd["has_tr"].reshape(-1)
+            else:
+                ar = ry[jnp.maximum(ii - 1, 0),
+                        jnp.minimum(jj + 1, bw_ - 1)][:, LB - 1, :]
+                tr_ok = rd["has_tr"][jnp.minimum(ii, bh_ - 1),
+                                     jnp.minimum(jj, bw_ - 1)]
             aext = jnp.concatenate(
                 [a_y, jnp.where(tr_ok[:, None], ar,
                                 jnp.repeat(a_y[:, -1:], LB, axis=1))],
                 axis=1)
             lext = jnp.concatenate(
                 [l_y, jnp.repeat(l_y[:, -1:], LB, axis=1)], axis=1)
-            d203_pen = jnp.where(
-                rd["d203_ok"][jnp.minimum(ii, bh_ - 1),
-                              jnp.minimum(jj, bw_ - 1)], 0.0, 1e18)
+            d203_ok = (rd["d203_ok"].reshape(-1) if dense else
+                       rd["d203_ok"][jnp.minimum(ii, bh_ - 1),
+                                     jnp.minimum(jj, bw_ - 1)])
+            d203_pen = jnp.where(d203_ok, 0.0, 1e18)
         preds32 = predict_modes(modes_y, a_y, l_y, tl_y, has_a, has_l,
                                 LB, LB, aext=aext, lext=lext)
         rec32, lv32, sse32 = _cand_eval(
@@ -389,11 +486,11 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
                  for m in modes_uv]
 
         def chroma_cands(rec, src, tx, tts, dqs):
-            blk = tx.height
-            a, l_, tl = gather_edges(rec, ii, jj, blk, blk)
+            cb = tx.height
+            a, l_, tl = gather_edges(rec, ii, jj, cb, cb)
             preds = predict_modes(modes_uv, a, l_, tl, has_a, has_l,
-                                  blk, blk)
-            return (*_cand_eval(preds, src[ii, jj], tx, dqs, tts,
+                                  cb, cb)
+            return (*_cand_eval(preds, blk(src), tx, dqs, tts,
                                 approx=approx),
                     preds)
 
@@ -436,13 +533,13 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
                 k = jnp.argmin(psse, axis=0)
                 return k - 16, p[k, sel]
 
-            au, pred_cu = cfl_plane(pu_[0], su[ii, jj])
-            av, pred_cv = cfl_plane(pv_[0], sv[ii, jj])
+            au, pred_cu = cfl_plane(pu_[0], blk(su))
+            av, pred_cv = cfl_plane(pv_[0], blk(sv))
             ctt = chroma_tx_type(P.UV_CFL_PRED, TxSize.TX_16X16, True)
-            ruc, luc, suc = _cand_eval(pred_cu[None], su[ii, jj],
+            ruc, luc, suc = _cand_eval(pred_cu[None], blk(su),
                                        TxSize.TX_16X16, (qdc_c, qac_c),
                                        [ctt], approx=approx)
-            rvc, lvc, svc = _cand_eval(pred_cv[None], sv[ii, jj],
+            rvc, lvc, svc = _cand_eval(pred_cv[None], blk(sv),
                                        TxSize.TX_16X16, (qdc_c, qac_c),
                                        [ctt], approx=approx)
             both_zero = (au == 0) & (av == 0)
@@ -462,21 +559,21 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
             cfl_sel = (jnp.where(take, au, 0), jnp.where(take, av, 0))
 
         if split_rdo:
-            # ---- luma 16-quad ----
-            yq_rec, yq_lv, yq_modes, yq_cost = _quad_plane(
+            # ---- luma 16-quad (optionally with tx-type search) ----
+            yq_rec, yq_lv, yq_modes, yq_txs, yq_cost = _quad_plane(
                 a_y, l_y, tl_y, has_a, has_l, srcb_y, TxSize.TX_16X16,
                 (qdc, qac), modes_quad, lam,
                 [TxType.DCT_DCT] * len(modes_quad), rd["y16"],
-                rd["yqbits"], approx=approx)
+                rd["yqbits"], approx=approx,
+                txbits=rd.get("ytxb"))
             # ---- chroma 8-quad: joint u+v per sub-block with shared
             # mode pick ----
             cts8 = [chroma_tx_type(m, TxSize.TX_8X8, True)
                     for m in modes_uv]
 
             def chroma_quad(rec, src):
-                blk = CB
-                a, l_, tl = gather_edges(rec, ii, jj, blk, blk)
-                return a, l_, tl, src[ii, jj]
+                a, l_, tl = gather_edges(rec, ii, jj, CB, CB)
+                return a, l_, tl, blk(src)
 
             au, lu_, tlu, srcu = chroma_quad(ru, su)
             av, lv_, tlv, srcv = chroma_quad(rv, sv)
@@ -557,6 +654,7 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
                 [y32_mode[:, None], yq_modes], axis=-1)
             uv_modes = jnp.concatenate(
                 [c16[4][:, None], cq_modes], axis=-1)
+            y_txs = jnp.where(split[:, None], yq_txs, 1)
         else:
             split = jnp.zeros((n,), bool)
             y_rec, y_lv = y32_rec, y32_lv
@@ -566,7 +664,17 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
                 [y32_mode[:, None]] + [y32_mode[:, None]] * 4, axis=-1)
             uv_modes = jnp.concatenate(
                 [c16[4][:, None]] + [c16[4][:, None]] * 4, axis=-1)
+            y_txs = jnp.ones((n, 4), jnp.int32)
 
+        cfl_arr = jnp.where(split[:, None],
+                            0, jnp.stack(list(cfl_sel), axis=-1))
+        if dense:
+            def g(x):
+                return x.reshape((bh_g, bw_g) + x.shape[1:])
+
+            return (g(y_rec), g(u_rec), g(v_rec), g(y_lv), g(u_lv),
+                    g(v_lv), g(y_modes), g(uv_modes), g(split),
+                    g(cfl_arr), g(y_txs))
         ry = ry.at[ii, jj].set(jnp.where(m3, y_rec, ry[ii, jj]))
         ru = ru.at[ii, jj].set(jnp.where(m3, u_rec, ru[ii, jj]))
         rv = rv.at[ii, jj].set(jnp.where(m3, v_rec, rv[ii, jj]))
@@ -578,12 +686,12 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
         mu = mu.at[ii, jj].set(
             jnp.where(mask[:, None], uv_modes, mu[ii, jj]))
         sp = sp.at[ii, jj].set(jnp.where(mask, split, sp[ii, jj]))
-        cfl_arr = jnp.where(split[:, None],
-                            0, jnp.stack(list(cfl_sel), axis=-1))
         cf = cf.at[ii, jj].set(
             jnp.where(mask[:, None], cfl_arr, cf[ii, jj]))
         return (ry, ru, rv, ly, lu, lvv, my, mu, sp, cf)
 
+    if dense:
+        return body(0, state)
     return jax.lax.fori_loop(0, ii_tab.shape[0], body, state)
 
 
@@ -656,16 +764,20 @@ def _tts_select(modes, tx):
 
 
 @partial(jax.jit, static_argnames=("modes_y", "modes_uv", "modes_quad",
-                                   "split_rdo", "use_cfl", "ext"))
+                                   "split_rdo", "use_cfl", "ext",
+                                   "tx_search"))
 def recon_wavefront(sy_sk, su_sk, sv_sk, ym_sk, uvm_sk, sp_sk, cf_sk,
                     has_l_tab, tr_tab, rd, modes_y, modes_uv,
-                    modes_quad, split_rdo, use_cfl, ext):
+                    modes_quad, split_rdo, use_cfl, ext,
+                    ytx_sk=None, tx_search=False):
     """Decoder-order reconstruction with FIXED per-block decisions.
 
     All arrays are diagonal-skewed: index [d, s] holds block
     (i=s, j=d-2s) (2i+j schedule when ext, else i+j). State rows are
-    offset +3 so neighbor reads (d-1..d-3) never clamp. Returns
-    skewed (rec_y, rec_u, rec_v, lv_y, lv_u, lv_v)."""
+    offset +3 so neighbor reads (d-1..d-3) never clamp. With
+    tx_search, ytx_sk [D,S,4] carries each split quad's chosen
+    intra_ext_tx2 symbol (1..4 -> QUAD_TXS). Returns skewed
+    (rec_y, rec_u, rec_v, lv_y, lv_u, lv_v)."""
     D, S = sp_sk.shape
     qdc, qac = rd["qdc"], rd["qac"]
     qdc_c, qac_c = rd["qdc_c"], rd["qac_c"]
@@ -735,6 +847,7 @@ def recon_wavefront(sy_sk, su_sk, sv_sk, ym_sk, uvm_sk, sp_sk, cf_sk,
         cf_d = rows(cf_sk, d)
         has_l = rows(has_l_tab, d)
         tr_ok = rows(tr_tab, d)
+        ytx_d = rows(ytx_sk, d) if tx_search else None
 
         # ---- luma edges (contiguous row reads + static shifts) ----
         ra = rows(ry_sk, row - o_a)
@@ -788,10 +901,14 @@ def recon_wavefront(sy_sk, su_sk, sv_sk, ym_sk, uvm_sk, sp_sk, cf_sk,
                 pq = predict_modes(modes_quad, sa, sl, stl, ha, hl,
                                    half, half)
                 psel = sel_modes(pq, lutq[ym_d[:, 1 + qi]])
-                rq, lq = code_one(psel,
-                                  sy_d[:, r0: r0 + half,
-                                       c0: c0 + half],
-                                  TxSize.TX_16X16, qdc, qac)
+                sub_src = sy_d[:, r0: r0 + half, c0: c0 + half]
+                if tx_search:
+                    rq, lq = code_sel(psel, sub_src, TxSize.TX_16X16,
+                                      qdc, qac, QUAD_TXS,
+                                      ytx_d[:, qi] - 1)
+                else:
+                    rq, lq = code_one(psel, sub_src,
+                                      TxSize.TX_16X16, qdc, qac)
                 cur = cur.at[:, r0: r0 + half, c0: c0 + half].set(rq)
                 clv = clv.at[:, r0: r0 + half, c0: c0 + half].set(lq)
             s3 = sp_d[:, None, None]
@@ -918,7 +1035,7 @@ def recon_wavefront(sy_sk, su_sk, sv_sk, ym_sk, uvm_sk, sp_sk, cf_sk,
     return (st[0][3:], st[1][3:], st[2][3:], st[3], st[4], st[5])
 
 
-KF_META = 16         # per-block meta row: flags + modes + cfl
+KF_META = 20         # per-block meta row: flags + modes + cfl + ytx
 
 
 def _kf_stream_cap(B: int) -> int:
@@ -927,52 +1044,39 @@ def _kf_stream_cap(B: int) -> int:
     return B * 128
 
 
+def _kf_quads(x, n):
+    Bq = x.shape[0]
+    return (x.reshape(Bq, 2, n, 2, n).transpose(0, 1, 3, 2, 4)
+            .reshape(Bq, 4, n, n))
+
+
+def _kf_skip_flags(state):
+    """(skip_q [B,4], skip_b [B], split [B]) from the level grids
+    (device twin of the host all-zero test)."""
+    ly, lu, lvv, sp = state[3], state[4], state[5], state[8]
+    bh, bw = sp.shape
+    B = bh * bw
+    ly_q = _kf_quads(ly.reshape(B, LB, LB), LB // 2)
+    lu_q = _kf_quads(lu.reshape(B, CB, CB), CB // 2)
+    lv_q = _kf_quads(lvv.reshape(B, CB, CB), CB // 2)
+    nz = ((ly_q != 0).any(axis=(2, 3)) | (lu_q != 0).any(axis=(2, 3))
+          | (lv_q != 0).any(axis=(2, 3)))
+    skip_q = ~nz
+    return skip_q, skip_q.all(axis=1), sp.reshape(B)
+
+
 @partial(jax.jit,
          static_argnames=("split_rdo", "use_cdef", "use_deblock",
                           "cdef_rdo"))
-def _finalize_kf(state, srcs, base_lf, cdef_prm, split_rdo, use_cdef,
-                 use_deblock, cdef_rdo=False):
-    """Device-side keyframe epilogue: skip flags, in-loop deblock
-    level search, CDEF, and compact meta packing so the host does ONE
-    small fetch instead of pulling the full int32 state (~25 MB at
-    1080p over the tunneled chip link).
-
-    Returns (meta flat int8 = [B+1 hdr rows | counts | nonzero
-    pos/val stream], rec_packed [3h/2, w] uint8, lv_y/lv_u/lv_v
-    int16 device arrays for the overflow gather). Hdr row: flags
-    (skip, split) | my[5] | mu[5] | cf[2]; tail row: [lf_lvl]."""
-    ry, ru, rv, ly, lu, lvv, my, mu, sp, cf = state
+def _kf_filters(state, srcs, base_lf, cdef_prm, split_rdo, use_cdef,
+                use_deblock, cdef_rdo=False):
+    """Keyframe in-loop filter dispatch (separate from the meta pack:
+    fused, the filter searches degraded XLA's schedule of the big
+    program). Returns (lf_lvl, cdef_idx, rec_packed uint8)."""
+    ry, ru, rv = state[0], state[1], state[2]
+    sp = state[8]
     bh, bw = sp.shape
-    B = bh * bw
-    split = sp.reshape(B)
-
-    def quads(x, n):
-        Bq = x.shape[0]
-        return (x.reshape(Bq, 2, n, 2, n).transpose(0, 1, 3, 2, 4)
-                .reshape(Bq, 4, n, n))
-
-    ly_f = ly.reshape(B, LB, LB)
-    lu_f = lu.reshape(B, CB, CB)
-    lv_f = lvv.reshape(B, CB, CB)
-    ly_q = quads(ly_f, LB // 2)
-    lu_q = quads(lu_f, CB // 2)
-    lv_q = quads(lv_f, CB // 2)
-
-    # ---- skip flags (device twin of the host all-zero test) ------
-    nz_y = (ly_q != 0).any(axis=(2, 3))
-    nz_u = (lu_q != 0).any(axis=(2, 3))
-    nz_v = (lv_q != 0).any(axis=(2, 3))
-    skip_q = ~(nz_y | nz_u | nz_v)                      # [B, 4]
-    skip_b = skip_q.all(axis=1)                         # [B]
-
-    # ---- nonzero coefficient stream (shared with the P path;
-    # imported at module scope — importing inside this traced
-    # function would create tpu_inter's module-level device constants
-    # under the tracer and leak) -----
-    sl = scanline(ly_f, lu_f, lv_f, ly_q, lu_q, lv_q, split, B)
-    counts, pos, val = nnz_stream(sl, _kf_stream_cap(B))
-
-    # ---- in-loop filters, all on device --------------------------
+    skip_q, skip_b, split = _kf_skip_flags(state)
     planes = [_from_blocks_j(ry), _from_blocks_j(ru),
               _from_blocks_j(rv)]
     lf_lvl = jnp.int32(0)
@@ -1006,20 +1110,45 @@ def _finalize_kf(state, srcs, base_lf, cdef_prm, split_rdo, use_cdef,
                 [p.astype(jnp.int32) for p in planes], skip8,
                 cdef_prm[0], cdef_prm[1], cdef_prm[2], cdef_prm[3],
                 cdef_prm[4])
-
-    h, w = bh * LB, bw * LB
     rec_packed = jnp.concatenate(
         [planes[0].astype(jnp.uint8),
          jnp.concatenate([planes[1].astype(jnp.uint8),
                           planes[2].astype(jnp.uint8)], axis=1)],
         axis=0)
+    return lf_lvl, cdef_idx, rec_packed
 
-    # ---- meta buffer: hdr rows | counts | pos | val --------------
+
+@jax.jit
+def _kf_meta(state, lf_lvl, cdef_idx):
+    """Keyframe compact meta packing so the host does ONE small fetch
+    instead of pulling the full int32 state (~25 MB at 1080p over the
+    tunneled chip link).
+
+    Returns (meta flat int8 = [B+1 hdr rows | counts | nonzero
+    pos/val stream | per-SB cdef idx], lv_y/lv_u/lv_v int16 device
+    arrays for the overflow gather). Hdr row: flags (skip, split) |
+    my[5] | mu[5] | cf[2] | ytx[4]; tail row: [lf_lvl]."""
+    ry, ru, rv, ly, lu, lvv, my, mu, sp, cf, ytx = state
+    bh, bw = sp.shape
+    B = bh * bw
+    skip_q, skip_b, split = _kf_skip_flags(state)
+    ly_f = ly.reshape(B, LB, LB)
+    lu_f = lu.reshape(B, CB, CB)
+    lv_f = lvv.reshape(B, CB, CB)
+    # nonzero coefficient stream (shared with the P path; imported at
+    # module scope — importing inside this traced function would
+    # create tpu_inter's module-level device constants under the
+    # tracer and leak)
+    sl = scanline(ly_f, lu_f, lv_f, _kf_quads(ly_f, LB // 2),
+                  _kf_quads(lu_f, CB // 2), _kf_quads(lv_f, CB // 2),
+                  split, B)
+    counts, pos, val = nnz_stream(sl, _kf_stream_cap(B))
     flags = jnp.stack([skip_b, split], axis=1).astype(jnp.int8)
     row = jnp.concatenate(
         [flags, my.reshape(B, 5).astype(jnp.int8),
          mu.reshape(B, 5).astype(jnp.int8),
-         cf.reshape(B, 2).astype(jnp.int8)], axis=1)
+         cf.reshape(B, 2).astype(jnp.int8),
+         ytx.reshape(B, 4).astype(jnp.int8)], axis=1)
     row = jnp.pad(row, ((0, 0), (0, KF_META - row.shape[1])))
     tail = jnp.zeros((1, KF_META), jnp.int8)
     tail = tail.at[0, 0].set(lf_lvl.astype(jnp.int8))
@@ -1033,8 +1162,19 @@ def _finalize_kf(state, srcs, base_lf, cdef_prm, split_rdo, use_cdef,
     meta = jnp.concatenate([hdr.reshape(-1), words1(counts),
                             words1(pos), words1(val),
                             cdef_idx.reshape(-1).astype(jnp.int8)])
-    return (meta, rec_packed, ly_f.astype(jnp.int16),
+    return (meta, ly_f.astype(jnp.int16),
             lu_f.astype(jnp.int16), lv_f.astype(jnp.int16))
+
+
+def _finalize_kf(state, srcs, base_lf, cdef_prm, split_rdo, use_cdef,
+                 use_deblock, cdef_rdo=False):
+    """Device-side keyframe epilogue as two chained dispatches:
+    in-loop filter searches, then compact meta packing."""
+    lf_lvl, cdef_idx, rec_packed = _kf_filters(
+        state, srcs, base_lf, cdef_prm, split_rdo, use_cdef,
+        use_deblock, cdef_rdo=cdef_rdo)
+    meta, lvy, lvu, lvv = _kf_meta(state, lf_lvl, cdef_idx)
+    return meta, rec_packed, lvy, lvu, lvv
 
 
 def _from_blocks_j(a):
@@ -1098,8 +1238,9 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     # "2-column offset" wavefront). Cheap toolsets keep i+j.
     ext = any(m in (P.D45_PRED, P.D67_PRED, P.D203_PRED)
               for m in modes_y)
+    tx_search = speed <= 6 and split_rdo
     rd = build_rd(qindex, modes_y, modes_uv, modes_quad=modes_quad,
-                  use_cfl=speed <= 6)
+                  use_cfl=speed <= 6, tx_search=tx_search)
     if ext:
         # decode-order edge availability (spec BlockDecoded): SB raster
         # + Z order within the SB; a 32-block's above-right/below-left
@@ -1147,8 +1288,9 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     dec = wavefront_frame(state0, (sy, su, sv), jnp.asarray(ii_all),
                           jnp.asarray(jj_all), jnp.asarray(mask_all),
                           rd, modes_y, modes_uv, modes_quad, split_rdo,
-                          approx=True)
+                          approx=True, dense=True)
     my_d, mu_d, sp_d, cf_d = dec[6], dec[7], dec[8], dec[9]
+    ytx_d = dec[10]
     if _timing:
         jax.block_until_ready(my_d)
         print(f"# kf phase1 {_time.time()-_t0:.3f}s")
@@ -1166,7 +1308,9 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     ry_sk, ru_sk, rv_sk, ly_sk, lu_sk, lvv_sk = recon_wavefront(
         skew(sy), skew(su), skew(sv), skew(my_d), skew(mu_d),
         skew(sp_d), skew(cf_d), jnp.asarray(has_l_sk), tr_sk, rd,
-        modes_y, modes_uv, modes_quad, split_rdo, speed <= 6, ext)
+        modes_y, modes_uv, modes_quad, split_rdo, speed <= 6, ext,
+        ytx_sk=skew(ytx_d) if tx_search else None,
+        tx_search=tx_search)
     if _timing:
         jax.block_until_ready(ry_sk)
         print(f"# kf phase2 {_time.time()-_t0:.3f}s")
@@ -1178,7 +1322,7 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
 
     state = (unskew(ry_sk), unskew(ru_sk), unskew(rv_sk),
              unskew(ly_sk), unskew(lu_sk), unskew(lvv_sk),
-             my_d, mu_d, sp_d, cf_d)
+             my_d, mu_d, sp_d, cf_d, ytx_d)
 
     # ---- device epilogue: filters + compact meta, ONE fetch ---------------
     from rav1e_tpu.ops.ref.deblock import level_from_qindex
@@ -1204,6 +1348,7 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     my = body[:, 2:7].astype(np.int32).reshape(bh, bw, 5)
     mu = body[:, 7:12].astype(np.int32).reshape(bh, bw, 5)
     cfm = body[:, 12:14].astype(np.int32).reshape(bh, bw, 2)
+    ytx = body[:, 14:18].astype(np.int32).reshape(bh, bw, 4)
 
     def unw(raw):
         w = raw.reshape(-1, 2).astype(np.int32)
@@ -1264,7 +1409,8 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
             sp.reshape(-1), my.reshape(-1, 5), mu.reshape(-1, 5),
             cfm.reshape(-1, 2), ly.reshape(-1, 32, 32),
             lu.reshape(-1, 16, 16), lvv.reshape(-1, 16, 16),
-            cdef_idx=cdef_map, cdef_bits=cdef_bits)
+            cdef_idx=cdef_map, cdef_bits=cdef_bits,
+            ytx=ytx.reshape(-1, 4))
     except Exception:
         tile = None
     if tile is not None:
@@ -1289,6 +1435,7 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
             ul = lu[bi, bj]
             vl = lvv[bi, bj]
             if sp[bi, bj]:
+                from rav1e_tpu.entropy.tile import INTRA_TX_SET2
                 partitions[(r, c, int(BlockSize.B32X32))] = \
                     PartitionType.SPLIT
                 for q, (dr, dc) in enumerate(
@@ -1306,7 +1453,8 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
                         d.skip = True
                     else:
                         d.coeffs = {0: syl, 1: sul, 2: svl,
-                                    "y_tx_type": TxType.DCT_DCT}
+                                    "y_tx_type": INTRA_TX_SET2[
+                                        int(ytx[bi, bj, q])]}
                     blocks[(r + dr, c + dc)] = d
                     partitions[(r + dr, c + dc,
                                 int(BlockSize.B16X16))] = PartitionType.NONE

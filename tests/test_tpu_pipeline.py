@@ -99,3 +99,53 @@ def test_cli_roundtrip(tmp_path):
         assert d.planes[0].shape == f[0].shape
         mse = np.mean((d.planes[0].astype(float) - f[0]) ** 2)
         assert 10 * np.log10(255 ** 2 / mse) > 30
+
+
+def test_kf_tx_type_search():
+    """Luma TX16 intra tx-type search (rav1e rdo_tx_size_type's type
+    loop over INTRA_TX_SET2): ADST combos selected by RD on split
+    quads, signaled via intra_ext_tx2, bit-exact on both oracles, and
+    never costlier than DCT-only."""
+    import numpy as np
+
+    import rav1e_tpu.pipeline.tpu_intra as TI
+    from rav1e_tpu.conform import aom, dav1d
+
+    rng = np.random.default_rng(3)
+    H, W = 96, 128
+    y = np.zeros((H, W), np.float64)
+    for r in range(0, H, 16):
+        for c in range(0, W, 16):
+            k = rng.integers(0, 4)
+            yy, xx = np.mgrid[0:16, 0:16]
+            pat = [xx * 8, yy * 8, (xx + yy) * 5,
+                   np.abs(xx - yy) * 6][k]
+            y[r:r + 16, c:c + 16] = 40 + pat + rng.normal(0, 4,
+                                                          (16, 16))
+    y = y.clip(0, 255).astype(np.uint8)
+    u = np.full((H // 2, W // 2), 118, np.uint8)
+    v = np.full((H // 2, W // 2), 130, np.uint8)
+
+    def run(tx_on):
+        orig = TI.build_rd
+
+        def patched(q, my_, muv, **kw):
+            if not tx_on:
+                kw["tx_search"] = False
+            return orig(q, my_, muv, **kw)
+
+        TI.build_rd = patched
+        try:
+            return TI.encode_keyframe_tpu([y, u, v], qindex=80,
+                                          speed=6, deblock=False)
+        finally:
+            TI.build_rd = orig
+
+    pk0, _ = run(False)
+    pk1, rk1 = run(True)
+    assert len(pk1) <= len(pk0), (len(pk1), len(pk0))
+    d = dav1d.decode_all([pk1])
+    a = aom.decode_all([pk1])
+    for j in range(3):
+        assert np.array_equal(d[0].planes[j], rk1[j]), ("dav1d", j)
+        assert np.array_equal(a[0][j], rk1[j]), ("aom", j)
