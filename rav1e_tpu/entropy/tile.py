@@ -610,21 +610,23 @@ class TileWriter:
             return self._write_compound_block(r, c, bsize, d, ref, ref2)
         # single ref tree (spec read_ref_frames single path):
         # p1: 0 = forward group {LAST,LAST2,LAST3,GOLDEN}, 1 = backward
+        def srbit(pos, sym):
+            self.ec.encode_symbol(sym, self.cdfs.single_ref[
+                ictx.single_ref_ctx(r, c, pos)][pos])
+
         if ref <= 4:
-            self.ec.encode_symbol(0, self.cdfs.single_ref[
-                ictx.single_ref_ctx(r, c, 0)][0])
-            # p3: 1 = {LAST3, GOLDEN}; p4: LAST vs LAST2 (LAST only here)
-            assert ref == LAST_FRAME, "only LAST coded in the fwd group"
-            self.ec.encode_symbol(0, self.cdfs.single_ref[
-                ictx.single_ref_ctx(r, c, 2)][2])
-            self.ec.encode_symbol(0, self.cdfs.single_ref[
-                ictx.single_ref_ctx(r, c, 3)][3])
+            srbit(0, 0)
+            if ref in (1, 2):              # p3 = 0: {LAST, LAST2}
+                srbit(2, 0)
+                srbit(3, ref - 1)          # p4: LAST vs LAST2
+            else:                          # p3 = 1: {LAST3, GOLDEN}
+                assert ref in (3, 4), ref
+                srbit(2, 1)
+                srbit(4, ref - 3)          # p5: LAST3 vs GOLDEN
         else:
             assert ref == 7, "only ALTREF coded in the bwd group"
-            self.ec.encode_symbol(1, self.cdfs.single_ref[
-                ictx.single_ref_ctx(r, c, 0)][0])
-            self.ec.encode_symbol(1, self.cdfs.single_ref[
-                ictx.single_ref_ctx(r, c, 1)][1])  # p2: ALTREF
+            srbit(0, 1)
+            srbit(1, 1)                    # p2: ALTREF
         # mv stack + inter mode
         stack, mctx = ictx.find_mv_stack(r, c, bsize, ref)
         mode = d.y_mode  # inter mode stored in y_mode slot

@@ -306,7 +306,8 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
                  by, bx, nby, nbx, deblock_fn=None, cdef_fn=None,
                  use_split: bool = True,
                  ryp2=None, rup2=None, rvp2=None, ds16=None,
-                 use_satd: bool = False, refine16: bool = True):
+                 use_satd: bool = False, refine16: bool = True,
+                 fwd2: bool = False):
     """The whole batched P-frame encode for one (sub)frame region:
     grouped-conv full-pel search, subpel descent, 32-NONE vs 16-SPLIT
     RDO with the WriterCounter-twin rate model, skip RD, recon
@@ -380,9 +381,11 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         choice = jnp.zeros((B,), jnp.int32)
         mvb8 = jnp.zeros_like(mv8)
     else:
-        # ---- B frame: fwd / bwd / compound-average RDO ----------
+        # ---- two refs. B frame: fwd / bwd / compound-average RDO
         # (rav1e rdo_mode_decision inter loop over ref sets,
-        # restructured as three fixed candidates per block)
+        # restructured as three fixed candidates per block).
+        # fwd2: multi-ref P (LAST + GOLDEN, both forward) — two
+        # single-ref candidates, no compound. ----------------------
         mvb8_, patchb, pbir, pbic, _ = _search_one_ref(
             ryp2, blks, by, bx, rd, B, use_satd)
         lam = rd["lam"]
@@ -395,24 +398,30 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
 
         pf_y = _mc_patch(patch32, pir0, pic0, by, bx, mv8, 32, 0, 1)
         pb_y = _mc_patch(patchb, pbir, pbic, by, bx, mvb8_, 32, 0, 1)
-        if_y = _mc_patch(patch32, pir0, pic0, by, bx, mv8, 32, 0, 1,
-                         interm=True)
-        ib_y = _mc_patch(patchb, pbir, pbic, by, bx, mvb8_, 32, 0, 1,
-                         interm=True)
-        pc_y = _comp_avg(if_y, ib_y)
 
         def sse_of(p):
             d = (p - blks).astype(jnp.float32)
             return jnp.sum(d * d, axis=(1, 2))
 
-        # compound signaling overhead vs single (comp_mode + second
-        # ref + drl): ~2 bits flat on top of both MV residuals
         cost_f = ds32 * sse_of(pf_y) + lam * mvr(mv8)
-        cost_b = ds32 * sse_of(pb_y) + lam * mvr(mvb8_)
-        cost_c = (ds32 * sse_of(pc_y)
-                  + lam * (mvr(mv8) + mvr(mvb8_) + 2.0))
-        choice = jnp.argmin(
-            jnp.stack([cost_f, cost_b, cost_c], 1), axis=1)
+        if fwd2:
+            # GOLDEN pays the extra single-ref tree bits (~p3+p5)
+            cost_b = ds32 * sse_of(pb_y) + lam * (mvr(mvb8_) + 2.0)
+            choice = jnp.argmin(jnp.stack([cost_f, cost_b], 1), axis=1)
+            pc_y = pf_y
+        else:
+            if_y = _mc_patch(patch32, pir0, pic0, by, bx, mv8, 32, 0,
+                             1, interm=True)
+            ib_y = _mc_patch(patchb, pbir, pbic, by, bx, mvb8_, 32, 0,
+                             1, interm=True)
+            pc_y = _comp_avg(if_y, ib_y)
+            # compound signaling overhead vs single (comp_mode +
+            # second ref + drl): ~2 bits on top of both MV residuals
+            cost_b = ds32 * sse_of(pb_y) + lam * mvr(mvb8_)
+            cost_c = (ds32 * sse_of(pc_y)
+                      + lam * (mvr(mv8) + mvr(mvb8_) + 2.0))
+            choice = jnp.argmin(
+                jnp.stack([cost_f, cost_b, cost_c], 1), axis=1)
         ch3 = choice[:, None, None]
         pred_y = jnp.where(ch3 == 0, pf_y,
                            jnp.where(ch3 == 1, pb_y, pc_y))
@@ -420,20 +429,25 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         pf_v = _mc_batch(rvp, by // 2, bx // 2, mv8, 16, 1)
         pb_u = _mc_batch(rup2, by // 2, bx // 2, mvb8_, 16, 1)
         pb_v = _mc_batch(rvp2, by // 2, bx // 2, mvb8_, 16, 1)
-        pc_u = _comp_avg(
-            _mc_batch(rup, by // 2, bx // 2, mv8, 16, 1, interm=True),
-            _mc_batch(rup2, by // 2, bx // 2, mvb8_, 16, 1,
-                      interm=True))
-        pc_v = _comp_avg(
-            _mc_batch(rvp, by // 2, bx // 2, mv8, 16, 1, interm=True),
-            _mc_batch(rvp2, by // 2, bx // 2, mvb8_, 16, 1,
-                      interm=True))
+        if fwd2:
+            pc_u, pc_v = pf_u, pf_v
+        else:
+            pc_u = _comp_avg(
+                _mc_batch(rup, by // 2, bx // 2, mv8, 16, 1,
+                          interm=True),
+                _mc_batch(rup2, by // 2, bx // 2, mvb8_, 16, 1,
+                          interm=True))
+            pc_v = _comp_avg(
+                _mc_batch(rvp, by // 2, bx // 2, mv8, 16, 1,
+                          interm=True),
+                _mc_batch(rvp2, by // 2, bx // 2, mvb8_, 16, 1,
+                          interm=True))
         pred_u = jnp.where(ch3 == 0, pf_u,
                            jnp.where(ch3 == 1, pb_u, pc_u))
         pred_v = jnp.where(ch3 == 0, pf_v,
                            jnp.where(ch3 == 1, pb_v, pc_v))
-        # primary MV: fwd for single-fwd/compound, bwd for single-bwd;
-        # second MV only meaningful for compound
+        # primary MV: fwd for single-fwd/compound, second ref's for
+        # single-second; second MV only meaningful for compound
         mvb8 = jnp.where((choice == 2)[:, None], mvb8_, 0)
         mv8 = jnp.where((choice == 1)[:, None], mvb8_, mv8)
         rate32 = None
@@ -958,7 +972,7 @@ def _unpack_src(buf, h, w):
 def _core(h: int, w: int, use_cdef: bool = False,
           use_deblock: bool = True, use_split: bool = True,
           two_ref: bool = False, use_satd: bool = False,
-          refine16: bool = True):
+          refine16: bool = True, fwd2: bool = False):
     """Single-chip batched P-frame step for an h x w frame. qindex
     enters as a traced argument (dcq/acq scalars) so rate control
     never triggers a recompile. Takes the packed source buffer and
@@ -1026,7 +1040,7 @@ def _core(h: int, w: int, use_cdef: bool = False,
                                 cdef_prm, rd, jnp.asarray(by),
                                 jnp.asarray(bx), nby, nbx, None,
                                 None, False, ryp2, rup2, rvp2,
-                                ds16=ds, use_satd=use_satd)
+                                ds16=ds, use_satd=use_satd, fwd2=fwd2)
 
         def step(src, ry, ru, rv, ry2, ru2, rv2, dcq, acq, cdef_prm,
                  rd, ds):
@@ -1294,6 +1308,106 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
            rec_v.astype(np.int32)]
     if return_device:
         return pkt, rec, rec_dev
+    return pkt, rec
+
+
+def _pack_pframe_mref(h, w, qindex, order_hint, mv8, choice, skip,
+                      lv_y, lv_u, lv_v, cdef=None, lf_level=0,
+                      film_grain=None, render_size=None,
+                      slot_last=0, slot_golden=1, golden_hint=0,
+                      refresh_flags=0x01):
+    """Entropy-pack a multi-ref P frame: choice[b] 0 = LAST,
+    1 = GOLDEN (both forward, single prediction — spec
+    read_ref_frames single path p1/p3/p4/p5). rav1e's multi-ref
+    rdo_mode_decision loop (SURVEY §2.2 ME/RDO) restructured as two
+    fixed candidates per block."""
+    cdef_map = None
+    if cdef is not None and isinstance(cdef[1], np.ndarray):
+        cdef, cdef_map = cdef
+    seq = Sequence(width=w, height=h, enable_cdef=cdef is not None,
+                   film_grain_params_present=film_grain is not None)
+    lf = int(lf_level)
+    fp = FrameParams(frame_type=FrameType.INTER, base_q_idx=qindex,
+                     render_size=render_size,
+                     loop_filter_levels=(lf, lf, lf, lf))
+    fp.film_grain = film_grain
+    if cdef_map is not None:
+        from rav1e_tpu.ops.tpu.cdef import CDEF_LADDER
+        fp.cdef_damping = cdef[4]
+        fp.cdef_strengths = [tuple(e) for e in CDEF_LADDER]
+    elif cdef is not None:
+        (fp.cdef_y_pri, fp.cdef_y_sec, fp.cdef_uv_pri,
+         fp.cdef_uv_sec, fp.cdef_damping) = cdef
+    ti = TileInfo(seq)
+    mi_rows, mi_cols = h >> 2, w >> 2
+    nbx = w // 32
+    tw = TileWriter(mi_rows, mi_cols, qindex, inter_frame=True,
+                    ref_sign_bias={1: False, 4: False})
+    if cdef_map is not None:
+        tw.cdef_bits = 3
+        tw.cdef_idx_map = cdef_map
+    partitions: dict = {}
+    blocks: dict = {}
+    for b in range(mv8.shape[0]):
+        by, bx = (b // nbx) * 32, (b % nbx) * 32
+        r, c = by >> 2, bx >> 2
+        partitions[(r, c, int(BlockSize.B64X64))] = PartitionType.SPLIT
+        partitions[(r, c, int(BlockSize.B32X32))] = PartitionType.NONE
+        mv = (int(mv8[b, 0]), int(mv8[b, 1]))
+        mode = (PredictionMode.GLOBALMV if mv == (0, 0)
+                else PredictionMode.NEWMV)
+        d = BlockDecision(y_mode=mode,
+                          uv_mode=PredictionMode.DC_PRED,
+                          skip=bool(skip[b]), mv=mv,
+                          ref=1 if int(choice[b]) == 0 else 4)
+        if not d.skip:
+            d.coeffs = {0: lv_y[b], 1: lv_u[b], 2: lv_v[b]}
+        blocks[(r, c)] = d
+    tile = tw.write_tile(partitions, blocks)
+    ref_idx = [slot_last] * 7
+    ref_idx[3] = slot_golden
+    fp.ref_order_hints = [0] * 7
+    fp.ref_order_hints[3] = golden_hint
+    return interframe_packet(seq, fp, ti, [tile], order_hint,
+                             refresh_flags=refresh_flags,
+                             ref_idx=ref_idx)
+
+
+def encode_pframe2_tpu(planes, ref_last, ref_golden, qindex: int = 100,
+                       order_hint: int = 1, cdef: tuple | None = None,
+                       slot_last: int = 0, slot_golden: int = 1,
+                       golden_hint: int = 0, dscale=None,
+                       use_satd: bool = False,
+                       render_size: tuple | None = None,
+                       refresh_flags: int = 0x01):
+    """Multi-ref P frame: every block RD-picks LAST vs GOLDEN (rav1e
+    multi-ref; the GOLDEN slot typically holds the GOP's keyframe).
+    Split RDO is not yet combined with multi-ref."""
+    y = planes[0]
+    h, w = y.shape[0], y.shape[1]
+    assert h % 32 == 0 and w % 32 == 0
+    step, (nby, nbx), gather_dense = _core(
+        h, w, cdef is not None, use_split=False, two_ref=True,
+        use_satd=use_satd, fwd2=True)
+    refd = tuple(jnp.asarray(np.asarray(p, np.uint8))
+                 for p in ref_last)
+    refg = tuple(jnp.asarray(np.asarray(p, np.uint8))
+                 for p in ref_golden)
+    cdef_prm = jnp.asarray(
+        list(cdef) if cdef is not None else [0, 0, 0, 0, 3], jnp.int32)
+    outs = step(jnp.asarray(pack_src(planes)), *refd, *refg,
+                jnp.int32(dc_q_lut(qindex)), jnp.int32(ac_q_lut(qindex)),
+                cdef_prm, build_rd_inter(qindex),
+                _ds16_quads(dscale, nby, nbx))
+    (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16, lf_lvl,
+     cdef_map, choice, _) = _fetch_packed(outs, gather_dense, nby, nbx)
+    pkt = _pack_pframe_mref(
+        h, w, qindex, order_hint, mv8, choice, skip, lv_y, lv_u, lv_v,
+        cdef=(cdef, cdef_map) if cdef is not None else None,
+        lf_level=lf_lvl, render_size=render_size,
+        slot_last=slot_last, slot_golden=slot_golden,
+        golden_hint=golden_hint, refresh_flags=refresh_flags)
+    rec = [np.asarray(o).astype(np.int32) for o in outs[4:7]]
     return pkt, rec
 
 
