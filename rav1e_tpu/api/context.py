@@ -43,7 +43,9 @@ class Config:
     chroma_sampling: str = "420"
     key_frame_interval: int = 240
     min_key_frame_interval: int = 12
-    low_latency: bool = True
+    # rav1e default: reordered GOPs (the depth-2 B-pyramid); set True
+    # for strict IPPP output order (rav1e --low-latency)
+    low_latency: bool = False
     threads: int = 1
     tiles: int = 1
     extra: dict = field(default_factory=dict)

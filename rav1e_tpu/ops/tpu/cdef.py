@@ -120,6 +120,23 @@ CDEF_LADDER = [
 ]
 
 
+def compact_ladder(cdef_map):
+    """Compress the frame's signaled strength set to the ladder
+    entries its SBs actually chose (rav1e signals nb_strengths the
+    same way): the full 8-entry set costs ~12 header bytes + 3
+    bits/SB — real rate on small frames. Returns (strengths list,
+    cdef_bits, remapped per-SB map)."""
+    used = np.unique(np.asarray(cdef_map))
+    bits = int(np.ceil(np.log2(len(used)))) if len(used) > 1 else 0
+    lut = np.zeros(len(CDEF_LADDER), np.uint8)
+    for i, u in enumerate(used):
+        lut[int(u)] = i
+    strengths = [tuple(CDEF_LADDER[int(u)]) for u in used]
+    while len(strengths) < (1 << bits):
+        strengths.append(strengths[-1])
+    return strengths, bits, lut[np.asarray(cdef_map)]
+
+
 def cdef_search_frame_jax(planes, srcs, skip8, damping):
     """Per-frame CDEF strength-set search (rav1e rdo_loop_decision
     restructured as a whole-frame pass, SURVEY §7.0): filter the

@@ -1166,10 +1166,10 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
     fp.film_grain = film_grain
     cdef_bits = 0
     if cdef_map is not None:
-        from rav1e_tpu.ops.tpu.cdef import CDEF_LADDER
+        from rav1e_tpu.ops.tpu.cdef import compact_ladder
         fp.cdef_damping = cdef[4]
-        fp.cdef_strengths = [tuple(e) for e in CDEF_LADDER]
-        cdef_bits = 3
+        (fp.cdef_strengths, cdef_bits,
+         cdef_map) = compact_ladder(cdef_map)
     elif cdef is not None:
         (fp.cdef_y_pri, fp.cdef_y_sec, fp.cdef_uv_pri,
          fp.cdef_uv_sec, fp.cdef_damping) = cdef
@@ -1332,9 +1332,9 @@ def _pack_pframe_mref(h, w, qindex, order_hint, mv8, choice, skip,
                      loop_filter_levels=(lf, lf, lf, lf))
     fp.film_grain = film_grain
     if cdef_map is not None:
-        from rav1e_tpu.ops.tpu.cdef import CDEF_LADDER
+        from rav1e_tpu.ops.tpu.cdef import compact_ladder
         fp.cdef_damping = cdef[4]
-        fp.cdef_strengths = [tuple(e) for e in CDEF_LADDER]
+        fp.cdef_strengths, _cbits, cdef_map = compact_ladder(cdef_map)
     elif cdef is not None:
         (fp.cdef_y_pri, fp.cdef_y_sec, fp.cdef_uv_pri,
          fp.cdef_uv_sec, fp.cdef_damping) = cdef
@@ -1343,8 +1343,8 @@ def _pack_pframe_mref(h, w, qindex, order_hint, mv8, choice, skip,
     nbx = w // 32
     tw = TileWriter(mi_rows, mi_cols, qindex, inter_frame=True,
                     ref_sign_bias={1: False, 4: False})
-    if cdef_map is not None:
-        tw.cdef_bits = 3
+    if cdef_map is not None and _cbits:
+        tw.cdef_bits = _cbits
         tw.cdef_idx_map = cdef_map
     partitions: dict = {}
     blocks: dict = {}
@@ -1433,9 +1433,9 @@ def _pack_bframe(h, w, qindex, order_hint, mv8, mvb8, choice, skip,
                      loop_filter_levels=(lf, lf, lf, lf))
     fp.film_grain = film_grain
     if cdef_map is not None:
-        from rav1e_tpu.ops.tpu.cdef import CDEF_LADDER
+        from rav1e_tpu.ops.tpu.cdef import compact_ladder
         fp.cdef_damping = cdef[4]
-        fp.cdef_strengths = [tuple(e) for e in CDEF_LADDER]
+        fp.cdef_strengths, _cbits, cdef_map = compact_ladder(cdef_map)
     elif cdef is not None:
         (fp.cdef_y_pri, fp.cdef_y_sec, fp.cdef_uv_pri,
          fp.cdef_uv_sec, fp.cdef_damping) = cdef
@@ -1445,8 +1445,8 @@ def _pack_bframe(h, w, qindex, order_hint, mv8, mvb8, choice, skip,
     tw = TileWriter(mi_rows, mi_cols, qindex, inter_frame=True,
                     ref_sign_bias={1: False, 7: True},
                     reference_select=True)
-    if cdef_map is not None:
-        tw.cdef_bits = 3
+    if cdef_map is not None and _cbits:
+        tw.cdef_bits = _cbits
         tw.cdef_idx_map = cdef_map
     partitions: dict = {}
     blocks: dict = {}

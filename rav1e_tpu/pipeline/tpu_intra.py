@@ -1285,40 +1285,50 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     import time as _time
     _timing = bool(_os.environ.get("RAV1E_TPU_TIMING"))
     _t0 = _time.time()
-    dec = wavefront_frame(state0, (sy, su, sv), jnp.asarray(ii_all),
-                          jnp.asarray(jj_all), jnp.asarray(mask_all),
-                          rd, modes_y, modes_uv, modes_quad, split_rdo,
-                          approx=True, dense=True)
-    my_d, mu_d, sp_d, cf_d = dec[6], dec[7], dec[8], dec[9]
-    ytx_d = dec[10]
-    if _timing:
-        jax.block_until_ready(my_d)
-        print(f"# kf phase1 {_time.time()-_t0:.3f}s")
-        _t0 = _time.time()
-
-    # ---- phase 2: decoder-order recon on skewed arrays -------------
     (ii_sk, jj_sk, has_l_sk, valid_sk,
      un_d, un_s) = _skew_tables(bh, bw, ext)
     tr_sk = jnp.asarray(has_tr[ii_sk, jj_sk] & valid_sk)
     isk, jsk = jnp.asarray(ii_sk), jnp.asarray(jj_sk)
+    ud, us = jnp.asarray(un_d), jnp.asarray(un_s)
 
     def skew(arr):
         return arr[isk, jsk]
 
-    ry_sk, ru_sk, rv_sk, ly_sk, lu_sk, lvv_sk = recon_wavefront(
-        skew(sy), skew(su), skew(sv), skew(my_d), skew(mu_d),
-        skew(sp_d), skew(cf_d), jnp.asarray(has_l_sk), tr_sk, rd,
-        modes_y, modes_uv, modes_quad, split_rdo, speed <= 6, ext,
-        ytx_sk=skew(ytx_d) if tx_search else None,
-        tx_search=tx_search)
+    def unskew(sk):
+        return sk[ud, us]
+
+    def phase1(edges):
+        """Mode pass with `edges` (block grids) standing in for the
+        recon state."""
+        st = (edges[0], edges[1], edges[2]) + state0[3:]
+        return wavefront_frame(st, (sy, su, sv), jnp.asarray(ii_all),
+                               jnp.asarray(jj_all),
+                               jnp.asarray(mask_all), rd, modes_y,
+                               modes_uv, modes_quad, split_rdo,
+                               approx=True, dense=True)
+
+    def phase2(dec):
+        my_d, mu_d, sp_d, cf_d, ytx_d = (dec[6], dec[7], dec[8],
+                                         dec[9], dec[10])
+        out = recon_wavefront(
+            skew(sy), skew(su), skew(sv), skew(my_d), skew(mu_d),
+            skew(sp_d), skew(cf_d), jnp.asarray(has_l_sk), tr_sk, rd,
+            modes_y, modes_uv, modes_quad, split_rdo, speed <= 6, ext,
+            ytx_sk=skew(ytx_d) if tx_search else None,
+            tx_search=tx_search)
+        return (my_d, mu_d, sp_d, cf_d, ytx_d), out
+
+    dec = phase1((sy, su, sv))
+    if _timing:
+        jax.block_until_ready(dec[6])
+        print(f"# kf phase1 {_time.time()-_t0:.3f}s")
+        _t0 = _time.time()
+    (my_d, mu_d, sp_d, cf_d, ytx_d), rw = phase2(dec)
+    ry_sk, ru_sk, rv_sk, ly_sk, lu_sk, lvv_sk = rw
     if _timing:
         jax.block_until_ready(ry_sk)
         print(f"# kf phase2 {_time.time()-_t0:.3f}s")
         _t0 = _time.time()
-    ud, us = jnp.asarray(un_d), jnp.asarray(un_s)
-
-    def unskew(sk):
-        return sk[ud, us]
 
     state = (unskew(ry_sk), unskew(ru_sk), unskew(rv_sk),
              unskew(ly_sk), unskew(lu_sk), unskew(lvv_sk),
@@ -1390,10 +1400,10 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
                      render_size=render_size)
     cdef_bits = 0
     if cdef_map is not None:
-        from rav1e_tpu.ops.tpu.cdef import CDEF_LADDER
+        from rav1e_tpu.ops.tpu.cdef import compact_ladder
         fp.cdef_damping = cdef[4]
-        fp.cdef_strengths = [tuple(e) for e in CDEF_LADDER]
-        cdef_bits = 3
+        (fp.cdef_strengths, cdef_bits,
+         cdef_map) = compact_ladder(cdef_map)
     elif cdef is not None:
         (fp.cdef_y_pri, fp.cdef_y_sec, fp.cdef_uv_pri,
          fp.cdef_uv_sec, fp.cdef_damping) = cdef

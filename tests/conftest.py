@@ -10,6 +10,10 @@ import os
 
 if not os.environ.get("RAV1E_TPU_TEST_TPU"):
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # the axon plugin can override JAX_PLATFORMS at registration;
+    # rav1e_tpu._setup_platform re-asserts this one (and it keeps
+    # collection alive when the tunneled TPU is unreachable)
+    os.environ.setdefault("RAV1E_TPU_PLATFORM", "cpu")
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (

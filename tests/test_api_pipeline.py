@@ -41,7 +41,8 @@ def _cut_sequence(w=192, h=128, n=24, cut=12):
 def test_ippp_with_scene_cut():
     frames = _cut_sequence()
     ctx = Config(width=192, height=128, quantizer=100,
-                 min_key_frame_interval=4).new_context()
+                 min_key_frame_interval=4,
+                 low_latency=True).new_context()
     pkts = _run(ctx, frames)
     types = [p.frame_type for p in pkts]
     assert types[0] == "KEY"
@@ -55,7 +56,7 @@ def test_ippp_with_scene_cut():
 def test_max_kf_interval():
     frames = _cut_sequence(n=20, cut=99)
     ctx = Config(width=192, height=128, quantizer=100,
-                 key_frame_interval=8).new_context()
+                 key_frame_interval=8, low_latency=True).new_context()
     pkts = _run(ctx, frames)
     types = [p.frame_type for p in pkts]
     assert types[0] == "KEY" and types[8] == "KEY" and types[16] == "KEY"
