@@ -327,7 +327,9 @@ class Context:
                     film_grain=grain, render_size=self._render,
                     use_split=self.speed_settings.partition_split_rdo,
                     refresh_flags=1 << slot_new,
-                    ref_slot=self._cur_slot)
+                    ref_slot=self._cur_slot,
+                    use_satd=self.speed_settings.satd_subpel,
+                    intra_rdo=self.speed_settings.intra_in_inter)
             else:
                 data, rec = encode_pframe(
                     pl, self._ref_rec, qindex=q,

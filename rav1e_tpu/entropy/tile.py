@@ -597,6 +597,56 @@ class TileWriter:
         self._write_cdef_idx(r, c, d.skip)
         # is_inter
         ii_ctx = ictx.intra_inter_ctx(r, c)
+        if getattr(d, "ref", LAST_FRAME) == 0:
+            # intra block inside an inter frame (spec
+            # inter_frame_mode_info, is_inter = 0): y_mode via the
+            # size-group cdf, uv via uv_mode_cfl, intra residual
+            from rav1e_tpu.entropy.inter import InterBlockInfo
+            self.ec.encode_symbol(0, self.cdfs.intra_inter[ii_ctx])
+            sg = {BlockSize.B32X32: 3, BlockSize.B16X16: 2}[bsize]
+            self.ec.encode_symbol(int(d.y_mode), self.cdfs.y_mode[sg])
+            from rav1e_tpu.core.constants import ANGLE_BASE
+            if d.y_mode in ANGLE_BASE:
+                self.ec.encode_symbol(
+                    d.angle_delta_y + 3,
+                    self.cdfs.angle_delta[int(d.y_mode) - 1])
+            cfl_allowed = bsize.width <= 32 and bsize.height <= 32
+            tbl = (self.cdfs.uv_mode_cfl if cfl_allowed
+                   else self.cdfs.uv_mode)
+            self.ec.encode_symbol(int(d.uv_mode), tbl[int(d.y_mode)])
+            if d.uv_mode in ANGLE_BASE:
+                self.ec.encode_symbol(
+                    d.angle_delta_uv + 3,
+                    self.cdfs.angle_delta[int(d.uv_mode) - 1])
+            bw, bh = bsize.width_mi, bsize.height_mi
+            if not d.skip:
+                ytx = MAX_TX_SIZE_RECT[bsize]
+                ytt = d.coeffs.get("y_tx_type", TxType.DCT_DCT)
+                self._write_tu(0, r, c, ytx, ytt, d.coeffs[0],
+                               d.y_mode)
+                uvtx = chroma_tx_size(bsize, self.ss_x, self.ss_y)
+                uvtt = chroma_tx_type(d.uv_mode, uvtx,
+                                      self.reduced_tx_set)
+                self._write_tu(1, r, c, uvtx, uvtt, d.coeffs[1],
+                               d.uv_mode)
+                self._write_tu(2, r, c, uvtx, uvtt, d.coeffs[2],
+                               d.uv_mode)
+            else:
+                self.above_coef[0][c: c + bw] = 0
+                self.left_coef[0][r: r + bh] = 0
+                for p in (1, 2):
+                    sx, sy = self.ss_x, self.ss_y
+                    self.above_coef[p][c >> sx:
+                                       (c + bw + (1 << sx) - 1)
+                                       >> sx] = 0
+                    self.left_coef[p][r >> sy:
+                                      (r + bh + (1 << sy) - 1)
+                                      >> sy] = 0
+            self.skip_grid[r: r + bh, c: c + bw] = int(d.skip)
+            self.mode_grid[r: r + bh, c: c + bw] = int(d.y_mode)
+            ictx.set_block(r, c, bsize, InterBlockInfo(
+                is_inter=False, ref=0, mode=d.y_mode, mv=(0, 0)))
+            return
         self.ec.encode_symbol(1, self.cdfs.intra_inter[ii_ctx])
         ref = getattr(d, "ref", LAST_FRAME)
         ref2 = getattr(d, "ref2", 0)

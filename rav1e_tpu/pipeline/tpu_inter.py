@@ -67,6 +67,17 @@ def _split_bits() -> float:
                  + 4.0 * pm[int(PartitionType.NONE)])
 
 
+@lru_cache(maxsize=1)
+def _intra_in_inter_bits() -> float:
+    """Signaling bits for a DC intra block in an inter frame:
+    intra_inter(0) + y_mode(DC, size group 3) + uv_mode_cfl(DC)."""
+    from rav1e_tpu.entropy.cost import _avg_bits, tables
+    t = tables()
+    return (float(_avg_bits(t["intra_inter"])[0])
+            + float(_avg_bits(t["y_mode"])[0])
+            + float(_avg_bits(t["uv_mode_cfl"])[0]))
+
+
 def build_rd_inter(qindex: int, bit_depth: int = 8) -> dict:
     """Traced RD inputs for the batched P step: λ, MV-rate LUT, inter
     mode bits, coefficient-rate LUTs (WriterCounter twin —
@@ -84,6 +95,7 @@ def build_rd_inter(qindex: int, bit_depth: int = 8) -> dict:
         "globalmv": jnp.float32(imb["GLOBALMV"]),
         "nearest": jnp.float32(imb["NEARESTMV"]),
         "near": jnp.float32(imb["NEARMV"]),
+        "intra32": jnp.float32(_intra_in_inter_bits()),
         "skip0": jnp.float32(imb["skip0"]),
         "skip1": jnp.float32(imb["skip1"]),
         "y32": rate_luts(qindex, TxSize.TX_32X32, 0),
@@ -307,7 +319,7 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
                  use_split: bool = True,
                  ryp2=None, rup2=None, rvp2=None, ds16=None,
                  use_satd: bool = False, refine16: bool = True,
-                 fwd2: bool = False):
+                 fwd2: bool = False, intra_rdo: bool = False):
     """The whole batched P-frame encode for one (sub)frame region:
     grouped-conv full-pel search, subpel descent, 32-NONE vs 16-SPLIT
     RDO with the WriterCounter-twin rate model, skip RD, recon
@@ -692,6 +704,105 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
                          jnp.repeat(mv8[:, None, :], 4, axis=1))
     skip16_out = jnp.where(split[:, None], skip16.reshape(B, 4),
                            skip[:, None])
+
+    if intra_rdo:
+        # ---- intra-in-inter candidate (rav1e rdo_mode_decision's
+        # intra set inside inter frames, src/rdo.rs): DC_PRED 32x32
+        # from the UNFILTERED inter recon of neighbors. A block may
+        # only flip where its above/left/above-left neighbors keep
+        # their inter recon — otherwise its decoder-side edges would
+        # change under it. Batched rule: flip only blocks whose
+        # above/left/above-left neighbors do not also desire intra
+        # (then no flipped block ever contributes edges to another —
+        # DC/H/V/SMOOTH/PAETH never read above-right). Earns its keep
+        # on newly-revealed content (pans) where MC predicts from
+        # edge replication. -----------------------------------------
+        from rav1e_tpu.ops.tpu.intra import predict_modes as _pm
+        iy = jnp.asarray(np.repeat(np.arange(nby), nbx)
+                         .astype(np.int32))
+        jx = jnp.asarray(np.tile(np.arange(nbx), nby).astype(np.int32))
+        has_a = iy > 0
+        has_l = jx > 0
+
+        def _dng(a):
+            return jnp.concatenate([a[:1], a[:-1]], 0)
+
+        def _rtg(a):
+            return jnp.concatenate([a[:, :1], a[:, :-1]], 1)
+
+        def edges(rec, n):
+            g = rec.reshape(nby, nbx, n, n)
+            a = _dng(g)[:, :, n - 1, :].reshape(B, n)
+            le = _rtg(g)[:, :, :, n - 1].reshape(B, n)
+            tl = _rtg(_dng(g))[:, :, n - 1, n - 1].reshape(B)
+            return a, le, tl
+
+        ia, il, itl = edges(rec_y, 32)
+        pi_y = _pm((PredictionMode.DC_PRED,), ia, il, itl, has_a,
+                   has_l, 32, 32)[0]
+        ua, ul, utl = edges(rec_u, 16)
+        pi_u = _pm((PredictionMode.DC_PRED,), ua, ul, utl, has_a,
+                   has_l, 16, 16)[0]
+        va, vl, vtl = edges(rec_v, 16)
+        pi_v = _pm((PredictionMode.DC_PRED,), va, vl, vtl, has_a,
+                   has_l, 16, 16)[0]
+        lvi_y, r2i_y = code(blks - pi_y, TxSize.TX_32X32)
+        lvi_u, r2i_u = code(ub - pi_u, TxSize.TX_16X16)
+        lvi_v, r2i_v = code(vb - pi_v, TxSize.TX_16X16)
+        cdi_y = jnp.clip(pi_y + r2i_y, 0, 255)
+        cdi_u = jnp.clip(pi_u + r2i_u, 0, 255)
+        cdi_v = jnp.clip(pi_v + r2i_v, 0, 255)
+        sse_ic = (jnp.sum((cdi_y - blks).astype(jnp.float32) ** 2,
+                          (1, 2))
+                  + jnp.sum((cdi_u - ub).astype(jnp.float32) ** 2,
+                            (1, 2))
+                  + jnp.sum((cdi_v - vb).astype(jnp.float32) ** 2,
+                            (1, 2)))
+        sse_is = (jnp.sum((pi_y - blks).astype(jnp.float32) ** 2,
+                          (1, 2))
+                  + jnp.sum((pi_u - ub).astype(jnp.float32) ** 2,
+                            (1, 2))
+                  + jnp.sum((pi_v - vb).astype(jnp.float32) ** 2,
+                            (1, 2)))
+        cbits_i = (block_bits(lvi_y, rd["y32"])
+                   + block_bits(lvi_u, rd["c16"])
+                   + block_bits(lvi_v, rd["c16"]))
+        skip_i = (ds32 * sse_is + lam * rd["skip1"]
+                  <= ds32 * sse_ic + lam * (rd["skip0"] + cbits_i))
+        cost_i = (lam * rd["intra32"]
+                  + jnp.where(skip_i, ds32 * sse_is + lam * rd["skip1"],
+                              ds32 * sse_ic
+                              + lam * (rd["skip0"] + cbits_i)))
+        desire = cost_i < jnp.where(split, cost_split, cost32)
+        dg = desire.reshape(nby, nbx)
+
+        def false_dn(a):
+            return jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]], 0)
+
+        def false_rt(a):
+            return jnp.concatenate([jnp.zeros_like(a[:, :1]),
+                                    a[:, :-1]], 1)
+
+        d_a = false_dn(dg).reshape(B)
+        d_l = false_rt(dg).reshape(B)
+        d_al = false_rt(false_dn(dg)).reshape(B)
+        flip = desire & (~d_a) & (~d_l) & (~d_al)
+        f3 = flip[:, None, None]
+        s_i3 = skip_i[:, None, None]
+        rec_y = jnp.where(f3, jnp.where(s_i3, pi_y, cdi_y), rec_y)
+        rec_u = jnp.where(f3, jnp.where(s_i3, pi_u, cdi_u), rec_u)
+        rec_v = jnp.where(f3, jnp.where(s_i3, pi_v, cdi_v), rec_v)
+        lv_y = jnp.where(f3, jnp.where(s_i3, 0, lvi_y), lv_y)
+        lv_u = jnp.where(f3, jnp.where(s_i3, 0, lvi_u), lv_u)
+        lv_v = jnp.where(f3, jnp.where(s_i3, 0, lvi_v), lv_v)
+        skip = jnp.where(flip, skip_i, skip)
+        split = split & ~flip
+        sp3 = split[:, None, None]
+        skip16_out = jnp.where(flip[:, None], skip_i[:, None],
+                               skip16_out)
+        choice = jnp.where(flip, 3, choice)   # 3 = INTRA (DC)
+        mv8 = jnp.where(flip[:, None], 0, mv8)
+
     return _finish_outputs(
         y, u, v, h, tw, nby, nbx, B, rd, cdef_prm, mv8, skip, split,
         sp3, mv16_out, skip16_out, lv_y, lv_u, lv_v, lv_y16, lv_u8,
@@ -972,7 +1083,8 @@ def _unpack_src(buf, h, w):
 def _core(h: int, w: int, use_cdef: bool = False,
           use_deblock: bool = True, use_split: bool = True,
           two_ref: bool = False, use_satd: bool = False,
-          refine16: bool = True, fwd2: bool = False):
+          refine16: bool = True, fwd2: bool = False,
+          intra_rdo: bool = False):
     """Single-chip batched P-frame step for an h x w frame. qindex
     enters as a traced argument (dcq/acq scalars) so rate control
     never triggers a recompile. Takes the packed source buffer and
@@ -1063,7 +1175,8 @@ def _core(h: int, w: int, use_cdef: bool = False,
                                 cdef_prm, rd, jnp.asarray(by),
                                 jnp.asarray(bx), nby, nbx, None,
                                 None, use_split, ds16=ds,
-                                use_satd=use_satd, refine16=refine16)
+                                use_satd=use_satd, refine16=refine16,
+                                intra_rdo=intra_rdo)
 
         def step(src, ry, ru, rv, dcq, acq, cdef_prm, rd, ds):
             o = core(src, ry, ru, rv, dcq, acq, cdef_prm, rd, ds)
@@ -1143,7 +1256,7 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
                  use_native=True, cdef=None, film_grain=None,
                  render_size=None, lf_level=0, split=None, mv16=None,
                  skip16=None, refresh_flags=0x01, ref_slot=0,
-                 show_frame=True):
+                 show_frame=True, choice=None):
     """Entropy-pack one P frame from batched pipeline outputs.
 
     split/mv16/skip16 (optional) describe PARTITION_SPLIT 32-blocks:
@@ -1176,7 +1289,10 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
     ti = TileInfo(seq)
     mi_rows, mi_cols = h >> 2, w >> 2
     nbx = w // 32
-    if use_native:
+    intra_map = (np.asarray(choice) == 3) if choice is not None else None
+    if intra_map is not None and not intra_map.any():
+        intra_map = None
+    if use_native and intra_map is None:
         try:
             from rav1e_tpu.entropy.native import NativeTileWriter
             tw = NativeTileWriter(mi_rows, mi_cols, qindex,
@@ -1221,6 +1337,18 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
         by, bx = (b // nbx) * 32, (b % nbx) * 32
         r, c = by >> 2, bx >> 2
         partitions[(r, c, int(BlockSize.B64X64))] = PartitionType.SPLIT
+        if intra_map is not None and intra_map[b]:
+            # intra-in-inter block (spec inter_frame_mode_info with
+            # is_inter = 0): DC luma + DC chroma
+            d = BlockDecision(y_mode=PredictionMode.DC_PRED,
+                              uv_mode=PredictionMode.DC_PRED,
+                              skip=bool(skip[b]), ref=0)
+            if not d.skip:
+                d.coeffs = {0: lv_y[b], 1: lv_u[b], 2: lv_v[b]}
+            partitions[(r, c, int(BlockSize.B32X32))] = \
+                PartitionType.NONE
+            blocks[(r, c)] = d
+            continue
         if split is not None and split[b]:
             partitions[(r, c, int(BlockSize.B32X32))] = \
                 PartitionType.SPLIT
@@ -1267,7 +1395,7 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
                       refresh_flags: int = 0x01, ref_slot: int = 0,
                       show_frame: bool = True, dscale=None,
                       src_dev=None, use_satd: bool = False,
-                      refine16: bool = True):
+                      refine16: bool = True, intra_rdo: bool = False):
     """TPU-batched P frame. Same bitstream contract as encode_pframe.
 
     ref_dev: optional device-resident reference planes (from a prior
@@ -1282,7 +1410,8 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
     step, (nby, nbx), gather_dense = _core(h, w, cdef is not None,
                                            use_split=use_split,
                                            use_satd=use_satd,
-                                           refine16=refine16)
+                                           refine16=refine16,
+                                           intra_rdo=intra_rdo)
     if ref_dev is None:
         ref_dev = tuple(jnp.asarray(np.asarray(p, np.uint8))
                         for p in ref_planes)
@@ -1296,14 +1425,15 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
                 _ds16_quads(dscale, nby, nbx))
     rec_dev = outs[4:7]
     (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16, lf_lvl,
-     cdef_map, _, _) = _fetch_packed(outs, gather_dense, nby, nbx)
+     cdef_map, choice, _) = _fetch_packed(outs, gather_dense, nby, nbx)
     rec_y, rec_u, rec_v = [np.asarray(o) for o in rec_dev]
     pkt = _pack_pframe(h, w, qindex, order_hint, mv8, skip,
                        lv_y, lv_u, lv_v, use_native,
                        (cdef, cdef_map) if cdef is not None else None,
                        film_grain, render_size,
                        lf_lvl, split, mv16, skip16,
-                       refresh_flags, ref_slot, show_frame)
+                       refresh_flags, ref_slot, show_frame,
+                       choice=choice if intra_rdo else None)
     rec = [rec_y.astype(np.int32), rec_u.astype(np.int32),
            rec_v.astype(np.int32)]
     if return_device:

@@ -193,6 +193,9 @@ int main(int argc, char **argv) {
   rav1e_config_parse_int(cfg, "width", W);
   rav1e_config_parse_int(cfg, "height", H);
   rav1e_config_parse_int(cfg, "quantizer", 120);
+  /* one packet per frame (the reordered default emits non-shown
+     anchors + show_existing packets) */
+  rav1e_config_parse_int(cfg, "low_latency", 1);
   RaContext *ctx = rav1e_context_new(cfg);
   if (!ctx) { fprintf(stderr, "ctx fail\n"); return 2; }
   uint8_t *y = malloc(W * H), *u = malloc(W * H / 4),

@@ -331,3 +331,41 @@ def test_per_sb_cdef_index():
         for j in range(3):
             assert np.array_equal(d[i].planes[j], recs[i][j]), (i, j)
             assert np.array_equal(a[i][j], recs[i][j]), (i, j)
+
+
+def test_intra_in_inter_blocks():
+    """Intra (DC) blocks inside inter frames (rav1e rdo_mode_decision
+    intra set): blocks with no temporal match flip to intra under the
+    batched isolation rule, the writer codes is_inter=0 + intra
+    syntax, streams stay bit-exact on both oracles and never larger
+    than inter-only."""
+    from scipy.ndimage import gaussian_filter
+
+    from rav1e_tpu.pipeline.tpu_intra import encode_keyframe_tpu
+    from rav1e_tpu.pipeline.tpu_inter import encode_pframe_tpu
+
+    w, h = 160, 96
+    rng = np.random.default_rng(11)
+    tex = gaussian_filter(rng.normal(0, 48, (h + 64, w + 64)), 2.0)
+    f0 = [(128 + tex[:h, :w]).clip(0, 255).astype(np.uint8),
+          np.full((h // 2, w // 2), 118, np.uint8),
+          np.full((h // 2, w // 2), 130, np.uint8)]
+    y1 = f0[0].astype(np.float64).copy()
+    yy, xx = np.mgrid[0:64, 0:96]
+    y1[16:80, 32:128] = 40 + xx * 1.5 + yy * 0.8   # brand-new region
+    f1 = [y1.clip(0, 255).astype(np.uint8), f0[1], f0[2]]
+    cd = (3, 1, 2, 1, 3)
+    pk, rk = encode_keyframe_tpu(f0, qindex=140, speed=6, cdef=cd)
+    rk = [np.asarray(p).astype(np.int32) for p in rk]
+    sizes = {}
+    for flag in (False, True):
+        p, r = encode_pframe_tpu(f1, rk, qindex=140, order_hint=1,
+                                 cdef=cd, intra_rdo=flag)
+        r = [np.asarray(x).astype(np.int32) for x in r]
+        d = dav1d.decode_all([pk, p])
+        a = aom.decode_all([pk, p])
+        for j in range(3):
+            assert np.array_equal(d[1].planes[j], r[j]), (flag, j)
+            assert np.array_equal(a[1][j], r[j]), (flag, j)
+        sizes[flag] = len(p)
+    assert sizes[True] <= sizes[False], sizes
