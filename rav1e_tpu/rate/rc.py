@@ -58,7 +58,7 @@ _SUBTYPE = {"KEY": FS_I, "INTER": FS_P, "B0": FS_B0, "B1": FS_B1,
 _EXP_Q6 = [64, 64, 64, 64]
 # per-subtype quantizer modulation: pyramid levels run at higher q,
 # keyframes lower (rav1e MQP/DQP analog, applied in the log-q domain)
-_LOG_Q_OFFSET = [int(-0.35 * Q57_ONE), 0,
+_LOG_Q_OFFSET = [int(-0.6 * Q57_ONE), 0,
                  int(0.25 * Q57_ONE), int(0.45 * Q57_ONE)]
 
 TWOPASS_MAGIC = b"RTP1"
@@ -149,8 +149,11 @@ class RCState:
         if not self.cfg.target_bitrate:
             # constant-quantizer mode still applies the per-subtype
             # modulation (rav1e QuantizerParameters: pyramid levels run
-            # at higher q, keyframes lower — src/rate.rs select_qi)
-            if st in (FS_I, FS_P):
+            # at higher q, keyframes LOWER — src/rate.rs select_qi).
+            # The keyframe boost matters most: every inter frame in
+            # the GOP references the KF recon, so its quality sets the
+            # whole group's ceiling.
+            if st == FS_P:
                 return self.cfg.quantizer
             base = ac_q(self.cfg.quantizer)
             off = (_LOG_Q_OFFSET[st] - _LOG_Q_OFFSET[FS_P]) / Q57_ONE
