@@ -73,7 +73,7 @@ def _load():
         C.POINTER(C.c_uint8), C.POINTER(C.c_int32),
         C.POINTER(C.c_uint8), C.POINTER(C.c_int16),
         C.POINTER(C.c_int16), C.POINTER(C.c_int16),
-        C.POINTER(C.c_uint8), C.c_int,
+        C.POINTER(C.c_uint8), C.c_int, C.POINTER(C.c_uint8),
         C.POINTER(C.c_uint8), C.c_long]
     lib.packer_intra_tile.restype = C.c_long
     lib.packer_intra_tile.argtypes = [
@@ -395,11 +395,14 @@ class NativeTileWriter(TileWriter):
                                lv_u: np.ndarray,
                                lv_v: np.ndarray,
                                cdef_idx: np.ndarray | None = None,
-                               cdef_bits: int = 0) -> bytes:
+                               cdef_bits: int = 0,
+                               intra32: np.ndarray | None = None
+                               ) -> bytes:
         """One-call C++ pack of a mixed 32/16-partition P-frame tile
         (PARTITION_SPLIT 32-blocks carry four 16x16 sub-blocks in
-        quadrant layout). Byte-identical to write_tile over the
-        equivalent partitions/blocks dicts."""
+        quadrant layout; intra32 flags 32-blocks coded as DC intra).
+        Byte-identical to write_tile over the equivalent
+        partitions/blocks dicts."""
         fam = self._fam
         order = ["partition_mid", "skip", "intra_inter", "single_ref",
                  "newmv", "zeromv", "refmv", "drl", "mv_joint",
@@ -409,7 +412,8 @@ class NativeTileWriter(TileWriter):
                  "mv1_class0_fr", "mv1_bits", "mv1_fr",
                  "inter_ext_tx3", "eob_pt_256", "eob_pt_1024",
                  "eob_hi_bit", "txb_skip", "coeff_base_eob",
-                 "coeff_base", "coeff_br", "dc_sign", "eob_pt_64"]
+                 "coeff_base", "coeff_br", "dc_sign", "eob_pt_64",
+                 "y_mode", "uv_mode_cfl"]
         fam_ids = np.asarray([fam[n].fam for n in order], np.int32)
         split = np.ascontiguousarray(split, np.uint8)
         mv8 = np.ascontiguousarray(mv8, np.int32)
@@ -423,6 +427,9 @@ class NativeTileWriter(TileWriter):
         cdef_map = np.ascontiguousarray(
             cdef_idx if cdef_idx is not None else np.zeros(nsb),
             np.uint8).reshape(-1)
+        intra_arr = np.ascontiguousarray(
+            intra32 if intra32 is not None
+            else np.zeros(split.size), np.uint8).reshape(-1)
         cap = 1 << 24
         buf = (C.c_uint8 * cap)()
         n = self._lib.packer_inter_tile2(
@@ -437,7 +444,9 @@ class NativeTileWriter(TileWriter):
             lv_u.ctypes.data_as(C.POINTER(C.c_int16)),
             lv_v.ctypes.data_as(C.POINTER(C.c_int16)),
             cdef_map.ctypes.data_as(C.POINTER(C.c_uint8)),
-            int(cdef_bits), buf, cap)
+            int(cdef_bits),
+            intra_arr.ctypes.data_as(C.POINTER(C.c_uint8)),
+            buf, cap)
         assert n > 0
         out = bytes(buf[:n])
         self._lib.packer_free(self._h)

@@ -853,7 +853,7 @@ long packer_inter_tile(void* h, int mi_rows, int mi_cols,
 
 struct InterTile2 {
   int mi_rows, mi_cols;
-  std::vector<uint8_t> set, mode, skip_mi, bw4g, bh4g;
+  std::vector<uint8_t> set, mode, skip_mi, bw4g, bh4g, intra;
   std::vector<int32_t> mvr, mvc;
   std::vector<uint8_t> above_part, left_part;
   std::vector<uint8_t> acoef_y, lcoef_y, acoef_u, lcoef_u, acoef_v,
@@ -1041,10 +1041,12 @@ long packer_inter_tile2(void* h, int mi_rows, int mi_cols,
                         const int32_t* mv16, const uint8_t* skip16,
                         const int16_t* lv_y, const int16_t* lv_u,
                         const int16_t* lv_v, const uint8_t* cdef_idx,
-                        int cdef_bits, uint8_t* out, long cap) {
+                        int cdef_bits, const uint8_t* intra32,
+                        uint8_t* out, long cap) {
   Packer* p = (Packer*)h;
   InterTileFams F;
   int eob_pt_64;
+  int fam_y_mode, fam_uv_mode_cfl;
   {
     const int32_t* f = fam_ids;
     F.part_mid = *f++; F.skip = *f++; F.intra_inter = *f++;
@@ -1060,6 +1062,7 @@ long packer_inter_tile2(void* h, int mi_rows, int mi_cols,
     F.txb_skip = *f++; F.coeff_base_eob = *f++; F.coeff_base = *f++;
     F.coeff_br = *f++; F.dc_sign = *f++;
     eob_pt_64 = *f++;
+    fam_y_mode = *f++; fam_uv_mode_cfl = *f++;
   }
   int nby = mi_rows / 8, nbx = mi_cols / 8;
   InterTile2 t;
@@ -1067,6 +1070,7 @@ long packer_inter_tile2(void* h, int mi_rows, int mi_cols,
   t.mi_cols = mi_cols;
   int M = mi_rows * mi_cols;
   t.set.assign(M, 0);
+  t.intra.assign(M, 0);
   t.mode.assign(M, 0);
   t.skip_mi.assign(M, 0);
   t.bw4g.assign(M, 0);
@@ -1101,10 +1105,25 @@ long packer_inter_tile2(void* h, int mi_rows, int mi_cols,
 
   // one coded block of bw4 x bh4 mi (bw4 in {4, 8}); sub-level arrays
   // point into the quadrant-packed [32x32]/[16x16] level planes
+  // spec intra_inter ctx: neighbor is_intra flags
+  auto ii_ctx = [&](int r, int c) {
+    bool ha = r > 0, hl = c > 0;
+    if (ha && hl) {
+      int ai = t.intra[t.at(r - 1, c)], li = t.intra[t.at(r, c - 1)];
+      return (ai && li) ? 3 : ((ai || li) ? 1 : 0);
+    }
+    if (ha || hl) {
+      int ni = ha ? t.intra[t.at(r - 1, c)] : t.intra[t.at(r, c - 1)];
+      return 2 * ni;
+    }
+    return 0;
+  };
+
   auto write_block2 = [&](int r, int c, int bw4, int mv0, int mv1,
                           int skipf, const int16_t* ly, int ly_stride,
                           const int16_t* lu, int lu_stride,
-                          const int16_t* lvv, int lv_stride) {
+                          const int16_t* lvv, int lv_stride,
+                          int is_intra) {
     int bh4 = bw4;
     int above_sk = r > 0 ? t.skip_mi[t.at(r - 1, c)] : 0;
     int left_sk = c > 0 ? t.skip_mi[t.at(r, c - 1)] : 0;
@@ -1116,15 +1135,28 @@ long packer_inter_tile2(void* h, int mi_rows, int mi_cols,
         p->ec.literal((uint32_t)t.cdef_idx[sb], t.cdef_bits);
       }
     }
-    p->symbol_fam(F.intra_inter, 0, 1);
-    int k = (int)(r > 0) + (int)(c > 0);
+    int mode = MODE_GLOBAL;
+    if (is_intra) {
+      // intra block in an inter frame: is_inter = 0, size-group
+      // y_mode (DC), uv_mode_cfl (DC), intra residual (ttf = -1)
+      p->symbol_fam(F.intra_inter, ii_ctx(r, c), 0);
+      p->symbol_fam(fam_y_mode, bw4 == 8 ? 3 : 2, 0);
+      p->symbol_fam(fam_uv_mode_cfl, 0, 0);
+      goto residual;
+    }
+    p->symbol_fam(F.intra_inter, ii_ctx(r, c), 1);
+    {
+    // single-ref tree ctx from INTER neighbors only (spec
+    // get_pred_context_single_ref: intra neighbors count nothing)
+    int k = 0;
+    if (r > 0 && !t.intra[t.at(r - 1, c)]) k++;
+    if (c > 0 && !t.intra[t.at(r, c - 1)]) k++;
     int sr = k == 0 ? 1 : 2;
     p->symbol_fam(F.single_ref, sr * 6 + 0, 0);
     p->symbol_fam(F.single_ref, sr * 6 + 2, 0);
     p->symbol_fam(F.single_ref, sr * 6 + 3, 0);
     Stack2 st;
     find_stack2(t, r, c, bw4, bh4, st);
-    int mode = MODE_GLOBAL;
     if (mv0 != 0 || mv1 != 0) {
       mode = MODE_NEW;
       if (mv0 == st.mv[0][0] && mv1 == st.mv[0][1])
@@ -1164,6 +1196,8 @@ long packer_inter_tile2(void* h, int mi_rows, int mi_cols,
         }
       }
     }
+    }
+  residual:
     if (!skipf) {
       auto tu = [&](int plane, const int16_t* lvp, int stride, int n,
                     int tctx, uint8_t* acoef, uint8_t* lcoef, int u_c,
@@ -1192,7 +1226,7 @@ long packer_inter_tile2(void* h, int mi_rows, int mi_cols,
         for (int rr = 0; rr < n; rr++)
           for (int cc = 0; cc < n; cc++)
             lv[rr * n + cc] = lvp[rr * stride + cc];
-        int ttf = plane == 0 ? F.inter_ext_tx3 : -1;
+        int ttf = (plane == 0 && !is_intra) ? F.inter_ext_tx3 : -1;
         int ttrec = n == 32 ? 3 : (n == 16 ? 2 : 1);
         int eob_rec = n == 32 ? ptype : ptype * 2;
         int cul = coeffs_impl(
@@ -1238,13 +1272,14 @@ long packer_inter_tile2(void* h, int mi_rows, int mi_cols,
     for (int rr = r; rr < r + bh4; rr++)
       for (int cc = c; cc < c + bw4; cc++) {
         int g = t.at(rr, cc);
-        t.set[g] = 1;
+        t.set[g] = is_intra ? 0 : 1;   // intra mis: no stack entry
+        t.intra[g] = (uint8_t)is_intra;
         t.mode[g] = (uint8_t)mode;
         t.skip_mi[g] = (uint8_t)skipf;
         t.bw4g[g] = (uint8_t)bw4;
         t.bh4g[g] = (uint8_t)bh4;
-        t.mvr[g] = mv0;
-        t.mvc[g] = mv1;
+        t.mvr[g] = is_intra ? 0 : mv0;
+        t.mvc[g] = is_intra ? 0 : mv1;
       }
   };
 
@@ -1294,14 +1329,15 @@ long packer_inter_tile2(void* h, int mi_rows, int mi_cols,
                          mv16[(g * 4 + q) * 2 + 1], skip16[g * 4 + q],
                          lv_y + g * 1024 + py * 32 + px, 32,
                          lv_u + g * 256 + cy * 16 + cx, 16,
-                         lv_v + g * 256 + cy * 16 + cx, 16);
+                         lv_v + g * 256 + cy * 16 + cx, 16, 0);
             update_part(qr, qc, 2, 4, 4);
           }
         } else {
           p->symbol_fam(F.part_mid, 1 * 4 + ctx32, 0 /* NONE */);
           write_block2(rr, cc, 8, mv8[g * 2], mv8[g * 2 + 1],
                        skip32[g], lv_y + g * 1024, 32,
-                       lv_u + g * 256, 16, lv_v + g * 256, 16);
+                       lv_u + g * 256, 16, lv_v + g * 256, 16,
+                       intra32 ? intra32[g] : 0);
           update_part(rr, cc, 3, 8, 8);
         }
       }
