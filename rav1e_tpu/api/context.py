@@ -329,7 +329,8 @@ class Context:
                     refresh_flags=1 << slot_new,
                     ref_slot=self._cur_slot,
                     use_satd=self.speed_settings.satd_subpel,
-                    intra_rdo=self.speed_settings.intra_in_inter)
+                    intra_rdo=self.speed_settings.intra_in_inter,
+                    b64_rdo=self.speed_settings.b64_merge)
             else:
                 data, rec = encode_pframe(
                     pl, self._ref_rec, qindex=q,

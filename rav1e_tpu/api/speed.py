@@ -26,6 +26,7 @@ class SpeedSettings:
     satd_subpel: bool = False      # SATD distortion in subpel descent
     mv_refine_16: bool = False     # per-16 subpel ME in split RDO
     intra_in_inter: bool = False   # intra candidates in inter frames
+    b64_merge: bool = False        # PARTITION_NONE at 64x64 (TX_64X64)
     bframes: bool = False          # reordered GOPs
     # in-loop filters
     cdef_auto: bool = True
@@ -46,9 +47,10 @@ class SpeedSettings:
             subpel=s <= 8,
             satd_subpel=s <= 6,    # rav1e use_satd_subpel (speeds <=6)
             mv_refine_16=s <= 4,   # cheap {parent,0} per-16 MVs above
-            # frames with intra flips pack via the python writer until
-            # the C++ packer learns is_inter=0 blocks
             intra_in_inter=s <= 6,
+            # frames with 64-merges pack via the python writer until
+            # the C++ packer learns B64 blocks
+            b64_merge=s <= 6,
             bframes=s <= 4,
             cdef_auto=s <= 8,
             lr=s <= 3,

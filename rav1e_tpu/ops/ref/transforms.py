@@ -195,6 +195,113 @@ def idct32(x):
     return out
 
 
+def idct64(x):
+    """Spec inverse DCT64 (cos128 butterflies): even half = idct32,
+    odd half = one more level of the idct32 ladder. Validated against
+    the float cos basis (impulse responses) and the dav1d oracle."""
+    # stage 1: interleaved bit-reversed odd inputs (idct32's odd order
+    # interleaved with +32)
+    o32 = [1, 17, 9, 25, 5, 21, 13, 29, 3, 19, 11, 27, 7, 23, 15, 31]
+    idx = []
+    for k in o32:
+        idx.extend((k, k + 32))
+    o = [x[k] for k in idx]
+    # stage 2: rotations, pairs (i, 31-i), angles (64-k, k) pi/128
+    s = [0] * 32
+    for i in range(16):
+        k = idx[i]
+        a, b = 64 - k, k
+        s[i] = _hb(C[a], o[i], -C[b], o[31 - i])
+        s[31 - i] = _hb(C[b], o[i], C[a], o[31 - i])
+    # stage 3: add/sub pairs
+    t = [0] * 32
+    for i in range(0, 32, 2):
+        if (i % 4) == 0:
+            t[i] = s[i] + s[i + 1]
+            t[i + 1] = s[i] - s[i + 1]
+        else:
+            t[i] = -s[i] + s[i + 1]
+            t[i + 1] = s[i] + s[i + 1]
+    # stage 4: rotations, bases (4, 36, 20, 52), full-span mirrors
+    u = list(t)
+    for g, base in enumerate((4, 36, 20, 52)):
+        comp = 64 - base
+        p1, q1 = 4 * g + 1, 30 - 4 * g
+        p2, q2 = 4 * g + 2, 29 - 4 * g
+        u[p1] = _hb(-C[base], t[p1], C[comp], t[q1])
+        u[q1] = _hb(C[comp], t[p1], C[base], t[q1])
+        u[p2] = _hb(-C[comp], t[p2], -C[base], t[q2])
+        u[q2] = _hb(-C[base], t[p2], C[comp], t[q2])
+    # stage 5: add/sub groups of 4
+    v = [0] * 32
+    for g in range(0, 32, 4):
+        if (g % 8) == 0:
+            v[g] = u[g] + u[g + 3]
+            v[g + 1] = u[g + 1] + u[g + 2]
+            v[g + 2] = u[g + 1] - u[g + 2]
+            v[g + 3] = u[g] - u[g + 3]
+        else:
+            v[g] = -u[g] + u[g + 3]
+            v[g + 1] = -u[g + 1] + u[g + 2]
+            v[g + 2] = u[g + 1] + u[g + 2]
+            v[g + 3] = u[g] + u[g + 3]
+    # stage 6: rotations, bases (8, 40), indices {2,3}/{4,5} mod 8
+    w = list(v)
+    for g, base in enumerate((8, 40)):
+        comp = 64 - base
+        off = 8 * g
+        for j in (2, 3):
+            p_, q_ = off + j, (31 - off) - j
+            w[p_] = _hb(-C[base], v[p_], C[comp], v[q_])
+            w[q_] = _hb(C[comp], v[p_], C[base], v[q_])
+        for j in (4, 5):
+            p_, q_ = off + j, (31 - off) - j
+            w[p_] = _hb(-C[comp], v[p_], -C[base], v[q_])
+            w[q_] = _hb(-C[base], v[p_], C[comp], v[q_])
+    # stage 7: add/sub groups of 8
+    a8 = [0] * 32
+    for g in range(0, 32, 8):
+        if (g % 16) == 0:
+            for i in range(4):
+                a8[g + i] = w[g + i] + w[g + 7 - i]
+                a8[g + 7 - i] = w[g + i] - w[g + 7 - i]
+        else:
+            for i in range(4):
+                a8[g + i] = -w[g + i] + w[g + 7 - i]
+                a8[g + 7 - i] = w[g + i] + w[g + 7 - i]
+    # stage 8: rotations base 16, indices {4..7} (-16, 48) and
+    # {8..11} (-48, -16), full-span mirrors
+    b8 = list(a8)
+    for j in range(4, 8):
+        p_, q_ = j, 31 - j
+        b8[p_] = _hb(-C[16], a8[p_], C[48], a8[q_])
+        b8[q_] = _hb(C[48], a8[p_], C[16], a8[q_])
+    for j in range(8, 12):
+        p_, q_ = j, 31 - j
+        b8[p_] = _hb(-C[48], a8[p_], -C[16], a8[q_])
+        b8[q_] = _hb(-C[16], a8[p_], C[48], a8[q_])
+    # stage 9: add/sub groups of 16
+    c8 = [0] * 32
+    for i in range(8):
+        c8[i] = b8[i] + b8[15 - i]
+        c8[15 - i] = b8[i] - b8[15 - i]
+        c8[16 + i] = -b8[16 + i] + b8[31 - i]
+        c8[31 - i] = b8[16 + i] + b8[31 - i]
+    # stage 10: C32 rotations on the middle half (8..15 vs 23..16)
+    d8 = list(c8)
+    for i in range(8, 16):
+        j = 31 - i
+        d8[i] = _hb(-C[32], c8[i], C[32], c8[j])
+        d8[j] = _hb(C[32], c8[i], C[32], c8[j])
+    # even half + combine
+    e = idct32([x[i] for i in range(0, 64, 2)])
+    out = [0] * 64
+    for i in range(32):
+        out[i] = e[i] + d8[31 - i]
+        out[63 - i] = e[i] - d8[31 - i]
+    return out
+
+
 def iadst4(x):
     """Spec inverse ADST4 (non-butterfly, sinpi network)."""
     s0 = SINPI[1] * x[0]
@@ -314,7 +421,7 @@ def identity(x, n: int):
     raise ValueError(n)
 
 
-_IDCT = {4: idct4, 8: idct8, 16: idct16, 32: idct32}
+_IDCT = {4: idct4, 8: idct8, 16: idct16, 32: idct32, 64: idct64}
 _IADST = {4: iadst4, 8: iadst8, 16: iadst16}
 
 

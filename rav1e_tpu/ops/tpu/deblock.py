@@ -194,39 +194,51 @@ def _levels_to_thresholds(level):
 def deblock_plane_jax(plane, block: int, level_v, level_h,
                       is_luma: bool, bd: int = 8, split_map=None,
                       outer_block: int = 32, edge_on_v=None,
-                      edge_on_h=None):
+                      edge_on_h=None, merge_map=None):
     """Filter one plane with traced levels. plane [H, W] int32; level 0
     disables (the filter mask never passes with limit>=1? no — gate
     explicitly). split_map: traced bool [bh, bw] per outer block —
-    inner edges filter only where set (mirrors ops.ref.deblock)."""
+    inner edges filter only where set (mirrors ops.ref.deblock).
+    merge_map: traced bool [nr, nc] per 64x64 SB — PARTITION_NONE at
+    64 removes the SB-internal 32-level prediction edges (they are no
+    longer block edges in the stream)."""
     H, W = plane.shape
     size = 14 if is_luma else 6
     n = size // 2
     ob = outer_block if is_luma else outer_block // 2
+    sb = 2 * ob                   # 64x64 SB extent on this plane
     out = plane
 
     def edge_mask_v(xs):
-        # [H, E] active-row mask per edge from split_map
-        if split_map is None:
+        # [H, E] active-row mask per edge from split/merge maps
+        if split_map is None and merge_map is None:
             return None
         cols = []
         for x in xs:
             if x % ob != 0:
                 bj = x // ob
-                m = jnp.repeat(split_map[:, bj], ob)[:H]
+                m = (jnp.repeat(split_map[:, bj], ob)[:H]
+                     if split_map is not None
+                     else jnp.ones((H,), bool))
+            elif merge_map is not None and x % sb != 0:
+                m = ~jnp.repeat(merge_map[:, x // sb], sb)[:H]
             else:
                 m = jnp.ones((H,), bool)
             cols.append(m)
         return jnp.stack(cols, axis=1)
 
     def edge_mask_h(ys):
-        if split_map is None:
+        if split_map is None and merge_map is None:
             return None
         rows = []
         for y in ys:
             if y % ob != 0:
                 bi = y // ob
-                m = jnp.repeat(split_map[bi, :], ob)[:W]
+                m = (jnp.repeat(split_map[bi, :], ob)[:W]
+                     if split_map is not None
+                     else jnp.ones((W,), bool))
+            elif merge_map is not None and y % sb != 0:
+                m = ~jnp.repeat(merge_map[y // sb, :], sb)[:W]
             else:
                 m = jnp.ones((W,), bool)
             rows.append(m)
@@ -293,19 +305,21 @@ def deblock_plane_jax(plane, block: int, level_v, level_h,
 
 
 def deblock_frame_jax(planes, level_y, level_uv, block_y: int = 32,
-                      block_c: int = 16, bd: int = 8, split_map=None):
+                      block_c: int = 16, bd: int = 8, split_map=None,
+                      merge_map=None):
     """Deblock [y, u, v] with traced levels (y_v = y_h = level_y)."""
     y = deblock_plane_jax(planes[0], block_y, level_y, level_y, True,
-                          bd, split_map)
+                          bd, split_map, merge_map=merge_map)
     u = deblock_plane_jax(planes[1], block_c, level_uv, level_uv, False,
-                          bd, split_map)
+                          bd, split_map, merge_map=merge_map)
     v = deblock_plane_jax(planes[2], block_c, level_uv, level_uv, False,
-                          bd, split_map)
+                          bd, split_map, merge_map=merge_map)
     return [y, u, v]
 
 
 def deblock_search(planes, srcs, base_level, block_y: int = 32,
-                   block_c: int = 16, bd: int = 8, split_map=None):
+                   block_c: int = 16, bd: int = 8, split_map=None,
+                   merge_map=None):
     """Whole-frame deblock level search (deblock_filter_optimize
     analog): try a fixed ladder of scale factors around the q-derived
     level, pick the one minimizing luma SSE vs source. Returns
@@ -315,7 +329,7 @@ def deblock_search(planes, srcs, base_level, block_y: int = 32,
 
     def one(level):
         out = deblock_frame_jax(planes, level, level, block_y, block_c,
-                                bd, split_map)
+                                bd, split_map, merge_map=merge_map)
         sse = sum(jnp.sum((o - s).astype(jnp.float32) ** 2)
                   for o, s in zip(out, srcs))
         return sse, out

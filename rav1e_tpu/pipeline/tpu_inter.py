@@ -78,6 +78,17 @@ def _intra_in_inter_bits() -> float:
             + float(_avg_bits(t["uv_mode_cfl"])[0]))
 
 
+def _merge_save_bits() -> float:
+    """Signaling bits PARTITION_NONE at 64 saves vs SPLIT + 4x NONE@32
+    (the per-32 skip/mode/ref overhead is counted in the 32 costs)."""
+    from rav1e_tpu.core.constants import PartitionType
+    from rav1e_tpu.entropy.cost import mode_cost_tables
+    pm = mode_cost_tables()["partition_mid"]
+    return float(pm[int(PartitionType.SPLIT)]
+                 + 4.0 * pm[int(PartitionType.NONE)]
+                 - pm[int(PartitionType.NONE)])
+
+
 def build_rd_inter(qindex: int, bit_depth: int = 8) -> dict:
     """Traced RD inputs for the batched P step: λ, MV-rate LUT, inter
     mode bits, coefficient-rate LUTs (WriterCounter twin —
@@ -102,7 +113,9 @@ def build_rd_inter(qindex: int, bit_depth: int = 8) -> dict:
         "c16": rate_luts(qindex, TxSize.TX_16X16, 1),
         "y16": rate_luts(qindex, TxSize.TX_16X16, 0),
         "c8": rate_luts(qindex, TxSize.TX_8X8, 1),
+        "c32": rate_luts(qindex, TxSize.TX_32X32, 1),
         "split_bits": jnp.float32(_split_bits()),
+        "merge_save": jnp.float32(_merge_save_bits()),
         "base_lf": jnp.int32(level_from_qindex(qindex)),
     }
 
@@ -319,7 +332,8 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
                  use_split: bool = True,
                  ryp2=None, rup2=None, rvp2=None, ds16=None,
                  use_satd: bool = False, refine16: bool = True,
-                 fwd2: bool = False, intra_rdo: bool = False):
+                 fwd2: bool = False, intra_rdo: bool = False,
+                 b64_rdo: bool = False):
     """The whole batched P-frame encode for one (sub)frame region:
     grouped-conv full-pel search, subpel descent, 32-NONE vs 16-SPLIT
     RDO with the WriterCounter-twin rate model, skip RD, recon
@@ -469,7 +483,7 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         # dcq/acq as traced scalars)
         cf = T.forward_transform(resid, tx, TxType.DCT_DCT)
         n = tx.width
-        shift = 1 if n * n > 256 else 0
+        shift = 2 if n == 64 else (1 if n * n > 256 else 0)
         dc_mask = np.zeros((n, n), bool)
         dc_mask[0, 0] = True
         dc_mask = jnp.asarray(dc_mask)
@@ -704,6 +718,124 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
                          jnp.repeat(mv8[:, None, :], 4, axis=1))
     skip16_out = jnp.where(split[:, None], skip16.reshape(B, 4),
                            skip[:, None])
+    cost_fin = jnp.where(split, cost_split, cost32)
+
+    nr64, nc64 = (nby + 1) // 2, (nbx + 1) // 2
+    b64_map = jnp.zeros((nr64, nc64), bool)
+    if b64_rdo and nby % 2 == 0 and nbx % 2 == 0:
+        # ---- PARTITION_NONE at 64x64 (rav1e rdo_partition_decision's
+        # top level): one MV + TX_64X64 luma / TX_32X32 chroma per SB.
+        # Saves the per-32 partition/skip/mode signaling on easy
+        # content — the floor that dominates static-scene P frames. --
+        B64n = nr64 * nc64
+        by64 = jnp.asarray((np.repeat(np.arange(nr64), nc64) * 64)
+                           .astype(np.int32))
+        bx64 = jnp.asarray((np.tile(np.arange(nc64), nr64) * 64)
+                           .astype(np.int32))
+        blks64 = to_blocks(y, 64)
+        ub32 = to_blocks(u.astype(jnp.int32), 32)
+        vb32 = to_blocks(v.astype(jnp.int32), 32)
+        mvg64 = mv8.reshape(nby, nbx, 2)
+        mv_tl = mvg64[0::2, 0::2].reshape(B64n, 2)
+        p_tl = _mc_batch(ryp, by64, bx64, mv_tl, 64, 0)
+        p_z = _mc_batch(ryp, by64, bx64, jnp.zeros_like(mv_tl), 64, 0)
+
+        def sse64(p):
+            d = (p - blks64).astype(jnp.float32)
+            return jnp.sum(d * d, (1, 2))
+
+        def mvr64(mv):
+            r = (rd["mv_bits"][jnp.abs(mv[:, 0])]
+                 + rd["mv_bits"][jnp.abs(mv[:, 1])])
+            zero = (mv[:, 0] == 0) & (mv[:, 1] == 0)
+            return jnp.where(zero, rd["globalmv"], r + rd["newmv"])
+
+        zbet64 = (sse64(p_z) + lam * mvr64(jnp.zeros_like(mv_tl))
+                  < sse64(p_tl) + lam * mvr64(mv_tl))
+        mv64 = jnp.where(zbet64[:, None], 0, mv_tl)
+        pred_y64 = jnp.where(zbet64[:, None, None], p_z, p_tl)
+        pred_u64 = _mc_batch(rup, by64 // 2, bx64 // 2, mv64, 32, 1)
+        pred_v64 = _mc_batch(rvp, by64 // 2, bx64 // 2, mv64, 32, 1)
+        lv_y64, r2_y64 = code(blks64 - pred_y64, TxSize.TX_64X64)
+        lv_u32, r2_u32 = code(ub32 - pred_u64, TxSize.TX_32X32)
+        lv_v32, r2_v32 = code(vb32 - pred_v64, TxSize.TX_32X32)
+        cd_y64 = jnp.clip(pred_y64 + r2_y64, 0, 255)
+        cd_u32 = jnp.clip(pred_u64 + r2_u32, 0, 255)
+        cd_v32 = jnp.clip(pred_v64 + r2_v32, 0, 255)
+        sse64_c = (sse64(cd_y64)
+                   + jnp.sum((cd_u32 - ub32).astype(jnp.float32) ** 2,
+                             (1, 2))
+                   + jnp.sum((cd_v32 - vb32).astype(jnp.float32) ** 2,
+                             (1, 2)))
+        sse64_s = (sse64(pred_y64)
+                   + jnp.sum((pred_u64 - ub32).astype(jnp.float32) ** 2,
+                             (1, 2))
+                   + jnp.sum((pred_v64 - vb32).astype(jnp.float32) ** 2,
+                             (1, 2)))
+        # TX64 codes only the low-freq 32x32 (already zeroed beyond)
+        lv64r = lv_y64[:, :32, :32]
+        cbits64 = (block_bits(lv64r, rd["y32"])
+                   + block_bits(lv_u32, rd["c32"])
+                   + block_bits(lv_v32, rd["c32"]))
+        skip64 = (sse64_s + lam * rd["skip1"]
+                  <= sse64_c + lam * (rd["skip0"] + cbits64))
+        cost64 = (lam * (mvr64(mv64) - rd["merge_save"])
+                  + jnp.where(skip64, sse64_s + lam * rd["skip1"],
+                              sse64_c + lam * (rd["skip0"] + cbits64)))
+        cf22 = (cost_fin.reshape(nr64, 2, nc64, 2).sum((1, 3))
+                .reshape(B64n))
+        b64 = cost64 < cf22
+        b64_map = b64.reshape(nr64, nc64)
+
+        # ---- merge winners back into the per-32 outputs ----------
+        def quads64(x, n):
+            # [B64, 2n, 2n] -> child-major [B64*4? no: map to 32-grid]
+            return (x.reshape(nr64, nc64, 2, n, 2, n)
+                    .transpose(0, 2, 1, 4, 3, 5)
+                    .reshape(nby, nbx, n, n).reshape(B, n, n))
+
+        b64g = jnp.repeat(jnp.repeat(b64_map, 2, 0), 2, 1).reshape(B)
+        b3 = b64g[:, None, None]
+        rec_y64q = quads64(jnp.where(
+            skip64[:, None, None], pred_y64, cd_y64), 32)
+        rec_u64q = quads64(jnp.where(
+            skip64[:, None, None], pred_u64, cd_u32), 16)
+        rec_v64q = quads64(jnp.where(
+            skip64[:, None, None], pred_v64, cd_v32), 16)
+        rec_y = jnp.where(b3, rec_y64q, rec_y)
+        rec_u = jnp.where(b3, rec_u64q, rec_u)
+        rec_v = jnp.where(b3, rec_v64q, rec_v)
+        # TL child carries the retained TX64 levels; chroma quadrants
+        # land in each child's 16x16 slot (spatial layout — the host
+        # reassembles)
+        tl_mask = jnp.zeros((nby, nbx), bool)
+        tl_mask = tl_mask.at[0::2, 0::2].set(b64_map)
+        tl_g = tl_mask.reshape(B)
+        lv64_tl = jnp.zeros((nby, nbx, 32, 32), jnp.int32)
+        lv64_tl = lv64_tl.at[0::2, 0::2].set(
+            jnp.where(skip64[:, None, None], 0,
+                      lv64r).reshape(nr64, nc64, 32, 32))
+        lv_y = jnp.where(b3, jnp.where(tl_g[:, None, None],
+                                       lv64_tl.reshape(B, 32, 32), 0),
+                         lv_y)
+        lvu64q = quads64(jnp.where(skip64[:, None, None], 0, lv_u32),
+                         16)
+        lvv64q = quads64(jnp.where(skip64[:, None, None], 0, lv_v32),
+                         16)
+        lv_u = jnp.where(b3, lvu64q, lv_u)
+        lv_v = jnp.where(b3, lvv64q, lv_v)
+        skip64g = jnp.repeat(jnp.repeat(
+            skip64.reshape(nr64, nc64), 2, 0), 2, 1).reshape(B)
+        skip = jnp.where(b64g, skip64g, skip)
+        split = split & ~b64g
+        sp3 = split[:, None, None]
+        skip16_out = jnp.where(b64g[:, None], skip64g[:, None],
+                               skip16_out)
+        mv64g = (jnp.repeat(jnp.repeat(
+            mv64.reshape(nr64, nc64, 2), 2, 0), 2, 1).reshape(B, 2))
+        mv8 = jnp.where(b64g[:, None], mv64g, mv8)
+    else:
+        b64g = jnp.zeros((B,), bool)
 
     if intra_rdo:
         # ---- intra-in-inter candidate (rav1e rdo_mode_decision's
@@ -773,7 +905,7 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
                   + jnp.where(skip_i, ds32 * sse_is + lam * rd["skip1"],
                               ds32 * sse_ic
                               + lam * (rd["skip0"] + cbits_i)))
-        desire = cost_i < jnp.where(split, cost_split, cost32)
+        desire = (cost_i < cost_fin) & ~b64g
         dg = desire.reshape(nby, nbx)
 
         def false_dn(a):
@@ -806,13 +938,14 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
     return _finish_outputs(
         y, u, v, h, tw, nby, nbx, B, rd, cdef_prm, mv8, skip, split,
         sp3, mv16_out, skip16_out, lv_y, lv_u, lv_v, lv_y16, lv_u8,
-        lv_v8, rec_y, rec_u, rec_v, deblock_fn, cdef_fn, choice, mvb8)
+        lv_v8, rec_y, rec_u, rec_v, deblock_fn, cdef_fn, choice, mvb8,
+        b64_map=b64_map)
 
 
 def _finish_outputs(y, u, v, h, tw, nby, nbx, B, rd, cdef_prm, mv8,
                     skip, split, sp3, mv16_out, skip16_out, lv_y, lv_u,
                     lv_v, lv_y16, lv_u8, lv_v8, rec_y, rec_u, rec_v,
-                    deblock_fn, cdef_fn, choice, mvb8):
+                    deblock_fn, cdef_fn, choice, mvb8, b64_map=None):
     """Common tail of p_frame_body: in-loop filters + compact level
     transfer + output tuple."""
     fry = from_blocks(rec_y, h, tw, 32)
@@ -844,6 +977,8 @@ def _finish_outputs(y, u, v, h, tw, nby, nbx, B, rd, cdef_prm, mv8,
     # the nonzero stream (pack_outputs) makes the transfer scale with
     # the actual coefficient content
     sl = scanline(lv_y, lv_u, lv_v, lv_y16, lv_u8, lv_v8, split, B)
+    if b64_map is None:
+        b64_map = jnp.zeros(((nby + 1) // 2, (nbx + 1) // 2), bool)
     return (mv8, skip, sl,
             lv_y.astype(jnp.int16), lv_u.astype(jnp.int16),
             lv_v.astype(jnp.int16),
@@ -851,7 +986,7 @@ def _finish_outputs(y, u, v, h, tw, nby, nbx, B, rd, cdef_prm, mv8,
             frv.astype(jnp.uint8), lf_lvl, cdef_idx,
             split, mv16_out.astype(jnp.int32),
             skip16_out, choice.astype(jnp.int32),
-            mvb8.astype(jnp.int32))
+            mvb8.astype(jnp.int32), b64_map)
 
 
 def scanline(lv_y, lv_u, lv_v, lv_y16, lv_u8, lv_v8, split, B):
@@ -960,6 +1095,7 @@ def pack_outputs(o):
     lf, cdef_idx = o[9], o[10]
     split, mv16, skip16 = o[11], o[12], o[13]
     choice, mvb8 = o[14], o[15]
+    b64_map = o[16]
     B = mv8.shape[0]
     cap = _stream_cap(B)
 
@@ -988,7 +1124,8 @@ def pack_outputs(o):
 
     return jnp.concatenate([hdr.reshape(-1), words1(counts),
                             words1(pos), words1(val),
-                            cdef_idx.reshape(-1).astype(jnp.int8)])
+                            cdef_idx.reshape(-1).astype(jnp.int8),
+                            b64_map.reshape(-1).astype(jnp.int8)])
 
 
 def unpack_outputs(buf: np.ndarray, nby: int, nbx: int):
@@ -1001,7 +1138,7 @@ def unpack_outputs(buf: np.ndarray, nby: int, nbx: int):
     B = nby * nbx
     nsb = ((nby + 1) // 2) * ((nbx + 1) // 2)
     assert (B + 1) * HDR_BYTES + 2 * B + 4 * (_stream_cap(B) + 1) \
-        + nsb == total, total
+        + 2 * nsb == total, total
     cap = _stream_cap(B)
     o0 = (B + 1) * HDR_BYTES
     hdr = buf[:o0].reshape(B + 1, HDR_BYTES)
@@ -1016,8 +1153,11 @@ def unpack_outputs(buf: np.ndarray, nby: int, nbx: int):
     pos = unw(buf[o1:o1 + 2 * (cap + 1)])
     o2 = o1 + 2 * (cap + 1)
     val = unw(buf[o2:o2 + 2 * (cap + 1)]).astype(np.int16)
-    cdef_map = (buf[o2 + 2 * (cap + 1):].astype(np.uint8)
+    o3 = o2 + 2 * (cap + 1)
+    cdef_map = (buf[o3:o3 + nsb].astype(np.uint8)
                 .reshape((nby + 1) // 2, (nbx + 1) // 2))
+    b64_map = (buf[o3 + nsb:] != 0).reshape((nby + 1) // 2,
+                                            (nbx + 1) // 2)
 
     def unwords(cols, shape):
         w = body[:, cols].reshape(B, -1, 2).astype(np.int16)
@@ -1031,7 +1171,7 @@ def unpack_outputs(buf: np.ndarray, nby: int, nbx: int):
     mvb8 = unwords(slice(27, 31), (B, 2)).astype(np.int32)
     choice = body[:, 31].astype(np.int32)
     return (mv8, skip, split, mv16, skip16, choice, mvb8,
-            int(tail[0]), cdef_map, counts, pos, val)
+            int(tail[0]), cdef_map, counts, pos, val, b64_map)
 
 
 def unpack_stream(counts, pos, val, split, cap=None):
@@ -1084,7 +1224,7 @@ def _core(h: int, w: int, use_cdef: bool = False,
           use_deblock: bool = True, use_split: bool = True,
           two_ref: bool = False, use_satd: bool = False,
           refine16: bool = True, fwd2: bool = False,
-          intra_rdo: bool = False):
+          intra_rdo: bool = False, b64_rdo: bool = False):
     """Single-chip batched P-frame step for an h x w frame. qindex
     enters as a traced argument (dcq/acq scalars) so rate control
     never triggers a recompile. Takes the packed source buffer and
@@ -1109,7 +1249,8 @@ def _core(h: int, w: int, use_cdef: bool = False,
     # schedule (~+320 ms/frame at 1080p for a 3 ms CDEF search);
     # standalone they cost what they compute.
     @jax.jit
-    def filt(src, fry, fru, frv, base_lf, cdef_prm, split, skip16):
+    def filt(src, fry, fru, frv, base_lf, cdef_prm, split, skip16,
+             b64m):
         y, u, v = _unpack_src(src, h, w)
         srcs32 = [y, u.astype(jnp.int32), v.astype(jnp.int32)]
         planes = [fry.astype(jnp.int32), fru.astype(jnp.int32),
@@ -1119,7 +1260,8 @@ def _core(h: int, w: int, use_cdef: bool = False,
             from rav1e_tpu.ops.tpu.deblock import deblock_search
             lf_lvl, planes = deblock_search(
                 planes, srcs32, base_lf, block_y=16, block_c=8,
-                split_map=split.reshape(nby, nbx))
+                split_map=split.reshape(nby, nbx),
+                merge_map=b64m if b64_rdo else None)
         if use_cdef:
             # per-64x64-SB strength-index RDO over the 8-entry ladder
             # (rav1e rdo_loop_decision per-SB index, cdef_bits=3)
@@ -1163,7 +1305,7 @@ def _core(h: int, w: int, use_cdef: bool = False,
                         o[6], o[7], o[8])
             lf_lvl, cdef_idx, fry, fru, frv = filt(
                 src, o[6], o[7], o[8], rd["base_lf"], cdef_prm,
-                o[11], o[13])
+                o[11], o[13], o[16])
             return (pack(o, lf_lvl, cdef_idx), o[3], o[4], o[5],
                     fry, fru, frv)
     else:
@@ -1176,7 +1318,7 @@ def _core(h: int, w: int, use_cdef: bool = False,
                                 jnp.asarray(bx), nby, nbx, None,
                                 None, use_split, ds16=ds,
                                 use_satd=use_satd, refine16=refine16,
-                                intra_rdo=intra_rdo)
+                                intra_rdo=intra_rdo, b64_rdo=b64_rdo)
 
         def step(src, ry, ru, rv, dcq, acq, cdef_prm, rd, ds):
             o = core(src, ry, ru, rv, dcq, acq, cdef_prm, rd, ds)
@@ -1185,7 +1327,7 @@ def _core(h: int, w: int, use_cdef: bool = False,
                         o[6], o[7], o[8])
             lf_lvl, cdef_idx, fry, fru, frv = filt(
                 src, o[6], o[7], o[8], rd["base_lf"], cdef_prm,
-                o[11], o[13])
+                o[11], o[13], o[16])
             return (pack(o, lf_lvl, cdef_idx), o[3], o[4], o[5],
                     fry, fru, frv)
 
@@ -1237,9 +1379,9 @@ def _fetch_packed(o, gather_dense, nby, nbx):
     buffer + (rarely) one batched gather for stream-overflow blocks.
 
     Returns (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16,
-    lf_lvl, cdef_idx, choice, mvb8)."""
+    lf_lvl, cdef_idx, choice, mvb8, b64_map)."""
     (mv8, skip, split, mv16, skip16, choice, mvb8, lf, cdef_map,
-     counts, pos, val) = unpack_outputs(o[0], nby, nbx)
+     counts, pos, val, b64_map) = unpack_outputs(o[0], nby, nbx)
     lv_y, lv_u, lv_v, over = unpack_stream(counts, pos, val, split)
     didx = np.nonzero(over)[0]
     if len(didx):
@@ -1249,14 +1391,14 @@ def _fetch_packed(o, gather_dense, nby, nbx):
         lv_u[didx] = g[:, 1024:1280].reshape(-1, 16, 16)
         lv_v[didx] = g[:, 1280:].reshape(-1, 16, 16)
     return (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16,
-            lf, cdef_map, choice, mvb8)
+            lf, cdef_map, choice, mvb8, b64_map)
 
 
 def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
                  use_native=True, cdef=None, film_grain=None,
                  render_size=None, lf_level=0, split=None, mv16=None,
                  skip16=None, refresh_flags=0x01, ref_slot=0,
-                 show_frame=True, choice=None):
+                 show_frame=True, choice=None, b64_map=None):
     """Entropy-pack one P frame from batched pipeline outputs.
 
     split/mv16/skip16 (optional) describe PARTITION_SPLIT 32-blocks:
@@ -1292,7 +1434,9 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
     intra_map = (np.asarray(choice) == 3) if choice is not None else None
     if intra_map is not None and not intra_map.any():
         intra_map = None
-    if use_native:
+    if b64_map is not None and not np.asarray(b64_map).any():
+        b64_map = None
+    if use_native and b64_map is None:
         try:
             from rav1e_tpu.entropy.native import NativeTileWriter
             tw = NativeTileWriter(mi_rows, mi_cols, qindex,
@@ -1337,6 +1481,33 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
     for b in range(mv8.shape[0]):
         by, bx = (b // nbx) * 32, (b % nbx) * 32
         r, c = by >> 2, bx >> 2
+        if b64_map is not None and b64_map[by // 64, bx // 64]:
+            if by % 64 or bx % 64:
+                continue              # covered by the TL 64-block
+            # PARTITION_NONE at 64: TX_64X64 luma (retained 32x32
+            # levels in the TL child slot) + TX_32X32 chroma
+            # reassembled from the four children's quadrant slots
+            partitions[(r, c, int(BlockSize.B64X64))] = \
+                PartitionType.NONE
+            lv64 = np.zeros((64, 64), np.int64)
+            lv64[:32, :32] = lv_y[b]
+            cu = np.zeros((32, 32), np.int64)
+            cv = np.zeros((32, 32), np.int64)
+            for q, (dr, dc) in enumerate(
+                    ((0, 0), (0, 16), (16, 0), (16, 16))):
+                child = b + (q >> 1) * nbx + (q & 1)
+                cu[dr: dr + 16, dc: dc + 16] = lv_u[child]
+                cv[dr: dr + 16, dc: dc + 16] = lv_v[child]
+            mv = (int(mv8[b, 0]), int(mv8[b, 1]))
+            d = BlockDecision(
+                y_mode=(PredictionMode.GLOBALMV if mv == (0, 0)
+                        else PredictionMode.NEWMV),
+                uv_mode=PredictionMode.DC_PRED,
+                skip=bool(skip[b]), mv=mv)
+            if not d.skip:
+                d.coeffs = {0: lv64, 1: cu, 2: cv}
+            blocks[(r, c)] = d
+            continue
         partitions[(r, c, int(BlockSize.B64X64))] = PartitionType.SPLIT
         if intra_map is not None and intra_map[b]:
             # intra-in-inter block (spec inter_frame_mode_info with
@@ -1396,7 +1567,8 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
                       refresh_flags: int = 0x01, ref_slot: int = 0,
                       show_frame: bool = True, dscale=None,
                       src_dev=None, use_satd: bool = False,
-                      refine16: bool = True, intra_rdo: bool = False):
+                      refine16: bool = True, intra_rdo: bool = False,
+                      b64_rdo: bool = False):
     """TPU-batched P frame. Same bitstream contract as encode_pframe.
 
     ref_dev: optional device-resident reference planes (from a prior
@@ -1412,7 +1584,8 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
                                            use_split=use_split,
                                            use_satd=use_satd,
                                            refine16=refine16,
-                                           intra_rdo=intra_rdo)
+                                           intra_rdo=intra_rdo,
+                                           b64_rdo=b64_rdo)
     if ref_dev is None:
         ref_dev = tuple(jnp.asarray(np.asarray(p, np.uint8))
                         for p in ref_planes)
@@ -1426,7 +1599,8 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
                 _ds16_quads(dscale, nby, nbx))
     rec_dev = outs[4:7]
     (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16, lf_lvl,
-     cdef_map, choice, _) = _fetch_packed(outs, gather_dense, nby, nbx)
+     cdef_map, choice, _, b64_map) = _fetch_packed(outs, gather_dense,
+                                                   nby, nbx)
     rec_y, rec_u, rec_v = [np.asarray(o) for o in rec_dev]
     pkt = _pack_pframe(h, w, qindex, order_hint, mv8, skip,
                        lv_y, lv_u, lv_v, use_native,
@@ -1434,7 +1608,8 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
                        film_grain, render_size,
                        lf_lvl, split, mv16, skip16,
                        refresh_flags, ref_slot, show_frame,
-                       choice=choice if intra_rdo else None)
+                       choice=choice if intra_rdo else None,
+                       b64_map=b64_map if b64_rdo else None)
     rec = [rec_y.astype(np.int32), rec_u.astype(np.int32),
            rec_v.astype(np.int32)]
     if return_device:
@@ -1531,7 +1706,8 @@ def encode_pframe2_tpu(planes, ref_last, ref_golden, qindex: int = 100,
                 cdef_prm, build_rd_inter(qindex),
                 _ds16_quads(dscale, nby, nbx))
     (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16, lf_lvl,
-     cdef_map, choice, _) = _fetch_packed(outs, gather_dense, nby, nbx)
+     cdef_map, choice, _, _b64) = _fetch_packed(outs, gather_dense,
+                                                nby, nbx)
     pkt = _pack_pframe_mref(
         h, w, qindex, order_hint, mv8, choice, skip, lv_y, lv_u, lv_v,
         cdef=(cdef, cdef_map) if cdef is not None else None,
@@ -1655,7 +1831,7 @@ def encode_bframe_tpu(planes, ref_fwd, ref_bwd, qindex: int = 100,
                 build_rd_inter(qindex),
                 _ds16_quads(dscale, nby, nbx))
     (mv8, skip, lv_y, lv_u, lv_v, _, _, _, lf_lvl,
-     cdef_map, choice, mvb8) = _fetch_packed(outs, gather_dense,
+     cdef_map, choice, mvb8, _b64) = _fetch_packed(outs, gather_dense,
                                              nby, nbx)
     rec = [np.asarray(o).astype(np.int32) for o in outs[4:7]]
     pkt = _pack_bframe(h, w, qindex, order_hint, mv8, mvb8, choice,
@@ -1717,7 +1893,7 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
     for i, o in enumerate(outs, start=1):
         _t1 = _time.time()
         (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16, lf_lvl,
-         cdef_map, _, _) = _fetch_packed(o, gather_dense,
+         cdef_map, _, _, _b64) = _fetch_packed(o, gather_dense,
                                          h // 32, w // 32)
         _t2 = _time.time()
         _tf += _t2 - _t1

@@ -369,3 +369,45 @@ def test_intra_in_inter_blocks():
             assert np.array_equal(a[1][j], r[j]), (flag, j)
         sizes[flag] = len(p)
     assert sizes[True] <= sizes[False], sizes
+
+
+def test_b64_partition_merge():
+    """PARTITION_NONE at 64x64 with TX_64X64 luma + TX_32X32 chroma
+    (rav1e rdo_partition_decision top level): merged SBs drop their
+    internal 32-edge deblocking, the idct64 recon is spec-exact, and
+    streams decode bit-exactly on both oracles."""
+    from scipy.ndimage import gaussian_filter
+
+    from rav1e_tpu.pipeline.tpu_intra import encode_keyframe_tpu
+    from rav1e_tpu.pipeline.tpu_inter import encode_pframe_tpu
+
+    w, h = 192, 128
+    rng = np.random.default_rng(11)
+    tex = gaussian_filter(rng.normal(0, 48, (h + 128, w + 128)), 3.0)
+
+    def fr(t):
+        oy, ox = 40 + 2 * t, 40 + 3 * t
+        y = (128 + tex[oy:oy + h, ox:ox + w]).clip(0, 255)
+        u = (120 + tex[oy // 2:oy // 2 + h // 2,
+                       ox // 2:ox // 2 + w // 2] * 0.5).clip(0, 255)
+        v = (135 - tex[oy // 2:oy // 2 + h // 2,
+                       ox // 2:ox // 2 + w // 2] * 0.5).clip(0, 255)
+        return [y.astype(np.uint8), u.astype(np.uint8),
+                v.astype(np.uint8)]
+
+    cd = (3, 1, 2, 1, 3)
+    pk, rk = encode_keyframe_tpu(fr(0), qindex=150, speed=6, cdef=cd)
+    recs = [[np.asarray(p).astype(np.int32) for p in rk]]
+    pkts = [pk]
+    for t in (1, 2, 3):
+        p, r = encode_pframe_tpu(fr(t), recs[-1], qindex=150,
+                                 order_hint=t, cdef=cd, b64_rdo=True,
+                                 intra_rdo=True)
+        recs.append([np.asarray(x).astype(np.int32) for x in r])
+        pkts.append(p)
+    d = dav1d.decode_all(pkts)
+    a = aom.decode_all(pkts)
+    for i in range(len(pkts)):
+        for j in range(3):
+            assert np.array_equal(d[i].planes[j], recs[i][j]), (i, j)
+            assert np.array_equal(a[i][j], recs[i][j]), (i, j)
