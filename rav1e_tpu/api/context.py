@@ -352,6 +352,9 @@ class Context:
                 apl, self._ref_rec, qindex=q, order_hint=ahint,
                 cdef=cdef, film_grain=grain, render_size=self._render,
                 use_split=self.speed_settings.partition_split_rdo,
+                use_satd=self.speed_settings.satd_subpel,
+                intra_rdo=self.speed_settings.intra_in_inter,
+                b64_rdo=self.speed_settings.b64_merge,
                 refresh_flags=1 << slot_new, ref_slot=self._cur_slot,
                 show_frame=False)
         else:
@@ -537,6 +540,8 @@ class Context:
                     use_split=self.speed_settings.partition_split_rdo,
                     use_satd=self.speed_settings.satd_subpel,
                     refine16=self.speed_settings.mv_refine_16,
+                    intra_rdo=self.speed_settings.intra_in_inter,
+                    b64_rdo=self.speed_settings.b64_merge,
                     dscale=dscale, src_dev=src_dev)
             else:
                 from rav1e_tpu.pipeline.inter import encode_pframe

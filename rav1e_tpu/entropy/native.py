@@ -74,7 +74,7 @@ def _load():
         C.POINTER(C.c_uint8), C.POINTER(C.c_int16),
         C.POINTER(C.c_int16), C.POINTER(C.c_int16),
         C.POINTER(C.c_uint8), C.c_int, C.POINTER(C.c_uint8),
-        C.POINTER(C.c_uint8), C.c_long]
+        C.POINTER(C.c_uint8), C.POINTER(C.c_uint8), C.c_long]
     lib.packer_intra_tile.restype = C.c_long
     lib.packer_intra_tile.argtypes = [
         C.c_void_p, C.c_int, C.c_int, C.POINTER(C.c_int32),
@@ -396,7 +396,8 @@ class NativeTileWriter(TileWriter):
                                lv_v: np.ndarray,
                                cdef_idx: np.ndarray | None = None,
                                cdef_bits: int = 0,
-                               intra32: np.ndarray | None = None
+                               intra32: np.ndarray | None = None,
+                               b64: np.ndarray | None = None
                                ) -> bytes:
         """One-call C++ pack of a mixed 32/16-partition P-frame tile
         (PARTITION_SPLIT 32-blocks carry four 16x16 sub-blocks in
@@ -430,6 +431,9 @@ class NativeTileWriter(TileWriter):
         intra_arr = np.ascontiguousarray(
             intra32 if intra32 is not None
             else np.zeros(split.size), np.uint8).reshape(-1)
+        b64_arr = np.ascontiguousarray(
+            b64 if b64 is not None else np.zeros(nsb),
+            np.uint8).reshape(-1)
         cap = 1 << 24
         buf = (C.c_uint8 * cap)()
         n = self._lib.packer_inter_tile2(
@@ -446,6 +450,7 @@ class NativeTileWriter(TileWriter):
             cdef_map.ctypes.data_as(C.POINTER(C.c_uint8)),
             int(cdef_bits),
             intra_arr.ctypes.data_as(C.POINTER(C.c_uint8)),
+            b64_arr.ctypes.data_as(C.POINTER(C.c_uint8)),
             buf, cap)
         assert n > 0
         out = bytes(buf[:n])

@@ -1042,7 +1042,7 @@ long packer_inter_tile2(void* h, int mi_rows, int mi_cols,
                         const int16_t* lv_y, const int16_t* lv_u,
                         const int16_t* lv_v, const uint8_t* cdef_idx,
                         int cdef_bits, const uint8_t* intra32,
-                        uint8_t* out, long cap) {
+                        const uint8_t* b64, uint8_t* out, long cap) {
   Packer* p = (Packer*)h;
   InterTileFams F;
   int eob_pt_64;
@@ -1201,8 +1201,8 @@ long packer_inter_tile2(void* h, int mi_rows, int mi_cols,
     if (!skipf) {
       auto tu = [&](int plane, const int16_t* lvp, int stride, int n,
                     int tctx, uint8_t* acoef, uint8_t* lcoef, int u_c,
-                    int u_r, int eob_fam) {
-        int un = n / 4;
+                    int u_r, int eob_fam, int tt_on, int un_ov) {
+        int un = un_ov ? un_ov : n / 4;
         int ptype = plane == 0 ? 0 : 1;
         int skip_ctx;
         if (plane == 0)
@@ -1242,20 +1242,30 @@ long packer_inter_tile2(void* h, int mi_rows, int mi_cols,
           lcoef[u_r + i] = (uint8_t)cul;
         }
       };
-      if (bw4 == 8) {
+      if (bw4 == 16) {
+        // B64: TX_64X64 luma (retained 32x32 low-freq coeffs, txs_ctx
+        // 4, no inter tx symbol — spec get_tx_set sqr_up > 32) +
+        // TX_32X32 chroma; the coef context spans cover 16/8 units
+        tu(0, ly, ly_stride, 32, 4, t.acoef_y.data(), t.lcoef_y.data(),
+           c, r, F.eob_pt_1024, 0, 16);
+        tu(1, lu, lu_stride, 32, 3, t.acoef_u.data(), t.lcoef_u.data(),
+           c / 2, r / 2, F.eob_pt_1024, 0, 8);
+        tu(2, lvv, lv_stride, 32, 3, t.acoef_v.data(),
+           t.lcoef_v.data(), c / 2, r / 2, F.eob_pt_1024, 0, 8);
+      } else if (bw4 == 8) {
         tu(0, ly, ly_stride, 32, 3, t.acoef_y.data(), t.lcoef_y.data(),
-           c, r, F.eob_pt_1024);
+           c, r, F.eob_pt_1024, 1, 0);
         tu(1, lu, lu_stride, 16, 2, t.acoef_u.data(), t.lcoef_u.data(),
-           c / 2, r / 2, F.eob_pt_256);
+           c / 2, r / 2, F.eob_pt_256, 1, 0);
         tu(2, lvv, lv_stride, 16, 2, t.acoef_v.data(),
-           t.lcoef_v.data(), c / 2, r / 2, F.eob_pt_256);
+           t.lcoef_v.data(), c / 2, r / 2, F.eob_pt_256, 1, 0);
       } else {
         tu(0, ly, ly_stride, 16, 2, t.acoef_y.data(), t.lcoef_y.data(),
-           c, r, F.eob_pt_256);
+           c, r, F.eob_pt_256, 1, 0);
         tu(1, lu, lu_stride, 8, 1, t.acoef_u.data(), t.lcoef_u.data(),
-           c / 2, r / 2, eob_pt_64);
+           c / 2, r / 2, eob_pt_64, 1, 0);
         tu(2, lvv, lv_stride, 8, 1, t.acoef_v.data(), t.lcoef_v.data(),
-           c / 2, r / 2, eob_pt_64);
+           c / 2, r / 2, eob_pt_64, 1, 0);
       }
     } else {
       for (int i = 0; i < bw4; i++) {
@@ -1304,6 +1314,28 @@ long packer_inter_tile2(void* h, int mi_rows, int mi_cols,
     for (int c = 0; c < mi_cols; c += 16) {
       bool rows64 = r + 8 < mi_rows, cols64 = c + 8 < mi_cols;
       int ctx64 = part_ctx(r, c, 3);
+      int sbi = (r / 16) * t.nsb_c + (c / 16);
+      if (b64 && b64[sbi] && rows64 && cols64) {
+        // PARTITION_NONE at 64: one block, TX64 luma from the TL
+        // child's slot, TX32 chroma assembled from child quadrants
+        p->symbol_fam(F.part_mid, 2 * 4 + ctx64, 0 /* NONE */);
+        int g_tl = (r / 8) * nbx + (c / 8);
+        int16_t cu[32 * 32], cv[32 * 32];
+        for (int q = 0; q < 4; q++) {
+          int child = g_tl + (q >> 1) * nbx + (q & 1);
+          int dr = (q >> 1) * 16, dc = (q & 1) * 16;
+          for (int i = 0; i < 16; i++)
+            for (int j = 0; j < 16; j++) {
+              cu[(dr + i) * 32 + dc + j] = lv_u[child * 256 + i * 16 + j];
+              cv[(dr + i) * 32 + dc + j] = lv_v[child * 256 + i * 16 + j];
+            }
+        }
+        write_block2(r, c, 16, mv8[g_tl * 2], mv8[g_tl * 2 + 1],
+                     skip32[g_tl], lv_y + g_tl * 1024, 32,
+                     cu, 32, cv, 32, 0);
+        update_part(r, c, 4, 16, 16);
+        continue;
+      }
       if (rows64 && cols64) {
         p->symbol_fam(F.part_mid, 2 * 4 + ctx64, 3 /* SPLIT */);
       } else if (cols64) {

@@ -1436,12 +1436,13 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
         intra_map = None
     if b64_map is not None and not np.asarray(b64_map).any():
         b64_map = None
-    if use_native and b64_map is None:
+    if use_native:
         try:
             from rav1e_tpu.entropy.native import NativeTileWriter
             tw = NativeTileWriter(mi_rows, mi_cols, qindex,
                                   inter_frame=True)
-            if split is None and cdef_bits == 0 and intra_map is None:
+            if (split is None and cdef_bits == 0
+                    and intra_map is None and b64_map is None):
                 tile = tw.write_inter_tile_fast(mv8, skip, lv_y, lv_u,
                                                 lv_v)
             else:
@@ -1454,7 +1455,7 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
                 tile = tw.write_inter_tile_fast2(
                     split, mv8, skip, mv16, skip16, lv_y, lv_u, lv_v,
                     cdef_idx=cdef_map, cdef_bits=cdef_bits,
-                    intra32=intra_map)
+                    intra32=intra_map, b64=b64_map)
             return interframe_packet(seq, fp, ti, [tile], order_hint,
                                      refresh_flags=refresh_flags,
                                      ref_idx=[ref_slot] * 7,
