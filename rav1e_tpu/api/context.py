@@ -369,6 +369,8 @@ class Context:
         self._rc.update("INTER", q, len(adata) * 8)
         arec32 = [np.asarray(p).astype(np.int32) for p in arec]
         enc_b = encode_bframe_tpu if fast_ok else encode_bframe
+        bkw = (dict(b64_rdo=self.speed_settings.b64_merge)
+               if fast_ok else {})
         hints = (base & 127, ahint)
         if len(frames) == 4:
             # depth-2 pyramid (rav1e InterConfig group_input_len=4,
@@ -385,7 +387,7 @@ class Context:
                 order_hint=h1, cdef=cdef, film_grain=grain,
                 slot_fwd=self._cur_slot, slot_bwd=slot_new,
                 ref_hints=hints, render_size=self._render,
-                refresh_flags=1 << b0slot, show_frame=False)
+                refresh_flags=1 << b0slot, show_frame=False, **bkw)
             self._out.append(Packet(data=b0data, input_frameno=fn1,
                                     frame_type="INTER", qp=q0))
             self._rc.update("B0", q0, len(b0data) * 8)
@@ -396,7 +398,7 @@ class Context:
                 order_hint=(base + 1) & 127, cdef=cdef,
                 film_grain=grain, slot_fwd=self._cur_slot,
                 slot_bwd=b0slot, ref_hints=(base & 127, h1),
-                render_size=self._render)
+                render_size=self._render, **bkw)
             self._out.append(Packet(data=bdata, input_frameno=fn0,
                                     frame_type="INTER", qp=q1))
             self._rc.update("B1", q1, len(bdata) * 8)
@@ -409,7 +411,7 @@ class Context:
                 order_hint=(base + 3) & 127, cdef=cdef,
                 film_grain=grain, slot_fwd=b0slot,
                 slot_bwd=slot_new, ref_hints=(h1, ahint),
-                render_size=self._render)
+                render_size=self._render, **bkw)
             self._out.append(Packet(data=bdata, input_frameno=fn2,
                                     frame_type="INTER", qp=q2))
             self._rc.update("B1", q2, len(bdata) * 8)
@@ -421,7 +423,7 @@ class Context:
                     order_hint=(base + i) & 127, cdef=cdef,
                     film_grain=grain,
                     slot_fwd=self._cur_slot, slot_bwd=slot_new,
-                    ref_hints=hints, render_size=self._render)
+                    ref_hints=hints, render_size=self._render, **bkw)
                 self._out.append(Packet(data=bdata, input_frameno=fn,
                                         frame_type="INTER", qp=qb))
                 self._rc.update("B0", qb, len(bdata) * 8)

@@ -11,6 +11,8 @@
 // Build: g++ -O2 -shared -fPIC -o libpacker.so packer.cpp
 
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <cstdlib>
 #include <vector>
@@ -167,7 +169,11 @@ struct Packer {
   Encoder ec;
   std::vector<std::vector<Cdf>> fams;
   Cdf& fams_at(int fam, int rec) { return fams[fam][rec]; }
-  void symbol_fam(int fam, int rec, int sym) { ec.symbol(sym, fams[fam][rec]); }
+  void symbol_fam(int fam, int rec, int sym) {
+    if (getenv("PACKER_TRACE"))
+      fprintf(stderr, "sym fam=%d rec=%d sym=%d\n", fam, rec, sym);
+    ec.symbol(sym, fams[fam][rec]);
+  }
 };
 
 static inline int imin(int a, int b) { return a < b ? a : b; }
@@ -1226,7 +1232,8 @@ long packer_inter_tile2(void* h, int mi_rows, int mi_cols,
         for (int rr = 0; rr < n; rr++)
           for (int cc = 0; cc < n; cc++)
             lv[rr * n + cc] = lvp[rr * stride + cc];
-        int ttf = (plane == 0 && !is_intra) ? F.inter_ext_tx3 : -1;
+        int ttf = (plane == 0 && !is_intra && tt_on)
+                      ? F.inter_ext_tx3 : -1;
         int ttrec = n == 32 ? 3 : (n == 16 ? 2 : 1);
         int eob_rec = n == 32 ? ptype : ptype * 2;
         int cul = coeffs_impl(

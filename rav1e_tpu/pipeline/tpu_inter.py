@@ -327,6 +327,143 @@ def _search_one_ref(ryp, blks, by, bx, rd, B, use_satd=False):
     return mv8, patch32, pir0, pic0, ssd
 
 
+def _merge64_pass(y, u, v, ryp, rup, rvp, ryp2, rup2, rvp2, rd, lam,
+                  code, nby, nbx, mv8, rec_y, rec_u, rec_v, lv_y, lv_u,
+                  lv_v, skip, split, skip16_out, choice, mvb8,
+                  cost_fin):
+    """PARTITION_NONE at 64x64 (rav1e rdo_partition_decision's top
+    level): one MV + TX_64X64 luma / TX_32X32 chroma per SB, RD-tested
+    against the four 32-level results. Candidates: the TL child's MV
+    and zero, against the forward ref and (B frames) the backward ref.
+    Saves the per-32 partition/skip/mode signaling floor on easy
+    content. Returns the updated per-32 outputs + (b64_map, b64g,
+    choice64 merged into `choice`)."""
+    from rav1e_tpu.pipeline.tpu_intra import block_bits
+    B = nby * nbx
+    nr64, nc64 = nby // 2, nbx // 2
+    B64n = nr64 * nc64
+    by64 = jnp.asarray((np.repeat(np.arange(nr64), nc64) * 64)
+                       .astype(np.int32))
+    bx64 = jnp.asarray((np.tile(np.arange(nc64), nr64) * 64)
+                       .astype(np.int32))
+    blks64 = to_blocks(y, 64)
+    ub32 = to_blocks(u.astype(jnp.int32), 32)
+    vb32 = to_blocks(v.astype(jnp.int32), 32)
+    mvg64 = mv8.reshape(nby, nbx, 2)
+    mv_tl = mvg64[0::2, 0::2].reshape(B64n, 2)
+    zero = jnp.zeros_like(mv_tl)
+
+    def sse64(p):
+        d = (p - blks64).astype(jnp.float32)
+        return jnp.sum(d * d, (1, 2))
+
+    def mvr64(mv):
+        r = (rd["mv_bits"][jnp.abs(mv[:, 0])]
+             + rd["mv_bits"][jnp.abs(mv[:, 1])])
+        z = (mv[:, 0] == 0) & (mv[:, 1] == 0)
+        return jnp.where(z, rd["globalmv"], r + rd["newmv"])
+
+    cand_mv = [mv_tl, zero]
+    cand_ref = [0, 0]
+    preds = [_mc_batch(ryp, by64, bx64, m, 64, 0) for m in cand_mv]
+    if ryp2 is not None:
+        cand_mv += [mv_tl, zero]
+        cand_ref += [1, 1]
+        preds += [_mc_batch(ryp2, by64, bx64, m, 64, 0)
+                  for m in (mv_tl, zero)]
+    costs = jnp.stack([sse64(p) + lam * mvr64(m)
+                       for p, m in zip(preds, cand_mv)], 0)
+    k = jnp.argmin(costs, 0)
+    k2 = k[:, None]
+    mv64 = cand_mv[0]
+    pred_y64 = preds[0]
+    for i in range(1, len(cand_mv)):
+        mv64 = jnp.where(k2 == i, cand_mv[i], mv64)
+        pred_y64 = jnp.where(k[:, None, None] == i, preds[i], pred_y64)
+    choice64 = (k >= 2).astype(jnp.int32)
+    pu_f = _mc_batch(rup, by64 // 2, bx64 // 2, mv64, 32, 1)
+    pv_f = _mc_batch(rvp, by64 // 2, bx64 // 2, mv64, 32, 1)
+    if ryp2 is not None:
+        pu_b = _mc_batch(rup2, by64 // 2, bx64 // 2, mv64, 32, 1)
+        pv_b = _mc_batch(rvp2, by64 // 2, bx64 // 2, mv64, 32, 1)
+        c3 = (choice64 == 1)[:, None, None]
+        pred_u64 = jnp.where(c3, pu_b, pu_f)
+        pred_v64 = jnp.where(c3, pv_b, pv_f)
+    else:
+        pred_u64, pred_v64 = pu_f, pv_f
+    lv_y64, r2_y64 = code(blks64 - pred_y64, TxSize.TX_64X64)
+    lv_u32, r2_u32 = code(ub32 - pred_u64, TxSize.TX_32X32)
+    lv_v32, r2_v32 = code(vb32 - pred_v64, TxSize.TX_32X32)
+    cd_y64 = jnp.clip(pred_y64 + r2_y64, 0, 255)
+    cd_u32 = jnp.clip(pred_u64 + r2_u32, 0, 255)
+    cd_v32 = jnp.clip(pred_v64 + r2_v32, 0, 255)
+    sse64_c = (sse64(cd_y64)
+               + jnp.sum((cd_u32 - ub32).astype(jnp.float32) ** 2,
+                         (1, 2))
+               + jnp.sum((cd_v32 - vb32).astype(jnp.float32) ** 2,
+                         (1, 2)))
+    sse64_s = (sse64(pred_y64)
+               + jnp.sum((pred_u64 - ub32).astype(jnp.float32) ** 2,
+                         (1, 2))
+               + jnp.sum((pred_v64 - vb32).astype(jnp.float32) ** 2,
+                         (1, 2)))
+    # TX64 codes only the low-freq 32x32 (already zeroed beyond)
+    lv64r = lv_y64[:, :32, :32]
+    cbits64 = (block_bits(lv64r, rd["y32"])
+               + block_bits(lv_u32, rd["c32"])
+               + block_bits(lv_v32, rd["c32"]))
+    skip64 = (sse64_s + lam * rd["skip1"]
+              <= sse64_c + lam * (rd["skip0"] + cbits64))
+    cost64 = (lam * (mvr64(mv64) - rd["merge_save"])
+              + jnp.where(skip64, sse64_s + lam * rd["skip1"],
+                          sse64_c + lam * (rd["skip0"] + cbits64)))
+    cf22 = (cost_fin.reshape(nr64, 2, nc64, 2).sum((1, 3))
+            .reshape(B64n))
+    b64 = cost64 < cf22
+    b64_map = b64.reshape(nr64, nc64)
+
+    def quads64(x, n):
+        return (x.reshape(nr64, nc64, 2, n, 2, n)
+                .transpose(0, 2, 1, 4, 3, 5)
+                .reshape(nby, nbx, n, n).reshape(B, n, n))
+
+    b64g = jnp.repeat(jnp.repeat(b64_map, 2, 0), 2, 1).reshape(B)
+    b3 = b64g[:, None, None]
+    sk3 = skip64[:, None, None]
+    rec_y = jnp.where(b3, quads64(jnp.where(sk3, pred_y64, cd_y64),
+                                  32), rec_y)
+    rec_u = jnp.where(b3, quads64(jnp.where(sk3, pred_u64, cd_u32),
+                                  16), rec_u)
+    rec_v = jnp.where(b3, quads64(jnp.where(sk3, pred_v64, cd_v32),
+                                  16), rec_v)
+    tl_mask = jnp.zeros((nby, nbx), bool)
+    tl_mask = tl_mask.at[0::2, 0::2].set(b64_map)
+    tl_g = tl_mask.reshape(B)
+    lv64_tl = jnp.zeros((nby, nbx, 32, 32), jnp.int32)
+    lv64_tl = lv64_tl.at[0::2, 0::2].set(
+        jnp.where(sk3, 0, lv64r).reshape(nr64, nc64, 32, 32))
+    lv_y = jnp.where(b3, jnp.where(tl_g[:, None, None],
+                                   lv64_tl.reshape(B, 32, 32), 0),
+                     lv_y)
+    lv_u = jnp.where(b3, quads64(jnp.where(sk3, 0, lv_u32), 16), lv_u)
+    lv_v = jnp.where(b3, quads64(jnp.where(sk3, 0, lv_v32), 16), lv_v)
+    skip64g = jnp.repeat(jnp.repeat(
+        skip64.reshape(nr64, nc64), 2, 0), 2, 1).reshape(B)
+    skip = jnp.where(b64g, skip64g, skip)
+    split = split & ~b64g
+    skip16_out = jnp.where(b64g[:, None], skip64g[:, None], skip16_out)
+    mv64g = (jnp.repeat(jnp.repeat(
+        mv64.reshape(nr64, nc64, 2), 2, 0), 2, 1).reshape(B, 2))
+    mv8 = jnp.where(b64g[:, None], mv64g, mv8)
+    ch64g = jnp.repeat(jnp.repeat(
+        choice64.reshape(nr64, nc64), 2, 0), 2, 1).reshape(B)
+    choice = jnp.where(b64g, ch64g, choice)
+    mvb8 = jnp.where(b64g[:, None], 0, mvb8)
+    return (b64_map, b64g, mv8, rec_y, rec_u, rec_v, lv_y, lv_u,
+            lv_v, skip, split, skip16_out, choice, mvb8)
+
+
+
 def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
                  by, bx, nby, nbx, deblock_fn=None, cdef_fn=None,
                  use_split: bool = True,
@@ -572,11 +709,21 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         lv_v8 = jnp.zeros((B * 4, 8, 8), jnp.int32)
         mv16_out = jnp.repeat(mv8[:, None, :], 4, axis=1)
         skip16_out = jnp.repeat(skip[:, None], 4, axis=1)
+        b64_map = None
+        if b64_rdo and nby % 2 == 0 and nbx % 2 == 0:
+            (b64_map, _b64g, mv8, rec_y, rec_u, rec_v, lv_y, lv_u,
+             lv_v, skip, split, skip16_out, choice,
+             mvb8) = _merge64_pass(
+                y, u, v, ryp, rup, rvp, ryp2, rup2, rvp2, rd, lam,
+                code, nby, nbx, mv8, rec_y, rec_u, rec_v, lv_y, lv_u,
+                lv_v, skip, split, skip16_out, choice, mvb8, cost32)
+            sp3 = split[:, None, None]
+            mv16_out = jnp.repeat(mv8[:, None, :], 4, axis=1)
         return _finish_outputs(
             y, u, v, h, tw, nby, nbx, B, rd, cdef_prm, mv8, skip,
             split, sp3, mv16_out, skip16_out, lv_y, lv_u, lv_v,
             lv_y16, lv_u8, lv_v8, rec_y, rec_u, rec_v,
-            deblock_fn, cdef_fn, choice, mvb8)
+            deblock_fn, cdef_fn, choice, mvb8, b64_map=b64_map)
 
     ds16f = ds16.reshape(B * 4)
     mv_par = jnp.repeat(mv8, 4, axis=0)
@@ -720,122 +867,15 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
                            skip[:, None])
     cost_fin = jnp.where(split, cost_split, cost32)
 
-    nr64, nc64 = (nby + 1) // 2, (nbx + 1) // 2
-    b64_map = jnp.zeros((nr64, nc64), bool)
+    b64_map = jnp.zeros((((nby + 1) // 2), ((nbx + 1) // 2)), bool)
+    b64g = jnp.zeros((B,), bool)
     if b64_rdo and nby % 2 == 0 and nbx % 2 == 0:
-        # ---- PARTITION_NONE at 64x64 (rav1e rdo_partition_decision's
-        # top level): one MV + TX_64X64 luma / TX_32X32 chroma per SB.
-        # Saves the per-32 partition/skip/mode signaling on easy
-        # content — the floor that dominates static-scene P frames. --
-        B64n = nr64 * nc64
-        by64 = jnp.asarray((np.repeat(np.arange(nr64), nc64) * 64)
-                           .astype(np.int32))
-        bx64 = jnp.asarray((np.tile(np.arange(nc64), nr64) * 64)
-                           .astype(np.int32))
-        blks64 = to_blocks(y, 64)
-        ub32 = to_blocks(u.astype(jnp.int32), 32)
-        vb32 = to_blocks(v.astype(jnp.int32), 32)
-        mvg64 = mv8.reshape(nby, nbx, 2)
-        mv_tl = mvg64[0::2, 0::2].reshape(B64n, 2)
-        p_tl = _mc_batch(ryp, by64, bx64, mv_tl, 64, 0)
-        p_z = _mc_batch(ryp, by64, bx64, jnp.zeros_like(mv_tl), 64, 0)
-
-        def sse64(p):
-            d = (p - blks64).astype(jnp.float32)
-            return jnp.sum(d * d, (1, 2))
-
-        def mvr64(mv):
-            r = (rd["mv_bits"][jnp.abs(mv[:, 0])]
-                 + rd["mv_bits"][jnp.abs(mv[:, 1])])
-            zero = (mv[:, 0] == 0) & (mv[:, 1] == 0)
-            return jnp.where(zero, rd["globalmv"], r + rd["newmv"])
-
-        zbet64 = (sse64(p_z) + lam * mvr64(jnp.zeros_like(mv_tl))
-                  < sse64(p_tl) + lam * mvr64(mv_tl))
-        mv64 = jnp.where(zbet64[:, None], 0, mv_tl)
-        pred_y64 = jnp.where(zbet64[:, None, None], p_z, p_tl)
-        pred_u64 = _mc_batch(rup, by64 // 2, bx64 // 2, mv64, 32, 1)
-        pred_v64 = _mc_batch(rvp, by64 // 2, bx64 // 2, mv64, 32, 1)
-        lv_y64, r2_y64 = code(blks64 - pred_y64, TxSize.TX_64X64)
-        lv_u32, r2_u32 = code(ub32 - pred_u64, TxSize.TX_32X32)
-        lv_v32, r2_v32 = code(vb32 - pred_v64, TxSize.TX_32X32)
-        cd_y64 = jnp.clip(pred_y64 + r2_y64, 0, 255)
-        cd_u32 = jnp.clip(pred_u64 + r2_u32, 0, 255)
-        cd_v32 = jnp.clip(pred_v64 + r2_v32, 0, 255)
-        sse64_c = (sse64(cd_y64)
-                   + jnp.sum((cd_u32 - ub32).astype(jnp.float32) ** 2,
-                             (1, 2))
-                   + jnp.sum((cd_v32 - vb32).astype(jnp.float32) ** 2,
-                             (1, 2)))
-        sse64_s = (sse64(pred_y64)
-                   + jnp.sum((pred_u64 - ub32).astype(jnp.float32) ** 2,
-                             (1, 2))
-                   + jnp.sum((pred_v64 - vb32).astype(jnp.float32) ** 2,
-                             (1, 2)))
-        # TX64 codes only the low-freq 32x32 (already zeroed beyond)
-        lv64r = lv_y64[:, :32, :32]
-        cbits64 = (block_bits(lv64r, rd["y32"])
-                   + block_bits(lv_u32, rd["c32"])
-                   + block_bits(lv_v32, rd["c32"]))
-        skip64 = (sse64_s + lam * rd["skip1"]
-                  <= sse64_c + lam * (rd["skip0"] + cbits64))
-        cost64 = (lam * (mvr64(mv64) - rd["merge_save"])
-                  + jnp.where(skip64, sse64_s + lam * rd["skip1"],
-                              sse64_c + lam * (rd["skip0"] + cbits64)))
-        cf22 = (cost_fin.reshape(nr64, 2, nc64, 2).sum((1, 3))
-                .reshape(B64n))
-        b64 = cost64 < cf22
-        b64_map = b64.reshape(nr64, nc64)
-
-        # ---- merge winners back into the per-32 outputs ----------
-        def quads64(x, n):
-            # [B64, 2n, 2n] -> child-major [B64*4? no: map to 32-grid]
-            return (x.reshape(nr64, nc64, 2, n, 2, n)
-                    .transpose(0, 2, 1, 4, 3, 5)
-                    .reshape(nby, nbx, n, n).reshape(B, n, n))
-
-        b64g = jnp.repeat(jnp.repeat(b64_map, 2, 0), 2, 1).reshape(B)
-        b3 = b64g[:, None, None]
-        rec_y64q = quads64(jnp.where(
-            skip64[:, None, None], pred_y64, cd_y64), 32)
-        rec_u64q = quads64(jnp.where(
-            skip64[:, None, None], pred_u64, cd_u32), 16)
-        rec_v64q = quads64(jnp.where(
-            skip64[:, None, None], pred_v64, cd_v32), 16)
-        rec_y = jnp.where(b3, rec_y64q, rec_y)
-        rec_u = jnp.where(b3, rec_u64q, rec_u)
-        rec_v = jnp.where(b3, rec_v64q, rec_v)
-        # TL child carries the retained TX64 levels; chroma quadrants
-        # land in each child's 16x16 slot (spatial layout — the host
-        # reassembles)
-        tl_mask = jnp.zeros((nby, nbx), bool)
-        tl_mask = tl_mask.at[0::2, 0::2].set(b64_map)
-        tl_g = tl_mask.reshape(B)
-        lv64_tl = jnp.zeros((nby, nbx, 32, 32), jnp.int32)
-        lv64_tl = lv64_tl.at[0::2, 0::2].set(
-            jnp.where(skip64[:, None, None], 0,
-                      lv64r).reshape(nr64, nc64, 32, 32))
-        lv_y = jnp.where(b3, jnp.where(tl_g[:, None, None],
-                                       lv64_tl.reshape(B, 32, 32), 0),
-                         lv_y)
-        lvu64q = quads64(jnp.where(skip64[:, None, None], 0, lv_u32),
-                         16)
-        lvv64q = quads64(jnp.where(skip64[:, None, None], 0, lv_v32),
-                         16)
-        lv_u = jnp.where(b3, lvu64q, lv_u)
-        lv_v = jnp.where(b3, lvv64q, lv_v)
-        skip64g = jnp.repeat(jnp.repeat(
-            skip64.reshape(nr64, nc64), 2, 0), 2, 1).reshape(B)
-        skip = jnp.where(b64g, skip64g, skip)
-        split = split & ~b64g
+        (b64_map, b64g, mv8, rec_y, rec_u, rec_v, lv_y, lv_u, lv_v,
+         skip, split, skip16_out, choice, mvb8) = _merge64_pass(
+            y, u, v, ryp, rup, rvp, ryp2, rup2, rvp2, rd, lam, code,
+            nby, nbx, mv8, rec_y, rec_u, rec_v, lv_y, lv_u, lv_v,
+            skip, split, skip16_out, choice, mvb8, cost_fin)
         sp3 = split[:, None, None]
-        skip16_out = jnp.where(b64g[:, None], skip64g[:, None],
-                               skip16_out)
-        mv64g = (jnp.repeat(jnp.repeat(
-            mv64.reshape(nr64, nc64, 2), 2, 0), 2, 1).reshape(B, 2))
-        mv8 = jnp.where(b64g[:, None], mv64g, mv8)
-    else:
-        b64g = jnp.zeros((B,), bool)
 
     if intra_rdo:
         # ---- intra-in-inter candidate (rav1e rdo_mode_decision's
@@ -1722,7 +1762,8 @@ def encode_pframe2_tpu(planes, ref_last, ref_golden, qindex: int = 100,
 def _pack_bframe(h, w, qindex, order_hint, mv8, mvb8, choice, skip,
                  lv_y, lv_u, lv_v, cdef=None, film_grain=None,
                  render_size=None, lf_level=0, slot_fwd=0, slot_bwd=1,
-                 ref_hints=None, refresh_flags=0, show_frame=True):
+                 ref_hints=None, refresh_flags=0, show_frame=True,
+                 b64_map=None):
     """Entropy-pack one B frame from batched two-ref pipeline outputs.
 
     choice[b] in {0: single-LAST(fwd), 1: single-ALTREF(bwd),
@@ -1761,6 +1802,31 @@ def _pack_bframe(h, w, qindex, order_hint, mv8, mvb8, choice, skip,
     for b in range(mv8.shape[0]):
         by, bx = (b // nbx) * 32, (b % nbx) * 32
         r, c = by >> 2, bx >> 2
+        if b64_map is not None and b64_map[by // 64, bx // 64]:
+            if by % 64 or bx % 64:
+                continue              # covered by the TL 64-block
+            partitions[(r, c, int(BlockSize.B64X64))] = \
+                PartitionType.NONE
+            lv64 = np.zeros((64, 64), np.int64)
+            lv64[:32, :32] = lv_y[b]
+            cu = np.zeros((32, 32), np.int64)
+            cv = np.zeros((32, 32), np.int64)
+            for q, (dr, dc) in enumerate(
+                    ((0, 0), (0, 16), (16, 0), (16, 16))):
+                child = b + (q >> 1) * nbx + (q & 1)
+                cu[dr: dr + 16, dc: dc + 16] = lv_u[child]
+                cv[dr: dr + 16, dc: dc + 16] = lv_v[child]
+            mv = (int(mv8[b, 0]), int(mv8[b, 1]))
+            d = BlockDecision(
+                y_mode=(PredictionMode.GLOBALMV if mv == (0, 0)
+                        else PredictionMode.NEWMV),
+                uv_mode=PredictionMode.DC_PRED,
+                skip=bool(skip[b]), mv=mv,
+                ref=1 if int(choice[b]) == 0 else 7)
+            if not d.skip:
+                d.coeffs = {0: lv64, 1: cu, 2: cv}
+            blocks[(r, c)] = d
+            continue
         partitions[(r, c, int(BlockSize.B64X64))] = PartitionType.SPLIT
         partitions[(r, c, int(BlockSize.B32X32))] = PartitionType.NONE
         ch = int(choice[b])
@@ -1803,7 +1869,8 @@ def encode_bframe_tpu(planes, ref_fwd, ref_bwd, qindex: int = 100,
                       ref_hints: tuple | None = None,
                       render_size: tuple | None = None,
                       dscale=None, src_dev=None,
-                      refresh_flags: int = 0, show_frame: bool = True):
+                      refresh_flags: int = 0, show_frame: bool = True,
+                      b64_rdo: bool = False):
     """TPU-batched B frame: both references searched on-device, each
     block picks single-fwd / single-bwd / COMPOUND_AVERAGE by RD.
     Same bitstream contract as pipeline/inter.py::encode_bframe.
@@ -1815,7 +1882,8 @@ def encode_bframe_tpu(planes, ref_fwd, ref_bwd, qindex: int = 100,
     assert h % 32 == 0 and w % 32 == 0
     step, (nby, nbx), gather_dense = _core(h, w, cdef is not None,
                                            use_split=False,
-                                           two_ref=True)
+                                           two_ref=True,
+                                           b64_rdo=b64_rdo)
     if ref_dev_fwd is None:
         ref_dev_fwd = tuple(jnp.asarray(np.asarray(p, np.uint8))
                             for p in ref_fwd)
@@ -1832,15 +1900,16 @@ def encode_bframe_tpu(planes, ref_fwd, ref_bwd, qindex: int = 100,
                 build_rd_inter(qindex),
                 _ds16_quads(dscale, nby, nbx))
     (mv8, skip, lv_y, lv_u, lv_v, _, _, _, lf_lvl,
-     cdef_map, choice, mvb8, _b64) = _fetch_packed(outs, gather_dense,
-                                             nby, nbx)
+     cdef_map, choice, mvb8, b64m) = _fetch_packed(outs, gather_dense,
+                                                   nby, nbx)
     rec = [np.asarray(o).astype(np.int32) for o in outs[4:7]]
     pkt = _pack_bframe(h, w, qindex, order_hint, mv8, mvb8, choice,
                        skip, lv_y, lv_u, lv_v,
                        (cdef, cdef_map) if cdef is not None else None,
                        film_grain,
                        render_size, lf_lvl, slot_fwd, slot_bwd,
-                       ref_hints, refresh_flags, show_frame)
+                       ref_hints, refresh_flags, show_frame,
+                       b64_map=b64m if b64_rdo else None)
     return pkt, rec
 
 
