@@ -96,9 +96,40 @@ def main():
                                   dtype=np.uint8))
     prm = jnp.asarray([0, 0, 0, 0, 3], jnp.int32)
     dq, aq = jnp.int32(dc_q(100)), jnp.int32(ac_q(100))
-    t = timeit(lambda *a: step(*a),
-               (src, ry, ru, ru, dq, aq, prm, rd), args.iters)
+    from rav1e_tpu.pipeline.tpu_inter import _ds16_quads
+    ds = _ds16_quads(None, h // 32, w // 32)
+    t = timeit(lambda *a: step(*a)[0],
+               (src, ry, ru, ru, dq, aq, prm, rd, ds), args.iters)
     print(f"P-step (ME+MC+TX+RD):  {t*1e3:7.2f} ms  {mpix/t:8.1f} Mpix/s")
+
+    # ---- CDEF: Pallas kernel vs the XLA twin -------------------
+    from rav1e_tpu.ops.tpu.cdef import (
+        CDEF_LADDER, _dirs_var, _filter_from_prep, _prep_plane,
+        _upsample)
+    from rav1e_tpu.ops.tpu.cdef_pallas import cdef_candidates_pallas
+    yq = jnp.asarray(rng.integers(0, 255, (h, w)).astype(np.int32))
+    skip8 = jnp.zeros((h // 8, w // 8), bool)
+    dg, vg = _dirs_var(yq)
+    dirs = _upsample(dg, 8)
+    var = _upsample(vg, 8)
+    skip = _upsample(skip8, 8)
+    interp = jax.devices()[0].platform == "cpu"
+
+    @jax.jit
+    def cdef_xla(yq, dirs, var, skip):
+        pp = _prep_plane(yq, dirs, 8, True)
+        return jnp.stack(
+            [_filter_from_prep(pp, skip, jnp.int32(c[0]),
+                               jnp.int32(c[1]), jnp.int32(3), var)
+             for c in CDEF_LADDER], 0)
+
+    t = timeit(lambda *a: cdef_xla(*a), (yq, dirs, var, skip),
+               args.iters)
+    print(f"CDEF 8-cand (XLA):     {t*1e3:7.2f} ms  {mpix/t:8.1f} Mpix/s")
+    t = timeit(lambda *a: cdef_candidates_pallas(
+        *a, jnp.int32(3), is_luma=True, interpret=interp),
+        (yq, dirs, var, skip), args.iters)
+    print(f"CDEF 8-cand (Pallas):  {t*1e3:7.2f} ms  {mpix/t:8.1f} Mpix/s")
 
 
 if __name__ == "__main__":
