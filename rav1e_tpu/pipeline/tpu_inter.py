@@ -1932,7 +1932,9 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
     step, _, gather_dense = _core(h, w, cdef is not None,
                                   use_split=speed <= 7,
                                   use_satd=speed <= 6,
-                                  refine16=speed <= 4)
+                                  refine16=speed <= 4,
+                                  intra_rdo=speed <= 6,
+                                  b64_rdo=speed <= 6)
     dcq = jnp.int32(dc_q_lut(qindex))
     acq = jnp.int32(ac_q_lut(qindex))
     rd = build_rd_inter(qindex)
@@ -1963,14 +1965,16 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
     for i, o in enumerate(outs, start=1):
         _t1 = _time.time()
         (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16, lf_lvl,
-         cdef_map, _, _, _b64) = _fetch_packed(o, gather_dense,
-                                         h // 32, w // 32)
+         cdef_map, choice, _, b64m) = _fetch_packed(o, gather_dense,
+                                                    h // 32, w // 32)
         _t2 = _time.time()
         _tf += _t2 - _t1
         pkts.append(_pack_pframe(
             h, w, qindex, i, mv8, skip, lv_y, lv_u, lv_v,
             cdef=(cdef, cdef_map) if cdef is not None else None,
-            lf_level=lf_lvl, split=split, mv16=mv16, skip16=skip16))
+            lf_level=lf_lvl, split=split, mv16=mv16, skip16=skip16,
+            choice=choice if speed <= 6 else None,
+            b64_map=b64m if speed <= 6 else None))
         _tp += _time.time() - _t2
         # recons stay device-resident (uint8); consumers that need
         # them host-side (conformance checks) convert lazily
