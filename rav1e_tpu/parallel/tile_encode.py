@@ -87,10 +87,10 @@ def _tiled_core(h: int, w: int, T: int, mesh: Mesh,
     blk = P("tile")
     # p_frame_body output order: mv8, skip, scanline, lv_y/u/v,
     # rec y/u/v (columns), lf, cdef_idx, split, mv16, skip16,
-    # choice, mvb8
+    # choice, mvb8, b64_map (per-tile SB columns)
     out_specs = (blk, blk, blk, blk, blk, blk,
                  col, col, col, rep, rep,
-                 blk, blk, blk, blk, blk)
+                 blk, blk, blk, blk, blk, P(None, "tile"))
     step = jax.jit(shard_map(
         tile_fn, mesh=mesh,
         in_specs=(col, col, col, rep, rep, rep, rep, rep, rep, rep),
