@@ -310,8 +310,7 @@ class Context:
                                                       "on", "yes")
         tiled = self._tile_cols_log2 or self._tile_rows_log2
         fast_ok = (cfg.bit_depth == 8 and cfg.chroma_sampling == "420"
-                   and not tiled and not aq
-                   and not getattr(self, "_lr_seq", False))
+                   and not tiled and not aq)
         lr = getattr(self, "_lr_seq", False)
         base = self._order_hint
         if len(frames) == 1:
@@ -330,7 +329,7 @@ class Context:
                     ref_slot=self._cur_slot,
                     use_satd=self.speed_settings.satd_subpel,
                     intra_rdo=self.speed_settings.intra_in_inter,
-                    b64_rdo=self.speed_settings.b64_merge)
+                    b64_rdo=self.speed_settings.b64_merge, lr=lr)
             else:
                 data, rec = encode_pframe(
                     pl, self._ref_rec, qindex=q,
@@ -354,7 +353,7 @@ class Context:
                 use_split=self.speed_settings.partition_split_rdo,
                 use_satd=self.speed_settings.satd_subpel,
                 intra_rdo=self.speed_settings.intra_in_inter,
-                b64_rdo=self.speed_settings.b64_merge,
+                b64_rdo=self.speed_settings.b64_merge, lr=lr,
                 refresh_flags=1 << slot_new, ref_slot=self._cur_slot,
                 show_frame=False)
         else:
@@ -369,8 +368,8 @@ class Context:
         self._rc.update("INTER", q, len(adata) * 8)
         arec32 = [np.asarray(p).astype(np.int32) for p in arec]
         enc_b = encode_bframe_tpu if fast_ok else encode_bframe
-        bkw = (dict(b64_rdo=self.speed_settings.b64_merge)
-               if fast_ok else {})
+        bkw = (dict(b64_rdo=self.speed_settings.b64_merge, lr=lr)
+               if fast_ok else dict(lr=lr))
         hints = (base & 127, ahint)
         if len(frames) == 4:
             # depth-2 pyramid (rav1e InterConfig group_input_len=4,
@@ -500,13 +499,13 @@ class Context:
                    and not tiled)
         if is_key:
             lr = self.speed_settings.lr and not tiled
-            if fast_ok and grain is None and not aq and not lr:
+            if fast_ok and grain is None and not aq:
                 from rav1e_tpu.pipeline.tpu_intra import encode_keyframe_tpu
                 data, rec = encode_keyframe_tpu(
                     planes, qindex=q, cdef=cdef, speed=cfg.speed,
                     render_size=self._render,
-                    seq_extra=self._seq_extra or None)
-                self._lr_seq = False
+                    seq_extra=self._seq_extra or None, lr=lr)
+                self._lr_seq = lr
             else:
                 from rav1e_tpu.pipeline.intra import encode_keyframe
                 data, rec = encode_keyframe(
@@ -532,8 +531,7 @@ class Context:
             self._order_hint = 0
         else:
             self._order_hint += 1
-            if fast_ok and not aq and not getattr(self, "_lr_seq",
-                                                  False):
+            if fast_ok and not aq:
                 from rav1e_tpu.pipeline.tpu_inter import encode_pframe_tpu
                 data, rec = encode_pframe_tpu(
                     planes, self._ref_rec, qindex=q,
@@ -544,6 +542,7 @@ class Context:
                     refine16=self.speed_settings.mv_refine_16,
                     intra_rdo=self.speed_settings.intra_in_inter,
                     b64_rdo=self.speed_settings.b64_merge,
+                    lr=getattr(self, "_lr_seq", False),
                     dscale=dscale, src_dev=src_dev)
             else:
                 from rav1e_tpu.pipeline.inter import encode_pframe

@@ -1438,8 +1438,15 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
                  use_native=True, cdef=None, film_grain=None,
                  render_size=None, lf_level=0, split=None, mv16=None,
                  skip16=None, refresh_flags=0x01, ref_slot=0,
-                 show_frame=True, choice=None, b64_map=None):
+                 show_frame=True, choice=None, b64_map=None,
+                 lr_ctx=None):
     """Entropy-pack one P frame from batched pipeline outputs.
+
+    lr_ctx: optional (recon_planes, source_planes) — search + apply
+    loop restoration on the post-CDEF recon (mutating it in place, so
+    the caller's recon becomes the in-loop LR'd reference) and code
+    the per-unit params in the tile (rav1e src/lrf.rs; only the
+    python writer codes LR units, so this forces use_native=False).
 
     split/mv16/skip16 (optional) describe PARTITION_SPLIT 32-blocks:
     four 16x16 sub-blocks with their own MVs and TX16/TX8 residuals
@@ -1476,6 +1483,8 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
         intra_map = None
     if b64_map is not None and not np.asarray(b64_map).any():
         b64_map = None
+    if lr_ctx is not None:
+        use_native = False
     if use_native:
         try:
             from rav1e_tpu.entropy.native import NativeTileWriter
@@ -1506,6 +1515,12 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
     if cdef_bits:
         tw.cdef_bits = cdef_bits
         tw.cdef_idx_map = cdef_map
+    if lr_ctx is not None:
+        # must run before write_tile: LR unit params are coded
+        # interleaved at superblock starts (spec decode_lr)
+        from rav1e_tpu.pipeline.lr import apply_lr_frame
+        seq.enable_restoration = True
+        fp.lr_types = apply_lr_frame(lr_ctx[0], lr_ctx[1], tw, 8, 1, 1)
     partitions: dict = {}
     blocks: dict = {}
 
@@ -1609,7 +1624,7 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
                       show_frame: bool = True, dscale=None,
                       src_dev=None, use_satd: bool = False,
                       refine16: bool = True, intra_rdo: bool = False,
-                      b64_rdo: bool = False):
+                      b64_rdo: bool = False, lr: bool = False):
     """TPU-batched P frame. Same bitstream contract as encode_pframe.
 
     ref_dev: optional device-resident reference planes (from a prior
@@ -1643,6 +1658,8 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
      cdef_map, choice, _, b64_map) = _fetch_packed(outs, gather_dense,
                                                    nby, nbx)
     rec_y, rec_u, rec_v = [np.asarray(o) for o in rec_dev]
+    rec = [rec_y.astype(np.int32), rec_u.astype(np.int32),
+           rec_v.astype(np.int32)]
     pkt = _pack_pframe(h, w, qindex, order_hint, mv8, skip,
                        lv_y, lv_u, lv_v, use_native,
                        (cdef, cdef_map) if cdef is not None else None,
@@ -1650,10 +1667,13 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
                        lf_lvl, split, mv16, skip16,
                        refresh_flags, ref_slot, show_frame,
                        choice=choice if intra_rdo else None,
-                       b64_map=b64_map if b64_rdo else None)
-    rec = [rec_y.astype(np.int32), rec_u.astype(np.int32),
-           rec_v.astype(np.int32)]
+                       b64_map=b64_map if b64_rdo else None,
+                       lr_ctx=(rec, [np.asarray(y), np.asarray(u),
+                                     np.asarray(v)]) if lr else None)
     if return_device:
+        # LR mutates the host recon after the device copy was taken:
+        # the device-resident planes would be a stale (pre-LR) ref
+        assert not lr, "return_device is incompatible with lr"
         return pkt, rec, rec_dev
     return pkt, rec
 
@@ -1763,7 +1783,7 @@ def _pack_bframe(h, w, qindex, order_hint, mv8, mvb8, choice, skip,
                  lv_y, lv_u, lv_v, cdef=None, film_grain=None,
                  render_size=None, lf_level=0, slot_fwd=0, slot_bwd=1,
                  ref_hints=None, refresh_flags=0, show_frame=True,
-                 b64_map=None):
+                 b64_map=None, lr_ctx=None):
     """Entropy-pack one B frame from batched two-ref pipeline outputs.
 
     choice[b] in {0: single-LAST(fwd), 1: single-ALTREF(bwd),
@@ -1797,6 +1817,10 @@ def _pack_bframe(h, w, qindex, order_hint, mv8, mvb8, choice, skip,
     if cdef_map is not None and _cbits:
         tw.cdef_bits = _cbits
         tw.cdef_idx_map = cdef_map
+    if lr_ctx is not None:
+        from rav1e_tpu.pipeline.lr import apply_lr_frame
+        seq.enable_restoration = True
+        fp.lr_types = apply_lr_frame(lr_ctx[0], lr_ctx[1], tw, 8, 1, 1)
     partitions: dict = {}
     blocks: dict = {}
     for b in range(mv8.shape[0]):
@@ -1870,7 +1894,7 @@ def encode_bframe_tpu(planes, ref_fwd, ref_bwd, qindex: int = 100,
                       render_size: tuple | None = None,
                       dscale=None, src_dev=None,
                       refresh_flags: int = 0, show_frame: bool = True,
-                      b64_rdo: bool = False):
+                      b64_rdo: bool = False, lr: bool = False):
     """TPU-batched B frame: both references searched on-device, each
     block picks single-fwd / single-bwd / COMPOUND_AVERAGE by RD.
     Same bitstream contract as pipeline/inter.py::encode_bframe.
@@ -1909,7 +1933,9 @@ def encode_bframe_tpu(planes, ref_fwd, ref_bwd, qindex: int = 100,
                        film_grain,
                        render_size, lf_lvl, slot_fwd, slot_bwd,
                        ref_hints, refresh_flags, show_frame,
-                       b64_map=b64m if b64_rdo else None)
+                       b64_map=b64m if b64_rdo else None,
+                       lr_ctx=(rec, [np.asarray(y), np.asarray(u),
+                                     np.asarray(v)]) if lr else None)
     return pkt, rec
 
 

@@ -1207,7 +1207,7 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
                         cdef: tuple | None = None,
                         render_size: tuple | None = None,
                         seq_extra: dict | None = None,
-                        cdef_rdo: bool = True):
+                        cdef_rdo: bool = True, lr: bool = False):
     """TPU-batched KEY frame encode; dims must be multiples of 32.
 
     cdef: None disables CDEF at the sequence level; a 5-tuple enables
@@ -1410,7 +1410,13 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     ti = TileInfo(seq)
     mi_rows, mi_cols = h >> 2, w >> 2
     tile = None
+    if lr:
+        # LR unit params ride the tile at SB starts — only the python
+        # writer codes them, so skip the C++ packer for LR keyframes
+        seq.enable_restoration = True
     try:
+        if lr:
+            raise ImportError("python writer required for LR")
         # one-call C++ intra packer (0.86 s -> ms at 1080p; the
         # per-block python dict build below is the fallback)
         from rav1e_tpu.entropy.native import NativeTileWriter
@@ -1436,6 +1442,18 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     if cdef_bits:
         tw.cdef_bits = cdef_bits
         tw.cdef_idx_map = cdef_map
+    rec = None
+    if lr:
+        # fetch the post-deblock/CDEF recon now: LR searches on it and
+        # mutates it in place, and its unit params must be attached to
+        # the writer BEFORE write_tile (spec decode_lr interleaving)
+        from rav1e_tpu.pipeline.lr import apply_lr_frame
+        rp = np.asarray(rec_packed_d)
+        rec = [rp[:h].astype(np.int32),
+               rp[h:, :w // 2].astype(np.int32),
+               rp[h:, w // 2:].astype(np.int32)]
+        fp.lr_types = apply_lr_frame(rec, [np.asarray(y), np.asarray(u),
+                                           np.asarray(v)], tw, 8, 1, 1)
     partitions: dict = {}
     blocks: dict = {}
     for bi in range(bh):
@@ -1490,10 +1508,11 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     if _timing:
         print(f"# kf hostpack {_time.time()-_t0:.3f}s")
         _t0 = _time.time()
-    # final reconstruction (deblock+CDEF already applied on device):
-    # one packed uint8 fetch
-    rp = np.asarray(rec_packed_d)
-    rec = [rp[:h].astype(np.int32),
-           rp[h:, :w // 2].astype(np.int32),
-           rp[h:, w // 2:].astype(np.int32)]
+    # final reconstruction (deblock+CDEF already applied on device,
+    # LR on host above when enabled): one packed uint8 fetch
+    if rec is None:
+        rp = np.asarray(rec_packed_d)
+        rec = [rp[:h].astype(np.int32),
+               rp[h:, :w // 2].astype(np.int32),
+               rp[h:, w // 2:].astype(np.int32)]
     return pkt, rec

@@ -411,3 +411,97 @@ def test_b64_partition_merge():
         for j in range(3):
             assert np.array_equal(d[i].planes[j], recs[i][j]), (i, j)
             assert np.array_equal(a[i][j], recs[i][j]), (i, j)
+
+
+def test_tpu_path_loop_restoration():
+    """LR through the TPU pipelines (rav1e enables LRF on every frame
+    type): KF + non-shown anchor P + B chain, each searching Wiener/
+    SGR units on the post-CDEF recon and coding them in the tile —
+    the LR'd recons must decode bit-exactly on both oracles, and LR
+    must actually engage (the KF recon differs from an lr=False run).
+
+    Reference parity: rav1e src/lrf.rs RestorationState::lrf_filter_
+    frame driven from encode_tile_group (src/encoder.rs)."""
+    from scipy.ndimage import gaussian_filter
+
+    from rav1e_tpu.entropy.obu import show_existing_packet
+    from rav1e_tpu.pipeline import tpu_inter as TI
+
+    rng = np.random.default_rng(57)
+    H, W = 96, 128
+    base = gaussian_filter(rng.normal(0, 60, (H + 16, W + 16)), 1.2)
+    cb = gaussian_filter(rng.normal(0, 40, (H // 2 + 16, W // 2 + 16)),
+                         1.0)
+
+    def frame(t):
+        y = (128 + base[t:t + H, 2 * t:2 * t + W]).clip(0, 255)
+        u = (128 + cb[t:t + H // 2, t:t + W // 2]).clip(0, 255)
+        v = (128 - cb[t:t + H // 2, t:t + W // 2]).clip(0, 255)
+        return [y.astype(np.uint8), u.astype(np.uint8),
+                v.astype(np.uint8)]
+
+    q = 160                 # coarse q so restoration has work to do
+    f0, f1, f2 = frame(0), frame(2), frame(4)
+    kpkt, krec = encode_keyframe_tpu(f0, qindex=q, speed=6, lr=True)
+    _, krec_nolr = encode_keyframe_tpu(f0, qindex=q, speed=6)
+    assert any(not np.array_equal(a, b)
+               for a, b in zip(krec, krec_nolr)), "LR never engaged"
+    krec = [np.asarray(p, np.int32) for p in krec]
+    apkt, arec = TI.encode_pframe_tpu(
+        f2, krec, qindex=q, order_hint=2, refresh_flags=0x02,
+        ref_slot=0, show_frame=False, lr=True)
+    arec = [np.asarray(p, np.int32) for p in arec]
+    bpkt, brec = TI.encode_bframe_tpu(
+        f1, krec, arec, qindex=q, order_hint=1,
+        slot_fwd=0, slot_bwd=1, ref_hints=(0, 2), lr=True)
+    brec = [np.asarray(p, np.int32) for p in brec]
+    pkts = [kpkt, apkt, bpkt, show_existing_packet(1)]
+    order = [krec, brec, arec]
+    d = dav1d.decode_all(pkts)
+    a = aom.decode_all(pkts)
+    assert len(d) == 3 and len(a) == 3
+    for i in range(3):
+        for j in range(3):
+            assert np.array_equal(d[i].planes[j], order[i][j]), (i, j)
+            assert np.array_equal(a[i][j], order[i][j]), (i, j)
+
+
+def test_context_lr_sequence_reordered():
+    """End-to-end LR sequence through Context at an LR speed (<=3)
+    with reordering ON: every frame of the GOP (KEY, anchors, B
+    levels) signals lr_params against the keyframe's
+    enable_restoration=1 sequence header, all through the TPU-batched
+    pipelines. The stream must decode cleanly on both oracles with
+    the right display count."""
+    from scipy.ndimage import gaussian_filter
+
+    from rav1e_tpu.api import Config
+
+    rng = np.random.default_rng(58)
+    H, W = 64, 96
+    base = gaussian_filter(rng.normal(0, 55, (H + 32, W + 32)), 1.1)
+
+    def frame(t):
+        y = (128 + base[t:t + H, 2 * t:2 * t + W]).clip(0, 255)
+        return [y.astype(np.uint8),
+                np.full((H // 2, W // 2), 120, np.uint8),
+                np.full((H // 2, W // 2), 133, np.uint8)]
+
+    cfg = Config(width=W, height=H, speed=3, quantizer=150)
+    ctx = cfg.new_context()
+    N = 6
+    for t in range(N):
+        ctx.send_frame(frame(t))
+    ctx.flush()
+    pkts = []
+    while True:
+        _, p = ctx.receive_packet()
+        if p is None:
+            break
+        pkts.append(p.data if hasattr(p, "data") else p)
+    d = dav1d.decode_all(pkts)
+    a = aom.decode_all(pkts)
+    assert len(d) == N and len(a) == N
+    for i in range(N):
+        for j in range(3):
+            assert np.array_equal(d[i].planes[j], a[i][j]), (i, j)
