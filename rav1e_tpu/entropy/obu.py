@@ -174,6 +174,12 @@ class FrameParams:
     loop_filter_levels: tuple = (0, 0, 0, 0)
     loop_filter_sharpness: int = 0
     loop_filter_delta_enabled: bool = False
+    # quantization_params chroma deltas (spec read_delta_q; V follows
+    # U because seq separate_uv_delta_q = 0). rav1e runs chroma at a
+    # finer quantizer than luma (QuantizerParameters in
+    # src/quantize/mod.rs derives per-plane qi from one log-q target)
+    delta_q_u_dc: int = 0      # -63..63
+    delta_q_u_ac: int = 0
     # film grain (written only when seq.film_grain_params_present):
     # None = apply_grain 0
     film_grain: "FilmGrainParams | None" = None
@@ -320,8 +326,8 @@ def write_frame_header(seq: Sequence, fp: FrameParams, ti: TileInfo) -> BitWrite
     # quantization_params
     b.f(fp.base_q_idx, 8)
     b.delta_q(0)  # y dc
-    b.delta_q(0)  # u dc
-    b.delta_q(0)  # u ac
+    b.delta_q(fp.delta_q_u_dc)  # u dc (v inherits: separate_uv off)
+    b.delta_q(fp.delta_q_u_ac)  # u ac
     b.bit(0)  # using_qmatrix
     # segmentation_params
     _write_segmentation(b, fp)
@@ -515,9 +521,9 @@ def write_inter_frame_header(seq: Sequence, fp: FrameParams, ti: TileInfo,
         b.bit(1)  # disable_frame_end_update_cdf
     ti.write(b, fp)
     b.f(fp.base_q_idx, 8)
-    b.delta_q(0)
-    b.delta_q(0)
-    b.delta_q(0)
+    b.delta_q(0)                # y dc
+    b.delta_q(fp.delta_q_u_dc)  # u dc (v inherits: separate_uv off)
+    b.delta_q(fp.delta_q_u_ac)  # u ac
     b.bit(0)  # using_qmatrix
     _write_segmentation(b, fp)
     if fp.base_q_idx > 0:

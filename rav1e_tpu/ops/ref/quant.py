@@ -33,6 +33,17 @@ def ac_q(qindex: int, delta: int = 0, bd: int = 8) -> int:
     return int(_q_tables()[bd][1][int(np.clip(qindex + delta, 0, 255))])
 
 
+CHROMA_DELTA_Q = 0
+
+
+def chroma_dq(qindex: int) -> int:
+    """Frame-header delta_q_u_dc/ac for the TPU paths (rav1e
+    QuantizerParameters, src/quantize/mod.rs: chroma runs at a finer
+    quantizer than luma). Clamped so the chroma qindex stays in
+    [1, 255] — qindex 0 would flip the plane to lossless semantics."""
+    return max(1, min(255, qindex + CHROMA_DELTA_Q)) - qindex
+
+
 def tx_scale(tx_size: TxSize) -> int:
     """log2 downscale applied by the dequantizer for big transforms."""
     pels = tx_size.width * tx_size.height

@@ -131,6 +131,8 @@ def encode_pframe_tiled(planes, ref_planes, qindex: int, mesh: Mesh,
     fp = FrameParams(frame_type=FrameType.INTER, base_q_idx=qindex,
                      render_size=render_size,
                      loop_filter_levels=(lf, lf, lf, lf))
+    from rav1e_tpu.ops.ref.quant import chroma_dq as _cdq
+    fp.delta_q_u_dc = fp.delta_q_u_ac = _cdq(qindex)
     ti = TileInfo(seq, cols_log2, 0)
     assert ti.n_cols == T, (ti.n_cols, T)
     B_t = nby * nbx_t

@@ -89,16 +89,29 @@ def _merge_save_bits() -> float:
                  - pm[int(PartitionType.NONE)])
 
 
-def build_rd_inter(qindex: int, bit_depth: int = 8) -> dict:
+def build_rd_inter(qindex: int, bit_depth: int = 8,
+                   chroma_dq: int | None = None) -> dict:
     """Traced RD inputs for the batched P step: λ, MV-rate LUT, inter
     mode bits, coefficient-rate LUTs (WriterCounter twin —
-    entropy/cost.py; rav1e src/rdo.rs::compute_rd_cost analog)."""
+    entropy/cost.py; rav1e src/rdo.rs::compute_rd_cost analog).
+
+    chroma_dq: frame-header delta_q_u_dc/ac in qindex steps — chroma
+    quantizes (and its rate LUTs price) at qindex + chroma_dq (rav1e
+    QuantizerParameters runs chroma finer than luma)."""
     from rav1e_tpu.entropy.cost import (
         inter_mode_bits, mv_component_bits, rd_lambda, sad_lambda)
     from rav1e_tpu.ops.ref.deblock import level_from_qindex
     from rav1e_tpu.pipeline.tpu_intra import rate_luts
+    from rav1e_tpu.ops.ref.quant import ac_q as _acq
+    from rav1e_tpu.ops.ref.quant import chroma_dq as _cdq
+    from rav1e_tpu.ops.ref.quant import dc_q as _dcq
     imb = inter_mode_bits()
+    if chroma_dq is None:
+        chroma_dq = _cdq(qindex)
+    qc = qindex + chroma_dq
     return {
+        "dcq_c": jnp.int32(_dcq(qc, 0, bit_depth)),
+        "acq_c": jnp.int32(_acq(qc, 0, bit_depth)),
         "lam": jnp.float32(rd_lambda(qindex, bit_depth)),
         "lam_sad": jnp.float32(sad_lambda(qindex, bit_depth)),
         "mv_bits": jnp.asarray(mv_component_bits()),
@@ -110,10 +123,10 @@ def build_rd_inter(qindex: int, bit_depth: int = 8) -> dict:
         "skip0": jnp.float32(imb["skip0"]),
         "skip1": jnp.float32(imb["skip1"]),
         "y32": rate_luts(qindex, TxSize.TX_32X32, 0),
-        "c16": rate_luts(qindex, TxSize.TX_16X16, 1),
+        "c16": rate_luts(qc, TxSize.TX_16X16, 1),
         "y16": rate_luts(qindex, TxSize.TX_16X16, 0),
-        "c8": rate_luts(qindex, TxSize.TX_8X8, 1),
-        "c32": rate_luts(qindex, TxSize.TX_32X32, 1),
+        "c8": rate_luts(qc, TxSize.TX_8X8, 1),
+        "c32": rate_luts(qc, TxSize.TX_32X32, 1),
         "split_bits": jnp.float32(_split_bits()),
         "merge_save": jnp.float32(_merge_save_bits()),
         "base_lf": jnp.int32(level_from_qindex(qindex)),
@@ -357,11 +370,21 @@ def _merge64_pass(y, u, v, ryp, rup, rvp, ryp2, rup2, rvp2, rd, lam,
         d = (p - blks64).astype(jnp.float32)
         return jnp.sum(d * d, (1, 2))
 
+    # neighbor-relative MV rate (see cand_pass): the merged block's
+    # mv-stack predictor is ~ the left SB's MV, so a coherent field
+    # codes the merge as a ~2-bit NEAREST alias, not a full NEWMV
+    mvtl_g = mv_tl.reshape(nr64, nc64, 2)
+    pred64 = jnp.concatenate([mvtl_g[:, :1], mvtl_g[:, :-1]],
+                             1).reshape(B64n, 2)
+
     def mvr64(mv):
-        r = (rd["mv_bits"][jnp.abs(mv[:, 0])]
-             + rd["mv_bits"][jnp.abs(mv[:, 1])])
         z = (mv[:, 0] == 0) & (mv[:, 1] == 0)
-        return jnp.where(z, rd["globalmv"], r + rd["newmv"])
+        d0 = jnp.minimum(jnp.abs(mv[:, 0] - pred64[:, 0]), 1024)
+        d1 = jnp.minimum(jnp.abs(mv[:, 1] - pred64[:, 1]), 1024)
+        same = (d0 == 0) & (d1 == 0) & ~z
+        r = rd["newmv"] + rd["mv_bits"][d0] + rd["mv_bits"][d1]
+        r = jnp.where(same, rd["nearest"], r)
+        return jnp.where(z, rd["globalmv"], r)
 
     cand_mv = [mv_tl, zero]
     cand_ref = [0, 0]
@@ -392,8 +415,8 @@ def _merge64_pass(y, u, v, ryp, rup, rvp, ryp2, rup2, rvp2, rd, lam,
     else:
         pred_u64, pred_v64 = pu_f, pv_f
     lv_y64, r2_y64 = code(blks64 - pred_y64, TxSize.TX_64X64)
-    lv_u32, r2_u32 = code(ub32 - pred_u64, TxSize.TX_32X32)
-    lv_v32, r2_v32 = code(vb32 - pred_v64, TxSize.TX_32X32)
+    lv_u32, r2_u32 = code(ub32 - pred_u64, TxSize.TX_32X32, chroma=True)
+    lv_v32, r2_v32 = code(vb32 - pred_v64, TxSize.TX_32X32, chroma=True)
     cd_y64 = jnp.clip(pred_y64 + r2_y64, 0, 255)
     cd_u32 = jnp.clip(pred_u64 + r2_u32, 0, 255)
     cd_v32 = jnp.clip(pred_v64 + r2_v32, 0, 255)
@@ -497,21 +520,75 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
 
     ub = to_blocks(u.astype(jnp.int32), 16)
     vb = to_blocks(v.astype(jnp.int32), 16)
+    lam = rd["lam"]
+
+    def exact_sse(ref_pad):
+        def f(mv):
+            p = _mc_batch(ref_pad, by, bx, mv, 32, 0)
+            return jnp.sum((p - blks).astype(jnp.float32) ** 2, (1, 2))
+        return f
+
+    def cand_pass(mv8, sse_fn):
+        """Left/above MV candidates with NEIGHBOR-RELATIVE rates: the
+        real writer codes NEWMV residuals against the mv-stack
+        predictor (~ the left/above MVs), so pricing |mv| from zero
+        misjudges coherent-vs-stray MVs and leaves the field
+        fragmented — every blob boundary then pays NEWMV+residual
+        instead of the ~2-bit NEAREST alias (measured ~50 B/frame of
+        pure signaling on a clean pan). rav1e rdo_mode_decision's
+        NEARESTMV/NEARMV trials from the mv stack, batched."""
+        mvg = mv8.reshape(nby, nbx, 2)
+        mvl = jnp.concatenate([mvg[:, :1], mvg[:, :-1]],
+                              1).reshape(B, 2)
+        mva = jnp.concatenate([mvg[:1], mvg[:-1]], 0).reshape(B, 2)
+
+        def zero(mv):
+            return (mv[:, 0] == 0) & (mv[:, 1] == 0)
+
+        def dbits(mv, pred):
+            d0 = jnp.minimum(jnp.abs(mv[:, 0] - pred[:, 0]), 1024)
+            d1 = jnp.minimum(jnp.abs(mv[:, 1] - pred[:, 1]), 1024)
+            return rd["mv_bits"][d0] + rd["mv_bits"][d1]
+
+        r_own = jnp.where(zero(mv8), rd["globalmv"],
+                          rd["newmv"] + dbits(mv8, mvl))
+        mv0 = jnp.zeros_like(mv8)
+        # the zero/GLOBALMV candidate is the GLOBAL attractor: at high
+        # q the prediction-SSE landscape is flat (under the recon
+        # noise floor), and without it incoherent all-skip MV blobs
+        # are locally stable — each blob interior aliases NEAREST
+        # while only boundaries pay, so neighbor candidates alone
+        # collapse the field one ring per pass
+        cand_r = jnp.stack(
+            [r_own,
+             jnp.where(zero(mvl), rd["globalmv"], rd["nearest"]),
+             jnp.where(zero(mva), rd["globalmv"], rd["near"]),
+             jnp.broadcast_to(rd["globalmv"], r_own.shape)],
+            0)                                        # [4,B]
+        cc = (ds32[None] * jnp.stack([sse_fn(mv8), sse_fn(mvl),
+                                      sse_fn(mva), sse_fn(mv0)], 0)
+              + lam * cand_r)
+        k = jnp.argmin(cc, 0)                         # own wins ties
+        mv8 = jnp.where(k[:, None] == 0, mv8,
+                        jnp.where(k[:, None] == 1, mvl,
+                                  jnp.where(k[:, None] == 2, mva,
+                                            mv0)))
+        return mv8, jnp.take_along_axis(cand_r, k[None], 0)[0]
+
     if ryp2 is None:
         # ---- single-ref: neighbor-MV candidates + final prediction
         # (rav1e rdo_mode_decision's NEARESTMV/NEARMV trials from the
         # mv stack, restructured batched: the left/above ME MVs stand
         # in for the stack entries — after coding-order aliasing in
         # the packer a matching MV costs only the mode symbol).
-        # Candidates are priced from the ALREADY-COMPUTED full-pel SSD
-        # grid (zero extra gathers); only the one selected MV pays a
-        # final _mc_batch prediction. ------------------------------
-        lam = rd["lam"]
-        mvg = mv8.reshape(nby, nbx, 2)
-        mvl = jnp.concatenate([mvg[:, :1], mvg[:, :-1]],
-                              1).reshape(B, 2)
-        mva = jnp.concatenate([mvg[:1], mvg[:-1]], 0).reshape(B, 2)
-
+        # Candidates are priced with NEIGHBOR-RELATIVE rates: the real
+        # writer codes NEWMV residuals against the mv-stack predictor
+        # (~ the left/above MVs), so pricing |mv| from zero misjudges
+        # coherent-vs-stray MVs and leaves the field fragmented —
+        # every blob boundary then pays NEWMV+residual instead of the
+        # ~2-bit NEAREST alias (measured ~50 B/frame on a clean pan).
+        # Pass 1 snaps from the free full-pel SSD grid; pass 2 re-
+        # judges at exact subpel SSE (3 _mc_batch). ----------------
         def grid_sse(mv):
             fy = jnp.clip((mv[:, 0] + 4) >> 3, -SEARCH, SEARCH)
             fx = jnp.clip((mv[:, 1] + 4) >> 3, -SEARCH, SEARCH)
@@ -519,25 +596,8 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
             return jnp.take_along_axis(
                 ssd0.reshape(B, -1), flat[:, None], 1)[:, 0]
 
-        def mvr1(mv):
-            r = (rd["mv_bits"][jnp.abs(mv[:, 0])]
-                 + rd["mv_bits"][jnp.abs(mv[:, 1])])
-            zero = (mv[:, 0] == 0) & (mv[:, 1] == 0)
-            return jnp.where(zero, rd["globalmv"], r + rd["newmv"])
-
-        zl = (mvl[:, 0] == 0) & (mvl[:, 1] == 0)
-        za = (mva[:, 0] == 0) & (mva[:, 1] == 0)
-        cand_r = jnp.stack(
-            [mvr1(mv8),
-             jnp.where(zl, rd["globalmv"], rd["nearest"]),
-             jnp.where(za, rd["globalmv"], rd["near"])], 0)  # [3,B]
-        cc = (ds32[None] * jnp.stack([grid_sse(mv8), grid_sse(mvl),
-                                      grid_sse(mva)], 0)
-              + lam * cand_r)
-        k = jnp.argmin(cc, 0)                         # own wins ties
-        mv8 = jnp.where(k[:, None] == 0, mv8,
-                        jnp.where(k[:, None] == 1, mvl, mva))
-        rate32 = jnp.take_along_axis(cand_r, k[None], 0)[0]
+        mv8, _ = cand_pass(mv8, grid_sse)
+        mv8, rate32 = cand_pass(mv8, exact_sse(ryp))
         pred_y = _mc_batch(ryp, by, bx, mv8, 32, 0)
         pred_u = _mc_batch(rup, by // 2, bx // 2, mv8, 16, 1)
         pred_v = _mc_batch(rvp, by // 2, bx // 2, mv8, 16, 1)
@@ -551,38 +611,33 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         # single-ref candidates, no compound. ----------------------
         mvb8_, patchb, pbir, pbic, _ = _search_one_ref(
             ryp2, blks, by, bx, rd, B, use_satd)
-        lam = rd["lam"]
-
-        def mvr(mv):
-            r = (rd["mv_bits"][jnp.abs(mv[:, 0])]
-                 + rd["mv_bits"][jnp.abs(mv[:, 1])])
-            zero = (mv[:, 0] == 0) & (mv[:, 1] == 0)
-            return jnp.where(zero, rd["globalmv"], r + rd["newmv"])
-
-        pf_y = _mc_patch(patch32, pir0, pic0, by, bx, mv8, 32, 0, 1)
-        pb_y = _mc_patch(patchb, pbir, pbic, by, bx, mvb8_, 32, 0, 1)
+        # per-ref MV-field coherence pass (see cand_pass): snapped MVs
+        # may leave the M=1 descent patches, so predictions rebuild
+        # via _mc_batch rather than _mc_patch
+        mv8, rate_f = cand_pass(mv8, exact_sse(ryp))
+        mvb8_, rate_b = cand_pass(mvb8_, exact_sse(ryp2))
+        pf_y = _mc_batch(ryp, by, bx, mv8, 32, 0)
+        pb_y = _mc_batch(ryp2, by, bx, mvb8_, 32, 0)
 
         def sse_of(p):
             d = (p - blks).astype(jnp.float32)
             return jnp.sum(d * d, axis=(1, 2))
 
-        cost_f = ds32 * sse_of(pf_y) + lam * mvr(mv8)
+        cost_f = ds32 * sse_of(pf_y) + lam * rate_f
         if fwd2:
             # GOLDEN pays the extra single-ref tree bits (~p3+p5)
-            cost_b = ds32 * sse_of(pb_y) + lam * (mvr(mvb8_) + 2.0)
+            cost_b = ds32 * sse_of(pb_y) + lam * (rate_b + 2.0)
             choice = jnp.argmin(jnp.stack([cost_f, cost_b], 1), axis=1)
             pc_y = pf_y
         else:
-            if_y = _mc_patch(patch32, pir0, pic0, by, bx, mv8, 32, 0,
-                             1, interm=True)
-            ib_y = _mc_patch(patchb, pbir, pbic, by, bx, mvb8_, 32, 0,
-                             1, interm=True)
+            if_y = _mc_batch(ryp, by, bx, mv8, 32, 0, interm=True)
+            ib_y = _mc_batch(ryp2, by, bx, mvb8_, 32, 0, interm=True)
             pc_y = _comp_avg(if_y, ib_y)
             # compound signaling overhead vs single (comp_mode +
             # second ref + drl): ~2 bits on top of both MV residuals
-            cost_b = ds32 * sse_of(pb_y) + lam * mvr(mvb8_)
+            cost_b = ds32 * sse_of(pb_y) + lam * rate_b
             cost_c = (ds32 * sse_of(pc_y)
-                      + lam * (mvr(mv8) + mvr(mvb8_) + 2.0))
+                      + lam * (rate_f + rate_b + 2.0))
             choice = jnp.argmin(
                 jnp.stack([cost_f, cost_b, cost_c], 1), axis=1)
         ch3 = choice[:, None, None]
@@ -615,16 +670,19 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         mv8 = jnp.where((choice == 1)[:, None], mvb8_, mv8)
         rate32 = None
 
-    def code(resid, tx):
+    def code(resid, tx, chroma=False):
         # dynamic-q quantize/dequant (ops.ref.quant semantics with
-        # dcq/acq as traced scalars)
+        # dcq/acq as traced scalars); chroma planes quantize at the
+        # frame-header delta_q_u qindex (rav1e QuantizerParameters)
         cf = T.forward_transform(resid, tx, TxType.DCT_DCT)
         n = tx.width
         shift = 2 if n == 64 else (1 if n * n > 256 else 0)
         dc_mask = np.zeros((n, n), bool)
         dc_mask[0, 0] = True
         dc_mask = jnp.asarray(dc_mask)
-        q = jnp.where(dc_mask, dcq, acq).astype(jnp.int32)
+        qd = rd["dcq_c"] if chroma else dcq
+        qa = rd["acq_c"] if chroma else acq
+        q = jnp.where(dc_mask, qd, qa).astype(jnp.int32)
         bias = jnp.where(dc_mask, 21, 17)
         a = jnp.abs(cf) << shift
         lv = jnp.minimum((a + (q * bias) // 64) // q, (1 << 15) - 1)
@@ -635,8 +693,8 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         return lv, r2
 
     lv_y, r2_y = code(blks - pred_y, TxSize.TX_32X32)
-    lv_u, r2_u = code(ub - pred_u, TxSize.TX_16X16)
-    lv_v, r2_v = code(vb - pred_v, TxSize.TX_16X16)
+    lv_u, r2_u = code(ub - pred_u, TxSize.TX_16X16, chroma=True)
+    lv_v, r2_v = code(vb - pred_v, TxSize.TX_16X16, chroma=True)
     # skip as an RD decision (rav1e prices skip=1 vs coded
     # residual; src/rdo.rs luma_chroma_mode_rdo skip trial):
     # sse(recon) + λ(skip0 + coeff bits)  vs  sse(pred) + λ·skip1
@@ -815,8 +873,8 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         pred_u8 = jnp.where(z3, pz_u, pp_u)
         pred_v8 = jnp.where(z3, pz_v, pp_v)
     lv_y16, r2_y16 = code(blks16 - pred_y16, TxSize.TX_16X16)
-    lv_u8, r2_u8 = code(ub8 - pred_u8, TxSize.TX_8X8)
-    lv_v8, r2_v8 = code(vb8 - pred_v8, TxSize.TX_8X8)
+    lv_u8, r2_u8 = code(ub8 - pred_u8, TxSize.TX_8X8, chroma=True)
+    lv_v8, r2_v8 = code(vb8 - pred_v8, TxSize.TX_8X8, chroma=True)
     cd_y16 = jnp.clip(pred_y16 + r2_y16, 0, 255)
     cd_u8 = jnp.clip(pred_u8 + r2_u8, 0, 255)
     cd_v8 = jnp.clip(pred_v8 + r2_v8, 0, 255)
@@ -919,8 +977,8 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         pi_v = _pm((PredictionMode.DC_PRED,), va, vl, vtl, has_a,
                    has_l, 16, 16)[0]
         lvi_y, r2i_y = code(blks - pi_y, TxSize.TX_32X32)
-        lvi_u, r2i_u = code(ub - pi_u, TxSize.TX_16X16)
-        lvi_v, r2i_v = code(vb - pi_v, TxSize.TX_16X16)
+        lvi_u, r2i_u = code(ub - pi_u, TxSize.TX_16X16, chroma=True)
+        lvi_v, r2i_v = code(vb - pi_v, TxSize.TX_16X16, chroma=True)
         cdi_y = jnp.clip(pi_y + r2i_y, 0, 255)
         cdi_u = jnp.clip(pi_u + r2i_u, 0, 255)
         cdi_v = jnp.clip(pi_v + r2i_v, 0, 255)
@@ -1466,6 +1524,8 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
                      render_size=render_size,
                      loop_filter_levels=(lf, lf, lf, lf))
     fp.film_grain = film_grain
+    from rav1e_tpu.ops.ref.quant import chroma_dq as _cdq
+    fp.delta_q_u_dc = fp.delta_q_u_ac = _cdq(qindex)
     cdef_bits = 0
     if cdef_map is not None:
         from rav1e_tpu.ops.tpu.cdef import compact_ladder
@@ -1698,6 +1758,8 @@ def _pack_pframe_mref(h, w, qindex, order_hint, mv8, choice, skip,
                      render_size=render_size,
                      loop_filter_levels=(lf, lf, lf, lf))
     fp.film_grain = film_grain
+    from rav1e_tpu.ops.ref.quant import chroma_dq as _cdq
+    fp.delta_q_u_dc = fp.delta_q_u_ac = _cdq(qindex)
     if cdef_map is not None:
         from rav1e_tpu.ops.tpu.cdef import compact_ladder
         fp.cdef_damping = cdef[4]
@@ -1801,6 +1863,8 @@ def _pack_bframe(h, w, qindex, order_hint, mv8, mvb8, choice, skip,
                      render_size=render_size,
                      loop_filter_levels=(lf, lf, lf, lf))
     fp.film_grain = film_grain
+    from rav1e_tpu.ops.ref.quant import chroma_dq as _cdq
+    fp.delta_q_u_dc = fp.delta_q_u_ac = _cdq(qindex)
     if cdef_map is not None:
         from rav1e_tpu.ops.tpu.cdef import compact_ladder
         fp.cdef_damping = cdef[4]

@@ -180,16 +180,18 @@ def build_rd(qindex: int, modes_y, modes_uv, bit_depth: int = 8,
             mc["uv_mode_cfl"][int(P.UV_CFL_PRED)]
             + float(mc["cfl_sign"][1:].mean())
             + 2.0 * float(mc["cfl_alpha"].mean()))
+    from rav1e_tpu.ops.ref.quant import chroma_dq as _chroma_dq
+    qc = qindex + _chroma_dq(qindex)
     out2 = {
         "qdc": jnp.int32(dc_q(qindex, 0, bit_depth)),
         "qac": jnp.int32(ac_q(qindex, 0, bit_depth)),
-        "qdc_c": jnp.int32(dc_q(qindex, 0, bit_depth)),
-        "qac_c": jnp.int32(ac_q(qindex, 0, bit_depth)),
+        "qdc_c": jnp.int32(dc_q(qc, 0, bit_depth)),
+        "qac_c": jnp.int32(ac_q(qc, 0, bit_depth)),
         "lam": jnp.float32(rd_lambda(qindex, bit_depth)),
         "y32": rate_luts(qindex, TxSize.TX_32X32, 0),
         "y16": rate_luts(qindex, TxSize.TX_16X16, 0),
-        "c16": rate_luts(qindex, TxSize.TX_16X16, 1),
-        "c8": rate_luts(qindex, TxSize.TX_8X8, 1),
+        "c16": rate_luts(qc, TxSize.TX_16X16, 1),
+        "c8": rate_luts(qc, TxSize.TX_8X8, 1),
         "ybits": jnp.asarray(ybits),
         "uvbits": jnp.asarray(uvbits),
         "yqbits": jnp.asarray(yqbits),
@@ -1398,6 +1400,8 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     fp = FrameParams(frame_type=FrameType.KEY, base_q_idx=qindex,
                      loop_filter_levels=(lf, lf, lf, lf),
                      render_size=render_size)
+    from rav1e_tpu.ops.ref.quant import chroma_dq as _chroma_dq
+    fp.delta_q_u_dc = fp.delta_q_u_ac = _chroma_dq(qindex)
     cdef_bits = 0
     if cdef_map is not None:
         from rav1e_tpu.ops.tpu.cdef import compact_ladder
