@@ -340,6 +340,19 @@ def _search_one_ref(ryp, blks, by, bx, rd, B, use_satd=False):
     return mv8, patch32, pir0, pic0, ssd
 
 
+def _grid_sse_fn(ssd, B):
+    """Full-pel SSD-grid lookup of a (subpel) MV candidate: the
+    search's [B, (2S+1)^2] SSD surface is already materialized, so a
+    coherence pass over it costs one take_along_axis."""
+    def f(mv):
+        fy = jnp.clip((mv[:, 0] + 4) >> 3, -SEARCH, SEARCH)
+        fx = jnp.clip((mv[:, 1] + 4) >> 3, -SEARCH, SEARCH)
+        flat = (fy + SEARCH) * (2 * SEARCH + 1) + (fx + SEARCH)
+        return jnp.take_along_axis(
+            ssd.reshape(B, -1), flat[:, None], 1)[:, 0]
+    return f
+
+
 def _merge64_pass(y, u, v, ryp, rup, rvp, ryp2, rup2, rvp2, rd, lam,
                   code, nby, nbx, mv8, rec_y, rec_u, rec_v, lv_y, lv_u,
                   lv_v, skip, split, skip16_out, choice, mvb8,
@@ -550,9 +563,22 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
             d1 = jnp.minimum(jnp.abs(mv[:, 1] - pred[:, 1]), 1024)
             return rd["mv_bits"][d0] + rd["mv_bits"][d1]
 
-        r_own = jnp.where(zero(mv8), rd["globalmv"],
-                          rd["newmv"] + dbits(mv8, mvl))
+        def rate_rel(mv, pred):
+            # GLOBALMV when zero; NEAREST alias when it matches the
+            # stack predictor; NEWMV + residual bits otherwise
+            r = rd["newmv"] + dbits(mv, pred)
+            same = (mv[:, 0] == pred[:, 0]) & (mv[:, 1] == pred[:, 1])
+            r = jnp.where(same & ~zero(pred), rd["nearest"], r)
+            return jnp.where(zero(mv), rd["globalmv"], r)
+
+        r_own = rate_rel(mv8, mvl)
         mv0 = jnp.zeros_like(mv8)
+        # median MV: a GLOBAL candidate that collapses same-motion
+        # blobs in one pass (neighbor candidates alone only move blob
+        # boundaries one block per pass)
+        mvmed = jnp.broadcast_to(
+            (jnp.round(jnp.median(mv8, axis=0) / 2).astype(jnp.int32)
+             * 2)[None], mv8.shape)    # quarter-pel grid (allow_hp=0)
         # the zero/GLOBALMV candidate is the GLOBAL attractor: at high
         # q the prediction-SSE landscape is flat (under the recon
         # noise floor), and without it incoherent all-skip MV blobs
@@ -563,17 +589,19 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
             [r_own,
              jnp.where(zero(mvl), rd["globalmv"], rd["nearest"]),
              jnp.where(zero(mva), rd["globalmv"], rd["near"]),
-             jnp.broadcast_to(rd["globalmv"], r_own.shape)],
-            0)                                        # [4,B]
+             jnp.broadcast_to(rd["globalmv"], r_own.shape),
+             rate_rel(mvmed, mvl)],
+            0)                                        # [5,B]
         cc = (ds32[None] * jnp.stack([sse_fn(mv8), sse_fn(mvl),
-                                      sse_fn(mva), sse_fn(mv0)], 0)
+                                      sse_fn(mva), sse_fn(mv0),
+                                      sse_fn(mvmed)], 0)
               + lam * cand_r)
         k = jnp.argmin(cc, 0)                         # own wins ties
-        mv8 = jnp.where(k[:, None] == 0, mv8,
-                        jnp.where(k[:, None] == 1, mvl,
-                                  jnp.where(k[:, None] == 2, mva,
-                                            mv0)))
-        return mv8, jnp.take_along_axis(cand_r, k[None], 0)[0]
+        cands = [mv8, mvl, mva, mv0, mvmed]
+        out = mv8
+        for i in range(1, 5):
+            out = jnp.where(k[:, None] == i, cands[i], out)
+        return out, jnp.take_along_axis(cand_r, k[None], 0)[0]
 
     if ryp2 is None:
         # ---- single-ref: neighbor-MV candidates + final prediction
@@ -587,16 +615,11 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         # coherent-vs-stray MVs and leaves the field fragmented —
         # every blob boundary then pays NEWMV+residual instead of the
         # ~2-bit NEAREST alias (measured ~50 B/frame on a clean pan).
-        # Pass 1 snaps from the free full-pel SSD grid; pass 2 re-
-        # judges at exact subpel SSE (3 _mc_batch). ----------------
-        def grid_sse(mv):
-            fy = jnp.clip((mv[:, 0] + 4) >> 3, -SEARCH, SEARCH)
-            fx = jnp.clip((mv[:, 1] + 4) >> 3, -SEARCH, SEARCH)
-            flat = (fy + SEARCH) * (2 * SEARCH + 1) + (fx + SEARCH)
-            return jnp.take_along_axis(
-                ssd0.reshape(B, -1), flat[:, None], 1)[:, 0]
-
-        mv8, _ = cand_pass(mv8, grid_sse)
+        # Blob erosion: each pass moves same-motion blob boundaries
+        # one ring, so iterate the free full-pel-grid pass before one
+        # exact-subpel re-judge (3 grid reads + 5 _mc_batch). -------
+        for _ in range(8):
+            mv8, _ = cand_pass(mv8, _grid_sse_fn(ssd0, B))
         mv8, rate32 = cand_pass(mv8, exact_sse(ryp))
         pred_y = _mc_batch(ryp, by, bx, mv8, 32, 0)
         pred_u = _mc_batch(rup, by // 2, bx // 2, mv8, 16, 1)
@@ -609,11 +632,15 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         # restructured as three fixed candidates per block).
         # fwd2: multi-ref P (LAST + GOLDEN, both forward) — two
         # single-ref candidates, no compound. ----------------------
-        mvb8_, patchb, pbir, pbic, _ = _search_one_ref(
+        mvb8_, patchb, pbir, pbic, ssdb = _search_one_ref(
             ryp2, blks, by, bx, rd, B, use_satd)
-        # per-ref MV-field coherence pass (see cand_pass): snapped MVs
-        # may leave the M=1 descent patches, so predictions rebuild
-        # via _mc_batch rather than _mc_patch
+        # per-ref MV-field coherence passes (see cand_pass): 3 free
+        # full-pel-grid erosion rounds + one exact re-judge. Snapped
+        # MVs may leave the M=1 descent patches, so predictions
+        # rebuild via _mc_batch rather than _mc_patch
+        for _ in range(8):
+            mv8, _ = cand_pass(mv8, _grid_sse_fn(ssd0, B))
+            mvb8_, _ = cand_pass(mvb8_, _grid_sse_fn(ssdb, B))
         mv8, rate_f = cand_pass(mv8, exact_sse(ryp))
         mvb8_, rate_b = cand_pass(mvb8_, exact_sse(ryp2))
         pf_y = _mc_batch(ryp, by, bx, mv8, 32, 0)
@@ -635,7 +662,12 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
             pc_y = _comp_avg(if_y, ib_y)
             # compound signaling overhead vs single (comp_mode +
             # second ref + drl): ~2 bits on top of both MV residuals
-            cost_b = ds32 * sse_of(pb_y) + lam * rate_b
+            # minority-ref surcharge: a BWD block among FWD neighbors
+            # codes against an empty ALTREF mv stack (no NEAREST
+            # aliasing) + the comp_mode/ref-tree context flips —
+            # ref-checkerboard fields cost real bits the per-block
+            # trace can't see, so tilt ties toward the forward ref
+            cost_b = ds32 * sse_of(pb_y) + lam * (rate_b + 4.0)
             cost_c = (ds32 * sse_of(pc_y)
                       + lam * (rate_f + rate_b + 2.0))
             choice = jnp.argmin(
