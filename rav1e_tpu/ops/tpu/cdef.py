@@ -272,13 +272,20 @@ def _dirs_var(y):
     return dirs.reshape(h // 8, w // 8), var.reshape(h // 8, w // 8)
 
 
-def cdef_search_persb_jax(planes, srcs, skip8, damping):
+def cdef_search_persb_jax(planes, srcs, skip8, damping, lam=None):
     """Per-64x64-SB CDEF strength-index RDO over the 8-entry ladder
     (rav1e rdo_loop_decision's per-SB index into the frame's strength
     presets, cdef_bits = 3). Direction analysis and the per-direction
     tap selection run ONCE (plane-space static shifts, no gathers);
     the 8 candidates only redo the elementwise constrain/weight math.
     Each SB picks its SSE-argmin entry.
+
+    lam (traced float, optional) enables rav1e-style nb_strengths RD:
+    the signaled set is restricted to the {1,2,4,8}-entry subset that
+    minimizes total SSE + λ·(12 bits/entry + cdef_bits/SB) — the full
+    8-entry ladder costs ~96 header bits + 3 bits per SB, real rate
+    on small frames and easy content (rav1e cdef_dist search over
+    nb_strengths, src/cdef.rs::rdo_loop_decision).
     Returns (idx_sb [ceil(H/64), ceil(W/64)] int32, planes)."""
     y = planes[0]
     h, w = y.shape
@@ -316,6 +323,27 @@ def cdef_search_persb_jax(planes, srcs, skip8, damping):
     ssep = jnp.pad(sse32, ((0, 0), (0, nr * 2 - nby),
                            (0, nc * 2 - nbx)))
     sse_sb = ssep.reshape(K, nr, 2, nc, 2).sum((2, 4))
+    if lam is not None:
+        # nb_strengths RD: enumerate every 1/2/4/8-entry subset of the
+        # ladder as a static mask matrix; each SB takes the min inside
+        # the subset, plus λ·(header entry bits + per-SB index bits)
+        from itertools import combinations
+        masks, bits = [], []
+        for n in (1, 2, 4, 8):
+            for sub in combinations(range(K), n):
+                m = np.zeros(K, bool)
+                m[list(sub)] = True
+                masks.append(m)
+                bits.append(12.0 * n + float(nr * nc)
+                            * (0 if n == 1 else np.log2(n)))
+        masks = jnp.asarray(np.array(masks))           # [S, K]
+        bits = jnp.asarray(np.array(bits, np.float32))  # [S]
+        flat = sse_sb.reshape(K, nr * nc)
+        msse = jnp.where(masks[:, :, None], flat[None], jnp.inf)
+        tot = msse.min(1).sum(1) + lam * bits           # [S]
+        best = jnp.argmin(tot)
+        allowed = masks[best]                           # [K]
+        sse_sb = jnp.where(allowed[:, None, None], sse_sb, jnp.inf)
     idx = jnp.argmin(sse_sb, axis=0)               # [nr, nc]
     idx32 = jnp.repeat(jnp.repeat(idx, 2, 0), 2, 1)[:nby, :nbx]
 

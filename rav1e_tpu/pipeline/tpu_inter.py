@@ -1380,7 +1380,7 @@ def _core(h: int, w: int, use_cdef: bool = False,
     # standalone they cost what they compute.
     @jax.jit
     def filt(src, fry, fru, frv, base_lf, cdef_prm, split, skip16,
-             b64m):
+             b64m, lam):
         y, u, v = _unpack_src(src, h, w)
         srcs32 = [y, u.astype(jnp.int32), v.astype(jnp.int32)]
         planes = [fry.astype(jnp.int32), fru.astype(jnp.int32),
@@ -1400,7 +1400,7 @@ def _core(h: int, w: int, use_cdef: bool = False,
                    .transpose(0, 2, 1, 3).reshape(nby * 2, nbx * 2))
             skip8 = jnp.repeat(jnp.repeat(s16, 2, 0), 2, 1)
             cdef_idx, planes = cdef_search_persb_jax(
-                planes, srcs32, skip8, cdef_prm[4])
+                planes, srcs32, skip8, cdef_prm[4], lam=lam)
         else:
             cdef_idx = jnp.zeros(((nby + 1) // 2, (nbx + 1) // 2),
                                  jnp.int32)
@@ -1435,7 +1435,7 @@ def _core(h: int, w: int, use_cdef: bool = False,
                         o[6], o[7], o[8])
             lf_lvl, cdef_idx, fry, fru, frv = filt(
                 src, o[6], o[7], o[8], rd["base_lf"], cdef_prm,
-                o[11], o[13], o[16])
+                o[11], o[13], o[16], rd["lam"])
             return (pack(o, lf_lvl, cdef_idx), o[3], o[4], o[5],
                     fry, fru, frv)
     else:
@@ -1457,7 +1457,7 @@ def _core(h: int, w: int, use_cdef: bool = False,
                         o[6], o[7], o[8])
             lf_lvl, cdef_idx, fry, fru, frv = filt(
                 src, o[6], o[7], o[8], rd["base_lf"], cdef_prm,
-                o[11], o[13], o[16])
+                o[11], o[13], o[16], rd["lam"])
             return (pack(o, lf_lvl, cdef_idx), o[3], o[4], o[5],
                     fry, fru, frv)
 

@@ -1070,8 +1070,8 @@ def _kf_skip_flags(state):
 @partial(jax.jit,
          static_argnames=("split_rdo", "use_cdef", "use_deblock",
                           "cdef_rdo"))
-def _kf_filters(state, srcs, base_lf, cdef_prm, split_rdo, use_cdef,
-                use_deblock, cdef_rdo=False):
+def _kf_filters(state, srcs, base_lf, cdef_prm, lam, split_rdo,
+                use_cdef, use_deblock, cdef_rdo=False):
     """Keyframe in-loop filter dispatch (separate from the meta pack:
     fused, the filter searches degraded XLA's schedule of the big
     program). Returns (lf_lvl, cdef_idx, rec_packed uint8)."""
@@ -1105,7 +1105,7 @@ def _kf_filters(state, srcs, base_lf, cdef_prm, split_rdo, use_cdef,
                      for s in srcs]
             cdef_idx, planes = cdef_search_persb_jax(
                 [p.astype(jnp.int32) for p in planes], src_p,
-                skip8, cdef_prm[4])
+                skip8, cdef_prm[4], lam=lam)
         else:
             from rav1e_tpu.ops.tpu.cdef import cdef_filter_frame_jax
             planes = cdef_filter_frame_jax(
@@ -1168,12 +1168,12 @@ def _kf_meta(state, lf_lvl, cdef_idx):
             lu_f.astype(jnp.int16), lv_f.astype(jnp.int16))
 
 
-def _finalize_kf(state, srcs, base_lf, cdef_prm, split_rdo, use_cdef,
-                 use_deblock, cdef_rdo=False):
+def _finalize_kf(state, srcs, base_lf, cdef_prm, lam, split_rdo,
+                 use_cdef, use_deblock, cdef_rdo=False):
     """Device-side keyframe epilogue as two chained dispatches:
     in-loop filter searches, then compact meta packing."""
     lf_lvl, cdef_idx, rec_packed = _kf_filters(
-        state, srcs, base_lf, cdef_prm, split_rdo, use_cdef,
+        state, srcs, base_lf, cdef_prm, lam, split_rdo, use_cdef,
         use_deblock, cdef_rdo=cdef_rdo)
     meta, lvy, lvu, lvv = _kf_meta(state, lf_lvl, cdef_idx)
     return meta, rec_packed, lvy, lvu, lvv
@@ -1341,10 +1341,11 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     cdef_prm = jnp.asarray(
         list(cdef) if cdef is not None else [0, 0, 0, 0, 3], jnp.int32)
     use_cdef_rdo = cdef is not None and cdef_rdo
+    from rav1e_tpu.entropy.cost import rd_lambda
     meta_d, rec_packed_d, lvy_d, lvu_d, lvv_d = _finalize_kf(
         state, (sy, su, sv), jnp.int32(level_from_qindex(qindex)),
-        cdef_prm, split_rdo, cdef is not None, deblock,
-        cdef_rdo=use_cdef_rdo)
+        cdef_prm, jnp.float32(rd_lambda(qindex, 8)), split_rdo,
+        cdef is not None, deblock, cdef_rdo=use_cdef_rdo)
     if _timing:
         jax.block_until_ready(meta_d)
         print(f"# kf epilogue {_time.time()-_t0:.3f}s")
