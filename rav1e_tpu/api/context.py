@@ -499,12 +499,12 @@ class Context:
                    and not tiled)
         if is_key:
             lr = self.speed_settings.lr and not tiled
-            if fast_ok and grain is None and not aq:
+            if fast_ok and grain is None:
                 from rav1e_tpu.pipeline.tpu_intra import encode_keyframe_tpu
                 data, rec = encode_keyframe_tpu(
                     planes, qindex=q, cdef=cdef, speed=cfg.speed,
                     render_size=self._render,
-                    seq_extra=self._seq_extra or None, lr=lr)
+                    seq_extra=self._seq_extra or None, lr=lr, aq=aq)
                 self._lr_seq = lr
             else:
                 from rav1e_tpu.pipeline.intra import encode_keyframe

@@ -205,12 +205,16 @@ def build_rd(qindex: int, modes_y, modes_uv, bit_depth: int = 8,
 
 
 def _q_dyn(cf, tx_size, dcq, acq):
-    """Quantize with traced quantizer scalars (ops.ref.quant twin)."""
+    """Quantize with traced quantizer scalars (ops.ref.quant twin).
+    dcq/acq may also be [n] per-block vectors (variance AQ: each
+    block quantizes at its segment's qindex, spec get_qidx)."""
     shift = tx_scale(tx_size)
     h, w = tx_size.height, tx_size.width
     dc_mask = np.zeros((h, w), bool)
     dc_mask[0, 0] = True
     m = jnp.asarray(dc_mask)
+    if getattr(dcq, "ndim", 0):
+        dcq, acq = dcq[:, None, None], acq[:, None, None]
     q = jnp.where(m, dcq, acq).astype(jnp.int32)
     bias = jnp.where(m, 21, 17)
     a = jnp.abs(cf) << shift
@@ -224,6 +228,8 @@ def _dq_dyn(lv, tx_size, dcq, acq):
     dc_mask = np.zeros((h, w), bool)
     dc_mask[0, 0] = True
     m = jnp.asarray(dc_mask)
+    if getattr(dcq, "ndim", 0):
+        dcq, acq = dcq[:, None, None], acq[:, None, None]
     q = jnp.where(m, dcq, acq).astype(jnp.int32)
     dqv = ((jnp.abs(lv) * q) & 0xFFFFFF) >> shift
     return jnp.sign(lv) * dqv
@@ -240,11 +246,16 @@ def _cand_eval(preds, srcb, tx_size, dqs, tts, maxpx=255,
     inv = T.inverse_approx if approx else T.inverse_transform
     K, n, blkh, blkw = preds.shape
     recs, lvs = [], []
+    dq0, dq1 = dqs
+    if getattr(dq0, "ndim", 0):
+        # per-block quantizer vectors (variance AQ): candidate-major
+        # flattening below needs them tiled K times
+        dq0, dq1 = jnp.tile(dq0, K), jnp.tile(dq1, K)
     if len(set(tts)) == 1:
         resid = (srcb[None] - preds).reshape(K * n, blkh, blkw)
         cf = T.forward_transform(resid, tx_size, tts[0])
-        lv = _q_dyn(cf, tx_size, dqs[0], dqs[1])
-        dq = _dq_dyn(lv, tx_size, dqs[0], dqs[1])
+        lv = _q_dyn(cf, tx_size, dq0, dq1)
+        dq = _dq_dyn(lv, tx_size, dq0, dq1)
         r2 = inv(dq, tx_size, tts[0])
         recb = jnp.clip(preds.reshape(K * n, blkh, blkw) + r2, 0, maxpx)
         recb = recb.astype(jnp.int32).reshape(K, n, blkh, blkw)
@@ -435,6 +446,13 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
         has_a = ii > 0
         has_l = jj > 0
         m3 = mask[:, None, None]
+        if "qdc_g" in rd:
+            # variance AQ: per-block segment quantizers, gathered in
+            # the same batch order as the source blocks
+            qdc_b, qac_b = blk(rd["qdc_g"]), blk(rd["qac_g"])
+            qdc_cb, qac_cb = blk(rd["qdc_cg"]), blk(rd["qac_cg"])
+        else:
+            qdc_b, qac_b, qdc_cb, qac_cb = qdc, qac, qdc_c, qac_c
 
         # ---- luma 32 candidates ----
         sy = srcs[0]
@@ -467,7 +485,7 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
         preds32 = predict_modes(modes_y, a_y, l_y, tl_y, has_a, has_l,
                                 LB, LB, aext=aext, lext=lext)
         rec32, lv32, sse32 = _cand_eval(
-            preds32, srcb_y, TxSize.TX_32X32, (qdc, qac),
+            preds32, srcb_y, TxSize.TX_32X32, (qdc_b, qac_b),
             [TxType.DCT_DCT] * len(modes_y), approx=approx)
         cost32 = sse32 + lam * (block_bits(lv32, rd["y32"])
                                 + rd["ybits"][:, None])
@@ -497,9 +515,9 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
                     preds)
 
         ur, ulv, usse, pu_ = chroma_cands(ru, su, TxSize.TX_16X16,
-                                          cts16, (qdc_c, qac_c))
+                                          cts16, (qdc_cb, qac_cb))
         vr, vlv, vsse, pv_ = chroma_cands(rv, sv, TxSize.TX_16X16,
-                                          cts16, (qdc_c, qac_c))
+                                          cts16, (qdc_cb, qac_cb))
         ccost = (usse + vsse
                  + lam * (block_bits(ulv, rd["c16"])
                           + block_bits(vlv, rd["c16"])
@@ -539,10 +557,12 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
             av, pred_cv = cfl_plane(pv_[0], blk(sv))
             ctt = chroma_tx_type(P.UV_CFL_PRED, TxSize.TX_16X16, True)
             ruc, luc, suc = _cand_eval(pred_cu[None], blk(su),
-                                       TxSize.TX_16X16, (qdc_c, qac_c),
+                                       TxSize.TX_16X16,
+                                       (qdc_cb, qac_cb),
                                        [ctt], approx=approx)
             rvc, lvc, svc = _cand_eval(pred_cv[None], blk(sv),
-                                       TxSize.TX_16X16, (qdc_c, qac_c),
+                                       TxSize.TX_16X16,
+                                       (qdc_cb, qac_cb),
                                        [ctt], approx=approx)
             both_zero = (au == 0) & (av == 0)
             cfl_cost = (suc[0] + svc[0]
@@ -564,7 +584,7 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
             # ---- luma 16-quad (optionally with tx-type search) ----
             yq_rec, yq_lv, yq_modes, yq_txs, yq_cost = _quad_plane(
                 a_y, l_y, tl_y, has_a, has_l, srcb_y, TxSize.TX_16X16,
-                (qdc, qac), modes_quad, lam,
+                (qdc_b, qac_b), modes_quad, lam,
                 [TxType.DCT_DCT] * len(modes_quad), rd["y16"],
                 rd["yqbits"], approx=approx,
                 txbits=rd.get("ytxb"))
@@ -619,10 +639,10 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
                 ssub_u = srcu[:, r0: r0 + half, c0: c0 + half]
                 ssub_v = srcv[:, r0: r0 + half, c0: c0 + half]
                 ru8, lu8, su8 = _cand_eval(pu, ssub_u, TxSize.TX_8X8,
-                                           (qdc_c, qac_c), cts8,
+                                           (qdc_cb, qac_cb), cts8,
                                            approx=approx)
                 rv8, lv8, sv8 = _cand_eval(pv, ssub_v, TxSize.TX_8X8,
-                                           (qdc_c, qac_c), cts8,
+                                           (qdc_cb, qac_cb), cts8,
                                            approx=approx)
                 cst = (su8 + sv8
                        + lam * (block_bits(lu8, rd["c8"])
@@ -850,6 +870,13 @@ def recon_wavefront(sy_sk, su_sk, sv_sk, ym_sk, uvm_sk, sp_sk, cf_sk,
         has_l = rows(has_l_tab, d)
         tr_ok = rows(tr_tab, d)
         ytx_d = rows(ytx_sk, d) if tx_search else None
+        if "qdc_sk" in rd:
+            # variance AQ: per-block segment quantizers (skewed grids)
+            qdc_d, qac_d = rows(rd["qdc_sk"], d), rows(rd["qac_sk"], d)
+            qdc_cd = rows(rd["qdc_csk"], d)
+            qac_cd = rows(rd["qac_csk"], d)
+        else:
+            qdc_d, qac_d, qdc_cd, qac_cd = qdc, qac, qdc_c, qac_c
 
         # ---- luma edges (contiguous row reads + static shifts) ----
         ra = rows(ry_sk, row - o_a)
@@ -871,7 +898,8 @@ def recon_wavefront(sy_sk, su_sk, sv_sk, ym_sk, uvm_sk, sp_sk, cf_sk,
         preds32 = predict_modes(modes_y, a_y, l_y, tl_y, slot_has_a,
                                 has_l, LB, LB, aext=aext, lext=lext)
         p32 = sel_modes(preds32, luty[ym_d[:, 0]])
-        rec32, lv32 = code_one(p32, sy_d, TxSize.TX_32X32, qdc, qac)
+        rec32, lv32 = code_one(p32, sy_d, TxSize.TX_32X32, qdc_d,
+                               qac_d)
 
         if split_rdo:
             # ---- luma 16-quads, one mode each ----
@@ -906,11 +934,11 @@ def recon_wavefront(sy_sk, su_sk, sv_sk, ym_sk, uvm_sk, sp_sk, cf_sk,
                 sub_src = sy_d[:, r0: r0 + half, c0: c0 + half]
                 if tx_search:
                     rq, lq = code_sel(psel, sub_src, TxSize.TX_16X16,
-                                      qdc, qac, QUAD_TXS,
+                                      qdc_d, qac_d, QUAD_TXS,
                                       ytx_d[:, qi] - 1)
                 else:
                     rq, lq = code_one(psel, sub_src,
-                                      TxSize.TX_16X16, qdc, qac)
+                                      TxSize.TX_16X16, qdc_d, qac_d)
                 cur = cur.at[:, r0: r0 + half, c0: c0 + half].set(rq)
                 clv = clv.at[:, r0: r0 + half, c0: c0 + half].set(lq)
             s3 = sp_d[:, None, None]
@@ -957,10 +985,10 @@ def recon_wavefront(sy_sk, su_sk, sv_sk, ym_sk, uvm_sk, sp_sk, cf_sk,
         selu = sel_modes(pu, ku)
         selv = sel_modes(pv, ku)
         rec_u16, lv_u16 = code_sel(selu, su_d, TxSize.TX_16X16,
-                                   qdc_c, qac_c, tts16,
+                                   qdc_cd, qac_cd, tts16,
                                    tid16[uvm_d[:, 0]])
         rec_v16, lv_v16 = code_sel(selv, sv_d, TxSize.TX_16X16,
-                                   qdc_c, qac_c, tts16,
+                                   qdc_cd, qac_cd, tts16,
                                    tid16[uvm_d[:, 0]])
 
         if split_rdo:
@@ -1006,7 +1034,7 @@ def recon_wavefront(sy_sk, su_sk, sv_sk, ym_sk, uvm_sk, sp_sk, cf_sk,
                     psel = sel_modes(pq, kq)
                     rq, lq = code_sel(
                         psel, src[:, r0: r0 + h8, c0: c0 + h8],
-                        TxSize.TX_8X8, qdc_c, qac_c, tts8, tq)
+                        TxSize.TX_8X8, qdc_cd, qac_cd, tts8, tq)
                     cur_2 = cur_.at[:, r0: r0 + h8,
                                     c0: c0 + h8].set(rq)
                     clv_2 = clv_.at[:, r0: r0 + h8,
@@ -1204,12 +1232,16 @@ def _from_blocks(a: np.ndarray) -> np.ndarray:
     return a.transpose(0, 2, 1, 3).reshape(bh * b, bw * b)
 
 
+KF_SEG_ALT_Q = (-18, -6, 6, 18)     # variance-AQ segment q deltas
+
+
 def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
                         speed: int = 6, deblock: bool = True,
                         cdef: tuple | None = None,
                         render_size: tuple | None = None,
                         seq_extra: dict | None = None,
-                        cdef_rdo: bool = True, lr: bool = False):
+                        cdef_rdo: bool = True, lr: bool = False,
+                        aq: bool = False):
     """TPU-batched KEY frame encode; dims must be multiples of 32.
 
     cdef: None disables CDEF at the sequence level; a 5-tuple enables
@@ -1243,6 +1275,35 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     tx_search = speed <= 6 and split_rdo
     rd = build_rd(qindex, modes_y, modes_uv, modes_quad=modes_quad,
                   use_cfl=speed <= 6, tx_search=tx_search)
+    seg_map = None
+    if aq:
+        # variance AQ (numpy-path parity, pipeline/intra.py): per-32
+        # source activity -> quartile segment map; each block
+        # quantizes at clip(q + alt_q[seg]) (spec get_qidx; rav1e
+        # src/segmentation.rs). Rate LUTs and λ stay at base q — the
+        # CDF init (hence symbol costs) depends only on base_q_idx.
+        yb = (y.reshape(bh, LB, bw, LB).transpose(0, 2, 1, 3)
+              .astype(np.float64))
+        var = yb.var(axis=(2, 3))
+        qs = (np.quantile(var, (0.25, 0.5, 0.75)) if var.size > 1
+              else (var.flat[0],) * 3)
+        seg_map = np.digitize(var, qs).astype(np.int8)
+        from rav1e_tpu.entropy.cdf import tables as _cdf_tables
+        from rav1e_tpu.ops.ref.quant import chroma_dq as _cdq
+        t_ = _cdf_tables()
+        # clamp the deltas so base+alt stays in [1,255]: qidx 0 would
+        # flip the segment lossless (spec get_qidx clips at 0)
+        alt = np.clip(np.asarray(KF_SEG_ALT_Q, np.int32),
+                      1 - qindex, 255 - qindex)
+        seg_alt_eff = [int(a) for a in alt]
+        qi_b = (qindex + alt[seg_map]).astype(np.int32)
+        qi_cb = np.clip(qi_b + _cdq(qindex), 0, 255)
+        rd["qdc_g"] = jnp.asarray(t_["dc_q_8"][qi_b].astype(np.int32))
+        rd["qac_g"] = jnp.asarray(t_["ac_q_8"][qi_b].astype(np.int32))
+        rd["qdc_cg"] = jnp.asarray(
+            t_["dc_q_8"][qi_cb].astype(np.int32))
+        rd["qac_cg"] = jnp.asarray(
+            t_["ac_q_8"][qi_cb].astype(np.int32))
     if ext:
         # decode-order edge availability (spec BlockDecoded): SB raster
         # + Z order within the SB; a 32-block's above-right/below-left
@@ -1298,6 +1359,12 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
 
     def unskew(sk):
         return sk[ud, us]
+
+    if seg_map is not None:
+        # phase-2 reads quantizers per skewed diagonal row
+        for kg, ks in (("qdc_g", "qdc_sk"), ("qac_g", "qac_sk"),
+                       ("qdc_cg", "qdc_csk"), ("qac_cg", "qac_csk")):
+            rd[ks] = skew(rd[kg])
 
     def phase1(edges):
         """Mode pass with `edges` (block grids) standing in for the
@@ -1403,6 +1470,10 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
                      render_size=render_size)
     from rav1e_tpu.ops.ref.quant import chroma_dq as _chroma_dq
     fp.delta_q_u_dc = fp.delta_q_u_ac = _chroma_dq(qindex)
+    seg_alt_q = None
+    if seg_map is not None:
+        seg_alt_q = seg_alt_eff + [None] * 4
+        fp.seg_alt_q = seg_alt_q
     cdef_bits = 0
     if cdef_map is not None:
         from rav1e_tpu.ops.tpu.cdef import compact_ladder
@@ -1420,8 +1491,8 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
         # writer codes them, so skip the C++ packer for LR keyframes
         seq.enable_restoration = True
     try:
-        if lr:
-            raise ImportError("python writer required for LR")
+        if lr or seg_map is not None:
+            raise ImportError("python writer required for LR/seg")
         # one-call C++ intra packer (0.86 s -> ms at 1080p; the
         # per-block python dict build below is the fallback)
         from rav1e_tpu.entropy.native import NativeTileWriter
@@ -1443,7 +1514,7 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
                rp[h:, :w // 2].astype(np.int32),
                rp[h:, w // 2:].astype(np.int32)]
         return pkt, rec
-    tw = TileWriter(mi_rows, mi_cols, qindex)
+    tw = TileWriter(mi_rows, mi_cols, qindex, seg_alt_q=seg_alt_q)
     if cdef_bits:
         tw.cdef_bits = cdef_bits
         tw.cdef_idx_map = cdef_map
@@ -1467,6 +1538,7 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
             yl = ly[bi, bj]
             ul = lu[bi, bj]
             vl = lvv[bi, bj]
+            seg = int(seg_map[bi, bj]) if seg_map is not None else 0
             if sp[bi, bj]:
                 from rav1e_tpu.entropy.tile import INTRA_TX_SET2
                 partitions[(r, c, int(BlockSize.B32X32))] = \
@@ -1481,7 +1553,7 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
                     d = BlockDecision(
                         y_mode=PredictionMode(int(my[bi, bj, 1 + q])),
                         uv_mode=PredictionMode(int(mu[bi, bj, 1 + q])),
-                        skip=False)
+                        skip=False, seg_id=seg)
                     if not syl.any() and not sul.any() and not svl.any():
                         d.skip = True
                     else:
@@ -1494,7 +1566,7 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
                 continue
             d = BlockDecision(y_mode=PredictionMode(int(my[bi, bj, 0])),
                               uv_mode=PredictionMode(int(mu[bi, bj, 0])),
-                              skip=False)
+                              skip=False, seg_id=seg)
             if d.uv_mode == PredictionMode.UV_CFL_PRED:
                 d.cfl_alpha_idx = (int(cfm[bi, bj, 0]),
                                    int(cfm[bi, bj, 1]))

@@ -35,6 +35,32 @@ def test_tpu_wavefront_conformance(speed):
         assert np.array_equal(out[0][i], rec[i]), f"aom plane {i}"
 
 
+@pytest.mark.parametrize("speed", [6, 10])
+def test_tpu_wavefront_aq_conformance(speed):
+    """Variance AQ on the TPU keyframe path: per-32-block segment q,
+    segmentation signaled (spec 5.9.14) — bit-exact on both oracles."""
+    from rav1e_tpu.pipeline.tpu_intra import encode_keyframe_tpu
+
+    rng = np.random.default_rng(11)
+    h, w = 96, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    # strongly mixed activity: flat left half, noisy right half
+    y = (90 + 60 * np.sin(xx / 29)).astype(np.float64)
+    y[:, w // 2:] += rng.normal(0, 40, (h, w // 2))
+    planes = [y.clip(0, 255).astype(np.uint8),
+              np.full((h // 2, w // 2), 120, np.uint8),
+              (128 + 20 * np.cos(yy[::2, ::2] / 13)).clip(
+                  0, 255).astype(np.uint8)]
+    pkt, rec = encode_keyframe_tpu(planes, qindex=100, speed=speed,
+                                   aq=True)
+    fr = dav1d.decode_all([pkt])
+    for i in range(3):
+        assert np.array_equal(fr[0].planes[i], rec[i]), f"dav1d plane {i}"
+    out = aom.decode_all([pkt])
+    for i in range(3):
+        assert np.array_equal(out[0][i], rec[i]), f"aom plane {i}"
+
+
 def test_native_packer_byte_identical():
     from rav1e_tpu.core.constants import (
         BlockSize, PartitionType, TxType, subsize)
