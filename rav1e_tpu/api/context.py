@@ -499,7 +499,8 @@ class Context:
                    and not tiled)
         if is_key:
             lr = self.speed_settings.lr and not tiled
-            if fast_ok and grain is None:
+            rectp = self.speed_settings.rect_parts
+            if fast_ok and grain is None and not rectp:
                 from rav1e_tpu.pipeline.tpu_intra import encode_keyframe_tpu
                 data, rec = encode_keyframe_tpu(
                     planes, qindex=q, cdef=cdef, speed=cfg.speed,
@@ -517,7 +518,8 @@ class Context:
                     tile_rows_log2=self._tile_rows_log2,
                     lr=lr,
                     render_size=self._render,
-                    seq_extra=self._seq_extra or None)
+                    seq_extra=self._seq_extra or None,
+                    part_rdo=rectp)
                 # sequence header carries enable_restoration: every
                 # frame of this GOP must then signal lr_params, which
                 # only the reference inter path can do

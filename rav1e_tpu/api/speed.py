@@ -19,6 +19,7 @@ class SpeedSettings:
     intra_modes: int = 13          # candidate luma modes
     angle_deltas: bool = True
     partition_split_rdo: bool = True
+    rect_parts: bool = False       # HORZ/VERT partition RDO (keyframes)
     cfl: bool = True
     # inter
     search_px: int = 16            # full-pel search radius
@@ -42,6 +43,8 @@ class SpeedSettings:
             intra_modes=13 if s <= 6 else (7 if s <= 8 else 1),
             angle_deltas=s <= 6,
             partition_split_rdo=s <= 7,
+            # rav1e non_square_partition: low speeds only
+            rect_parts=s <= 3,
             cfl=s <= 6,
             search_px=24 if s <= 2 else (16 if s <= 6 else 8),
             subpel=s <= 8,

@@ -123,7 +123,8 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
                     film_grain=None, lr: bool = False,
                     aq: bool = False, edge_filter: bool = True,
                     render_size: tuple | None = None,
-                    seq_extra: dict | None = None):
+                    seq_extra: dict | None = None,
+                    part_rdo: bool = False):
     """Encode one 8-bit 4:2:0 KEY frame. Returns (packet, recon planes).
 
     planes: [y (h,w), u, v] uint8, dims multiples of 8. Tile counts are
@@ -182,7 +183,8 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
                 [y[py0:py1, px0:px1], u[cy0:cy1, cx0:cx1],
                  v[cy0:cy1, cx0:cx1]],
                 qindex, block, bit_depth, ss_x, ss_y,
-                seg_alt_q=seg_alt_q, edge_filter=edge_filter)
+                seg_alt_q=seg_alt_q, edge_filter=edge_filter,
+                part_rdo=part_rdo)
             tiles.append((tw_t, parts_t, blocks_t))
             frame_rec[0][py0:py1, px0:px1] = recs[0]
             frame_rec[1][cy0:cy1, cx0:cx1] = recs[1]
@@ -210,7 +212,8 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
                           bit_depth: int = 8, ss_x: int = 1,
                           ss_y: int = 1, lr: bool = False,
                           seg_alt_q: list | None = None,
-                          edge_filter: bool = True):
+                          edge_filter: bool = True,
+                          part_rdo: bool = False):
     """Encode one tile (tiles are fully independent: prediction and
     entropy context never cross the boundary, so a tile encodes exactly
     like a small frame). Returns (tile bytes, recon planes)."""
@@ -250,6 +253,55 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
 
     bw_mi = block.width_mi
 
+    # ---- RD bookkeeping for partition-shape search --------------------
+    # (rav1e src/rdo.rs rdo_partition_decision: NONE vs HORZ vs VERT vs
+    # SPLIT priced at sse + lambda*bits with real writer-rate tables)
+    from rav1e_tpu.entropy.cost import (estimate_block_bits_np,
+                                        mode_cost_tables, rd_lambda,
+                                        tx_block_cost_luts)
+    lam = rd_lambda(qindex, bit_depth)
+    _mc = mode_cost_tables()
+    _luts: dict = {}
+
+    def lv_bits(lv, tx, tt, plane):
+        key = (int(tx), int(tt), 0 if plane == 0 else 1)
+        if key not in _luts:
+            _luts[key] = tx_block_cost_luts(qindex, tx, tt, plane)
+        return estimate_block_bits_np(lv, _luts[key])
+
+    def _snapshot(r: int, c: int, n: int = 32):
+        y0, x0 = r * 4, c * 4
+        snap = []
+        for pi, ps in enumerate(states):
+            sx = 0 if pi == 0 else ss_x
+            sy = 0 if pi == 0 else ss_y
+            xx, yy = x0 >> sx, y0 >> sy
+            hh, ww = n >> sy, n >> sx
+            snap.append((ps.rec[yy: yy + hh, xx: xx + ww].copy(),
+                         ps.dec[yy // 4: (yy + hh) // 4,
+                                xx // 4: (xx + ww) // 4].copy()))
+        nmi = n >> 2
+        return (snap, ymode_grid[r: r + nmi, c: c + nmi].copy(),
+                uvmode_grid[r: r + nmi, c: c + nmi].copy())
+
+    def _restore(r: int, c: int, saved, n: int = 32):
+        snap, ymg, uvmg = saved
+        y0, x0 = r * 4, c * 4
+        for pi, ps in enumerate(states):
+            sx = 0 if pi == 0 else ss_x
+            sy = 0 if pi == 0 else ss_y
+            xx, yy = x0 >> sx, y0 >> sy
+            hh, ww = n >> sy, n >> sx
+            ps.rec[yy: yy + hh, xx: xx + ww] = snap[pi][0]
+            ps.dec[yy // 4: (yy + hh) // 4,
+                   xx // 4: (xx + ww) // 4] = snap[pi][1]
+        nmi = n >> 2
+        ymode_grid[r: r + nmi, c: c + nmi] = ymg
+        uvmode_grid[r: r + nmi, c: c + nmi] = uvmg
+
+    _P32 = int(BlockSize.B32X32)
+    _P16 = int(BlockSize.B16X16)
+
     def plan(r: int, c: int, bsize: BlockSize):
         """Build the partition tree + encode blocks in writer order."""
         if r >= mi_rows or c >= mi_cols:
@@ -257,6 +309,10 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
         half = bsize.width_mi // 2
         fully_inside = (r + bsize.height_mi <= mi_rows
                         and c + bsize.width_mi <= mi_cols)
+        if (fully_inside and part_rdo
+                and bsize == BlockSize.B32X32):
+            _part_search32(r, c)
+            return
         if fully_inside and bsize.width_mi <= bw_mi:
             partitions[(r, c, int(bsize))] = PartitionType.NONE
             encode_block(r, c, bsize)
@@ -265,6 +321,48 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
         sub = subsize(PartitionType.SPLIT, bsize)
         for (dr, dc) in ((0, 0), (0, half), (half, 0), (half, half)):
             plan(r + dr, c + dc, sub)
+
+    def _part_search32(r: int, c: int):
+        """RD-choose the partition shape of one fully-inside 32x32:
+        NONE / HORZ (two 32x16) / VERT (two 16x32) / SPLIT (4x 16x16).
+        Each candidate is trial-encoded in decode order on the live
+        plane states (prediction edges see the earlier sub-block's
+        recon, exactly as the decoder will), then rolled back; the
+        winner re-encodes and stays committed."""
+        cands = {
+            PartitionType.NONE: [(r, c, BlockSize.B32X32)],
+            PartitionType.HORZ: [(r, c, BlockSize.B32X16),
+                                 (r + 4, c, BlockSize.B32X16)],
+            PartitionType.VERT: [(r, c, BlockSize.B16X32),
+                                 (r, c + 4, BlockSize.B16X32)],
+            PartitionType.SPLIT: [(r, c, BlockSize.B16X16),
+                                  (r, c + 4, BlockSize.B16X16),
+                                  (r + 4, c, BlockSize.B16X16),
+                                  (r + 4, c + 4, BlockSize.B16X16)],
+        }
+        best = None
+        for part, blks in cands.items():
+            saved = _snapshot(r, c)
+            dist = 0
+            bits = float(_mc["partition_mid"][int(part)])
+            if part == PartitionType.SPLIT:
+                # each 16x16 child codes its own PARTITION_NONE symbol
+                bits += 4.0 * float(_mc["partition_mid"][0])
+            for (rr, cc, bs) in blks:
+                d_, b_ = encode_block(rr, cc, bs, sink={})
+                dist += d_
+                bits += b_
+            cost = dist + lam * bits
+            if best is None or cost < best[0]:
+                best = (cost, part, blks)
+            _restore(r, c, saved)
+        _, part, blks = best
+        partitions[(r, c, _P32)] = part
+        if part == PartitionType.SPLIT:
+            for (rr, cc, bs) in blks:
+                partitions[(rr, cc, _P16)] = PartitionType.NONE
+        for (rr, cc, bs) in blks:
+            encode_block(rr, cc, bs)
 
     maxpx = (1 << bit_depth) - 1
 
@@ -314,7 +412,8 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
         ps.rec[yy: yy + h2, x: x + w2] = rec
         ps.dec[yy // 4: (yy + h2) // 4, x // 4: (x + w2) // 4] = True
 
-    def encode_block(r: int, c: int, bsize: BlockSize):
+    def encode_block(r: int, c: int, bsize: BlockSize,
+                     sink: dict | None = None):
         seg = 0
         if seg_map is not None:
             seg = int(seg_map[min(r // 8, seg_map.shape[0] - 1),
@@ -409,10 +508,38 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
             d.skip = True
         else:
             d.coeffs = {0: ylv, 1: ulv, 2: vlv, "y_tx_type": ytt}
-        blocks[(r, c)] = d
+        (blocks if sink is None else sink)[(r, c)] = d
         bh_mi, bwmi = bsize.height_mi, bsize.width_mi
         ymode_grid[r: r + bh_mi, c: c + bwmi] = int(y_mode)
         uvmode_grid[r: r + bh_mi, c: c + bwmi] = int(uv_mode)
+        # RD accounting (mode + coefficient rate, real cost tables) for
+        # the partition-shape search; dist = whole-block recon SSE
+        dist = best[0] + bestc[0]
+        bits = float(_mc["skip"][0][int(d.skip)])
+        bits += float(_mc["kf_y_mode"][int(y_mode)])
+        if y_mode in ANGLE_BASE and bsize >= BlockSize.B8X8:
+            bits += float(_mc["angle_delta"][int(y_mode) - 1][y_delta + 3])
+        cfl_ok = bsize.width <= 32 and bsize.height <= 32
+        uvtab = _mc["uv_mode_cfl"] if cfl_ok else _mc["uv_mode"]
+        bits += float(uvtab[int(uv_mode)])
+        if uv_mode == PredictionMode.UV_CFL_PRED and cfl_alphas:
+            au, av = cfl_alphas
+            su = 0 if au == 0 else (1 if au < 0 else 2)
+            sv = 0 if av == 0 else (1 if av < 0 else 2)
+            js = su * 3 + sv - 1
+            bits += float(_mc["cfl_sign"][js])
+            if su:
+                bits += float(_mc["cfl_alpha"][js - 2][abs(au) - 1])
+            if sv:
+                bits += float(_mc["cfl_alpha"][sv * 3 + su - 3][abs(av) - 1])
+        if uv_mode in ANGLE_BASE and bsize >= BlockSize.B8X8:
+            bits += float(_mc["angle_delta"][int(uv_mode) - 1][0 + 3])
+        if not d.skip:
+            bits += lv_bits(ylv, ytx, ytt, 0)
+            uvtt_w = chroma_tx_type(uv_mode, uvtx, True)
+            bits += lv_bits(ulv, uvtx, uvtt_w, 1)
+            bits += lv_bits(vlv, uvtx, uvtt_w, 2)
+        return dist, bits
 
     for r in range(0, mi_rows, 16):
         for c in range(0, mi_cols, 16):

@@ -337,3 +337,46 @@ def test_intra_edge_filter_upsampling():
         for j in range(3):
             assert np.array_equal(d[0].planes[j], rec[j]), (q, j)
             assert np.array_equal(a[0][j], rec[j]), (q, j)
+
+
+def test_rect_partition_rdo_bit_exact():
+    """HORZ/VERT partition RDO (rav1e src/rdo.rs rdo_partition_decision
+    with non_square_partition): 32x32 SB quadrants choose NONE / HORZ
+    (two 32x16) / VERT (two 16x32) / SPLIT by sse + lambda*bits with
+    real cost tables. Banded content must elicit rect shapes, and the
+    streams (rect mode info, TX_32X16/TX_16X32 TUs, partition ctx
+    updates) must decode bit-exact on both decoders."""
+    rng = np.random.default_rng(7)
+    w, h = 128, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (100 + 60 * np.sin(yy / 4) * (yy < 64)
+         + 60 * np.sin(xx / 4) * (yy >= 64)
+         + rng.normal(0, 4, (h, w))).clip(0, 255).astype(np.uint8)
+    u = (128 + 30 * np.sin(xx[::2, ::2] / 9)).clip(0, 255).astype(np.uint8)
+    v = (128 - 25 * np.cos(yy[::2, ::2] / 7)).clip(0, 255).astype(np.uint8)
+    from rav1e_tpu.core.constants import PartitionType
+    from rav1e_tpu.pipeline import intra as I
+    shapes = set()
+    orig = I._encode_keyframe_tile
+
+    def spy(*a, **k):
+        out = orig(*a, **k)
+        for (r, c, bs), p in out[1].items():
+            if bs == int(BlockSize.B32X32):
+                shapes.add(PartitionType(p))
+        return out
+
+    I._encode_keyframe_tile = spy
+    try:
+        for q in (80, 140):
+            pkt, rec = encode_keyframe([y, u, v], qindex=q,
+                                       part_rdo=True)
+            d = dav1d.decode_all([pkt])
+            a = aom.decode_all([pkt])
+            for j in range(3):
+                assert np.array_equal(d[0].planes[j], rec[j]), (q, j)
+                assert np.array_equal(a[0][j], rec[j]), (q, j)
+    finally:
+        I._encode_keyframe_tile = orig
+    assert PartitionType.HORZ in shapes or PartitionType.VERT in shapes, \
+        shapes
