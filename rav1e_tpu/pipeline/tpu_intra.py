@@ -69,33 +69,73 @@ ANGULAR = (P.V_PRED, P.H_PRED, P.D45_PRED, P.D67_PRED, P.D113_PRED,
 def rate_luts(qindex: int, tx_size, plane: int) -> dict:
     """Context-exact coefficient-rate LUTs for one (tx_size, plane)
     as jnp arrays (entropy/cost.py). All TPU-path TX types are
-    2D-class, so one set per size/plane suffices."""
+    2D-class, so one set per size/plane suffices.
+
+    The batched evaluator (block_bits) must not index traced tables by
+    per-element data — XLA lowers such gathers to ~10 ms per million
+    elements on TPU, which dominated the whole mode pass. Instead the
+    context LUTs are pre-expanded here (host numpy, per qindex) into
+    position-dependent select tables with a SMALL leading data axis:
+      base_sel [5, 4, h, w]  = base_bits[off_grid + m, lv3]
+      br_sel   [7, 16, h, w] = br_lvl_bits[br_off + m, lv15]
+      eob_sel  [3, h, w]     = eob_base_bits[eregion, t]
+    so block_bits reduces every lookup to a short where-chain over the
+    leading axis (pure VPU selects, fusion-friendly)."""
     from rav1e_tpu.entropy.cost import tx_block_cost_luts
     luts = tx_block_cost_luts(qindex, tx_size, TxType.DCT_DCT, plane)
     n = luts["scan_pos"].size
     sp = luts["scan_pos"]
+    h, w = sp.shape
     eregion = np.where(sp == 0, 0,
                        np.where(sp <= (n >> 3), 1,
                                 np.where(sp <= (n >> 2), 2, 3)))
+    bb = luts["base_bits"]                    # [41, 4]
+    off = luts["off_grid"]                    # [h, w]
+    base_sel = np.empty((5, 4, h, w), np.float32)
+    for m in range(5):
+        base_sel[m] = bb[np.minimum(off + m, bb.shape[0] - 1)
+                         ].transpose(2, 0, 1)
+    base_sel[:, :, 0, 0] = bb[0][None]        # DC position: bctx = 0
+    brl = luts["br_lvl_bits"]                 # [21, 16]
+    rr = np.arange(h)[:, None]
+    cc = np.arange(w)[None, :]
+    br_off = np.where((rr == 0) & (cc == 0), 0,
+                      np.where((rr < 2) & (cc < 2), 7, 14))
+    br_sel = np.empty((7, 16, h, w), np.float32)
+    for m in range(7):
+        br_sel[m] = brl[np.minimum(br_off + m, brl.shape[0] - 1)
+                        ].transpose(2, 0, 1)
+    eob_sel = (luts["eob_base_bits"][eregion]      # [h, w, 3]
+               .transpose(2, 0, 1).astype(np.float32))
     return {"scan_pos": jnp.asarray(sp),
-            "off_grid": jnp.asarray(luts["off_grid"]),
-            "base_bits": jnp.asarray(luts["base_bits"].reshape(-1)),
-            "eob_base_bits": jnp.asarray(
-                luts["eob_base_bits"].reshape(-1)),
-            "br_lvl_bits": jnp.asarray(luts["br_lvl_bits"].reshape(-1)),
+            "base_sel": jnp.asarray(base_sel),
+            "br_sel": jnp.asarray(br_sel),
+            "eob_sel": jnp.asarray(eob_sel),
             "eob_cost": jnp.asarray(luts["eob_cost"]),
-            "eregion": jnp.asarray(eregion),
             "skip1": jnp.float32(luts["skip1"]),
             "skip0": jnp.float32(luts["skip0"])}
+
+
+def _wsel(idx, tab, first: int = 0):
+    """Gather-free lookup tab[idx] for a SMALL static leading axis:
+    where-chain over tab's first dim (broadcasts [M, h, w] against
+    idx [..., h, w]). Entries below `first` are taken as 0 (used for
+    br chains, which cost 0 below level 3)."""
+    out = (tab[0] * jnp.ones_like(idx, tab.dtype) if first == 0
+           else jnp.zeros(idx.shape, tab.dtype))
+    for k in range(max(first, 1), tab.shape[0]):
+        out = jnp.where(idx == k, tab[k], out)
+    return out
 
 
 def block_bits(lv, L) -> jnp.ndarray:
     """Estimated coefficient bits for level blocks lv [..., h, w] with
     LUT set L (rate_luts). Reproduces the serial writer's context
     chain (entropy/coeffs.py::write_coeffs) batched: base/br contexts
-    from neighbor levels, exact eob accounting, golomb tails."""
+    from neighbor levels, exact eob accounting, golomb tails. All
+    context lookups are where-chains over the pre-expanded select
+    tables (see rate_luts) — no per-element gathers."""
     a = jnp.abs(lv)
-    h, w = a.shape[-2], a.shape[-1]
     lv3 = jnp.minimum(a, 3)
     lv15 = jnp.minimum(a, 15)
 
@@ -108,23 +148,23 @@ def block_bits(lv, L) -> jnp.ndarray:
     nsum = (sh2(lv3, 0, 1) + sh2(lv3, 1, 0) + sh2(lv3, 1, 1)
             + sh2(lv3, 0, 2) + sh2(lv3, 2, 0))
     brsum = sh2(lv15, 0, 1) + sh2(lv15, 1, 0) + sh2(lv15, 1, 1)
-    rr = jnp.arange(h)[:, None]
-    cc = jnp.arange(w)[None, :]
-    br_off = jnp.where((rr == 0) & (cc == 0), 0,
-                       jnp.where((rr < 2) & (cc < 2), 7, 14))
-    bctx = jnp.minimum((nsum + 1) >> 1, 4) + L["off_grid"]
-    bctx = bctx.at[..., 0, 0].set(0)
-    brctx = jnp.minimum((brsum + 1) >> 1, 6) + br_off
-    base = L["base_bits"][bctx * 4 + lv3]
-    br = L["br_lvl_bits"][brctx * 16 + lv15]
+    mm = jnp.minimum((nsum + 1) >> 1, 4)
+    bm = jnp.minimum((brsum + 1) >> 1, 6)
+    base = None
+    for l in range(4):
+        col = _wsel(mm, L["base_sel"][:, l])
+        base = col if base is None else jnp.where(lv3 == l, col, base)
+    br = None
+    for m in range(7):
+        row = _wsel(lv15, L["br_sel"][m], first=3)
+        br = row if br is None else jnp.where(bm == m, row, br)
     gol = jnp.where(
         a > 14,
         2.0 * jnp.floor(jnp.log2(jnp.maximum(a - 14, 1).astype(
             jnp.float32))) + 1.0, 0.0)
     sign = (a > 0).astype(jnp.float32)
     per = base + br + gol + sign
-    ebits = (L["eob_base_bits"][L["eregion"] * 3
-                                + jnp.maximum(lv3 - 1, 0)]
+    ebits = (_wsel(jnp.maximum(lv3 - 1, 0), L["eob_sel"])
              + br + gol + sign)
     sp = L["scan_pos"]
     eob = jnp.max(jnp.where(a > 0, sp + 1, 0), axis=(-2, -1))
