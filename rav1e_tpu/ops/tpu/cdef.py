@@ -230,11 +230,13 @@ def _filter_from_prep(pp, skip_pix, pri, sec, damping, var_pix):
     else:
         pri_adj = jnp.full(x.shape, pri, jnp.int32)
     pdamp = damping if pp["is_luma"] else damping - 1
-    taps0 = jnp.asarray([t[0] for t in PRI_TAPS])
-    taps1 = jnp.asarray([t[1] for t in PRI_TAPS])
+    # taps by strength parity as a select, not a per-pixel gather (the
+    # [2]-table gather cost ~155 ms/frame at 1080p under the 8-way
+    # candidate vmap)
     parity = pri_adj & 1
-    pri_taps = [taps0[parity], taps0[parity], taps1[parity],
-                taps1[parity]]
+    tap_a = jnp.where(parity == 0, PRI_TAPS[0][0], PRI_TAPS[1][0])
+    tap_b = jnp.where(parity == 0, PRI_TAPS[0][1], PRI_TAPS[1][1])
+    pri_taps = [tap_a, tap_a, tap_b, tap_b]
     s = jnp.zeros_like(x)
     mx = x
     mn = x
