@@ -153,13 +153,16 @@ def _mc_batch(ref_pad, pos_r, pos_c, mv8, n, ss, interm=False):
     patch = jax.vmap(slice_one)(ir, ic)          # [B, n+7, n+7]
     fh = _FILT[fc]                               # [B, 8]
     fv = _FILT[fr]
-    hstk = jnp.stack([patch[:, :, t: t + n] for t in range(8)], 0)
-    intm = _round2(jnp.einsum("bt,tbrc->brc", fh, hstk), 3)
-    vstk = jnp.stack([intm[:, t: t + n, :] for t in range(8)], 0)
+    # taps as fused shift/multiply-accumulate (int32 VPU) — the
+    # stack+einsum form materialized [8, B, n, n] operands per pass
+    intm = sum(fh[:, t, None, None] * patch[:, :, t: t + n]
+               for t in range(8))
+    intm = _round2(intm, 3)
+    out = sum(fv[:, t, None, None] * intm[:, t: t + n, :]
+              for t in range(8))
     if interm:
-        return _round2(jnp.einsum("bt,tbrc->brc", fv, vstk), 7)
-    out = _round2(jnp.einsum("bt,tbrc->brc", fv, vstk), 11)
-    return jnp.clip(out, 0, 255)
+        return _round2(out, 7)
+    return jnp.clip(_round2(out, 11), 0, 255)
 
 
 def _comp_avg(p0, p1):
@@ -195,9 +198,11 @@ def _mc_patch(patch, ir0, ic0, pos_r, pos_c, mv8, n, ss, M,
     """Subpel prediction from pre-gathered patches (bit-exact twin of
     _mc_batch): the whole-pixel drift vs the patch center (≤ M) folds
     into an extended (8+2M)-tap filter with the 8 spec taps placed at
-    the drift offset — pure static slices + einsum, no gather."""
-    p16r = (pos_r << 4) + mv8[:, 0] * (2 >> ss)
-    p16c = (pos_c << 4) + mv8[:, 1] * (2 >> ss)
+    the drift offset — pure static slices + fused madds, no gather.
+    Accepts extra leading batch dims shared across all array args
+    (mv8 [..., 2], pos/ir0 broadcastable)."""
+    p16r = (pos_r << 4) + mv8[..., 0] * (2 >> ss)
+    p16c = (pos_c << 4) + mv8[..., 1] * (2 >> ss)
     ir, fr = p16r >> 4, p16r & 15
     ic, fc = p16c >> 4, p16c & 15
     cr = jnp.clip(ir - ir0 + M, 0, 2 * M)
@@ -205,21 +210,37 @@ def _mc_patch(patch, ir0, ic0, pos_r, pos_c, mv8, n, ss, M,
     T = 8 + 2 * M
 
     def ext(fil, carry):
-        # fil [B, 8] -> [B, T] with taps at offset carry (0..2M)
-        sh = jnp.stack([jnp.pad(fil, ((0, 0), (s, 2 * M - s)))
-                        for s in range(2 * M + 1)], axis=1)  # [B,2M+1,T]
-        oh = jax.nn.one_hot(carry, 2 * M + 1, dtype=fil.dtype)
-        return jnp.einsum("bs,bst->bt", oh, sh)
+        # fil [..., 8] -> [..., T] with taps at offset carry (0..2M)
+        out = None
+        for s in range(2 * M + 1):
+            pad = [(0, 0)] * (fil.ndim - 1) + [(s, 2 * M - s)]
+            v = jnp.pad(fil, pad)
+            out = v if out is None else jnp.where(
+                carry[..., None] == s, v, out)
+        return out
 
     fh = ext(_FILT[fc], cc)
     fv = ext(_FILT[fr], cr)
-    hstk = jnp.stack([patch[:, :, t: t + n] for t in range(T)], 0)
-    intm = _round2(jnp.einsum("bt,tbrc->brc", fh, hstk), 3)
-    vstk = jnp.stack([intm[:, t: t + n, :] for t in range(T)], 0)
+    # fused int32 shift/multiply-accumulate (see _mc_batch)
+    intm = sum(fh[..., t, None, None] * patch[..., :, t: t + n]
+               for t in range(T))
+    intm = _round2(intm, 3)
+    out = sum(fv[..., t, None, None] * intm[..., t: t + n, :]
+              for t in range(T))
     if interm:
-        return _round2(jnp.einsum("bt,tbrc->brc", fv, vstk), 7)
-    out = _round2(jnp.einsum("bt,tbrc->brc", fv, vstk), 11)
-    return jnp.clip(out, 0, 255)
+        return _round2(out, 7)
+    return jnp.clip(_round2(out, 11), 0, 255)
+
+
+def _mc_patch_multi(patch, ir0, ic0, pos_r, pos_c, mv8c, n, ss, M):
+    """_mc_patch for C candidate MVs [C, B, 2] sharing one patch set:
+    one dispatch evaluates all candidates (the horizontal taps read
+    each patch row once per candidate but stay inside one fusion —
+    the per-candidate-call form cost a full pass over the step's op
+    graph 13x per subpel descent). Returns [C, B, n, n] int32."""
+    C = mv8c.shape[0]
+    return _mc_patch(patch[None], ir0[None], ic0[None],
+                     pos_r[None], pos_c[None], mv8c, n, ss, M)
 
 
 _HAD8 = np.array([[1, 1, 1, 1, 1, 1, 1, 1],
@@ -256,50 +277,93 @@ def from_blocks(blks, ph, pw, n):
             .transpose(0, 2, 1, 3).reshape(ph, pw))
 
 
-def _search_one_ref(ryp, blks, by, bx, rd, B, use_satd=False):
+def _search_one_ref(ryp, blks, by, bx, rd, B, use_satd=False,
+                    search: int = SEARCH, subpel: bool = True):
     """Motion search vs ONE padded reference plane: full-pel SSD via
     grouped conv on the MXU, then quarter-pel fixed-trip descent from
     a single pre-gathered patch per block (rav1e src/me.rs
     estimate_motion, batched). Returns (mv8 [B,2] eighth-pel,
     patch32, pir0, pic0) with the patch centered on the full-pel MV
-    so the final prediction also evaluates in-patch."""
+    so the final prediction also evaluates in-patch.
+
+    search: full-pel radius (SpeedSettings.search_px, <= PAD);
+    subpel=False skips the descent (SpeedSettings.subpel off,
+    speeds > 8)."""
+    assert search <= PAD, (search, PAD)
     # ---- full-pel SSD search (grouped conv on the MXU) ----------
-    win_sz = 2 * SEARCH + 32
+    # Search windows sit on the regular 32-grid (origin = block -
+    # search after the PAD shift), so ALL [B, W, W] windows assemble
+    # from a KxK arrangement of a static 32-tiling — no per-block
+    # dynamic slices (those lowered to ~2000 DMA descriptors/frame).
+    win_sz = 2 * search + 32
     sq_sums = jax.lax.reduce_window(
         (ryp * ryp).astype(jnp.float32), 0.0, jax.lax.add,
         (32, 32), (1, 1), "valid")                # sliding 32x32 sums
+    nby_l = ryp.shape[0] // 32 - 2                # h // 32
+    nbx_l = ryp.shape[1] // 32 - 2
+    off = PAD - search                            # window origin shift
+    K = (win_sz + 31) // 32                       # tiles per window side
 
-    def win_one(r0, c0):
-        return jax.lax.dynamic_slice(
-            ryp, (r0 + PAD - SEARCH, c0 + PAD - SEARCH),
-            (win_sz, win_sz))
+    def tile_windows(plane, want):
+        """[B, want, want] windows at origin 32*(i,j)+off of `plane`
+        (padded coords), want <= 32*K, via static tiling."""
+        need_r = off + 32 * (nby_l + K - 1)
+        need_c = off + 32 * (nbx_l + K - 1)
+        pr = max(0, need_r - plane.shape[0])
+        pc = max(0, need_c - plane.shape[1])
+        if pr or pc:
+            plane = jnp.pad(plane, ((0, pr), (0, pc)))
+        g = (plane[off:need_r, off:need_c]
+             .reshape(nby_l + K - 1, 32, nbx_l + K - 1, 32)
+             .transpose(0, 2, 1, 3))       # [nby+K-1, nbx+K-1, 32, 32]
+        rows = [jnp.concatenate([g[i:nby_l + i, j:nbx_l + j]
+                                 for j in range(K)], axis=-1)
+                for i in range(K)]
+        wins = jnp.concatenate(rows, axis=-2)
+        return wins.reshape(-1, 32 * K, 32 * K)[:, :want, :want]
 
-    wins = jax.vmap(win_one)(by, bx).astype(jnp.float32)
+    if B == nby_l * nbx_l:
+        # single-chip path: blocks cover the padded plane's grid
+        wins = tile_windows(ryp, win_sz).astype(jnp.float32)
+        wsq = tile_windows(sq_sums, 2 * search + 1)   # [B,2S+1,2S+1]
+    else:
+        # tile-sharded path: refs are replicated full-frame while the
+        # block set is this tile's column slice at traced offsets —
+        # per-block dynamic slices are the general form
+        def win_one(r0, c0):
+            return jax.lax.dynamic_slice(
+                ryp, (r0 + off, c0 + off), (win_sz, win_sz))
 
-    def sums_one(r0, c0):
-        return jax.lax.dynamic_slice(
-            sq_sums, (r0 + PAD - SEARCH, c0 + PAD - SEARCH),
-            (2 * SEARCH + 1, 2 * SEARCH + 1))
+        wins = jax.vmap(win_one)(by, bx).astype(jnp.float32)
 
-    wsq = jax.vmap(sums_one)(by, bx)              # [B,33,33]
+        def sums_one(r0, c0):
+            return jax.lax.dynamic_slice(
+                sq_sums, (r0 + off, c0 + off),
+                (2 * search + 1, 2 * search + 1))
+
+        wsq = jax.vmap(sums_one)(by, bx)
+    # u8-valued pixels are exact in bfloat16, and the MXU accumulates
+    # in f32 — bf16 operands halve the conv's HBM traffic with
+    # bit-identical sums vs the f32-input form
     corr = jax.lax.conv_general_dilated(
-        wins[None], blks.astype(jnp.float32)[:, None],
+        wins.astype(jnp.bfloat16)[None],
+        blks.astype(jnp.bfloat16)[:, None],
         (1, 1), "VALID", feature_group_count=B,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST)[0]   # [B,33,33]
+        preferred_element_type=jnp.float32)[0]    # [B,33,33]
     ssd = wsq - 2.0 * corr + jnp.sum(
         (blks * blks).astype(jnp.float32), axis=(1, 2))[:, None, None]
     # real MV + mode-signaling rate (entropy/cost.py LUTs):
     # every non-zero candidate codes NEWMV + the MV residual;
     # (0,0) codes GLOBALMV
-    fp_idx = np.abs(np.arange(-SEARCH, SEARCH + 1)) * 8
+    fp_idx = np.abs(np.arange(-search, search + 1)) * 8
     mvb = rd["mv_bits"][jnp.asarray(fp_idx)]
     mv_rate_grid = (mvb[:, None] + mvb[None, :] + rd["newmv"]
-                    ).at[SEARCH, SEARCH].set(rd["globalmv"])[None]
+                    ).at[search, search].set(rd["globalmv"])[None]
     cost = ssd + rd["lam"] * mv_rate_grid
     flat = jnp.argmin(cost.reshape(B, -1), axis=1)
-    mv_fp = jnp.stack([flat // (2 * SEARCH + 1) - SEARCH,
-                       flat % (2 * SEARCH + 1) - SEARCH], 1)
+    mv_fp = jnp.stack([flat // (2 * search + 1) - search,
+                       flat % (2 * search + 1) - search], 1)
 
     # ---- quarter-pel refinement (fixed-trip descent) ------------
     # one patch gather per block; descent drift <= 4+2+2 = 8 eighth-pel
@@ -319,14 +383,28 @@ def _search_one_ref(ryp, blks, by, bx, rd, B, use_satd=False):
         d = (pred - blks).astype(jnp.float32)
         return jnp.sum(d * d, axis=(1, 2)) + rd["lam"] * mvr
 
+    def ssd8_multi(mv8c):
+        """[C, B, 2] candidates in ONE patch-shared dispatch."""
+        C = mv8c.shape[0]
+        pred = _mc_patch_multi(patch32, pir0, pic0, by, bx, mv8c,
+                               32, 0, 1)
+        mvr = (rd["mv_bits"][jnp.abs(mv8c[..., 0])]
+               + rd["mv_bits"][jnp.abs(mv8c[..., 1])])
+        d = pred - blks[None]
+        if use_satd:
+            return (satd(d.reshape(C * B, 32, 32)).reshape(C, B)
+                    + rd["lam_sad"] * mvr)
+        df = d.astype(jnp.float32)
+        return jnp.sum(df * df, axis=(2, 3)) + rd["lam"] * mvr
+
     best = ssd8(mv8)
-    for step_sz in (4, 2, 2):
+    for step_sz in ((4, 2, 2) if subpel else ()):
         cands = jnp.stack([
             mv8 + jnp.array([-step_sz, 0]),
             mv8 + jnp.array([step_sz, 0]),
             mv8 + jnp.array([0, -step_sz]),
             mv8 + jnp.array([0, step_sz])], 0)    # [4,B,2]
-        costs = jnp.stack([ssd8(c) for c in cands], 0)  # [4,B]
+        costs = ssd8_multi(cands)                 # [4,B]
         k = jnp.argmin(costs, axis=0)
         cbest = jnp.take_along_axis(costs, k[None], 0)[0]
         cmv = jnp.take_along_axis(
@@ -340,14 +418,14 @@ def _search_one_ref(ryp, blks, by, bx, rd, B, use_satd=False):
     return mv8, patch32, pir0, pic0, ssd
 
 
-def _grid_sse_fn(ssd, B):
+def _grid_sse_fn(ssd, B, search: int = SEARCH):
     """Full-pel SSD-grid lookup of a (subpel) MV candidate: the
     search's [B, (2S+1)^2] SSD surface is already materialized, so a
     coherence pass over it costs one take_along_axis."""
     def f(mv):
-        fy = jnp.clip((mv[:, 0] + 4) >> 3, -SEARCH, SEARCH)
-        fx = jnp.clip((mv[:, 1] + 4) >> 3, -SEARCH, SEARCH)
-        flat = (fy + SEARCH) * (2 * SEARCH + 1) + (fx + SEARCH)
+        fy = jnp.clip((mv[:, 0] + 4) >> 3, -search, search)
+        fx = jnp.clip((mv[:, 1] + 4) >> 3, -search, search)
+        flat = (fy + search) * (2 * search + 1) + (fx + search)
         return jnp.take_along_axis(
             ssd.reshape(B, -1), flat[:, None], 1)[:, 0]
     return f
@@ -506,7 +584,8 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
                  ryp2=None, rup2=None, rvp2=None, ds16=None,
                  use_satd: bool = False, refine16: bool = True,
                  fwd2: bool = False, intra_rdo: bool = False,
-                 b64_rdo: bool = False):
+                 b64_rdo: bool = False,
+                 search: int = SEARCH, subpel: bool = True):
     """The whole batched P-frame encode for one (sub)frame region:
     grouped-conv full-pel search, subpel descent, 32-NONE vs 16-SPLIT
     RDO with the WriterCounter-twin rate model, skip RD, recon
@@ -529,7 +608,7 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         ds16 = jnp.ones((B, 4), jnp.float32)
     ds32 = jnp.mean(ds16, axis=1)                 # [B]
     mv8, patch32, pir0, pic0, ssd0 = _search_one_ref(
-        ryp, blks, by, bx, rd, B, use_satd)
+        ryp, blks, by, bx, rd, B, use_satd, search, subpel)
 
     ub = to_blocks(u.astype(jnp.int32), 16)
     vb = to_blocks(v.astype(jnp.int32), 16)
@@ -619,7 +698,7 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         # one ring, so iterate the free full-pel-grid pass before one
         # exact-subpel re-judge (3 grid reads + 5 _mc_batch). -------
         for _ in range(8):
-            mv8, _ = cand_pass(mv8, _grid_sse_fn(ssd0, B))
+            mv8, _ = cand_pass(mv8, _grid_sse_fn(ssd0, B, search))
         mv8, rate32 = cand_pass(mv8, exact_sse(ryp))
         pred_y = _mc_batch(ryp, by, bx, mv8, 32, 0)
         pred_u = _mc_batch(rup, by // 2, bx // 2, mv8, 16, 1)
@@ -633,14 +712,14 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         # fwd2: multi-ref P (LAST + GOLDEN, both forward) — two
         # single-ref candidates, no compound. ----------------------
         mvb8_, patchb, pbir, pbic, ssdb = _search_one_ref(
-            ryp2, blks, by, bx, rd, B, use_satd)
+            ryp2, blks, by, bx, rd, B, use_satd, search, subpel)
         # per-ref MV-field coherence passes (see cand_pass): 3 free
         # full-pel-grid erosion rounds + one exact re-judge. Snapped
         # MVs may leave the M=1 descent patches, so predictions
         # rebuild via _mc_batch rather than _mc_patch
         for _ in range(8):
-            mv8, _ = cand_pass(mv8, _grid_sse_fn(ssd0, B))
-            mvb8_, _ = cand_pass(mvb8_, _grid_sse_fn(ssdb, B))
+            mv8, _ = cand_pass(mv8, _grid_sse_fn(ssd0, B, search))
+            mvb8_, _ = cand_pass(mvb8_, _grid_sse_fn(ssdb, B, search))
         mv8, rate_f = cand_pass(mv8, exact_sse(ryp))
         mvb8_, rate_b = cand_pass(mvb8_, exact_sse(ryp2))
         pf_y = _mc_batch(ryp, by, bx, mv8, 32, 0)
@@ -1354,7 +1433,8 @@ def _core(h: int, w: int, use_cdef: bool = False,
           use_deblock: bool = True, use_split: bool = True,
           two_ref: bool = False, use_satd: bool = False,
           refine16: bool = True, fwd2: bool = False,
-          intra_rdo: bool = False, b64_rdo: bool = False):
+          intra_rdo: bool = False, b64_rdo: bool = False,
+          search: int = SEARCH, subpel: bool = True):
     """Single-chip batched P-frame step for an h x w frame. qindex
     enters as a traced argument (dcq/acq scalars) so rate control
     never triggers a recompile. Takes the packed source buffer and
@@ -1424,7 +1504,8 @@ def _core(h: int, w: int, use_cdef: bool = False,
                                 cdef_prm, rd, jnp.asarray(by),
                                 jnp.asarray(bx), nby, nbx, None,
                                 None, False, ryp2, rup2, rvp2,
-                                ds16=ds, use_satd=use_satd, fwd2=fwd2)
+                                ds16=ds, use_satd=use_satd, fwd2=fwd2,
+                                search=search, subpel=subpel)
 
         def step(src, ry, ru, rv, ry2, ru2, rv2, dcq, acq, cdef_prm,
                  rd, ds):
@@ -1448,7 +1529,8 @@ def _core(h: int, w: int, use_cdef: bool = False,
                                 jnp.asarray(bx), nby, nbx, None,
                                 None, use_split, ds16=ds,
                                 use_satd=use_satd, refine16=refine16,
-                                intra_rdo=intra_rdo, b64_rdo=b64_rdo)
+                                intra_rdo=intra_rdo, b64_rdo=b64_rdo,
+                                search=search, subpel=subpel)
 
         def step(src, ry, ru, rv, dcq, acq, cdef_prm, rd, ds):
             o = core(src, ry, ru, rv, dcq, acq, cdef_prm, rd, ds)

@@ -67,12 +67,16 @@ def main():
         print(f"== plane: {plane.name}  lines={len(plane.lines)} "
               f"total={all_time:.1f} ms (all lines summed; nesting "
               f"may double-count)")
-        # category grouping: strip trailing .N and digits
+        # category grouping: op kind (+ output shape) from the HLO text
         cats = defaultdict(float)
         for k, v in tot.items():
-            root = re.sub(r"[.\d]+$", "", k)
-            root = re.sub(r"^%?", "", root)
-            cats[root] += v
+            head = k.split(" = ", 1)
+            kind = re.sub(r"^%?", "", re.sub(r"[.\d]+$", "", head[0]))
+            shape = ""
+            if len(head) > 1:
+                m = re.match(r"\(?([a-z0-9]+\[[0-9,]*\])", head[1])
+                shape = m.group(1) if m else ""
+            cats[f"{kind} {shape}"] += v
         print("-- by op root --")
         for k, v in sorted(cats.items(), key=lambda x: -x[1])[:args.top]:
             print(f"{v:10.1f} ms  {k}")
