@@ -225,11 +225,21 @@ class Lookahead:
         """Distortion-scale grid (16x16 units) for the frame at the
         current encode position; cur_y enables activity masking when
         tune == psychovisual."""
+        return self.scales_at(0, cur_y)
+
+    def scales_at(self, k: int, cur_y: np.ndarray | None = None
+                  ) -> np.ndarray | None:
+        """scales() for the frame k input positions AHEAD of the
+        current pop position — reordered (B-pyramid) groups encode
+        frames out of input order, but importance propagation always
+        runs over the input-order pair chain (rav1e
+        compute_block_importances walks input order regardless of
+        coding order)."""
         self._drain()
         s = None
-        if self._stats:
+        if len(self._stats) > k:
             s = distortion_scales(
-                compute_importances(self._stats[:self.depth]))
+                compute_importances(self._stats[k:k + self.depth]))
         if self.tune == "psychovisual" and cur_y is not None:
             a = activity_scales(cur_y)
             s = a if s is None else (s * a).astype(np.float32)

@@ -180,7 +180,7 @@ class Context:
                     else (8 if cfg.speed <= 7 else 0))
         self._lookahead = None
         self._la_depth = 0
-        if (la_depth > 0 and not self._intra_only and not self._bgroup
+        if (la_depth > 0 and not self._intra_only
                 and cfg.bit_depth == 8 and cfg.chroma_sampling == "420"
                 and not (self._tile_cols_log2 or self._tile_rows_log2)):
             from rav1e_tpu.analysis.lookahead import Lookahead
@@ -258,7 +258,7 @@ class Context:
         while len(self._q) > need and not self._out:
             frameno, planes, src_dev = self._q.popleft()
             if self._bgroup:
-                self._pump_reordered(frameno, planes)
+                self._pump_reordered(frameno, planes, src_dev)
             else:
                 self._out.append(
                     self._encode_frame(frameno, planes,
@@ -274,7 +274,7 @@ class Context:
 
     # -- reordered (B-frame) scheduling --------------------------------------
 
-    def _pump_reordered(self, frameno: int, planes):
+    def _pump_reordered(self, frameno: int, planes, src_dev=None):
         is_key = (self._detector.analyze_next_frame(planes[0])
                   or self._ref_rec is None
                   or frameno in self._force_key_framenos)
@@ -286,7 +286,7 @@ class Context:
                                                 force_key=True))
             self._cur_slot = 0
             return
-        self._gbuf.append((frameno, planes))
+        self._gbuf.append((frameno, planes, src_dev))
         if len(self._gbuf) >= self._bgroup:
             self._encode_group()
 
@@ -313,8 +313,16 @@ class Context:
                    and not tiled and not aq)
         lr = getattr(self, "_lr_seq", False)
         base = self._order_hint
+        # per-frame lookahead importance (input-order window) before
+        # any pops; coding order below consumes by group index
+        ds = [None] * len(frames)
+        if self._lookahead is not None:
+            for k, (_fn, _pl, _sd) in enumerate(frames):
+                ds[k] = self._lookahead.scales_at(k, _pl[0])
+            for _ in frames:
+                self._lookahead.pop()
         if len(frames) == 1:
-            fn, pl = frames[0]
+            fn, pl, sd = frames[0]
             q = self._rc.select_qi("INTER")
             cdef, grain = self._loop_params(False, q)
             slot_new = 2 if self._cur_slot == 1 else 1
@@ -328,8 +336,12 @@ class Context:
                     refresh_flags=1 << slot_new,
                     ref_slot=self._cur_slot,
                     use_satd=self.speed_settings.satd_subpel,
+                    refine16=self.speed_settings.mv_refine_16,
                     intra_rdo=self.speed_settings.intra_in_inter,
-                    b64_rdo=self.speed_settings.b64_merge, lr=lr)
+                    b64_rdo=self.speed_settings.b64_merge, lr=lr,
+                    search=self.speed_settings.search_px,
+                    subpel=self.speed_settings.subpel,
+                    dscale=ds[0], src_dev=sd)
             else:
                 data, rec = encode_pframe(
                     pl, self._ref_rec, qindex=q,
@@ -339,7 +351,7 @@ class Context:
                     render_size=self._render)
             self._finish(data, fn, "INTER", q, rec, slot_new, base + 1)
             return
-        afn, apl = frames[-1]
+        afn, apl, asd = frames[-1]
         q = self._rc.select_qi("INTER")
         cdef, grain = self._loop_params(False, q)
         slot_new = 2 if self._cur_slot == 1 else 1
@@ -352,10 +364,14 @@ class Context:
                 cdef=cdef, film_grain=grain, render_size=self._render,
                 use_split=self.speed_settings.partition_split_rdo,
                 use_satd=self.speed_settings.satd_subpel,
+                refine16=self.speed_settings.mv_refine_16,
                 intra_rdo=self.speed_settings.intra_in_inter,
                 b64_rdo=self.speed_settings.b64_merge, lr=lr,
                 refresh_flags=1 << slot_new, ref_slot=self._cur_slot,
-                show_frame=False)
+                show_frame=False,
+                search=self.speed_settings.search_px,
+                subpel=self.speed_settings.subpel,
+                dscale=ds[-1], src_dev=asd)
         else:
             adata, arec = encode_pframe(
                 apl, self._ref_rec, qindex=q, order_hint=ahint,
@@ -371,13 +387,20 @@ class Context:
         bkw = (dict(b64_rdo=self.speed_settings.b64_merge, lr=lr)
                if fast_ok else dict(lr=lr))
         hints = (base & 127, ahint)
+
+        def dkw(k):
+            """Per-frame lookahead/device-source kwargs (fast path)."""
+            if not fast_ok:
+                return {}
+            return dict(dscale=ds[k], src_dev=frames[k][2])
+
         if len(frames) == 4:
             # depth-2 pyramid (rav1e InterConfig group_input_len=4,
             # src/api/internal.rs): code t3 (anchor, above), then
             # t1 (B0, refs base+t3, refreshes slot 3, non-shown),
             # then t0 (B1, refs base+t1), SEF(t1), t2 (B1, refs
             # t1+t3), SEF(t3). Per-level q via the B0/B1 subtypes.
-            (fn0, pl0), (fn1, pl1), (fn2, pl2) = frames[:3]
+            (fn0, pl0, _), (fn1, pl1, _), (fn2, pl2, _) = frames[:3]
             b0slot = 3
             q0 = self._rc.select_qi("B0")
             h1 = (base + 2) & 127
@@ -386,7 +409,8 @@ class Context:
                 order_hint=h1, cdef=cdef, film_grain=grain,
                 slot_fwd=self._cur_slot, slot_bwd=slot_new,
                 ref_hints=hints, render_size=self._render,
-                refresh_flags=1 << b0slot, show_frame=False, **bkw)
+                refresh_flags=1 << b0slot, show_frame=False,
+                **dkw(1), **bkw)
             self._out.append(Packet(data=b0data, input_frameno=fn1,
                                     frame_type="INTER", qp=q0))
             self._rc.update("B0", q0, len(b0data) * 8)
@@ -397,7 +421,7 @@ class Context:
                 order_hint=(base + 1) & 127, cdef=cdef,
                 film_grain=grain, slot_fwd=self._cur_slot,
                 slot_bwd=b0slot, ref_hints=(base & 127, h1),
-                render_size=self._render, **bkw)
+                render_size=self._render, **dkw(0), **bkw)
             self._out.append(Packet(data=bdata, input_frameno=fn0,
                                     frame_type="INTER", qp=q1))
             self._rc.update("B1", q1, len(bdata) * 8)
@@ -410,19 +434,20 @@ class Context:
                 order_hint=(base + 3) & 127, cdef=cdef,
                 film_grain=grain, slot_fwd=b0slot,
                 slot_bwd=slot_new, ref_hints=(h1, ahint),
-                render_size=self._render, **bkw)
+                render_size=self._render, **dkw(2), **bkw)
             self._out.append(Packet(data=bdata, input_frameno=fn2,
                                     frame_type="INTER", qp=q2))
             self._rc.update("B1", q2, len(bdata) * 8)
         else:
-            for i, (fn, pl) in enumerate(frames[:-1], start=1):
+            for i, (fn, pl, _sd) in enumerate(frames[:-1], start=1):
                 qb = self._rc.select_qi("B0")
                 bdata, _ = enc_b(
                     pl, self._ref_rec, arec32, qindex=qb,
                     order_hint=(base + i) & 127, cdef=cdef,
                     film_grain=grain,
                     slot_fwd=self._cur_slot, slot_bwd=slot_new,
-                    ref_hints=hints, render_size=self._render, **bkw)
+                    ref_hints=hints, render_size=self._render,
+                    **dkw(i - 1), **bkw)
                 self._out.append(Packet(data=bdata, input_frameno=fn,
                                         frame_type="INTER", qp=qb))
                 self._rc.update("B0", qb, len(bdata) * 8)
@@ -519,7 +544,8 @@ class Context:
                     lr=lr,
                     render_size=self._render,
                     seq_extra=self._seq_extra or None,
-                    part_rdo=rectp)
+                    part_rdo=rectp,
+                    angle_deltas=self.speed_settings.angle_deltas)
                 # sequence header carries enable_restoration: every
                 # frame of this GOP must then signal lr_params, which
                 # only the reference inter path can do
@@ -533,7 +559,28 @@ class Context:
             self._order_hint = 0
         else:
             self._order_hint += 1
-            if fast_ok and not aq:
+            ss = self.speed_settings
+            # multi-ref P (rav1e multiref): LAST = previous recon,
+            # GOLDEN = the GOP keyframe (KEY refreshes every slot, P
+            # only slot 0, so slot 1 still holds the keyframe). Static
+            # areas skip against the clean keyframe instead of
+            # accumulating re-encode loss along the LAST chain.
+            use_mref = (fast_ok and not aq and ss.multiref
+                        and getattr(self, "_golden_rec", None) is not None
+                        and self._order_hint >= 2
+                        and grain is None
+                        and not getattr(self, "_lr_seq", False))
+            if use_mref:
+                from rav1e_tpu.pipeline.tpu_inter import (
+                    encode_pframe2_tpu)
+                data, rec = encode_pframe2_tpu(
+                    planes, self._ref_rec, self._golden_rec,
+                    qindex=q, order_hint=self._order_hint & 127,
+                    cdef=cdef, slot_last=0, slot_golden=1,
+                    golden_hint=0, dscale=dscale,
+                    use_satd=ss.satd_subpel,
+                    render_size=self._render)
+            elif fast_ok and not aq:
                 from rav1e_tpu.pipeline.tpu_inter import encode_pframe_tpu
                 data, rec = encode_pframe_tpu(
                     planes, self._ref_rec, qindex=q,
@@ -557,6 +604,8 @@ class Context:
                     lr=getattr(self, "_lr_seq", False),
                     render_size=self._render)
         self._ref_rec = [np.asarray(p).astype(np.int32) for p in rec]
+        if is_key:
+            self._golden_rec = self._ref_rec
         self._rc.update(ftype, q, len(data) * 8)
         return Packet(data=data, input_frameno=frameno, frame_type=ftype,
                       qp=q)

@@ -21,6 +21,7 @@ class SpeedSettings:
     partition_split_rdo: bool = True
     rect_parts: bool = False       # HORZ/VERT partition RDO (keyframes)
     cfl: bool = True
+    tx_search: bool = True         # intra TX-type RDO (rav1e rdo_tx_decision)
     # inter
     search_px: int = 16            # full-pel search radius
     subpel: bool = True
@@ -28,7 +29,7 @@ class SpeedSettings:
     mv_refine_16: bool = False     # per-16 subpel ME in split RDO
     intra_in_inter: bool = False   # intra candidates in inter frames
     b64_merge: bool = False        # PARTITION_NONE at 64x64 (TX_64X64)
-    bframes: bool = False          # reordered GOPs
+    multiref: bool = False         # LAST + GOLDEN(=keyframe) P frames
     # in-loop filters
     cdef_auto: bool = True
     lr: bool = False
@@ -46,15 +47,18 @@ class SpeedSettings:
             # rav1e non_square_partition: low speeds only
             rect_parts=s <= 3,
             cfl=s <= 6,
+            tx_search=s <= 6,
             search_px=24 if s <= 2 else (16 if s <= 6 else 8),
             subpel=s <= 8,
             satd_subpel=s <= 6,    # rav1e use_satd_subpel (speeds <=6)
             mv_refine_16=s <= 4,   # cheap {parent,0} per-16 MVs above
             intra_in_inter=s <= 6,
-            # frames with 64-merges pack via the python writer until
-            # the C++ packer learns B64 blocks
             b64_merge=s <= 6,
-            bframes=s <= 4,
+            # rav1e multiref (speeds <= 7): we gate at <= 5 because the
+            # multi-ref step forgoes split/b64/intra RDO (see
+            # encode_pframe2_tpu) — only worth it where the cleaner
+            # keyframe reference buys more than those tools
+            multiref=s <= 5,
             cdef_auto=s <= 8,
             lr=s <= 3,
             # rav1e: standard (cost-based) scene detection below

@@ -36,8 +36,9 @@ def main(argv=None):
     ap.add_argument("--second-pass", default="",
                     help="read two-pass stats from FILE (pass 2)")
     ap.add_argument("--low-latency",
-                    action=argparse.BooleanOptionalAction, default=True,
-                    help="--no-low-latency enables B-frame reordering")
+                    action=argparse.BooleanOptionalAction, default=False,
+                    help="disable B-frame reordering (rav1e default: "
+                         "reordered GOPs, matching api.Config)")
     ap.add_argument("--tune", default="Psnr",
                     choices=["Psnr", "Psychovisual"])
     ap.add_argument("--content-light", default="",

@@ -124,7 +124,8 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
                     aq: bool = False, edge_filter: bool = True,
                     render_size: tuple | None = None,
                     seq_extra: dict | None = None,
-                    part_rdo: bool = False):
+                    part_rdo: bool = False,
+                    angle_deltas: bool = True):
     """Encode one 8-bit 4:2:0 KEY frame. Returns (packet, recon planes).
 
     planes: [y (h,w), u, v] uint8, dims multiples of 8. Tile counts are
@@ -184,7 +185,7 @@ def encode_keyframe(planes: list[np.ndarray], qindex: int = 100,
                  v[cy0:cy1, cx0:cx1]],
                 qindex, block, bit_depth, ss_x, ss_y,
                 seg_alt_q=seg_alt_q, edge_filter=edge_filter,
-                part_rdo=part_rdo)
+                part_rdo=part_rdo, angle_deltas=angle_deltas)
             tiles.append((tw_t, parts_t, blocks_t))
             frame_rec[0][py0:py1, px0:px1] = recs[0]
             frame_rec[1][cy0:cy1, cx0:cx1] = recs[1]
@@ -213,7 +214,8 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
                           ss_y: int = 1, lr: bool = False,
                           seg_alt_q: list | None = None,
                           edge_filter: bool = True,
-                          part_rdo: bool = False):
+                          part_rdo: bool = False,
+                          angle_deltas: bool = True):
     """Encode one tile (tiles are fully independent: prediction and
     entropy context never cross the boundary, so a tile encodes exactly
     like a small frame). Returns (tile bytes, recon planes)."""
@@ -432,7 +434,9 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
             if best is None or cost < best[0]:
                 best = (cost, m, 0, lv, rec)
         # angle-delta refinement for angular winners (V/H/D*)
-        if best[1] in ANGLE_BASE and bsize >= BlockSize.B8X8:
+        # (SpeedSettings.angle_deltas; rav1e fine_directional_intra)
+        if (angle_deltas and best[1] in ANGLE_BASE
+                and bsize >= BlockSize.B8X8):
             for delta in (-3, -2, -1, 1, 2, 3):
                 lv, rec, sse = trial(states[0], c * 4, r * 4, ytx, ytt,
                                      best[1], delta, ft=ft_y)

@@ -1586,14 +1586,17 @@ def _fetch_outputs(o):
             split, mv16, skip16)
 
 
-def _fetch_packed(o, gather_dense, nby, nbx):
+def _fetch_packed(o, gather_dense, nby, nbx, packed=None):
     """Pull one frame's decisions to host: ONE transfer of the packed
     buffer + (rarely) one batched gather for stream-overflow blocks.
+    `packed` supplies an already-fetched host copy of o[0] (the GOP
+    loop fetches every frame's buffer in one batched transfer).
 
     Returns (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16,
     lf_lvl, cdef_idx, choice, mvb8, b64_map)."""
     (mv8, skip, split, mv16, skip16, choice, mvb8, lf, cdef_map,
-     counts, pos, val, b64_map) = unpack_outputs(o[0], nby, nbx)
+     counts, pos, val, b64_map) = unpack_outputs(
+        o[0] if packed is None else packed, nby, nbx)
     lv_y, lv_u, lv_v, over = unpack_stream(counts, pos, val, split)
     didx = np.nonzero(over)[0]
     if len(didx):
@@ -1798,7 +1801,8 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
                       show_frame: bool = True, dscale=None,
                       src_dev=None, use_satd: bool = False,
                       refine16: bool = True, intra_rdo: bool = False,
-                      b64_rdo: bool = False, lr: bool = False):
+                      b64_rdo: bool = False, lr: bool = False,
+                      search: int = SEARCH, subpel: bool = True):
     """TPU-batched P frame. Same bitstream contract as encode_pframe.
 
     ref_dev: optional device-resident reference planes (from a prior
@@ -1806,7 +1810,8 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
     src_dev: optional device-resident packed source (pack_src output
     uploaded earlier, e.g. at send_frame time) — same purpose.
     dscale: optional per-16x16 distortion-scale grid [h/16, w/16]
-    (lookahead importance / activity masking, rav1e DistortionScale)."""
+    (lookahead importance / activity masking, rav1e DistortionScale).
+    search/subpel: SpeedSettings.search_px / .subpel."""
     y, u, v = planes
     h, w = y.shape[0], y.shape[1]
     assert h % 32 == 0 and w % 32 == 0
@@ -1815,7 +1820,8 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
                                            use_satd=use_satd,
                                            refine16=refine16,
                                            intra_rdo=intra_rdo,
-                                           b64_rdo=b64_rdo)
+                                           b64_rdo=b64_rdo,
+                                           search=search, subpel=subpel)
     if ref_dev is None:
         ref_dev = tuple(jnp.asarray(np.asarray(p, np.uint8))
                         for p in ref_planes)
@@ -2072,7 +2078,8 @@ def encode_bframe_tpu(planes, ref_fwd, ref_bwd, qindex: int = 100,
                       render_size: tuple | None = None,
                       dscale=None, src_dev=None,
                       refresh_flags: int = 0, show_frame: bool = True,
-                      b64_rdo: bool = False, lr: bool = False):
+                      b64_rdo: bool = False, lr: bool = False,
+                      search: int = SEARCH, subpel: bool = True):
     """TPU-batched B frame: both references searched on-device, each
     block picks single-fwd / single-bwd / COMPOUND_AVERAGE by RD.
     Same bitstream contract as pipeline/inter.py::encode_bframe.
@@ -2085,7 +2092,8 @@ def encode_bframe_tpu(planes, ref_fwd, ref_bwd, qindex: int = 100,
     step, (nby, nbx), gather_dense = _core(h, w, cdef is not None,
                                            use_split=False,
                                            two_ref=True,
-                                           b64_rdo=b64_rdo)
+                                           b64_rdo=b64_rdo,
+                                           search=search, subpel=subpel)
     if ref_dev_fwd is None:
         ref_dev_fwd = tuple(jnp.asarray(np.asarray(p, np.uint8))
                             for p in ref_fwd)
@@ -2119,7 +2127,15 @@ def encode_bframe_tpu(planes, ref_fwd, ref_bwd, qindex: int = 100,
 
 def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
                    cdef: tuple | None = None):
-    """KEY + P chain with the TPU-batched pipelines."""
+    """KEY + P chain with the TPU-batched pipelines.
+
+    IO schedule (tunnel-measured): per-frame uploads issued inside the
+    dispatch loop overlap transfer(i+1) with compute(i); per-frame
+    fetches in a second loop overlap fetch(i) with compute(i+1..).
+    One whole-GOP upload / one stacked fetch were tried and LOSE —
+    the tunnel serializes a large H2D ahead of all later dispatches
+    (keyframe phase1 0.24 s -> 1.18 s) and chunks large D2H at
+    ~65 ms per row (batched fetch 1.1 s vs 15 overlapped 52 ms)."""
     from rav1e_tpu.pipeline.tpu_intra import encode_keyframe_tpu
 
     pkts, recs = [], []
@@ -2130,15 +2146,19 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
     if len(frames) == 1:
         return pkts, recs
     h, w = frames[0][0].shape
-    # SpeedSettings.partition_split_rdo: presets >7 drop the 32->16
-    # split candidate set entirely (XLA dead-code-eliminates it);
-    # satd_subpel (<=6) switches the subpel metric to Hadamard
+    # SpeedSettings drives the toolset: partition_split_rdo (presets
+    # >7 drop the 32->16 split candidate set; XLA dead-code-eliminates
+    # it), satd_subpel (Hadamard subpel metric), search_px, subpel
+    from rav1e_tpu.api.speed import SpeedSettings
+    ss = SpeedSettings.from_preset(speed)
     step, _, gather_dense = _core(h, w, cdef is not None,
-                                  use_split=speed <= 7,
-                                  use_satd=speed <= 6,
-                                  refine16=speed <= 4,
-                                  intra_rdo=speed <= 6,
-                                  b64_rdo=speed <= 6)
+                                  use_split=ss.partition_split_rdo,
+                                  use_satd=ss.satd_subpel,
+                                  refine16=ss.mv_refine_16,
+                                  intra_rdo=ss.intra_in_inter,
+                                  b64_rdo=ss.b64_merge,
+                                  search=ss.search_px,
+                                  subpel=ss.subpel)
     dcq = jnp.int32(dc_q_lut(qindex))
     acq = jnp.int32(ac_q_lut(qindex))
     rd = build_rd_inter(qindex)
@@ -2162,9 +2182,6 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
         outs.append(o)
     if _timing:
         print(f"# gop dispatch {_time.time()-_t0:.3f}s")
-        jax.block_until_ready(outs[-1][0])
-        print(f"# gop device-drain {_time.time()-_t0:.3f}s")
-        _t0 = _time.time()
     _tf = _tp = 0.0
     for i, o in enumerate(outs, start=1):
         _t1 = _time.time()

@@ -1300,21 +1300,25 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     sy = jnp.asarray(_to_blocks(y, LB))
     su = jnp.asarray(_to_blocks(u, CB))
     sv = jnp.asarray(_to_blocks(v, CB))
-    modes_y = MODES_FULL if speed <= 6 else (
-        MODES_7 if speed <= 8 else MODES_FAST)
-    modes_quad = MODES_QUAD if speed <= 6 else modes_y
-    modes_uv = MODES_UV_FULL if speed <= 6 else (
-        MODES_UV if speed <= 8 else MODES_FAST)
-    split_rdo = speed <= 7
+    # SpeedSettings is the single source of truth for the toolset
+    # (rav1e SpeedSettings::from_preset; api/speed.py)
+    from rav1e_tpu.api.speed import SpeedSettings
+    ss = SpeedSettings.from_preset(speed)
+    modes_y = (MODES_FULL if ss.intra_modes >= 13 else
+               (MODES_7 if ss.intra_modes >= 7 else MODES_FAST))
+    modes_quad = MODES_QUAD if ss.intra_modes >= 13 else modes_y
+    modes_uv = (MODES_UV_FULL if ss.intra_modes >= 13 else
+                (MODES_UV if ss.intra_modes >= 7 else MODES_FAST))
+    split_rdo = ss.partition_split_rdo
     # D45/D67 read the above-right extension, whose source block
     # (i-1, j+1) sits on the SAME i+j anti-diagonal — so the
     # full-toolset recon schedule is d = 2i + j (the video-coding WPP
     # "2-column offset" wavefront). Cheap toolsets keep i+j.
     ext = any(m in (P.D45_PRED, P.D67_PRED, P.D203_PRED)
               for m in modes_y)
-    tx_search = speed <= 6 and split_rdo
+    tx_search = ss.tx_search and split_rdo
     rd = build_rd(qindex, modes_y, modes_uv, modes_quad=modes_quad,
-                  use_cfl=speed <= 6, tx_search=tx_search)
+                  use_cfl=ss.cfl, tx_search=tx_search)
     seg_map = None
     if aq:
         # variance AQ (numpy-path parity, pipeline/intra.py): per-32
@@ -1422,7 +1426,7 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
         out = recon_wavefront(
             skew(sy), skew(su), skew(sv), skew(my_d), skew(mu_d),
             skew(sp_d), skew(cf_d), jnp.asarray(has_l_sk), tr_sk, rd,
-            modes_y, modes_uv, modes_quad, split_rdo, speed <= 6, ext,
+            modes_y, modes_uv, modes_quad, split_rdo, ss.cfl, ext,
             ytx_sk=skew(ytx_d) if tx_search else None,
             tx_search=tx_search)
         return (my_d, mu_d, sp_d, cf_d, ytx_d), out
