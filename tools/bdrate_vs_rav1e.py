@@ -23,10 +23,49 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def _photo_luma():
+    """Real photographic content: matplotlib's bundled Grace Hopper
+    portrait (public sample data) as a float luma plane."""
+    import os
+
+    import matplotlib
+    from PIL import Image
+    p = os.path.join(os.path.dirname(matplotlib.__file__), "mpl-data",
+                     "sample_data", "grace_hopper.jpg")
+    img = np.asarray(Image.open(p).convert("YCbCr"), np.float64)
+    return img[..., 0], img[..., 1], img[..., 2]
+
+
+def _terrain_luma():
+    """Natural terrain texture: matplotlib's jacksboro fault DEM."""
+    import os
+
+    import matplotlib
+    p = os.path.join(os.path.dirname(matplotlib.__file__), "mpl-data",
+                     "sample_data", "jacksboro_fault_dem.npz")
+    z = np.load(p)["elevation"].astype(np.float64)
+    z = (z - z.min()) / (z.max() - z.min() + 1e-9)
+    return 30 + 200 * z
+
+
+def _mosaic(plane, H, W):
+    """Tile a texture (with mirrored seams) to at least H x W."""
+    ry = int(np.ceil(H / plane.shape[0]))
+    rx = int(np.ceil(W / plane.shape[1]))
+    rows = []
+    for i in range(ry + 1):
+        r = plane if i % 2 == 0 else plane[::-1]
+        cols = [r if j % 2 == 0 else r[:, ::-1] for j in range(rx + 1)]
+        rows.append(np.concatenate(cols, 1))
+    return np.concatenate(rows, 0)
+
+
 def make_clips(w, h, n, seed=11):
-    """Synthetic content family: moving smooth texture + noise detail
-    (same family as bench/baseline_rav1e.py so numbers line up)."""
-    from scipy.ndimage import gaussian_filter
+    """Eval corpus (VERDICT r2: >=6 clips incl. real content): two
+    synthetic probes (pan/detail), real photographic pans at eval size
+    and at 1080p, natural-terrain motion, and a moving-object-over-
+    photo composite that exercises ME + skip + occlusion."""
+    from scipy.ndimage import gaussian_filter, zoom
     rng = np.random.default_rng(seed)
     clips = {}
     # 'pan': smooth textured field, global pan
@@ -52,7 +91,73 @@ def make_clips(w, h, n, seed=11):
                        np.full((h // 2, w // 2), 128, np.uint8),
                        np.full((h // 2, w // 2), 118, np.uint8)])
     clips["detail"] = frames
+
+    # 'photo': real photographic pan (Grace Hopper) at eval size
+    py, pu, pv = _photo_luma()
+    my = _mosaic(py, h + 4 * n, w + 6 * n)
+    mu = _mosaic(pu[::2, ::2], (h + 4 * n) // 2, (w + 6 * n) // 2)
+    mv = _mosaic(pv[::2, ::2], (h + 4 * n) // 2, (w + 6 * n) // 2)
+    frames = []
+    for t in range(n):
+        oy, ox = 2 * t, 3 * t
+        frames.append([
+            my[oy:oy + h, ox:ox + w].clip(0, 255).astype(np.uint8),
+            mu[oy // 2:oy // 2 + h // 2,
+               ox // 2:ox // 2 + w // 2].clip(0, 255).astype(np.uint8),
+            mv[oy // 2:oy // 2 + h // 2,
+               ox // 2:ox // 2 + w // 2].clip(0, 255).astype(np.uint8)])
+    clips["photo"] = frames
+
+    # 'terrain': natural-texture diagonal drift + slow illumination
+    tz = _terrain_luma()
+    tz = zoom(tz, max((h + 2 * n) / tz.shape[0],
+                      (w + 2 * n) / tz.shape[1]) + 0.01, order=1)
+    frames = []
+    for t in range(n):
+        oy, ox = t, 2 * t
+        yf = (tz[oy:oy + h, ox:ox + w] * (1 + 0.002 * t)).clip(0, 255)
+        frames.append([yf.astype(np.uint8),
+                       np.full((h // 2, w // 2), 124, np.uint8),
+                       np.full((h // 2, w // 2), 130, np.uint8)])
+    clips["terrain"] = frames
+
+    # 'object': moving foreground patch over a static photo background
+    # (occlusion/uncover: skip blocks + isolated NEWMV island)
+    bg = my[:h, :w].clip(0, 255)
+    patch = gaussian_filter(rng.normal(0, 40, (h // 4, w // 4)), 2.0)
+    frames = []
+    for t in range(n):
+        y = bg.copy()
+        oy = h // 4 + int((h // 3) * np.sin(t / 5))
+        ox = (w // 8 + 5 * t) % (w - w // 4)
+        y[oy:oy + h // 4, ox:ox + w // 4] = (
+            128 + patch).clip(0, 255)
+        frames.append([y.astype(np.uint8),
+                       mu[:h // 2, :w // 2].clip(0, 255).astype(np.uint8),
+                       mv[:h // 2, :w // 2].clip(0, 255).astype(np.uint8)])
+    clips["object"] = frames
     return clips
+
+
+def make_1080p_clip(n, seed=11):
+    """Real-content 1080p rate-curve clip (VERDICT r2 weak#2): the
+    photo mosaic at 1920x1088 with pan + slow zoom."""
+    from scipy.ndimage import zoom as _zoom
+    h, w = 1088, 1920
+    py, pu, pv = _photo_luma()
+    my = _mosaic(py, h + 80, w + 80)
+    mu = _mosaic(pu[::2, ::2], (h + 80) // 2, (w + 80) // 2)
+    mv = _mosaic(pv[::2, ::2], (h + 80) // 2, (w + 80) // 2)
+    frames = []
+    for t in range(n):
+        oy, ox = 2 * t, 3 * t
+        frames.append([
+            my[oy:oy + h, ox:ox + w].clip(0, 255).astype(np.uint8),
+            mu[oy // 2:oy // 2 + h // 2,
+               ox // 2:ox // 2 + w // 2].clip(0, 255).astype(np.uint8),
+            mv[oy // 2:oy // 2 + h // 2,
+               ox // 2:ox // 2 + w // 2].clip(0, 255).astype(np.uint8)])
+    return frames
 
 
 def encode_ours(frames, q, speed):
@@ -100,12 +205,21 @@ def main():
     ap.add_argument("--speed", type=int, default=6)
     ap.add_argument("--qs", default="60,100,140,180")
     ap.add_argument("--json", default="")
+    ap.add_argument("--clips", default="",
+                    help="comma list to filter clip names")
+    ap.add_argument("--with-1080p", action="store_true",
+                    help="add the real-content 1080p rate curve")
     args = ap.parse_args()
     w, h = (int(x) for x in args.size.split("x"))
     qs = [int(x) for x in args.qs.split(",")]
     from rav1e_tpu.analysis.quality import bd_rate
 
     clips = make_clips(w, h, args.frames)
+    if args.with_1080p:
+        clips["photo1080"] = make_1080p_clip(args.frames)
+    if args.clips:
+        keep = set(args.clips.split(","))
+        clips = {k: v for k, v in clips.items() if k in keep}
     report = {"size": args.size, "frames": args.frames,
               "speed": args.speed, "qs": qs, "clips": {}}
     bd_all = []
