@@ -74,7 +74,9 @@ def _load():
         C.POINTER(C.c_uint8), C.POINTER(C.c_int16),
         C.POINTER(C.c_int16), C.POINTER(C.c_int16),
         C.POINTER(C.c_uint8), C.c_int, C.POINTER(C.c_uint8),
-        C.POINTER(C.c_uint8), C.POINTER(C.c_uint8), C.c_long]
+        C.POINTER(C.c_uint8), C.POINTER(C.c_uint8),
+        C.POINTER(C.c_int32), C.POINTER(C.c_uint8),
+        C.POINTER(C.c_uint8), C.c_long]
     lib.packer_intra_tile.restype = C.c_long
     lib.packer_intra_tile.argtypes = [
         C.c_void_p, C.c_int, C.c_int, C.POINTER(C.c_int32),
@@ -397,13 +399,18 @@ class NativeTileWriter(TileWriter):
                                cdef_idx: np.ndarray | None = None,
                                cdef_bits: int = 0,
                                intra32: np.ndarray | None = None,
-                               b64: np.ndarray | None = None
+                               b64: np.ndarray | None = None,
+                               split16: np.ndarray | None = None,
+                               mvq8: np.ndarray | None = None,
+                               skip8: np.ndarray | None = None
                                ) -> bytes:
-        """One-call C++ pack of a mixed 32/16-partition P-frame tile
+        """One-call C++ pack of a mixed 32/16/8-partition P-frame tile
         (PARTITION_SPLIT 32-blocks carry four 16x16 sub-blocks in
-        quadrant layout; intra32 flags 32-blocks coded as DC intra).
-        Byte-identical to write_tile over the equivalent
-        partitions/blocks dicts."""
+        quadrant layout; split16 further splits a 16 into four 8x8
+        blocks — mvq8/skip8 are [B, 4, 4(,2)] in (quad, subquad)
+        order, levels packed into the same quadrant planes; intra32
+        flags 32-blocks coded as DC intra). Byte-identical to
+        write_tile over the equivalent partitions/blocks dicts."""
         fam = self._fam
         order = ["partition_mid", "skip", "intra_inter", "single_ref",
                  "newmv", "zeromv", "refmv", "drl", "mv_joint",
@@ -415,6 +422,8 @@ class NativeTileWriter(TileWriter):
                  "eob_hi_bit", "txb_skip", "coeff_base_eob",
                  "coeff_base", "coeff_br", "dc_sign", "eob_pt_64",
                  "y_mode", "uv_mode_cfl"]
+        if split16 is not None:
+            order += ["eob_pt_16", "partition_8"]
         fam_ids = np.asarray([fam[n].fam for n in order], np.int32)
         split = np.ascontiguousarray(split, np.uint8)
         mv8 = np.ascontiguousarray(mv8, np.int32)
@@ -434,6 +443,17 @@ class NativeTileWriter(TileWriter):
         b64_arr = np.ascontiguousarray(
             b64 if b64 is not None else np.zeros(nsb),
             np.uint8).reshape(-1)
+        if split16 is not None:
+            s16_arr = np.ascontiguousarray(split16, np.uint8).reshape(-1)
+            mvq8_arr = np.ascontiguousarray(mvq8, np.int32).reshape(-1)
+            skip8_arr = np.ascontiguousarray(skip8, np.uint8).reshape(-1)
+            s16_p = s16_arr.ctypes.data_as(C.POINTER(C.c_uint8))
+            mvq8_p = mvq8_arr.ctypes.data_as(C.POINTER(C.c_int32))
+            skip8_p = skip8_arr.ctypes.data_as(C.POINTER(C.c_uint8))
+        else:
+            s16_p = C.POINTER(C.c_uint8)()
+            mvq8_p = C.POINTER(C.c_int32)()
+            skip8_p = C.POINTER(C.c_uint8)()
         cap = 1 << 24
         buf = (C.c_uint8 * cap)()
         n = self._lib.packer_inter_tile2(
@@ -451,6 +471,7 @@ class NativeTileWriter(TileWriter):
             int(cdef_bits),
             intra_arr.ctypes.data_as(C.POINTER(C.c_uint8)),
             b64_arr.ctypes.data_as(C.POINTER(C.c_uint8)),
+            s16_p, mvq8_p, skip8_p,
             buf, cap)
         assert n > 0
         out = bytes(buf[:n])

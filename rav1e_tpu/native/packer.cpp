@@ -1048,11 +1048,14 @@ long packer_inter_tile2(void* h, int mi_rows, int mi_cols,
                         const int16_t* lv_y, const int16_t* lv_u,
                         const int16_t* lv_v, const uint8_t* cdef_idx,
                         int cdef_bits, const uint8_t* intra32,
-                        const uint8_t* b64, uint8_t* out, long cap) {
+                        const uint8_t* b64, const uint8_t* split16,
+                        const int32_t* mvq8, const uint8_t* skip8,
+                        uint8_t* out, long cap) {
   Packer* p = (Packer*)h;
   InterTileFams F;
   int eob_pt_64;
   int fam_y_mode, fam_uv_mode_cfl;
+  int eob_pt_16 = -1, fam_part8 = -1;
   {
     const int32_t* f = fam_ids;
     F.part_mid = *f++; F.skip = *f++; F.intra_inter = *f++;
@@ -1069,6 +1072,7 @@ long packer_inter_tile2(void* h, int mi_rows, int mi_cols,
     F.coeff_br = *f++; F.dc_sign = *f++;
     eob_pt_64 = *f++;
     fam_y_mode = *f++; fam_uv_mode_cfl = *f++;
+    if (split16) { eob_pt_16 = *f++; fam_part8 = *f++; }
   }
   int nby = mi_rows / 8, nbx = mi_cols / 8;
   InterTile2 t;
@@ -1266,13 +1270,22 @@ long packer_inter_tile2(void* h, int mi_rows, int mi_cols,
            c / 2, r / 2, F.eob_pt_256, 1, 0);
         tu(2, lvv, lv_stride, 16, 2, t.acoef_v.data(),
            t.lcoef_v.data(), c / 2, r / 2, F.eob_pt_256, 1, 0);
-      } else {
+      } else if (bw4 == 4) {
         tu(0, ly, ly_stride, 16, 2, t.acoef_y.data(), t.lcoef_y.data(),
            c, r, F.eob_pt_256, 1, 0);
         tu(1, lu, lu_stride, 8, 1, t.acoef_u.data(), t.lcoef_u.data(),
            c / 2, r / 2, eob_pt_64, 1, 0);
         tu(2, lvv, lv_stride, 8, 1, t.acoef_v.data(), t.lcoef_v.data(),
            c / 2, r / 2, eob_pt_64, 1, 0);
+      } else {
+        // 8x8 block: TX_8X8 luma (txs_ctx 1) + TX_4X4 chroma
+        // (txs_ctx 0, eob_pt_16) — spec chroma_tx_size(B8X8, 420)
+        tu(0, ly, ly_stride, 8, 1, t.acoef_y.data(), t.lcoef_y.data(),
+           c, r, eob_pt_64, 1, 0);
+        tu(1, lu, lu_stride, 4, 0, t.acoef_u.data(), t.lcoef_u.data(),
+           c / 2, r / 2, eob_pt_16, 1, 0);
+        tu(2, lvv, lv_stride, 4, 0, t.acoef_v.data(), t.lcoef_v.data(),
+           c / 2, r / 2, eob_pt_16, 1, 0);
       }
     } else {
       for (int i = 0; i < bw4; i++) {
@@ -1360,10 +1373,30 @@ long packer_inter_tile2(void* h, int mi_rows, int mi_cols,
           for (int q = 0; q < 4; q++) {
             int qr = rr + (q >> 1) * 4, qc = cc + (q & 1) * 4;
             int ctx16 = part_ctx(qr, qc, 1);
-            p->symbol_fam(F.part_mid, 0 * 4 + ctx16, 0 /* NONE */);
             // quadrant offsets into the packed level planes
             int py = (q >> 1) * 16, px = (q & 1) * 16;
             int cy = (q >> 1) * 8, cx = (q & 1) * 8;
+            if (split16 && split16[g * 4 + q]) {
+              // 16x16 PARTITION_SPLIT -> four 8x8 blocks, each coding
+              // its own partition_8 NONE symbol (write_sb_tree twin)
+              p->symbol_fam(F.part_mid, 0 * 4 + ctx16, 3 /* SPLIT */);
+              for (int s = 0; s < 4; s++) {
+                int sr = qr + (s >> 1) * 2, sc = qc + (s & 1) * 2;
+                int ctx8 = part_ctx(sr, sc, 0);
+                p->symbol_fam(fam_part8, ctx8, 0 /* NONE */);
+                int sy = py + (s >> 1) * 8, sx = px + (s & 1) * 8;
+                int scy = cy + (s >> 1) * 4, scx = cx + (s & 1) * 4;
+                int e = (g * 4 + q) * 4 + s;
+                write_block2(sr, sc, 2, mvq8[e * 2], mvq8[e * 2 + 1],
+                             skip8[e],
+                             lv_y + g * 1024 + sy * 32 + sx, 32,
+                             lv_u + g * 256 + scy * 16 + scx, 16,
+                             lv_v + g * 256 + scy * 16 + scx, 16, 0);
+                update_part(sr, sc, 1, 2, 2);
+              }
+              continue;
+            }
+            p->symbol_fam(F.part_mid, 0 * 4 + ctx16, 0 /* NONE */);
             write_block2(qr, qc, 4, mv16[(g * 4 + q) * 2],
                          mv16[(g * 4 + q) * 2 + 1], skip16[g * 4 + q],
                          lv_y + g * 1024 + py * 32 + px, 32,

@@ -11,7 +11,7 @@ import pytest
 from rav1e_tpu.core.constants import BlockSize, PartitionType, PredictionMode
 
 
-def _random_grid(rng, nby, nbx, q):
+def _random_grid(rng, nby, nbx, q, depth8=False):
     B = nby * nbx
     split = rng.random(B) < 0.5
     mv8 = (rng.integers(-16, 17, (B, 2)) * 8).astype(np.int32)
@@ -20,6 +20,11 @@ def _random_grid(rng, nby, nbx, q):
     mv16[rng.random((B, 4)) < 0.3] = 0
     skip32 = (rng.random(B) < 0.4).astype(np.uint8)
     skip16 = (rng.random((B, 4)) < 0.4).astype(np.uint8)
+    split16 = (split[:, None] & (rng.random((B, 4)) < 0.5)
+               if depth8 else np.zeros((B, 4), bool))
+    mvq8 = (rng.integers(-16, 17, (B, 4, 4, 2)) * 8).astype(np.int32)
+    mvq8[rng.random((B, 4, 4)) < 0.3] = 0
+    skip8 = (rng.random((B, 4, 4)) < 0.4).astype(np.uint8)
 
     def lv_plane(n, density=0.1):
         lv = np.zeros((B, n, n), np.int16)
@@ -32,7 +37,16 @@ def _random_grid(rng, nby, nbx, q):
         if split[b]:
             for qd, (dr, dc) in enumerate(
                     ((0, 0), (0, 16), (16, 0), (16, 16))):
-                if skip16[b, qd]:
+                if split16[b, qd]:
+                    for s, (sr, sc) in enumerate(
+                            ((0, 0), (0, 8), (8, 0), (8, 8))):
+                        if skip8[b, qd, s]:
+                            py, px = dr + sr, dc + sc
+                            cy, cx = (dr + sr) // 2, (dc + sc) // 2
+                            lv_y[b, py:py + 8, px:px + 8] = 0
+                            lv_u[b, cy:cy + 4, cx:cx + 4] = 0
+                            lv_v[b, cy:cy + 4, cx:cx + 4] = 0
+                elif skip16[b, qd]:
                     lv_y[b, dr:dr + 16, dc:dc + 16] = 0
                     lv_u[b, dr // 2:dr // 2 + 8, dc // 2:dc // 2 + 8] = 0
                     lv_v[b, dr // 2:dr // 2 + 8, dc // 2:dc // 2 + 8] = 0
@@ -40,12 +54,18 @@ def _random_grid(rng, nby, nbx, q):
             lv_y[b] = 0
             lv_u[b] = 0
             lv_v[b] = 0
+    if depth8:
+        return (split, mv8, skip32, mv16, skip16, lv_y, lv_u, lv_v,
+                split16, mvq8, skip8)
     return split, mv8, skip32, mv16, skip16, lv_y, lv_u, lv_v
 
 
 def _python_pack(mi_rows, mi_cols, q, grid):
     from rav1e_tpu.entropy.tile import BlockDecision, TileWriter
-    split, mv8, skip32, mv16, skip16, lv_y, lv_u, lv_v = grid
+    split, mv8, skip32, mv16, skip16, lv_y, lv_u, lv_v = grid[:8]
+    split16 = mvq8 = skip8 = None
+    if len(grid) > 8:
+        split16, mvq8, skip8 = grid[8:]
     nbx = mi_cols // 8
     tw = TileWriter(mi_rows, mi_cols, q, inter_frame=True)
     partitions, blocks = {}, {}
@@ -71,6 +91,23 @@ def _python_pack(mi_rows, mi_cols, q, grid):
                     ((0, 0), (0, 4), (4, 0), (4, 4))):
                 py, px = dr * 4, dc * 4
                 cy, cx = dr * 2, dc * 2
+                if split16 is not None and split16[b, qd]:
+                    partitions[(r + dr, c + dc,
+                                int(BlockSize.B16X16))] = \
+                        PartitionType.SPLIT
+                    for s, (sr, sc) in enumerate(
+                            ((0, 0), (0, 2), (2, 0), (2, 2))):
+                        sy, sx = py + sr * 4, px + sc * 4
+                        scy, scx = cy + sr * 2, cx + sc * 2
+                        partitions[(r + dr + sr, c + dc + sc,
+                                    int(BlockSize.B8X8))] = \
+                            PartitionType.NONE
+                        blocks[(r + dr + sr, c + dc + sc)] = mk(
+                            mvq8[b, qd, s], skip8[b, qd, s],
+                            lv_y[b][sy:sy + 8, sx:sx + 8],
+                            lv_u[b][scy:scy + 4, scx:scx + 4],
+                            lv_v[b][scy:scy + 4, scx:scx + 4])
+                    continue
                 partitions[(r + dr, c + dc, int(BlockSize.B16X16))] = \
                     PartitionType.NONE
                 blocks[(r + dr, c + dc)] = mk(
@@ -96,6 +133,24 @@ def test_inter_tile2_byte_identity(seed):
     grid = _random_grid(rng, nby, nbx, q)
     tw = NativeTileWriter(mi_rows, mi_cols, q, inter_frame=True)
     native = tw.write_inter_tile_fast2(*grid)
+    ref = _python_pack(mi_rows, mi_cols, q, grid)
+    assert native == ref
+
+
+@pytest.mark.parametrize("seed", [3, 4, 5])
+def test_inter_tile2_depth8_byte_identity(seed):
+    """Mixed 32/16/8 partitions (split16 + 8x8 blocks with TX_8X8
+    luma / TX_4X4 chroma) pack byte-identically to the python
+    writer's recursive write_sb_tree."""
+    from rav1e_tpu.entropy.native import NativeTileWriter
+    rng = np.random.default_rng(seed)
+    nby, nbx = int(rng.integers(2, 5)), int(rng.integers(2, 5))
+    mi_rows, mi_cols = nby * 8, nbx * 8
+    q = int(rng.choice([60, 100, 160]))
+    grid = _random_grid(rng, nby, nbx, q, depth8=True)
+    tw = NativeTileWriter(mi_rows, mi_cols, q, inter_frame=True)
+    native = tw.write_inter_tile_fast2(
+        *grid[:8], split16=grid[8], mvq8=grid[9], skip8=grid[10])
     ref = _python_pack(mi_rows, mi_cols, q, grid)
     assert native == ref
 
