@@ -41,11 +41,20 @@ def _load():
     global _LIB
     if _LIB is not None:
         return _LIB
-    so = _DIR / "libpacker.so"
+    import os
+    # RAV1E_TPU_PACKER_SAN=1 builds/loads an ASAN+UBSAN-instrumented
+    # packer (SURVEY §5.2 sanitizer discipline): the byte-identity
+    # suite re-runs against it in a subprocess with libasan preloaded
+    # (tests/test_native_packer_asan.py) so raw-ctypes OOB writes
+    # abort instead of silently corrupting both sides of the compare.
+    san = bool(os.environ.get("RAV1E_TPU_PACKER_SAN"))
+    so = _DIR / ("libpacker_san.so" if san else "libpacker.so")
     src = _DIR / "packer.cpp"
+    flags = (["-O1", "-g", "-fsanitize=address,undefined",
+              "-fno-sanitize-recover=all"] if san else ["-O2"])
     if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
         subprocess.check_call(
-            ["g++", "-O2", "-shared", "-fPIC", "-o", str(so), str(src)])
+            ["g++", *flags, "-shared", "-fPIC", "-o", str(so), str(src)])
     lib = C.CDLL(str(so))
     lib.packer_new.restype = C.c_void_p
     lib.packer_add_family.argtypes = [C.c_void_p, C.POINTER(C.c_int32),
