@@ -19,6 +19,7 @@ class SpeedSettings:
     intra_modes: int = 13          # candidate luma modes
     angle_deltas: bool = True
     partition_split_rdo: bool = True
+    partition_split8: bool = False  # 16->8 PARTITION_SPLIT RDO (inter)
     rect_parts: bool = False       # HORZ/VERT partition RDO (keyframes)
     cfl: bool = True
     tx_search: bool = True         # intra TX-type RDO (rav1e rdo_tx_decision)
@@ -44,6 +45,8 @@ class SpeedSettings:
             intra_modes=13 if s <= 6 else (7 if s <= 8 else 1),
             angle_deltas=s <= 6,
             partition_split_rdo=s <= 7,
+            # rav1e partition_range reaches 8x8 from speed <= 6
+            partition_split8=s <= 6,
             # rav1e non_square_partition: low speeds only
             rect_parts=s <= 3,
             cfl=s <= 6,

@@ -194,17 +194,29 @@ def _levels_to_thresholds(level):
 def deblock_plane_jax(plane, block: int, level_v, level_h,
                       is_luma: bool, bd: int = 8, split_map=None,
                       outer_block: int = 32, edge_on_v=None,
-                      edge_on_h=None, merge_map=None):
+                      edge_on_h=None, merge_map=None, sub_map=None):
     """Filter one plane with traced levels. plane [H, W] int32; level 0
     disables (the filter mask never passes with limit>=1? no — gate
     explicitly). split_map: traced bool [bh, bw] per outer block —
     inner edges filter only where set (mirrors ops.ref.deblock).
     merge_map: traced bool [nr, nc] per 64x64 SB — PARTITION_NONE at
     64 removes the SB-internal 32-level prediction edges (they are no
-    longer block edges in the stream)."""
+    longer block edges in the stream).
+
+    sub_map: traced bool [H//cs, W//cs] with cs = block//2 — cells
+    whose TX is the half size (16x16 quads split to four 8x8 blocks:
+    TX_8X8 luma / TX_4X4 chroma). The spec derives the filter length
+    from the MIN adjacent TX (7.14.5): block-grid edges flanked by a
+    sub cell drop 14->8 taps (luma) / 6->4 (chroma) PER ROW, and new
+    half-spacing interior edges appear inside sub quads (8-tap luma /
+    4-tap chroma). At 4:2:0 the luma 8-cell grid and the chroma 4-cell
+    grid coincide, so ONE [H/8, W/8] array serves all three planes."""
     H, W = plane.shape
     size = 14 if is_luma else 6
     n = size // 2
+    size2 = 8 if is_luma else 4   # sub-TX filter + its sample span
+    n2 = size2 // 2
+    cs = block // 2               # sub-TX extent on this plane
     ob = outer_block if is_luma else outer_block // 2
     sb = 2 * ob                   # 64x64 SB extent on this plane
     out = plane
@@ -262,17 +274,57 @@ def deblock_plane_jax(plane, block: int, level_v, level_h,
         if edge_on_v is not None:
             eo = jnp.broadcast_to(edge_on_v[None, :], (H, E))
             m = eo if m is None else (m & eo)
-        m = m.reshape(-1) if m is not None else None
-        np_, nq = _filter_stack(p.reshape(-1, n), q.reshape(-1, n),
-                                limit, blimit, thresh, size, bd, m)
+        small = None
+        if sub_map is not None:
+            # per-(row, edge) sub-TX flank: MIN adjacent TX is the
+            # half size wherever either neighboring cs-cell is sub
+            sm = (sub_map[:, xs // cs - 1]
+                  | sub_map[:, xs // cs])             # [H//cs, E]
+            small = jnp.repeat(sm, cs, axis=0)[:H]
+            m_big = ~small if m is None else (m & ~small)
+            m_small = small if m is None else (m & small)
+        else:
+            m_big = m
+        pf = p.reshape(-1, n)
+        qf = q.reshape(-1, n)
+        mb = m_big.reshape(-1) if m_big is not None else None
+        np_, nq = _filter_stack(pf, qf, limit, blimit, thresh, size,
+                                bd, mb)
+        if small is not None:
+            np2, nq2 = _filter_stack(pf[:, :n2], qf[:, :n2], limit,
+                                     blimit, thresh, size2, bd,
+                                     m_small.reshape(-1))
+            sc = small.reshape(-1)[:, None]
+            np_ = np_.at[:, :n2].set(jnp.where(sc, np2, np_[:, :n2]))
+            nq = nq.at[:, :n2].set(jnp.where(sc, nq2, nq[:, :n2]))
         on = level_v > 0
-        np_ = jnp.where(on, np_, p.reshape(-1, n)
-                        ).reshape(H, E, n)[..., ::-1]
-        nq = jnp.where(on, nq, q.reshape(-1, n)).reshape(H, E, n)
+        np_ = jnp.where(on, np_, pf).reshape(H, E, n)[..., ::-1]
+        nq = jnp.where(on, nq, qf).reshape(H, E, n)
         q_side = jnp.concatenate([g[:, :1, :n], nq], axis=1)
         p_side = jnp.concatenate([np_, g[:, -1:, block - n:]], axis=1)
         out = jnp.concatenate(
             [q_side, g[:, :, n:block - n], p_side], axis=2
+        ).reshape(H, W)
+
+    if sub_map is not None and W >= 2 * block:
+        # interior half-spacing vertical edges (one per block group,
+        # at column k*block + cs): exist only inside sub quads; both
+        # flanks are sub TXs there, so one static size2 pass suffices
+        limit, blimit, thresh = _levels_to_thresholds(level_v)
+        g = out.reshape(H, W // block, block)
+        p = g[:, :, cs - n2: cs][..., ::-1]           # [H, G, n2]
+        q = g[:, :, cs: cs + n2]
+        ecols = (np.arange(W // block) * block + cs) // cs    # odd
+        sm = sub_map[:, ecols - 1] & sub_map[:, ecols]
+        m = jnp.repeat(sm, cs, axis=0)[:H].reshape(-1)
+        np_, nq = _filter_stack(p.reshape(-1, n2), q.reshape(-1, n2),
+                                limit, blimit, thresh, size2, bd, m)
+        on = level_v > 0
+        np_ = jnp.where(on, np_, p.reshape(-1, n2)
+                        ).reshape(H, -1, n2)[..., ::-1]
+        nq = jnp.where(on, nq, q.reshape(-1, n2)).reshape(H, -1, n2)
+        out = jnp.concatenate(
+            [g[:, :, :cs - n2], np_, nq, g[:, :, cs + n2:]], axis=2
         ).reshape(H, W)
 
     ys = np.arange(block, H, block)
@@ -288,38 +340,80 @@ def deblock_plane_jax(plane, block: int, level_v, level_h,
         if edge_on_h is not None:
             eo = jnp.broadcast_to(edge_on_h[None, :], (W, E))
             m = eo if m is None else (m & eo)
-        m = m.reshape(-1) if m is not None else None
-        np_, nq = _filter_stack(p.reshape(-1, n), q.reshape(-1, n),
-                                limit, blimit, thresh, size, bd, m)
+        small = None
+        if sub_map is not None:
+            sm = (sub_map[ys // cs - 1, :]
+                  | sub_map[ys // cs, :])             # [E, W//cs]
+            small = jnp.repeat(sm, cs, axis=1)[:, :W].T   # [W, E]
+            m_big = ~small if m is None else (m & ~small)
+            m_small = small if m is None else (m & small)
+        else:
+            m_big = m
+        pf = p.reshape(-1, n)
+        qf = q.reshape(-1, n)
+        mb = m_big.reshape(-1) if m_big is not None else None
+        np_, nq = _filter_stack(pf, qf, limit, blimit, thresh, size,
+                                bd, mb)
+        if small is not None:
+            np2, nq2 = _filter_stack(pf[:, :n2], qf[:, :n2], limit,
+                                     blimit, thresh, size2, bd,
+                                     m_small.reshape(-1))
+            sc = small.reshape(-1)[:, None]
+            np_ = np_.at[:, :n2].set(jnp.where(sc, np2, np_[:, :n2]))
+            nq = nq.at[:, :n2].set(jnp.where(sc, nq2, nq[:, :n2]))
         on = level_h > 0
-        np_ = jnp.where(on, np_, p.reshape(-1, n)
+        np_ = jnp.where(on, np_, pf
                         ).reshape(W, E, n)[..., ::-1].transpose(1, 2, 0)
-        nq = jnp.where(on, nq, q.reshape(-1, n)
+        nq = jnp.where(on, nq, qf
                        ).reshape(W, E, n).transpose(1, 2, 0)
         q_side = jnp.concatenate([g[:1, :n, :], nq], axis=0)
         p_side = jnp.concatenate([np_, g[-1:, block - n:, :]], axis=0)
         out = jnp.concatenate(
             [q_side, g[:, n:block - n, :], p_side], axis=1
         ).reshape(H, W)
+
+    if sub_map is not None and H >= 2 * block:
+        # interior half-spacing horizontal edges inside sub quads
+        limit, blimit, thresh = _levels_to_thresholds(level_h)
+        g = out.reshape(H // block, block, W)
+        p = g[:, cs - n2: cs, :][:, ::-1].transpose(2, 0, 1)
+        q = g[:, cs: cs + n2, :].transpose(2, 0, 1)   # [W, G, n2]
+        erows = (np.arange(H // block) * block + cs) // cs
+        sm = sub_map[erows - 1, :] & sub_map[erows, :]  # [G, W//cs]
+        m = jnp.repeat(sm, cs, axis=1)[:, :W].T.reshape(-1)
+        G = H // block
+        np_, nq = _filter_stack(p.reshape(-1, n2), q.reshape(-1, n2),
+                                limit, blimit, thresh, size2, bd, m)
+        on = level_h > 0
+        np_ = jnp.where(on, np_, p.reshape(-1, n2)
+                        ).reshape(W, G, n2)[..., ::-1].transpose(1, 2, 0)
+        nq = jnp.where(on, nq, q.reshape(-1, n2)
+                       ).reshape(W, G, n2).transpose(1, 2, 0)
+        out = jnp.concatenate(
+            [g[:, :cs - n2, :], np_, nq, g[:, cs + n2:, :]], axis=1
+        ).reshape(H, W)
     return out
 
 
 def deblock_frame_jax(planes, level_y, level_uv, block_y: int = 32,
                       block_c: int = 16, bd: int = 8, split_map=None,
-                      merge_map=None):
+                      merge_map=None, sub_map=None):
     """Deblock [y, u, v] with traced levels (y_v = y_h = level_y)."""
     y = deblock_plane_jax(planes[0], block_y, level_y, level_y, True,
-                          bd, split_map, merge_map=merge_map)
+                          bd, split_map, merge_map=merge_map,
+                          sub_map=sub_map)
     u = deblock_plane_jax(planes[1], block_c, level_uv, level_uv, False,
-                          bd, split_map, merge_map=merge_map)
+                          bd, split_map, merge_map=merge_map,
+                          sub_map=sub_map)
     v = deblock_plane_jax(planes[2], block_c, level_uv, level_uv, False,
-                          bd, split_map, merge_map=merge_map)
+                          bd, split_map, merge_map=merge_map,
+                          sub_map=sub_map)
     return [y, u, v]
 
 
 def deblock_search(planes, srcs, base_level, block_y: int = 32,
                    block_c: int = 16, bd: int = 8, split_map=None,
-                   merge_map=None):
+                   merge_map=None, sub_map=None):
     """Whole-frame deblock level search (deblock_filter_optimize
     analog): try a fixed ladder of scale factors around the q-derived
     level, pick the one minimizing luma SSE vs source. Returns
@@ -329,7 +423,8 @@ def deblock_search(planes, srcs, base_level, block_y: int = 32,
 
     def one(level):
         out = deblock_frame_jax(planes, level, level, block_y, block_c,
-                                bd, split_map, merge_map=merge_map)
+                                bd, split_map, merge_map=merge_map,
+                                sub_map=sub_map)
         sse = sum(jnp.sum((o - s).astype(jnp.float32) ** 2)
                   for o, s in zip(out, srcs))
         return sse, out

@@ -73,7 +73,10 @@ def _tiled_core(h: int, w: int, T: int, mesh: Mesh,
         if use_deblock:
             from rav1e_tpu.ops.tpu.deblock import deblock_search_tiled
 
-            def deblock_fn(planes, srcs, base_lf, split_grid):
+            def deblock_fn(planes, srcs, base_lf, split_grid,
+                           sub_map=None):
+                # sub_map unused: the tiled path does not run 16->8
+                # split RDO (use_split8 defaults off in p_frame_body)
                 return deblock_search_tiled(planes, srcs, base_lf,
                                             split_grid, "tile", T, ti)
 
@@ -87,10 +90,11 @@ def _tiled_core(h: int, w: int, T: int, mesh: Mesh,
     blk = P("tile")
     # p_frame_body output order: mv8, skip, scanline, lv_y/u/v,
     # rec y/u/v (columns), lf, cdef_idx, split, mv16, skip16,
-    # choice, mvb8, b64_map (per-tile SB columns)
+    # choice, mvb8, b64_map (per-tile SB columns), split16, skip8
     out_specs = (blk, blk, blk, blk, blk, blk,
                  col, col, col, rep, rep,
-                 blk, blk, blk, blk, blk, P(None, "tile"))
+                 blk, blk, blk, blk, blk, P(None, "tile"),
+                 blk, blk)
     step = jax.jit(shard_map(
         tile_fn, mesh=mesh,
         in_specs=(col, col, col, rep, rep, rep, rep, rep, rep, rep),

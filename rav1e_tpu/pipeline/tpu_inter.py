@@ -49,7 +49,8 @@ def _scans():
     from rav1e_tpu.entropy.coeffs import TX_CLASS_2D, scan_order
     return (scan_order(32, 32, TX_CLASS_2D),
             scan_order(16, 16, TX_CLASS_2D),
-            scan_order(8, 8, TX_CLASS_2D))
+            scan_order(8, 8, TX_CLASS_2D),
+            scan_order(4, 4, TX_CLASS_2D))
 
 _FILT = jnp.asarray(SUBPEL_FILTERS["REGULAR"], jnp.int32)  # [16, 8]
 
@@ -65,6 +66,20 @@ def _split_bits() -> float:
     return float(pm[int(PartitionType.SPLIT)]
                  - pm[int(PartitionType.NONE)]
                  + 4.0 * pm[int(PartitionType.NONE)])
+
+
+@lru_cache(maxsize=1)
+def _split8_bits() -> float:
+    """Partition bits for a 16->8 SPLIT: the SPLIT-vs-NONE delta at
+    the 16 level (partition_mid) plus four NONE symbols from the
+    4-ary partition_8 family (spec: 8x8 with 4x4 support present)."""
+    from rav1e_tpu.core.constants import PartitionType
+    from rav1e_tpu.entropy.cost import _avg_bits, mode_cost_tables, tables
+    pm = mode_cost_tables()["partition_mid"]
+    p8 = _avg_bits(tables()["partition_8"])
+    return float(pm[int(PartitionType.SPLIT)]
+                 - pm[int(PartitionType.NONE)]
+                 + 4.0 * p8[int(PartitionType.NONE)])
 
 
 @lru_cache(maxsize=1)
@@ -127,7 +142,10 @@ def build_rd_inter(qindex: int, bit_depth: int = 8,
         "y16": rate_luts(qindex, TxSize.TX_16X16, 0),
         "c8": rate_luts(qc, TxSize.TX_8X8, 1),
         "c32": rate_luts(qc, TxSize.TX_32X32, 1),
+        "y8": rate_luts(qindex, TxSize.TX_8X8, 0),
+        "c4": rate_luts(qc, TxSize.TX_4X4, 1),
         "split_bits": jnp.float32(_split_bits()),
+        "split_bits8": jnp.float32(_split8_bits()),
         "merge_save": jnp.float32(_merge_save_bits()),
         "base_lf": jnp.int32(level_from_qindex(qindex)),
     }
@@ -585,7 +603,8 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
                  use_satd: bool = False, refine16: bool = True,
                  fwd2: bool = False, intra_rdo: bool = False,
                  b64_rdo: bool = False,
-                 search: int = SEARCH, subpel: bool = True):
+                 search: int = SEARCH, subpel: bool = True,
+                 use_split8: bool = False):
     """The whole batched P-frame encode for one (sub)frame region:
     grouped-conv full-pel search, subpel descent, 32-NONE vs 16-SPLIT
     RDO with the WriterCounter-twin rate model, skip RD, recon
@@ -1017,10 +1036,86 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
               + jnp.where(skip16, ds16f * sse_s16 + lam * rd["skip1"],
                           ds16f * sse_c16
                           + lam * (rd["skip0"] + cbits16)))
+
+    # ---- 16->8 PARTITION_SPLIT candidate (rav1e partition_range down
+    # to 8x8, SURVEY §1 "min 4x4"): four 8x8 children per 16-quad, MV
+    # inherited from the parent (the packer NEAREST-aliases matching
+    # MVs against the mv stack, ~2 bits each), TX_8X8 luma + TX_4X4
+    # chroma residuals with their own skip RD. Wins on local detail
+    # where one busy 8x8 otherwise forces the whole 16 to code. ----
+    split16 = jnp.zeros((B, 4), bool)
+    skip8_out = jnp.zeros((B, 4, 4), bool)
+    lv_y8 = jnp.zeros((B * 16, 8, 8), jnp.int32)
+    lv_u4 = jnp.zeros((B * 16, 4, 4), jnp.int32)
+    lv_v4 = jnp.zeros((B * 16, 4, 4), jnp.int32)
+    if use_split8:
+        blks8 = quads(blks16, 8)                   # [16B, 8, 8]
+        ub4 = quads(ub8, 4)
+        vb4 = quads(vb8, 4)
+        pred_y8 = quads(pred_y16, 8)
+        pred_u4 = quads(pred_u8, 4)
+        pred_v4 = quads(pred_v8, 4)
+        lv_y8, r2_y8 = code(blks8 - pred_y8, TxSize.TX_8X8)
+        lv_u4, r2_u4 = code(ub4 - pred_u4, TxSize.TX_4X4, chroma=True)
+        lv_v4, r2_v4 = code(vb4 - pred_v4, TxSize.TX_4X4, chroma=True)
+        cd_y8 = jnp.clip(pred_y8 + r2_y8, 0, 255)
+        cd_u4 = jnp.clip(pred_u4 + r2_u4, 0, 255)
+        cd_v4 = jnp.clip(pred_v4 + r2_v4, 0, 255)
+        ds8 = jnp.repeat(ds16f, 4, axis=0)
+        sse_c8 = (jnp.sum((cd_y8 - blks8).astype(jnp.float32) ** 2,
+                          (1, 2))
+                  + jnp.sum((cd_u4 - ub4).astype(jnp.float32) ** 2,
+                            (1, 2))
+                  + jnp.sum((cd_v4 - vb4).astype(jnp.float32) ** 2,
+                            (1, 2)))
+        sse_s8 = (jnp.sum((pred_y8 - blks8).astype(jnp.float32) ** 2,
+                          (1, 2))
+                  + jnp.sum((pred_u4 - ub4).astype(jnp.float32) ** 2,
+                            (1, 2))
+                  + jnp.sum((pred_v4 - vb4).astype(jnp.float32) ** 2,
+                            (1, 2)))
+        cbits8 = (block_bits(lv_y8, rd["y8"])
+                  + block_bits(lv_u4, rd["c4"])
+                  + block_bits(lv_v4, rd["c4"]))
+        skip8 = (ds8 * sse_s8 + lam * rd["skip1"]
+                 <= ds8 * sse_c8 + lam * (rd["skip0"] + cbits8))
+        s83 = skip8[:, None, None]
+        lv_y8 = jnp.where(s83, 0, lv_y8)
+        lv_u4 = jnp.where(s83, 0, lv_u4)
+        lv_v4 = jnp.where(s83, 0, lv_v4)
+        rec_y8 = jnp.where(s83, pred_y8, cd_y8)
+        rec_u4 = jnp.where(s83, pred_u4, cd_u4)
+        rec_v4 = jnp.where(s83, pred_v4, cd_v4)
+        # inherited MV: the child aliases NEAREST from the mv stack
+        cost8 = (lam * rd["nearest"]
+                 + jnp.where(skip8, ds8 * sse_s8 + lam * rd["skip1"],
+                             ds8 * sse_c8
+                             + lam * (rd["skip0"] + cbits8)))
+        c_s16 = (cost8.reshape(B * 4, 4).sum(axis=1)
+                 + lam * rd["split_bits8"])
+        s16f = c_s16 < cost16
+        cost16 = jnp.where(s16f, c_s16, cost16)
+        s16q = s16f[:, None, None]
+        lv_y16 = jnp.where(s16q, unquads(lv_y8, 8), lv_y16)
+        lv_u8 = jnp.where(s16q, unquads(lv_u4, 4), lv_u8)
+        lv_v8 = jnp.where(s16q, unquads(lv_v4, 4), lv_v8)
+        rec_y16 = jnp.where(s16q, unquads(rec_y8, 8), rec_y16)
+        rec_u8 = jnp.where(s16q, unquads(rec_u4, 4), rec_u8)
+        rec_v8 = jnp.where(s16q, unquads(rec_v4, 4), rec_v8)
+        # exactness for filters: a split16 quad reports skip16 = AND
+        # of its children (exact per-8 skips travel in skip8_out)
+        skip16 = jnp.where(s16f,
+                           jnp.all(skip8.reshape(B * 4, 4), axis=1),
+                           skip16)
+        split16 = s16f.reshape(B, 4)
+        skip8_out = skip8.reshape(B, 4, 4)
+
     cost_split = (cost16.reshape(B, 4).sum(axis=1)
                   + lam * rd["split_bits"])
     split = cost_split < cost32
     sp3 = split[:, None, None]
+    split16 = split16 & split[:, None]
+    skip8_out = skip8_out & split16[:, :, None]
 
     # ---- choose + assemble ----
     lv_y = jnp.where(sp3, unquads(lv_y16, 16), lv_y)
@@ -1144,40 +1239,54 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         choice = jnp.where(flip, 3, choice)   # 3 = INTRA (DC)
         mv8 = jnp.where(flip[:, None], 0, mv8)
 
+    # b64 merge / intra flips may have cleared `split` under a quad
+    # that wanted a sub-split: re-mask so the coded tree stays valid
+    split16 = split16 & split[:, None]
+    skip8_out = skip8_out & split16[:, :, None]
     return _finish_outputs(
         y, u, v, h, tw, nby, nbx, B, rd, cdef_prm, mv8, skip, split,
         sp3, mv16_out, skip16_out, lv_y, lv_u, lv_v, lv_y16, lv_u8,
         lv_v8, rec_y, rec_u, rec_v, deblock_fn, cdef_fn, choice, mvb8,
-        b64_map=b64_map)
+        b64_map=b64_map,
+        split16=split16 if use_split8 else None,
+        skip8_out=skip8_out, lv_y8=lv_y8, lv_u4=lv_u4, lv_v4=lv_v4)
 
 
 def _finish_outputs(y, u, v, h, tw, nby, nbx, B, rd, cdef_prm, mv8,
                     skip, split, sp3, mv16_out, skip16_out, lv_y, lv_u,
                     lv_v, lv_y16, lv_u8, lv_v8, rec_y, rec_u, rec_v,
-                    deblock_fn, cdef_fn, choice, mvb8, b64_map=None):
+                    deblock_fn, cdef_fn, choice, mvb8, b64_map=None,
+                    split16=None, skip8_out=None, lv_y8=None,
+                    lv_u4=None, lv_v4=None):
     """Common tail of p_frame_body: in-loop filters + compact level
     transfer + output tuple."""
     fry = from_blocks(rec_y, h, tw, 32)
     fru = from_blocks(rec_u, h // 2, tw // 2, 16)
     frv = from_blocks(rec_v, h // 2, tw // 2, 16)
     srcs32 = [y, u.astype(jnp.int32), v.astype(jnp.int32)]
+    has8 = split16 is not None
+    if not has8:
+        split16 = jnp.zeros((B, 4), bool)
+        skip8_out = jnp.zeros((B, 4, 4), bool)
+    s16g, skip8g = _sub_grids(nby, nbx, split16, skip16_out, skip8_out)
     if deblock_fn is not None:
         # in-loop deblock with level search (rav1e
         # deblock_filter_optimize analog); 16-px edge grid with
-        # interior edges gated by the split map
+        # interior edges gated by the split map, 8-px edges + shorter
+        # taps inside 16->8 split quads (sub_map)
         lf_lvl, (fry, fru, frv) = deblock_fn(
             [fry, fru, frv], srcs32, rd["base_lf"],
-            split.reshape(nby, nbx))
+            split.reshape(nby, nbx),
+            jnp.repeat(jnp.repeat(s16g, 2, 0), 2, 1) if has8 else None)
     else:
         lf_lvl = jnp.int32(0)
     if cdef_fn is not None:
         # in-loop CDEF with strength-set search (rdo_loop_decision
-        # analog); chosen entry signaled in the frame header
-        s16 = (skip16_out.reshape(nby, nbx, 2, 2)
-               .transpose(0, 2, 1, 3).reshape(nby * 2, nbx * 2))
-        skip8 = jnp.repeat(jnp.repeat(s16, 2, 0), 2, 1)
+        # analog); chosen entry signaled in the frame header. The
+        # 8x8-unit skip gate is exact: per-8 skips inside split16
+        # quads, the quad's skip elsewhere (decoder parity).
         cdef_idx, (fry, fru, frv) = cdef_fn(
-            [fry, fru, frv], srcs32, skip8, cdef_prm[4])
+            [fry, fru, frv], srcs32, skip8g, cdef_prm[4])
     else:
         cdef_idx = jnp.zeros(((nby + 1) // 2, (nbx + 1) // 2),
                              jnp.int32)
@@ -1185,7 +1294,8 @@ def _finish_outputs(y, u, v, h, tw, nby, nbx, B, rd, cdef_prm, mv8,
     # split blocks contribute per-sub-TX scans in quadrant order —
     # the nonzero stream (pack_outputs) makes the transfer scale with
     # the actual coefficient content
-    sl = scanline(lv_y, lv_u, lv_v, lv_y16, lv_u8, lv_v8, split, B)
+    sl = scanline(lv_y, lv_u, lv_v, lv_y16, lv_u8, lv_v8, split, B,
+                  lv_y8, lv_u4, lv_v4, split16 if has8 else None)
     if b64_map is None:
         b64_map = jnp.zeros(((nby + 1) // 2, (nbx + 1) // 2), bool)
     return (mv8, skip, sl,
@@ -1195,22 +1305,59 @@ def _finish_outputs(y, u, v, h, tw, nby, nbx, B, rd, cdef_prm, mv8,
             frv.astype(jnp.uint8), lf_lvl, cdef_idx,
             split, mv16_out.astype(jnp.int32),
             skip16_out, choice.astype(jnp.int32),
-            mvb8.astype(jnp.int32), b64_map)
+            mvb8.astype(jnp.int32), b64_map, split16, skip8_out)
 
 
-def scanline(lv_y, lv_u, lv_v, lv_y16, lv_u8, lv_v8, split, B):
+def _sub_grids(nby, nbx, split16, skip16_out, skip8_out):
+    """Spatial grids from quad-ordered flags: s16g [2nby, 2nbx] — the
+    per-16 sub-split (split16) map; skip8g [4nby, 4nbx] — the exact
+    8x8-unit skip map (per-8 inside split16 quads, the 16's skip
+    elsewhere)."""
+    B = nby * nbx
+    s16g = (split16.reshape(nby, nbx, 2, 2)
+            .transpose(0, 2, 1, 3).reshape(nby * 2, nbx * 2))
+    sk16 = (skip16_out.reshape(nby, nbx, 2, 2)
+            .transpose(0, 2, 1, 3).reshape(nby * 2, nbx * 2))
+    # [B, 4(quad), 4(sub)] -> [4nby, 4nbx]
+    sk8 = (skip8_out.reshape(nby, nbx, 2, 2, 2, 2)
+           .transpose(0, 2, 4, 1, 3, 5).reshape(nby * 4, nbx * 4))
+    base = jnp.repeat(jnp.repeat(sk16, 2, 0), 2, 1)
+    s16x = jnp.repeat(jnp.repeat(s16g, 2, 0), 2, 1)
+    return s16g, jnp.where(s16x, sk8, base)
+
+
+def scanline(lv_y, lv_u, lv_v, lv_y16, lv_u8, lv_v8, split, B,
+             lv_y8=None, lv_u4=None, lv_v4=None, split16=None):
     """Device-side [B, 1536] int16 scan-ordered level line (split
-    blocks: quadrant-major sub-TX scans)."""
-    scan32, scan16, scan8 = _scans()
+    blocks: quadrant-major sub-TX scans; split16 quads: sub-quadrant-
+    major 8x8/4x4 scans inside the quad's 256/64-entry region)."""
+    scan32, scan16, scan8, scan4 = _scans()
     y_n = jnp.take(lv_y.reshape(B, 1024), jnp.asarray(scan32), axis=1)
     u_n = jnp.take(lv_u.reshape(B, 256), jnp.asarray(scan16), axis=1)
     v_n = jnp.take(lv_v.reshape(B, 256), jnp.asarray(scan16), axis=1)
     y_s = jnp.take(lv_y16.reshape(B, 4, 256),
-                   jnp.asarray(scan16), axis=2).reshape(B, 1024)
+                   jnp.asarray(scan16), axis=2)         # [B, 4, 256]
     u_s = jnp.take(lv_u8.reshape(B, 4, 64),
-                   jnp.asarray(scan8), axis=2).reshape(B, 256)
+                   jnp.asarray(scan8), axis=2)          # [B, 4, 64]
     v_s = jnp.take(lv_v8.reshape(B, 4, 64),
-                   jnp.asarray(scan8), axis=2).reshape(B, 256)
+                   jnp.asarray(scan8), axis=2)
+    if split16 is not None:
+        # note lv_y8/lv_u4/lv_v4 hold the sub-TX levels in (quad, sub)
+        # order [16B, n, n]; per-quad select between the 16-scan and
+        # the four concatenated sub scans
+        y_8 = jnp.take(lv_y8.reshape(B, 4, 4, 64),
+                       jnp.asarray(scan8), axis=3).reshape(B, 4, 256)
+        u_4 = jnp.take(lv_u4.reshape(B, 4, 4, 16),
+                       jnp.asarray(scan4), axis=3).reshape(B, 4, 64)
+        v_4 = jnp.take(lv_v4.reshape(B, 4, 4, 16),
+                       jnp.asarray(scan4), axis=3).reshape(B, 4, 64)
+        sq = split16.reshape(B, 4)[:, :, None]
+        y_s = jnp.where(sq, y_8, y_s)
+        u_s = jnp.where(sq, u_4, u_s)
+        v_s = jnp.where(sq, v_4, v_s)
+    y_s = y_s.reshape(B, 1024)
+    u_s = u_s.reshape(B, 256)
+    v_s = v_s.reshape(B, 256)
     s1 = split[:, None]
     return jnp.concatenate(
         [jnp.where(s1, y_s, y_n), jnp.where(s1, u_s, u_n),
@@ -1224,7 +1371,7 @@ def scanline(lv_y, lv_u, lv_v, lv_y16, lv_u8, lv_v8, split, B):
 # All per-frame decisions therefore ship as ONE int8 buffer, and the
 # source planes upload as ONE packed uint8 array.
 
-HDR_BYTES = 32       # per-block control record (mv/flags/choice)
+HDR_BYTES = 35       # per-block control record (mv/flags/choice/sub8)
 SL_LEN = 1536        # scan-line length per block (y 1024 + u/v 256)
 
 
@@ -1239,8 +1386,9 @@ def _stream_cap(B: int) -> int:
 def _stream_maps():
     """Host inverse maps: stream position p (0..1535) -> plane and
     raster (spatial) index within the plane's level array, for the
-    NONE-partition and SPLIT layouts."""
-    scan32, scan16, scan8 = _scans()
+    NONE-partition, SPLIT, and sub-SPLIT (16->8) layouts, plus the
+    quad index of each position (selects the per-quad layout)."""
+    scan32, scan16, scan8, scan4 = _scans()
     pl = np.empty(SL_LEN, np.int8)
     pl[:1024] = 0
     pl[1024:1280] = 1
@@ -1250,16 +1398,28 @@ def _stream_maps():
     idx_ns[1024:1280] = scan16
     idx_ns[1280:] = scan16
     idx_sp = np.empty(SL_LEN, np.int32)
+    idx_s8 = np.empty(SL_LEN, np.int32)
+    quad_of = np.empty(SL_LEN, np.int32)
     for p in range(1024):
         q, s = p // 256, scan16[p % 256]
         sr, sc = s // 16, s % 16
         idx_sp[p] = (16 * (q // 2) + sr) * 32 + 16 * (q % 2) + sc
+        quad_of[p] = q
+        k, s8 = (p % 256) // 64, scan8[p % 64]
+        r8, c8 = s8 // 8, s8 % 8
+        idx_s8[p] = ((16 * (q // 2) + 8 * (k // 2) + r8) * 32
+                     + 16 * (q % 2) + 8 * (k % 2) + c8)
     for base in (1024, 1280):
         for k in range(256):
             q, s = k // 64, scan8[k % 64]
             sr, sc = s // 8, s % 8
             idx_sp[base + k] = (8 * (q // 2) + sr) * 16 + 8 * (q % 2) + sc
-    return pl, idx_ns, idx_sp
+            quad_of[base + k] = q
+            j, s4 = (k % 64) // 16, scan4[k % 16]
+            r4, c4 = s4 // 4, s4 % 4
+            idx_s8[base + k] = ((8 * (q // 2) + 4 * (j // 2) + r4) * 16
+                                + 8 * (q % 2) + 4 * (j % 2) + c4)
+    return pl, idx_ns, idx_sp, idx_s8, quad_of
 
 
 def nnz_stream(sl, cap):
@@ -1294,7 +1454,8 @@ def pack_outputs(o):
 
     Header row (HDR_BYTES): mv8 hi/lo int16[2] | mv16 int16[4,2] |
     7 flag bytes (skip, 0, split, skip16[4]) | mvb8 hi/lo int16[2] |
-    ref choice. Tail header row: [lf_lvl, cdef_idx].
+    ref choice | split16 nibble | skip8 bits lo/hi (16 sub-skips in
+    (quad, sub) order). Tail header row: [lf_lvl, cdef_idx].
 
     Levels travel as a stream of (scan position, value) pairs for the
     NONZERO coefficients only (nnz_stream), so the transfer scales
@@ -1305,6 +1466,7 @@ def pack_outputs(o):
     split, mv16, skip16 = o[11], o[12], o[13]
     choice, mvb8 = o[14], o[15]
     b64_map = o[16]
+    split16, skip8 = o[17], o[18]
     B = mv8.shape[0]
     cap = _stream_cap(B)
 
@@ -1312,14 +1474,25 @@ def pack_outputs(o):
         hi, lo = _i16_hi_lo(x.reshape(B, -1))
         return jnp.stack([hi, lo.astype(jnp.int8)], -1).reshape(B, -1)
 
+    def bits(x):
+        # [B, k<=8] bool -> one packed byte column
+        k = x.shape[1]
+        w = jnp.sum(x.astype(jnp.int32)
+                    << jnp.arange(k, dtype=jnp.int32)[None], axis=1)
+        return w.astype(jnp.int8)[:, None]
+
     zero = jnp.zeros((B, 1), jnp.int8)
     flags = jnp.concatenate(
         [skip[:, None].astype(jnp.int8), zero,
          split[:, None].astype(jnp.int8),
          skip16.astype(jnp.int8)], axis=1)
+    sk8f = skip8.reshape(B, 16)
     hdr = jnp.concatenate([words(mv8), words(mv16), flags,
                            words(mvb8),
-                           choice[:, None].astype(jnp.int8)], axis=1)
+                           choice[:, None].astype(jnp.int8),
+                           bits(split16.reshape(B, 4)),
+                           bits(sk8f[:, :8]), bits(sk8f[:, 8:])],
+                          axis=1)
     tail = jnp.zeros((1, HDR_BYTES), jnp.int8)
     tail = tail.at[0, 0].set(lf.astype(jnp.int8))
     hdr = jnp.concatenate([hdr, tail], axis=0)
@@ -1379,15 +1552,25 @@ def unpack_outputs(buf: np.ndarray, nby: int, nbx: int):
     skip16 = flags[:, 3:7]
     mvb8 = unwords(slice(27, 31), (B, 2)).astype(np.int32)
     choice = body[:, 31].astype(np.int32)
+
+    def unbits(col, k):
+        w = body[:, col].astype(np.int32) & 0xFF
+        return (w[:, None] >> np.arange(k)[None]) & 1 != 0
+
+    split16 = unbits(32, 4)                        # [B, 4]
+    skip8 = np.concatenate([unbits(33, 8), unbits(34, 8)],
+                           axis=1).reshape(B, 4, 4)
     return (mv8, skip, split, mv16, skip16, choice, mvb8,
-            int(tail[0]), cdef_map, counts, pos, val, b64_map)
+            int(tail[0]), cdef_map, counts, pos, val, b64_map,
+            split16, skip8)
 
 
-def unpack_stream(counts, pos, val, split, cap=None):
+def unpack_stream(counts, pos, val, split, cap=None, split16=None):
     """Scatter the nonzero stream back into per-block level arrays
     (lv_y [B,32,32], lv_u/lv_v [B,16,16] int16). Returns the arrays
     plus `over` — blocks whose entries ran past the stream capacity
-    (caller full-gathers those)."""
+    (caller full-gathers those). split16 [B, 4] selects the sub-split
+    (8x8/4x4 scan) layout per quad."""
     B = counts.shape[0]
     if cap is None:
         cap = _stream_cap(B)
@@ -1401,9 +1584,12 @@ def unpack_stream(counts, pos, val, split, cap=None):
         p = pos[:n]
         v = val[:n]
         blk = np.searchsorted(ends, np.arange(n), side="right")
-        pl, idx_ns, idx_sp = _stream_maps()
+        pl, idx_ns, idx_sp, idx_s8, quad_of = _stream_maps()
         plane = pl[p]
         sidx = np.where(split[blk], idx_sp[p], idx_ns[p])
+        if split16 is not None and split16.any():
+            sub = split[blk] & split16[blk, quad_of[p]]
+            sidx = np.where(sub, idx_s8[p], sidx)
         m = plane == 0
         lv_y[blk[m], sidx[m]] = v[m]
         m = plane == 1
@@ -1434,7 +1620,8 @@ def _core(h: int, w: int, use_cdef: bool = False,
           two_ref: bool = False, use_satd: bool = False,
           refine16: bool = True, fwd2: bool = False,
           intra_rdo: bool = False, b64_rdo: bool = False,
-          search: int = SEARCH, subpel: bool = True):
+          search: int = SEARCH, subpel: bool = True,
+          use_split8: bool = False):
     """Single-chip batched P-frame step for an h x w frame. qindex
     enters as a traced argument (dcq/acq scalars) so rate control
     never triggers a recompile. Takes the packed source buffer and
@@ -1460,25 +1647,26 @@ def _core(h: int, w: int, use_cdef: bool = False,
     # standalone they cost what they compute.
     @jax.jit
     def filt(src, fry, fru, frv, base_lf, cdef_prm, split, skip16,
-             b64m, lam):
+             b64m, lam, split16, skip8q):
         y, u, v = _unpack_src(src, h, w)
         srcs32 = [y, u.astype(jnp.int32), v.astype(jnp.int32)]
         planes = [fry.astype(jnp.int32), fru.astype(jnp.int32),
                   frv.astype(jnp.int32)]
+        s16g, skip8 = _sub_grids(nby, nbx, split16, skip16, skip8q)
         lf_lvl = jnp.int32(0)
         if use_deblock:
             from rav1e_tpu.ops.tpu.deblock import deblock_search
             lf_lvl, planes = deblock_search(
                 planes, srcs32, base_lf, block_y=16, block_c=8,
                 split_map=split.reshape(nby, nbx),
-                merge_map=b64m if b64_rdo else None)
+                merge_map=b64m if b64_rdo else None,
+                sub_map=(jnp.repeat(jnp.repeat(s16g, 2, 0), 2, 1)
+                         if use_split8 else None))
         if use_cdef:
             # per-64x64-SB strength-index RDO over the 8-entry ladder
-            # (rav1e rdo_loop_decision per-SB index, cdef_bits=3)
+            # (rav1e rdo_loop_decision per-SB index, cdef_bits=3);
+            # skip gate exact at 8x8 units (per-8 inside split16)
             from rav1e_tpu.ops.tpu.cdef import cdef_search_persb_jax
-            s16 = (skip16.reshape(nby, nbx, 2, 2)
-                   .transpose(0, 2, 1, 3).reshape(nby * 2, nbx * 2))
-            skip8 = jnp.repeat(jnp.repeat(s16, 2, 0), 2, 1)
             cdef_idx, planes = cdef_search_persb_jax(
                 planes, srcs32, skip8, cdef_prm[4], lam=lam)
         else:
@@ -1516,7 +1704,7 @@ def _core(h: int, w: int, use_cdef: bool = False,
                         o[6], o[7], o[8])
             lf_lvl, cdef_idx, fry, fru, frv = filt(
                 src, o[6], o[7], o[8], rd["base_lf"], cdef_prm,
-                o[11], o[13], o[16], rd["lam"])
+                o[11], o[13], o[16], rd["lam"], o[17], o[18])
             return (pack(o, lf_lvl, cdef_idx), o[3], o[4], o[5],
                     fry, fru, frv)
     else:
@@ -1530,7 +1718,8 @@ def _core(h: int, w: int, use_cdef: bool = False,
                                 None, use_split, ds16=ds,
                                 use_satd=use_satd, refine16=refine16,
                                 intra_rdo=intra_rdo, b64_rdo=b64_rdo,
-                                search=search, subpel=subpel)
+                                search=search, subpel=subpel,
+                                use_split8=use_split8 and use_split)
 
         def step(src, ry, ru, rv, dcq, acq, cdef_prm, rd, ds):
             o = core(src, ry, ru, rv, dcq, acq, cdef_prm, rd, ds)
@@ -1539,7 +1728,7 @@ def _core(h: int, w: int, use_cdef: bool = False,
                         o[6], o[7], o[8])
             lf_lvl, cdef_idx, fry, fru, frv = filt(
                 src, o[6], o[7], o[8], rd["base_lf"], cdef_prm,
-                o[11], o[13], o[16], rd["lam"])
+                o[11], o[13], o[16], rd["lam"], o[17], o[18])
             return (pack(o, lf_lvl, cdef_idx), o[3], o[4], o[5],
                     fry, fru, frv)
 
@@ -1570,7 +1759,7 @@ def _fetch_outputs(o):
     skip16 = np.asarray(o[13])
     sl = np.asarray(o[2])
     B = mv8.shape[0]
-    pl, idx_ns, idx_sp = _stream_maps()
+    pl, idx_ns, idx_sp, _idx_s8, _q = _stream_maps()
     lv_y = np.zeros((B, 1024), np.int16)
     lv_u = np.zeros((B, 256), np.int16)
     lv_v = np.zeros((B, 256), np.int16)
@@ -1593,11 +1782,12 @@ def _fetch_packed(o, gather_dense, nby, nbx, packed=None):
     loop fetches every frame's buffer in one batched transfer).
 
     Returns (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16,
-    lf_lvl, cdef_idx, choice, mvb8, b64_map)."""
+    lf_lvl, cdef_idx, choice, mvb8, b64_map, split16, skip8)."""
     (mv8, skip, split, mv16, skip16, choice, mvb8, lf, cdef_map,
-     counts, pos, val, b64_map) = unpack_outputs(
+     counts, pos, val, b64_map, split16, skip8) = unpack_outputs(
         o[0] if packed is None else packed, nby, nbx)
-    lv_y, lv_u, lv_v, over = unpack_stream(counts, pos, val, split)
+    lv_y, lv_u, lv_v, over = unpack_stream(counts, pos, val, split,
+                                           split16=split16)
     didx = np.nonzero(over)[0]
     if len(didx):
         g = np.asarray(gather_dense(o[1], o[2], o[3],
@@ -1606,7 +1796,7 @@ def _fetch_packed(o, gather_dense, nby, nbx, packed=None):
         lv_u[didx] = g[:, 1024:1280].reshape(-1, 16, 16)
         lv_v[didx] = g[:, 1280:].reshape(-1, 16, 16)
     return (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16,
-            lf, cdef_map, choice, mvb8, b64_map)
+            lf, cdef_map, choice, mvb8, b64_map, split16, skip8)
 
 
 def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
