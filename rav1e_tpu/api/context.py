@@ -341,6 +341,7 @@ class Context:
                     b64_rdo=self.speed_settings.b64_merge, lr=lr,
                     search=self.speed_settings.search_px,
                     subpel=self.speed_settings.subpel,
+                    use_split8=self.speed_settings.partition_split8,
                     dscale=ds[0], src_dev=sd)
             else:
                 data, rec = encode_pframe(
@@ -371,6 +372,7 @@ class Context:
                 show_frame=False,
                 search=self.speed_settings.search_px,
                 subpel=self.speed_settings.subpel,
+                use_split8=self.speed_settings.partition_split8,
                 dscale=ds[-1], src_dev=asd)
         else:
             adata, arec = encode_pframe(
@@ -592,6 +594,7 @@ class Context:
                     intra_rdo=self.speed_settings.intra_in_inter,
                     b64_rdo=self.speed_settings.b64_merge,
                     lr=getattr(self, "_lr_seq", False),
+                    use_split8=self.speed_settings.partition_split8,
                     dscale=dscale, src_dev=src_dev)
             else:
                 from rav1e_tpu.pipeline.inter import encode_pframe

@@ -83,7 +83,57 @@ SUBPEL_FILTERS = {
     "BILINEAR": np.array([
         [0, 0, 0, 128 - 8 * p, 8 * p, 0, 0, 0] for p in range(16)
     ], np.int32),
+    # 4-tap banks (spec Subpel_Filters[4]/[5]): used whenever the
+    # predicted block's width (x pass) or height (y pass) is <= 4 —
+    # e.g. the 4x4 chroma of an 8x8 luma block at 4:2:0. Extracted
+    # from the system libaom .rodata (i16 offset 2382464 / 2382336).
+    "REGULAR_4": np.array([
+        [0, 0, 0, 128, 0, 0, 0, 0],
+        [0, 0, -4, 126, 8, -2, 0, 0],
+        [0, 0, -8, 122, 18, -4, 0, 0],
+        [0, 0, -10, 116, 28, -6, 0, 0],
+        [0, 0, -12, 110, 38, -8, 0, 0],
+        [0, 0, -12, 102, 48, -10, 0, 0],
+        [0, 0, -14, 94, 58, -10, 0, 0],
+        [0, 0, -12, 84, 66, -10, 0, 0],
+        [0, 0, -12, 76, 76, -12, 0, 0],
+        [0, 0, -10, 66, 84, -12, 0, 0],
+        [0, 0, -10, 58, 94, -14, 0, 0],
+        [0, 0, -10, 48, 102, -12, 0, 0],
+        [0, 0, -8, 38, 110, -12, 0, 0],
+        [0, 0, -6, 28, 116, -10, 0, 0],
+        [0, 0, -4, 18, 122, -8, 0, 0],
+        [0, 0, -2, 8, 126, -4, 0, 0],
+    ], np.int32),
+    "SMOOTH_4": np.array([
+        [0, 0, 0, 128, 0, 0, 0, 0],
+        [0, 0, 30, 62, 34, 2, 0, 0],
+        [0, 0, 26, 62, 36, 4, 0, 0],
+        [0, 0, 22, 62, 40, 4, 0, 0],
+        [0, 0, 20, 60, 42, 6, 0, 0],
+        [0, 0, 18, 58, 44, 8, 0, 0],
+        [0, 0, 16, 56, 46, 10, 0, 0],
+        [0, 0, 14, 54, 48, 12, 0, 0],
+        [0, 0, 12, 52, 52, 12, 0, 0],
+        [0, 0, 12, 48, 54, 14, 0, 0],
+        [0, 0, 10, 46, 56, 16, 0, 0],
+        [0, 0, 8, 44, 58, 18, 0, 0],
+        [0, 0, 6, 42, 60, 20, 0, 0],
+        [0, 0, 4, 40, 62, 22, 0, 0],
+        [0, 0, 4, 36, 62, 26, 0, 0],
+        [0, 0, 2, 34, 62, 30, 0, 0],
+    ], np.int32),
 }
+
+
+def _bank(filt: str, dim: int) -> np.ndarray:
+    """Filter bank for one 1D pass: the 4-tap variant when the block
+    extent along the pass is <= 4 (spec 7.11.3.4; SHARP falls back to
+    the regular 4-tap like libaom)."""
+    if dim <= 4 and filt in ("REGULAR", "SHARP", "SMOOTH"):
+        return SUBPEL_FILTERS["SMOOTH_4" if filt == "SMOOTH"
+                              else "REGULAR_4"]
+    return SUBPEL_FILTERS[filt]
 
 
 def _round2(x, n):
@@ -97,7 +147,6 @@ def mc_predict(ref: np.ndarray, y0: int, x0: int, h: int, w: int,
     (y0, x0) displaced by luma-scale 1/8-pel `mv` (row, col).
 
     8/10-bit share InterRound0/1 = 3/11; 12-bit would use 5/9."""
-    f = SUBPEL_FILTERS[filt]
     r0, r1 = (5, 9) if bd == 12 else (INTER_ROUND0, INTER_ROUND1)
     rh, rw = ref.shape
     # 1/16-pel plane-scale positions
@@ -105,8 +154,8 @@ def mc_predict(ref: np.ndarray, y0: int, x0: int, h: int, w: int,
     px = (x0 << 4) + (int(mv[1]) << (1 - ss))
     iy, fy = py >> 4, py & 15
     ix, fx = px >> 4, px & 15
-    fh = f[fx]
-    fv = f[fy]
+    fh = _bank(filt, w)[fx]
+    fv = _bank(filt, h)[fy]
     # gather source rows/cols with edge replication
     rows = np.clip(np.arange(iy - 3, iy + h + 4), 0, rh - 1)
     cols = np.clip(np.arange(ix - 3, ix + w + 4), 0, rw - 1)
@@ -129,15 +178,14 @@ def _mc_intermediate(ref: np.ndarray, y0: int, x0: int, h: int, w: int,
     """One reference's prediction at compound intermediate precision
     (spec 7.11.3.1 isCompound: InterRound1 = 7, minus 2 at 12-bit), NOT
     clipped to pixel range."""
-    f = SUBPEL_FILTERS[filt]
     r0, r1 = (5, 5) if bd == 12 else (INTER_ROUND0, 7)
     rh, rw = ref.shape
     py = (y0 << 4) + (int(mv[0]) << (1 - ss))
     px = (x0 << 4) + (int(mv[1]) << (1 - ss))
     iy, fy = py >> 4, py & 15
     ix, fx = px >> 4, px & 15
-    fh = f[fx]
-    fv = f[fy]
+    fh = _bank(filt, w)[fx]
+    fv = _bank(filt, h)[fy]
     rows = np.clip(np.arange(iy - 3, iy + h + 4), 0, rh - 1)
     cols = np.clip(np.arange(ix - 3, ix + w + 4), 0, rw - 1)
     src = ref[np.ix_(rows, cols)].astype(np.int64)

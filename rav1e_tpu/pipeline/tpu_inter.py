@@ -53,6 +53,9 @@ def _scans():
             scan_order(4, 4, TX_CLASS_2D))
 
 _FILT = jnp.asarray(SUBPEL_FILTERS["REGULAR"], jnp.int32)  # [16, 8]
+# 4-tap bank (spec Subpel_Filters[4]): any pass whose block extent is
+# <= 4 px — the 4x4 chroma of 16->8 split children at 4:2:0
+_FILT4 = jnp.asarray(SUBPEL_FILTERS["REGULAR_4"], jnp.int32)
 
 
 def _round2(x, n):
@@ -151,13 +154,19 @@ def build_rd_inter(qindex: int, bit_depth: int = 8,
     }
 
 
-def _mc_batch(ref_pad, pos_r, pos_c, mv8, n, ss, interm=False):
+def _mc_batch(ref_pad, pos_r, pos_c, mv8, n, ss, interm=False,
+              four_tap=False):
     """Batched sub-pel prediction. ref_pad padded by PAD>>ss with edge
     replication; pos_r/pos_c [B] plane-scale block origins; mv8 [B,2]
     luma-scale 1/8-pel MVs; n = block size. Returns [B, n, n] int32.
 
     interm=True keeps compound intermediate precision (spec 7.11.3.1
-    isCompound: InterRound1 = 7, unclipped) for COMPOUND_AVERAGE."""
+    isCompound: InterRound1 = 7, unclipped) for COMPOUND_AVERAGE.
+
+    four_tap=True uses the Subpel_Filters[4] bank (spec: blocks with
+    w/h <= 4) — pass it when the n x n region is consumed as <=4 px
+    sub-blocks sharing this MV (convolution is per-pixel, so one
+    region pass equals the per-sub-block passes)."""
     p = PAD >> ss
     p16r = (pos_r << 4) + mv8[:, 0] * (2 >> ss)
     p16c = (pos_c << 4) + mv8[:, 1] * (2 >> ss)
@@ -169,8 +178,9 @@ def _mc_batch(ref_pad, pos_r, pos_c, mv8, n, ss, interm=False):
                                      (n + 7, n + 7))
 
     patch = jax.vmap(slice_one)(ir, ic)          # [B, n+7, n+7]
-    fh = _FILT[fc]                               # [B, 8]
-    fv = _FILT[fr]
+    bank = _FILT4 if four_tap else _FILT
+    fh = bank[fc]                                # [B, 8]
+    fv = bank[fr]
     # taps as fused shift/multiply-accumulate (int32 VPU) — the
     # stack+einsum form materialized [8, B, n, n] operands per pass
     intm = sum(fh[:, t, None, None] * patch[:, :, t: t + n]
@@ -964,6 +974,14 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
                              16, 0, 2)
         pred_u8 = _mc_batch(rup, by16 // 2, bx16 // 2, mv16, 8, 1)
         pred_v8 = _mc_batch(rvp, by16 // 2, bx16 // 2, mv16, 8, 1)
+        if use_split8:
+            # 16->8 children: 4x4 chroma predicts with the 4-tap bank
+            # (spec w/h <= 4); same MV, so one 8x8-region pass equals
+            # the four per-child passes
+            pred_u8_4t = _mc_batch(rup, by16 // 2, bx16 // 2, mv16,
+                                   8, 1, four_tap=True)
+            pred_v8_4t = _mc_batch(rvp, by16 // 2, bx16 // 2, mv16,
+                                   8, 1, four_tap=True)
     else:
         # cheap split (faster presets): per-16 MV in {parent, 0} —
         # BOTH predictions are free: parent = quadrant of the
@@ -1002,6 +1020,17 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         pred_y16 = jnp.where(z3, pz_y, pp_y)
         pred_u8 = jnp.where(z3, pz_u, pp_u)
         pred_v8 = jnp.where(z3, pz_v, pp_v)
+        if use_split8:
+            # 4-tap chroma for potential 16->8 children (spec w/h <=
+            # 4): recompute the parent 32-block's chroma with the
+            # 4-tap bank and quarter it; the zero-MV candidate is an
+            # integer phase (impulse row), identical in both banks
+            pp_u4t = quads(_mc_batch(rup, by // 2, bx // 2, mv8,
+                                     16, 1, four_tap=True), 8)
+            pp_v4t = quads(_mc_batch(rvp, by // 2, bx // 2, mv8,
+                                     16, 1, four_tap=True), 8)
+            pred_u8_4t = jnp.where(z3, pz_u, pp_u4t)
+            pred_v8_4t = jnp.where(z3, pz_v, pp_v4t)
     lv_y16, r2_y16 = code(blks16 - pred_y16, TxSize.TX_16X16)
     lv_u8, r2_u8 = code(ub8 - pred_u8, TxSize.TX_8X8, chroma=True)
     lv_v8, r2_v8 = code(vb8 - pred_v8, TxSize.TX_8X8, chroma=True)
@@ -1053,8 +1082,10 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         ub4 = quads(ub8, 4)
         vb4 = quads(vb8, 4)
         pred_y8 = quads(pred_y16, 8)
-        pred_u4 = quads(pred_u8, 4)
-        pred_v4 = quads(pred_v8, 4)
+        # children's 4x4 chroma uses the 4-tap prediction (the parent
+        # 16's own chroma stays 8-tap — different pixels at subpel)
+        pred_u4 = quads(pred_u8_4t, 4)
+        pred_v4 = quads(pred_v8_4t, 4)
         lv_y8, r2_y8 = code(blks8 - pred_y8, TxSize.TX_8X8)
         lv_u4, r2_u4 = code(ub4 - pred_u4, TxSize.TX_4X4, chroma=True)
         lv_v4, r2_v4 = code(vb4 - pred_v4, TxSize.TX_4X4, chroma=True)
@@ -1804,7 +1835,7 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
                  render_size=None, lf_level=0, split=None, mv16=None,
                  skip16=None, refresh_flags=0x01, ref_slot=0,
                  show_frame=True, choice=None, b64_map=None,
-                 lr_ctx=None):
+                 lr_ctx=None, split16=None, skip8=None):
     """Entropy-pack one P frame from batched pipeline outputs.
 
     lr_ctx: optional (recon_planes, source_planes) — search + apply
@@ -1816,6 +1847,11 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
     split/mv16/skip16 (optional) describe PARTITION_SPLIT 32-blocks:
     four 16x16 sub-blocks with their own MVs and TX16/TX8 residuals
     stored in quadrant layout inside lv_*.
+
+    split16/skip8 (optional) describe a further 16->8 PARTITION_SPLIT
+    ([B,4] / [B,4,4] in quad, sub-quad order): each split 16 codes
+    four 8x8 children inheriting the parent quad's MV, with TX_8X8
+    luma + TX_4X4 chroma levels stored spatially inside lv_*.
 
     cdef: None, a 5-tuple (single frame-wide strength), or
     ((base5, damping...), idx_map) — the per-SB form signals the
@@ -1850,6 +1886,13 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
         intra_map = None
     if b64_map is not None and not np.asarray(b64_map).any():
         b64_map = None
+    if split16 is not None and not np.asarray(split16).any():
+        split16 = skip8 = None
+    mvq8 = None
+    if split16 is not None:
+        # 8x8 children inherit the parent 16's MV (the writer
+        # NEAREST-aliases a stack-matching MV to ~2 bits)
+        mvq8 = np.repeat(np.asarray(mv16)[:, :, None, :], 4, axis=2)
     if lr_ctx is not None:
         use_native = False
     if use_native:
@@ -1858,7 +1901,8 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
             tw = NativeTileWriter(mi_rows, mi_cols, qindex,
                                   inter_frame=True)
             if (split is None and cdef_bits == 0
-                    and intra_map is None and b64_map is None):
+                    and intra_map is None and b64_map is None
+                    and split16 is None):
                 tile = tw.write_inter_tile_fast(mv8, skip, lv_y, lv_u,
                                                 lv_v)
             else:
@@ -1871,7 +1915,8 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
                 tile = tw.write_inter_tile_fast2(
                     split, mv8, skip, mv16, skip16, lv_y, lv_u, lv_v,
                     cdef_idx=cdef_map, cdef_bits=cdef_bits,
-                    intra32=intra_map, b64=b64_map)
+                    intra32=intra_map, b64=b64_map,
+                    split16=split16, mvq8=mvq8, skip8=skip8)
             return interframe_packet(seq, fp, ti, [tile], order_hint,
                                      refresh_flags=refresh_flags,
                                      ref_idx=[ref_slot] * 7,
@@ -1951,6 +1996,24 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
                     ((0, 0), (0, 4), (4, 0), (4, 4))):
                 py, px = dr * 4, dc * 4
                 cy, cx = dr * 2, dc * 2
+                if split16 is not None and split16[b, q]:
+                    partitions[(r + dr, c + dc,
+                                int(BlockSize.B16X16))] = \
+                        PartitionType.SPLIT
+                    for s, (sr, sc) in enumerate(
+                            ((0, 0), (0, 2), (2, 0), (2, 2))):
+                        sy, sx = py + sr * 4, px + sc * 4
+                        scy, scx = cy + sr * 2, cx + sc * 2
+                        partitions[(r + dr + sr, c + dc + sc,
+                                    int(BlockSize.B8X8))] = \
+                            PartitionType.NONE
+                        blocks[(r + dr + sr, c + dc + sc)] = \
+                            inter_block(
+                                mvq8[b, q, s], skip8[b, q, s],
+                                lv_y[b][sy: sy + 8, sx: sx + 8],
+                                lv_u[b][scy: scy + 4, scx: scx + 4],
+                                lv_v[b][scy: scy + 4, scx: scx + 4])
+                    continue
                 partitions[(r + dr, c + dc, int(BlockSize.B16X16))] = \
                     PartitionType.NONE
                 blocks[(r + dr, c + dc)] = inter_block(
@@ -1992,7 +2055,8 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
                       src_dev=None, use_satd: bool = False,
                       refine16: bool = True, intra_rdo: bool = False,
                       b64_rdo: bool = False, lr: bool = False,
-                      search: int = SEARCH, subpel: bool = True):
+                      search: int = SEARCH, subpel: bool = True,
+                      use_split8: bool = False):
     """TPU-batched P frame. Same bitstream contract as encode_pframe.
 
     ref_dev: optional device-resident reference planes (from a prior
@@ -2011,7 +2075,8 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
                                            refine16=refine16,
                                            intra_rdo=intra_rdo,
                                            b64_rdo=b64_rdo,
-                                           search=search, subpel=subpel)
+                                           search=search, subpel=subpel,
+                                           use_split8=use_split8)
     if ref_dev is None:
         ref_dev = tuple(jnp.asarray(np.asarray(p, np.uint8))
                         for p in ref_planes)
@@ -2025,8 +2090,8 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
                 _ds16_quads(dscale, nby, nbx))
     rec_dev = outs[4:7]
     (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16, lf_lvl,
-     cdef_map, choice, _, b64_map) = _fetch_packed(outs, gather_dense,
-                                                   nby, nbx)
+     cdef_map, choice, _, b64_map, split16,
+     skip8) = _fetch_packed(outs, gather_dense, nby, nbx)
     rec_y, rec_u, rec_v = [np.asarray(o) for o in rec_dev]
     rec = [rec_y.astype(np.int32), rec_u.astype(np.int32),
            rec_v.astype(np.int32)]
@@ -2039,7 +2104,9 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
                        choice=choice if intra_rdo else None,
                        b64_map=b64_map if b64_rdo else None,
                        lr_ctx=(rec, [np.asarray(y), np.asarray(u),
-                                     np.asarray(v)]) if lr else None)
+                                     np.asarray(v)]) if lr else None,
+                       split16=split16 if use_split8 else None,
+                       skip8=skip8 if use_split8 else None)
     if return_device:
         # LR mutates the host recon after the device copy was taken:
         # the device-resident planes would be a stale (pre-LR) ref
@@ -2139,8 +2206,8 @@ def encode_pframe2_tpu(planes, ref_last, ref_golden, qindex: int = 100,
                 cdef_prm, build_rd_inter(qindex),
                 _ds16_quads(dscale, nby, nbx))
     (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16, lf_lvl,
-     cdef_map, choice, _, _b64) = _fetch_packed(outs, gather_dense,
-                                                nby, nbx)
+     cdef_map, choice, _, _b64, _s16, _sk8) = _fetch_packed(
+        outs, gather_dense, nby, nbx)
     pkt = _pack_pframe_mref(
         h, w, qindex, order_hint, mv8, choice, skip, lv_y, lv_u, lv_v,
         cdef=(cdef, cdef_map) if cdef is not None else None,
@@ -2300,8 +2367,8 @@ def encode_bframe_tpu(planes, ref_fwd, ref_bwd, qindex: int = 100,
                 build_rd_inter(qindex),
                 _ds16_quads(dscale, nby, nbx))
     (mv8, skip, lv_y, lv_u, lv_v, _, _, _, lf_lvl,
-     cdef_map, choice, mvb8, b64m) = _fetch_packed(outs, gather_dense,
-                                                   nby, nbx)
+     cdef_map, choice, mvb8, b64m, _s16, _sk8) = _fetch_packed(
+        outs, gather_dense, nby, nbx)
     rec = [np.asarray(o).astype(np.int32) for o in outs[4:7]]
     pkt = _pack_bframe(h, w, qindex, order_hint, mv8, mvb8, choice,
                        skip, lv_y, lv_u, lv_v,
@@ -2348,7 +2415,8 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
                                   intra_rdo=ss.intra_in_inter,
                                   b64_rdo=ss.b64_merge,
                                   search=ss.search_px,
-                                  subpel=ss.subpel)
+                                  subpel=ss.subpel,
+                                  use_split8=ss.partition_split8)
     dcq = jnp.int32(dc_q_lut(qindex))
     acq = jnp.int32(ac_q_lut(qindex))
     rd = build_rd_inter(qindex)
@@ -2376,8 +2444,8 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
     for i, o in enumerate(outs, start=1):
         _t1 = _time.time()
         (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16, lf_lvl,
-         cdef_map, choice, _, b64m) = _fetch_packed(o, gather_dense,
-                                                    h // 32, w // 32)
+         cdef_map, choice, _, b64m, split16, skip8) = _fetch_packed(
+            o, gather_dense, h // 32, w // 32)
         _t2 = _time.time()
         _tf += _t2 - _t1
         pkts.append(_pack_pframe(
@@ -2385,7 +2453,9 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
             cdef=(cdef, cdef_map) if cdef is not None else None,
             lf_level=lf_lvl, split=split, mv16=mv16, skip16=skip16,
             choice=choice if speed <= 6 else None,
-            b64_map=b64m if speed <= 6 else None))
+            b64_map=b64m if speed <= 6 else None,
+            split16=split16 if ss.partition_split8 else None,
+            skip8=skip8 if ss.partition_split8 else None))
         _tp += _time.time() - _t2
         # recons stay device-resident (uint8); consumers that need
         # them host-side (conformance checks) convert lazily

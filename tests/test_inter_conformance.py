@@ -505,3 +505,65 @@ def test_context_lr_sequence_reordered():
     for i in range(N):
         for j in range(3):
             assert np.array_equal(d[i].planes[j], a[i][j]), (i, j)
+
+
+def test_split8_partition_conformance():
+    """16->8 PARTITION_SPLIT on the TPU P path (speed <= 6 toolset):
+    busy local detail at moderate q forces sub-splits whose TX_8X8 /
+    TX_4X4 edges the decoder deblocks at 8-px spacing and whose CDEF
+    skip gate is per-8x8 — the encoder's in-loop twins must match
+    both oracles bit-exactly (spec 7.14.5 MIN-adjacent-TX filter
+    lengths; rav1e partition_range min 8x8)."""
+    from scipy.ndimage import gaussian_filter, rotate
+
+    from rav1e_tpu.pipeline import tpu_inter as TI
+    from rav1e_tpu.pipeline.tpu_intra import encode_keyframe_tpu
+
+    rng = np.random.default_rng(11)
+    h, w = 96, 128
+    base = gaussian_filter(rng.normal(0, 70, (h * 2, w * 2)), 0.8)
+    # sparse bright blobs: one busy 8x8 inside an otherwise cheap 16
+    blobs = np.zeros((h * 2, w * 2))
+    for _ in range(40):
+        r, c = rng.integers(8, h * 2 - 8), rng.integers(8, w * 2 - 8)
+        blobs[r:r + 4, c:c + 4] = rng.normal(0, 120, (4, 4))
+
+    def fr(ang):
+        r = rotate(base + blobs, ang, reshape=False, order=1)
+        y = (128 + r[h // 2:h // 2 + h, w // 2:w // 2 + w]
+             ).clip(0, 255).astype(np.uint8)
+        u = (120 + r[::2, ::2][:h // 2, :w // 2] / 3).clip(0, 255)
+        return [y, u.astype(np.uint8),
+                np.full((h // 2, w // 2), 135, np.uint8)]
+
+    f0 = fr(0)
+    q = 90
+    pk, rk = encode_keyframe_tpu(f0, qindex=q, speed=7,
+                                 cdef=(2, 1, 1, 0, 4))
+    pkts, recs = [pk], [rk]
+    seen = []
+    orig_pack = TI._pack_pframe
+
+    def spy(*args, **kw):
+        s16 = kw.get("split16")
+        seen.append(0 if s16 is None else int(np.sum(s16)))
+        return orig_pack(*args, **kw)
+
+    TI._pack_pframe = spy
+    try:
+        for t, ang in enumerate((2, 5), start=1):
+            f1 = fr(ang)
+            pp, rp = TI.encode_pframe_tpu(
+                f1, recs[-1], qindex=q, order_hint=t,
+                cdef=(2, 1, 1, 0, 4), use_split8=True)
+            pkts.append(pp)
+            recs.append(rp)
+    finally:
+        TI._pack_pframe = orig_pack
+    assert sum(seen) > 0, f"no 16->8 splits chosen ({seen})"
+    d = dav1d.decode_all(pkts)
+    a = aom.decode_all(pkts)
+    for i in range(len(pkts)):
+        for j in range(3):
+            assert np.array_equal(d[i].planes[j], recs[i][j]), (i, j)
+            assert np.array_equal(a[i][j], recs[i][j]), (i, j)
