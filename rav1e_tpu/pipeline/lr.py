@@ -56,13 +56,23 @@ def apply_lr_frame(frame_rec, srcs, tw, bit_depth: int,
         tw.lr_data = {"types": [1, 0, 0], "units": {0: grid}}
         return (1, 0, 0)
 
+    # the per-unit candidate search (Wiener LS/preset taps + SGR set
+    # ladder) runs batched on device for 8-bit planes (ops/tpu/lrf.py;
+    # VERDICT r2 #7 — the host numpy pass cost a full CPU frame pass
+    # inside the TPU pipeline); >8-bit falls back to the reference
+    # search (box-sum cumsums overflow int32 lanes above 8-bit)
+    use_tpu = (bit_depth == 8
+               and not os.environ.get("RAV1E_TPU_LR_HOST"))
+    if use_tpu:
+        from rav1e_tpu.ops.tpu.lrf import search_lr_plane_tpu
     types = [0, 0, 0]
     units: dict = {}
     for pi in range(3):
         if pi > 0 and not chroma_lr:
             break
         src_p = np.asarray(srcs[pi]).astype(np.int64)
-        grid, filtered, used = search_lr_plane(
+        search = search_lr_plane_tpu if use_tpu else search_lr_plane
+        grid, filtered, used = search(
             frame_rec[pi], src_p, bd=bit_depth,
             ss=0 if pi == 0 else ss_y, chroma=pi > 0)
         if used:
