@@ -134,6 +134,24 @@ class Context:
             pass_=int(cfg.extra.get("pass", 0) or 0))
         self._ref_rec = None      # previous reconstruction (numpy int32)
         self._order_hint = 0
+        # error-resilience features (rav1e error_resilient +
+        # switch_frame_interval; low-latency mode only, like rav1e's
+        # "switch frame interval requires low latency mode"):
+        # S-frames are periodic spec SWITCH_FRAME splice points
+        # (integer MVs, refresh all slots); error_resilient codes
+        # every inter frame with resilient headers. Both code the 8
+        # reference slots' order hints, tracked in _slot_hints.
+        self._switch_interval = int(
+            cfg.extra.get("switch_frame_interval", 0) or 0)
+        self._error_resilient = str(
+            cfg.extra.get("error_resilient", "")).lower() in (
+            "1", "true", "on", "yes")
+        if (self._switch_interval or self._error_resilient) \
+                and not cfg.low_latency:
+            raise ValueError(
+                "switch_frame_interval / error_resilient require "
+                "low_latency mode (rav1e contract)")
+        self._slot_hints = [0] * 8
         # sequence-level color/HDR signaling (rav1e C API
         # rav1e_config_set_color_description / set_content_light /
         # set_mastering_display; SURVEY A.5)
@@ -148,6 +166,16 @@ class Context:
         if cfg.extra.get("color_range") is not None:
             self._seq_extra["color_range"] = int(
                 cfg.extra["color_range"])
+        ti_raw = cfg.extra.get("timing_info")  # "num_units,time_scale"
+        if ti_raw:
+            # rav1e enable_timing_info (TRateParameters): fixed-fps
+            # display timing in the sequence header (spec 5.5.3)
+            parts = [int(x) for x in str(ti_raw).split(",")]
+            self._seq_extra["timing_info_present"] = True
+            self._seq_extra["num_units_in_display_tick"] = parts[0]
+            self._seq_extra["time_scale"] = parts[1]
+            if len(parts) > 2:
+                self._seq_extra["num_ticks_per_picture"] = parts[2]
         self._metadata = b""
         cl = cfg.extra.get("content_light")      # "max_cll,max_fall"
         if cl:
@@ -559,9 +587,43 @@ class Context:
                 # every keyframe)
                 data = data[:2] + self._metadata + data[2:]
             self._order_hint = 0
+            self._slot_hints = [0] * 8  # KEY refreshes every slot
         else:
             self._order_hint += 1
             ss = self.speed_settings
+            oh = self._order_hint & 127
+            is_sframe = (self._switch_interval
+                         and self._order_hint % self._switch_interval
+                         == 0)
+            if is_sframe or self._error_resilient:
+                # S-frame / error-resilient inter frame: resilient
+                # headers with the slots' order hints; S-frames code
+                # whole-pel MVs and refresh every reference slot
+                # (spec SWITCH_FRAME; rav1e switch_frame_interval)
+                from rav1e_tpu.pipeline.inter import encode_pframe
+                data, rec = encode_pframe(
+                    planes, self._ref_rec, qindex=q,
+                    order_hint=oh, cdef=cdef,
+                    film_grain=grain, aq=aq, bit_depth=cfg.bit_depth,
+                    tile_cols_log2=self._tile_cols_log2,
+                    tile_rows_log2=self._tile_rows_log2,
+                    lr=getattr(self, "_lr_seq", False),
+                    render_size=self._render,
+                    switch_frame=bool(is_sframe),
+                    error_resilient=self._error_resilient,
+                    slot_order_hints=list(self._slot_hints))
+                if is_sframe:
+                    self._slot_hints = [oh] * 8
+                    rec32 = [np.asarray(p).astype(np.int32)
+                             for p in rec]
+                    self._golden_rec = rec32
+                else:
+                    self._slot_hints[0] = oh
+                self._ref_rec = [np.asarray(p).astype(np.int32)
+                                 for p in rec]
+                self._rc.update(ftype, q, len(data) * 8)
+                return Packet(data=data, input_frameno=frameno,
+                              frame_type=ftype, qp=q)
             # multi-ref P (rav1e multiref): LAST = previous recon,
             # GOLDEN = the GOP keyframe (KEY refreshes every slot, P
             # only slot 0, so slot 1 still holds the keyframe). Static
@@ -609,6 +671,8 @@ class Context:
         self._ref_rec = [np.asarray(p).astype(np.int32) for p in rec]
         if is_key:
             self._golden_rec = self._ref_rec
+        else:
+            self._slot_hints[0] = self._order_hint & 127
         self._rc.update(ftype, q, len(data) * 8)
         return Packet(data=data, input_frameno=frameno, frame_type=ftype,
                       qp=q)
@@ -636,7 +700,14 @@ class Context:
             enable_intra_edge_filter=True,
             still_picture=bool(extra.get("still_picture", False)),
             color_range=int(extra.get("color_range", 0)),
-            color_description=extra.get("color_description"))
+            color_description=extra.get("color_description"),
+            timing_info_present=bool(
+                extra.get("timing_info_present", False)),
+            num_units_in_display_tick=int(
+                extra.get("num_units_in_display_tick", 1)),
+            time_scale=int(extra.get("time_scale", 30)),
+            num_ticks_per_picture=int(
+                extra.get("num_ticks_per_picture", 1)))
 
     def twopass_bytes_needed(self) -> int:
         """Bytes of pass-1 data wanted before the next pass-2 packet

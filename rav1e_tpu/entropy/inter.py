@@ -212,7 +212,8 @@ class InterCtx:
                     int(PredictionMode.NEW_NEARMV)}
 
     def find_mv_stack(self, r, c, bsize: BlockSize, ref,
-                      allow_hp: bool = False):
+                      allow_hp: bool = False,
+                      force_integer_mv: bool = False):
         """Build the ref-MV stack + mode contexts (spec 7.10.2, no
         temporal scan). `ref` is an int (single prediction) or a
         (fwd, bwd) pair (compound). Stack entries are [mv, weight]
@@ -228,6 +229,18 @@ class InterCtx:
 
         def lower(mv):
             rr, cc = mv
+            if force_integer_mv:
+                # spec integer_mv_precision: round to nearest
+                # whole-pel (ties away from zero stay at the lower)
+                def rnd(v):
+                    # C-style remainder (libaom integer_mv_precision)
+                    mod = v % 8 if v >= 0 else -((-v) % 8)
+                    if mod:
+                        v -= mod
+                        if abs(mod) > 4:
+                            v += 8 if mod > 0 else -8
+                    return v
+                return (rnd(rr), rnd(cc))
             if not allow_hp:
                 if rr & 1:
                     rr += 1 if rr < 0 else -1

@@ -53,7 +53,13 @@ class Sequence:
     order_hint_bits: int = 7
     enable_superres: bool = False
     film_grain_params_present: bool = False
+    # timing info (spec 5.5.3; rav1e enable_timing_info): display
+    # tick rate; equal_picture_interval fixed-fps streams only, no
+    # decoder model
     timing_info_present: bool = False
+    num_units_in_display_tick: int = 1
+    time_scale: int = 30
+    num_ticks_per_picture: int = 1
     color_range: int = 0
     chroma_sample_position: int = 0
     color_description: tuple | None = None  # (primaries, transfer, matrix)
@@ -74,7 +80,13 @@ class Sequence:
         b.bit(self.still_picture)
         b.bit(0)  # reduced_still_picture_header
         b.bit(self.timing_info_present)
-        assert not self.timing_info_present
+        if self.timing_info_present:
+            # timing_info(): fixed frame rate, no decoder model
+            b.f(self.num_units_in_display_tick, 32)
+            b.f(self.time_scale, 32)
+            b.bit(1)  # equal_picture_interval
+            b.uvlc(self.num_ticks_per_picture - 1)
+            b.bit(0)  # decoder_model_info_present_flag
         b.bit(0)  # initial_display_delay_present_flag
         b.f(0, 5)  # operating_points_cnt_minus_1
         b.f(0, 12)  # operating_point_idc[0]
@@ -201,6 +213,17 @@ class FrameParams:
     # padded (arbitrary-resolution input padded to the SB grid). None
     # or == coded dims -> render_and_frame_size_different = 0.
     render_size: tuple | None = None
+    # error-resilient / S-frame features (rav1e error_resilient +
+    # switch_frame_interval, [BIN] `switch_frame_interval`):
+    # error_resilient=1 codes primary_ref implied NONE and the 8
+    # reference slots' order hints; frame_type SWITCH additionally
+    # implies error_resilient, refresh=0xFF, size-from-ref, and
+    # force_integer_mv=1
+    error_resilient: bool = False
+    force_integer_mv: bool = False
+    # order hints currently held by the decoder's 8 reference slots
+    # (spec RefOrderHint conformance check under error resilience)
+    slot_order_hints: list | None = None
 
 
 def _write_render_size(b: BitWriter, seq: "Sequence", fp: FrameParams):
@@ -488,30 +511,61 @@ def write_inter_frame_header(seq: Sequence, fp: FrameParams, ti: TileInfo,
                              refresh_flags: int = 0x01,
                              ref_idx: list | None = None,
                              show_frame: bool = True) -> BitWriter:
-    """uncompressed_header for an INTER frame (single ref path,
-    PRIMARY_REF_NONE, no superres, filters per fp)."""
+    """uncompressed_header for an INTER or SWITCH frame (single ref
+    path, PRIMARY_REF_NONE, no superres, filters per fp).
+
+    SWITCH frames (rav1e switch_frame_interval S-frames): spec 5.9.2
+    implies error_resilient_mode=1, frame_size_override=1 (explicit
+    dims, since error resilience forbids size-from-refs), and
+    refresh_frame_flags=0xFF; we signal force_integer_mv=1 via
+    allow_screen_content_tools so a decoder can splice streams.
+    error_resilient INTER frames code each reference slot's order
+    hint (fp.slot_order_hints, spec RefOrderHint conformance)."""
+    is_switch = fp.frame_type == FrameType.SWITCH
+    err = bool(fp.error_resilient) or is_switch
+    int_mv = bool(fp.force_integer_mv) or is_switch
     b = BitWriter()
     b.bit(0)  # show_existing_frame
-    b.f(int(FrameType.INTER), 2)
+    b.f(int(fp.frame_type), 2)
     b.bit(1 if show_frame else 0)
     if not show_frame:
         b.bit(1)  # showable_frame (displayed later via show_existing)
-    b.bit(0)  # error_resilient_mode
+    if not is_switch:
+        b.bit(1 if err else 0)  # error_resilient_mode (SWITCH: implied)
     b.bit(fp.disable_cdf_update)
-    b.bit(0)  # allow_screen_content_tools (seq SELECT)
-    b.bit(0)  # frame_size_override_flag
+    # seq_force_screen_content_tools == SELECT: coded per frame; the
+    # force_integer_mv flag only exists under screen content tools
+    b.bit(1 if int_mv else 0)  # allow_screen_content_tools
+    if int_mv:
+        b.bit(1)  # force_integer_mv (seq SELECT)
+    if not is_switch:
+        b.bit(0)  # frame_size_override_flag (SWITCH: implied 1)
     b.f(order_hint & ((1 << seq.order_hint_bits) - 1), seq.order_hint_bits)
-    b.f(7, 3)  # primary_ref_frame = PRIMARY_REF_NONE
-    b.f(refresh_flags, 8)
+    if not err:
+        b.f(7, 3)  # primary_ref_frame = PRIMARY_REF_NONE
+    if not is_switch:
+        b.f(refresh_flags, 8)  # SWITCH: implied 0xFF
+    if err and seq.enable_order_hint:
+        # error resilience: each reference slot's current order hint
+        hints = fp.slot_order_hints or [0] * 8
+        msk = (1 << seq.order_hint_bits) - 1
+        for i in range(8):
+            b.f(hints[i] & msk, seq.order_hint_bits)
     # frame_refs_short_signaling not used (enable_order_hint -> flag)
     if seq.enable_order_hint:
         b.bit(0)  # frame_refs_short_signaling
     ref_idx = ref_idx or [0] * 7
     for i in range(7):
         b.f(ref_idx[i], 3)
-    # frame size: size_override=0 -> from sequence; superres off
+    if is_switch:
+        # frame_size_override=1 with error_resilient=1: explicit dims
+        # (frame_size_with_refs is forbidden under error resilience)
+        b.f(seq.width - 1, seq.frame_width_bits)
+        b.f(seq.height - 1, seq.frame_height_bits)
+    # superres off; render size follows
     _write_render_size(b, seq, fp)
-    b.bit(0)  # allow_high_precision_mv (quarter-pel MVs)
+    if not int_mv:
+        b.bit(0)  # allow_high_precision_mv (quarter-pel MVs)
     # interpolation filter: not switchable, EIGHTTAP_REGULAR
     b.bit(0)  # is_filter_switchable
     b.f(0, 2)  # interpolation_filter

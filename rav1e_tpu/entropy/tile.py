@@ -211,7 +211,8 @@ class TileWriter:
                  ref_sign_bias: dict | None = None,
                  lr_data: dict | None = None,
                  reference_select: bool = False,
-                 seg_alt_q: list | None = None):
+                 seg_alt_q: list | None = None,
+                 force_integer_mv: bool = False):
         # tile == frame until the tiling milestone
         self.mi_rows = mi_rows
         self.mi_cols = mi_cols
@@ -227,6 +228,9 @@ class TileWriter:
         self.mode_grid = np.zeros((mi_rows, mi_cols), np.uint8)
         self.inter_frame = inter_frame
         self.reference_select = reference_select
+        # force_integer_mv (S-frames / error-resilient splice points):
+        # the fr symbols are implied 3 and hp 1 (spec read_mv_component)
+        self.force_integer_mv = force_integer_mv
         # segmentation (SEG_LVL_ALT_Q only): SegIdPreSkip == 0
         self.seg_alt_q = seg_alt_q
         self.seg_enabled = bool(seg_alt_q) and any(
@@ -549,7 +553,10 @@ class TileWriter:
     def write_mv(self, mv, pred, allow_hp: bool = False):
         """mv_residual coding (spec read_mv inverse): joint symbol then
         per-component sign/class/offset. allow_hp=0 means the hp bit is
-        implied 1, so diffs must be even (1/4-pel)."""
+        implied 1, so diffs must be even (1/4-pel). With
+        force_integer_mv the fr symbol is implied 3 as well, so diffs
+        must be multiples of 8 (whole-pel)."""
+        int_mv = self.force_integer_mv
         dr = int(mv[0]) - int(pred[0])
         dc = int(mv[1]) - int(pred[1])
         joint = (2 if dr != 0 else 0) | (1 if dc != 0 else 0)
@@ -569,8 +576,12 @@ class TileWriter:
             if cls == 0:
                 assert z & 1, "hp bit is implied 1 when allow_hp=0"
                 self.ec.encode_symbol(z >> 3, t["class0"])
-                self.ec.encode_symbol((z >> 1) & 3,
-                                      t["class0_fr"][z >> 3])
+                if int_mv:
+                    assert (z >> 1) & 3 == 3, \
+                        "fr implied 3 under force_integer_mv"
+                else:
+                    self.ec.encode_symbol((z >> 1) & 3,
+                                          t["class0_fr"][z >> 3])
                 if allow_hp:
                     self.ec.encode_symbol(z & 1, t["class0_hp"])
             else:
@@ -578,7 +589,11 @@ class TileWriter:
                 assert o & 1 or allow_hp, "hp bit implied 1"
                 for i in range(cls):
                     self.ec.encode_symbol((o >> (i + 3)) & 1, t["bits"][i])
-                self.ec.encode_symbol((o >> 1) & 3, t["fr"])
+                if int_mv:
+                    assert (o >> 1) & 3 == 3, \
+                        "fr implied 3 under force_integer_mv"
+                else:
+                    self.ec.encode_symbol((o >> 1) & 3, t["fr"])
                 if allow_hp:
                     self.ec.encode_symbol(o & 1, t["hp"])
 
@@ -678,7 +693,8 @@ class TileWriter:
             srbit(0, 1)
             srbit(1, 1)                    # p2: ALTREF
         # mv stack + inter mode
-        stack, mctx = ictx.find_mv_stack(r, c, bsize, ref)
+        stack, mctx = ictx.find_mv_stack(
+            r, c, bsize, ref, force_integer_mv=self.force_integer_mv)
         mode = d.y_mode  # inter mode stored in y_mode slot
         mv = tuple(d.mv)
         if mode == PredictionMode.NEWMV:
@@ -759,7 +775,9 @@ class TileWriter:
         # backward ref ALTREF: comp_bwdref p -> ALTREF
         self.ec.encode_symbol(
             1, self.cdfs.comp_bwdref[ictx.comp_ref_ctx(r, c, 3)][0])
-        stack, mctx = ictx.find_mv_stack(r, c, bsize, (ref, ref2))
+        stack, mctx = ictx.find_mv_stack(
+            r, c, bsize, (ref, ref2),
+            force_integer_mv=self.force_integer_mv)
         mode = d.y_mode
         mvs = (tuple(d.mv), tuple(d.mv2))
         if mode == PredictionMode.NEW_NEWMV:

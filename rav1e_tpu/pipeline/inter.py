@@ -84,23 +84,35 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
                   refresh_flags: int = 0x01, ref_slot: int = 0,
                   show_frame: bool = True, film_grain=None,
                   aq: bool = False, render_size: tuple | None = None,
-                  lr: bool = False):
+                  lr: bool = False, switch_frame: bool = False,
+                  error_resilient: bool = False,
+                  slot_order_hints: list | None = None):
     """Encode one P frame against ref_planes. Returns (packet, recon).
 
     Per 32x32 block: full-pel SAD search (+- search_px) with quarter-pel
     refinement; (0,0) codes as GLOBALMV, otherwise NEWMV. Residual DCT
     at TX_32X32 luma / TX_16X16 chroma; all-zero => skip.
+
+    switch_frame=True codes an S-frame (rav1e switch_frame_interval,
+    spec SWITCH_FRAME): error-resilient splice point with whole-pel
+    MVs (force_integer_mv), refreshing every reference slot.
+    error_resilient=True codes a plain error-resilient INTER frame.
+    Both code the 8 reference slots' order hints (slot_order_hints).
     """
     y, u, v = [p.astype(np.int32) for p in planes]
     ry, ru, rv = [p.astype(np.int32) for p in ref_planes]
     h, w = y.shape
     assert h % 32 == 0 and w % 32 == 0
+    int_mv = switch_frame
     seq = Sequence(width=w, height=h, enable_cdef=cdef is not None,
                    bit_depth=bit_depth,
                    profile=2 if bit_depth == 12 else 0,
                    film_grain_params_present=film_grain is not None)
-    fp = FrameParams(frame_type=FrameType.INTER, base_q_idx=qindex,
-                     render_size=render_size)
+    fp = FrameParams(
+        frame_type=FrameType.SWITCH if switch_frame else FrameType.INTER,
+        base_q_idx=qindex, render_size=render_size,
+        error_resilient=error_resilient, force_integer_mv=int_mv,
+        slot_order_hints=slot_order_hints)
     fp.film_grain = film_grain
     seg_alt_q = [-18, -6, 6, 18, None, None, None, None] if aq else None
     fp.seg_alt_q = seg_alt_q
@@ -119,9 +131,9 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
     ti = TileInfo(seq, tile_cols_log2, tile_rows_log2)
     mi_rows, mi_cols = h >> 2, w >> 2
     cls = TileWriter
-    if use_native and not lr:
-        # the native packer has no LR-unit syntax; LR frames take the
-        # python writer
+    if use_native and not lr and not int_mv:
+        # the native packer has no LR-unit or integer-MV syntax;
+        # those frames take the python writer
         try:
             from rav1e_tpu.entropy.native import NativeTileWriter
             cls = NativeTileWriter
@@ -136,9 +148,10 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
             partitions[(r, c, int(BlockSize.B64X64))] = PartitionType.SPLIT
             partitions[(r, c, int(BlockSize.B32X32))] = PartitionType.NONE
             mv_fp, _ = _fullpel_search(y, ry, by, bx, search_px)
-            if mv_fp != (0, 0) and subpel:
+            if mv_fp != (0, 0) and subpel and not int_mv:
                 mv = _subpel_refine(y, ry, by, bx, mv_fp)
             else:
+                # force_integer_mv: whole-pel MVs only
                 mv = (mv_fp[0] * 8, mv_fp[1] * 8)
             mode = (PredictionMode.GLOBALMV if mv == (0, 0)
                     else PredictionMode.NEWMV)
@@ -196,7 +209,7 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
             c0 = min(ti.col_starts[t_c] * 16, mi_cols)
             c1 = min(ti.col_starts[t_c + 1] * 16, mi_cols)
             tw = cls(r1 - r0, c1 - c0, qindex, inter_frame=True,
-                     seg_alt_q=seg_alt_q)
+                     seg_alt_q=seg_alt_q, force_integer_mv=int_mv)
             tparts = {(r - r0, c - c0, bs): p
                       for (r, c, bs), p in partitions.items()
                       if r0 <= r < r1 and c0 <= c < c1}

@@ -1763,6 +1763,11 @@ def _core(h: int, w: int, use_cdef: bool = False,
             return (pack(o, lf_lvl, cdef_idx), o[3], o[4], o[5],
                     fry, fru, frv)
 
+        # profiling handles (tools/profile_gop.py stage split)
+        step.core = core
+        step.filt = filt if (use_deblock or use_cdef) else None
+        step.pack = pack
+
     @jax.jit
     def gather_dense(lv_y, lv_u, lv_v, idx):
         """ONE transfer for all dense blocks' full-precision levels:
@@ -2430,38 +2435,48 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
     ones = _ds16_quads(None, h // 32, w // 32)
     import os as _os
     import time as _time
+    from concurrent.futures import ThreadPoolExecutor
     _timing = bool(_os.environ.get("RAV1E_TPU_TIMING"))
     _t0 = _time.time()
-    outs = []
-    for f in frames[1:]:
-        o = step(jnp.asarray(pack_src(f)), *ref_dev,
-                 dcq, acq, cdef_prm, rd, ones)
-        ref_dev = o[4:7]
-        outs.append(o)
-    if _timing:
-        print(f"# gop dispatch {_time.time()-_t0:.3f}s")
-    _tf = _tp = 0.0
-    for i, o in enumerate(outs, start=1):
-        _t1 = _time.time()
+
+    def tail(i, o):
+        """Fetch one frame's packed buffer and entropy-pack it.
+        Independent per frame (the packed buffer holds every
+        decision); the C++ packer releases the GIL and the jax
+        device_get transfers overlap with neighbor frames' packing."""
         (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16, lf_lvl,
          cdef_map, choice, _, b64m, split16, skip8) = _fetch_packed(
             o, gather_dense, h // 32, w // 32)
-        _t2 = _time.time()
-        _tf += _t2 - _t1
-        pkts.append(_pack_pframe(
+        return _pack_pframe(
             h, w, qindex, i, mv8, skip, lv_y, lv_u, lv_v,
             cdef=(cdef, cdef_map) if cdef is not None else None,
             lf_level=lf_lvl, split=split, mv16=mv16, skip16=skip16,
             choice=choice if speed <= 6 else None,
             b64_map=b64m if speed <= 6 else None,
             split16=split16 if ss.partition_split8 else None,
-            skip8=skip8 if ss.partition_split8 else None))
-        _tp += _time.time() - _t2
-        # recons stay device-resident (uint8); consumers that need
-        # them host-side (conformance checks) convert lazily
-        recs.append([o[4], o[5], o[6]])
+            skip8=skip8 if ss.partition_split8 else None)
+
+    with ThreadPoolExecutor(4) as ex:
+        # host-side source packing runs ahead on worker threads while
+        # the main thread streams uploads + dispatches in order
+        src_futs = [ex.submit(pack_src, f) for f in frames[1:]]
+        outs = []
+        pkt_futs = []
+        for i, sf in enumerate(src_futs, start=1):
+            o = step(jnp.asarray(sf.result()), *ref_dev,
+                     dcq, acq, cdef_prm, rd, ones)
+            ref_dev = o[4:7]
+            outs.append(o)
+            # fetch+pack of earlier frames proceeds concurrently with
+            # later frames' uploads and device compute
+            pkt_futs.append(ex.submit(tail, i, o))
+        if _timing:
+            print(f"# gop dispatch {_time.time()-_t0:.3f}s")
+        for o, pf in zip(outs, pkt_futs):
+            pkts.append(pf.result())
+            # recons stay device-resident (uint8); consumers that need
+            # them host-side (conformance checks) convert lazily
+            recs.append([o[4], o[5], o[6]])
     if _timing:
-        n = len(outs)
-        print(f"# gop fetch {_tf/n*1e3:.1f}ms/f pack {_tp/n*1e3:.1f}ms/f"
-              f" tail {_time.time()-_t0:.3f}s")
+        print(f"# gop total {_time.time()-_t0:.3f}s")
     return pkts, recs

@@ -99,8 +99,8 @@ def main():
         ref_dev = o[4:7]
         t0 = time.time()
         (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16, lf_lvl,
-         _ci, _ch, _m2, _b64) = TI._fetch_packed(o, gather_dense,
-                                           h // 32, w // 32)
+         _ci, _ch, _m2, _b64, _s16, _sk8) = TI._fetch_packed(
+            o, gather_dense, h // 32, w // 32)
         t_fetch += time.time() - t0
         t0 = time.time()
         TI._pack_pframe(h, w, q, i, mv8, skip, lv_y, lv_u, lv_v,
