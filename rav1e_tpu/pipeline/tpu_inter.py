@@ -371,14 +371,25 @@ def _search_one_ref(ryp, blks, by, bx, rd, B, use_satd=False,
 
         wsq = jax.vmap(sums_one)(by, bx)
     # u8-valued pixels are exact in bfloat16, and the MXU accumulates
-    # in f32 — bf16 operands halve the conv's HBM traffic with
-    # bit-identical sums vs the f32-input form
-    corr = jax.lax.conv_general_dilated(
-        wins.astype(jnp.bfloat16)[None],
-        blks.astype(jnp.bfloat16)[:, None],
-        (1, 1), "VALID", feature_group_count=B,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32)[0]    # [B,33,33]
+    # in f32. The grouped-conv form (feature_group_count=B, channel
+    # dim 1 per group) cannot tile onto the MXU — profiled 37.7 ms at
+    # 1080p (0.06% MFU). Restructured as one batched matmul with a
+    # diagonal reduction:
+    #   M[b, r, R, dx] = sum_c blk[b, r, c] * win[b, R, dx + c]
+    #   corr[b, dy, dx] = sum_r M[b, r, r + dy, dx]
+    # The contraction runs over the 32 block columns (dot_general,
+    # batch b), and the row-offset coupling becomes 32 static slice
+    # adds — all dense MXU/VPU work, no grouped conv.
+    S1 = 2 * search + 1
+    w_bf = wins.astype(jnp.bfloat16)
+    b_bf = blks.astype(jnp.bfloat16)
+    # im2col along x only: [B, win_sz, S1, 32]
+    w2 = jnp.stack([w_bf[:, :, dx: dx + 32] for dx in range(S1)], 2)
+    m = jnp.einsum("brc,bRdc->brRd", b_bf, w2,
+                   preferred_element_type=jnp.float32)
+    corr = m[:, 0, 0:S1, :]
+    for r in range(1, 32):
+        corr = corr + m[:, r, r: r + S1, :]       # [B,S1,S1]
     ssd = wsq - 2.0 * corr + jnp.sum(
         (blks * blks).astype(jnp.float32), axis=(1, 2))[:, None, None]
     # real MV + mode-signaling rate (entropy/cost.py LUTs):
@@ -1456,19 +1467,30 @@ def _stream_maps():
 def nnz_stream(sl, cap):
     """Device-side stream compaction of the scan line: returns
     (counts [B] int32, pos [cap+1] int32, val [cap+1] int32) with the
-    nonzero entries of `sl` laid out block-major; entries past `cap`
-    land in the dump slot (host full-gathers those blocks)."""
+    nonzero entries of `sl` in FIXED per-block slots of k = cap // B
+    entries (block-major, scan order; slot tail zero-padded). Blocks
+    with more than k nonzeros overflow (host full-gathers those).
+
+    Formulated as a per-row top_k over position keys — the previous
+    global-cumsum scatter lowered to two 14.5 ms scatter fusions at
+    1080p (2/3 of the pack dispatch); top_k + one aligned gather is
+    dense work. The global-budget semantics are gone: overflow is now
+    per block (> k nonzeros), which is also better behaved — one busy
+    region no longer spills every later block to the dense path."""
     B, L = sl.shape
-    flat = sl.reshape(-1).astype(jnp.int32)
-    nz = flat != 0
-    g = jnp.cumsum(nz.astype(jnp.int32))
-    tgt = jnp.where(nz & (g <= cap), g - 1, cap)
-    posl = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32),
-                            (B, L)).reshape(-1)
-    pos = jnp.zeros((cap + 1,), jnp.int32).at[tgt].set(posl)
-    val = jnp.zeros((cap + 1,), jnp.int32).at[tgt].set(flat)
-    counts = jnp.sum(nz.reshape(B, L).astype(jnp.int32), axis=1)
-    return counts, pos, val
+    k = cap // B
+    sl32 = sl.astype(jnp.int32)
+    nz = sl32 != 0
+    counts = jnp.sum(nz.astype(jnp.int32), axis=1)
+    # key: earlier scan positions get larger keys; zeros get 0
+    key = jnp.where(nz, L - jnp.arange(L, dtype=jnp.int32)[None, :], 0)
+    topv = jax.lax.top_k(key, k)[0]              # [B, k] descending
+    live = topv > 0
+    pos = jnp.where(live, L - topv, 0)           # ascending scan pos
+    val = jnp.where(live, jnp.take_along_axis(sl32, pos, axis=1), 0)
+    pad = jnp.zeros((1,), jnp.int32)
+    return (counts, jnp.concatenate([pos.reshape(-1), pad]),
+            jnp.concatenate([val.reshape(-1), pad]))
 
 
 def _i16_hi_lo(x):
@@ -1605,16 +1627,21 @@ def unpack_stream(counts, pos, val, split, cap=None, split16=None):
     B = counts.shape[0]
     if cap is None:
         cap = _stream_cap(B)
-    ends = np.cumsum(counts)
-    n = int(min(ends[-1], cap))
-    over = ends > cap
+    k = cap // B
+    kc = np.minimum(counts, k)
+    over = counts > k
     lv_y = np.zeros((B, 1024), np.int16)
     lv_u = np.zeros((B, 256), np.int16)
     lv_v = np.zeros((B, 256), np.int16)
+    n = int(kc.sum())
     if n:
-        p = pos[:n]
-        v = val[:n]
-        blk = np.searchsorted(ends, np.arange(n), side="right")
+        # fixed per-block slots: block b's entries at [b*k, b*k+kc[b])
+        mask = np.arange(k)[None, :] < kc[:, None]
+        blk, slot = np.nonzero(mask)
+        posr = pos[:B * k].reshape(B, k)
+        valr = val[:B * k].reshape(B, k)
+        p = posr[blk, slot]
+        v = valr[blk, slot]
         pl, idx_ns, idx_sp, idx_s8, quad_of = _stream_maps()
         plane = pl[p]
         sidx = np.where(split[blk], idx_sp[p], idx_ns[p])
