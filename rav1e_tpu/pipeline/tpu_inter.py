@@ -2428,12 +2428,17 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
     from rav1e_tpu.pipeline.tpu_intra import encode_keyframe_tpu
 
     pkts, recs = [], []
-    pkt, rec = encode_keyframe_tpu(frames[0], qindex=qindex, speed=speed,
-                                   cdef=cdef)
-    pkts.append(pkt)
-    recs.append(rec)
     if len(frames) == 1:
-        return pkts, recs
+        pkt, rec = encode_keyframe_tpu(frames[0], qindex=qindex,
+                                       speed=speed, cdef=cdef)
+        return [pkt], [rec]
+    # deferred keyframe: the device phases run now and hand back the
+    # DEVICE recon; the host fetch+unpack+entropy-pack (~250 ms at
+    # 1080p) runs on a worker thread overlapped with the P frames'
+    # device compute
+    kf_finish, kf_rec_dev = encode_keyframe_tpu(
+        frames[0], qindex=qindex, speed=speed, cdef=cdef,
+        deferred=True)
     h, w = frames[0][0].shape
     # SpeedSettings drives the toolset: partition_split_rdo (presets
     # >7 drop the 32->16 split candidate set; XLA dead-code-eliminates
@@ -2458,7 +2463,7 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
     # crunches frame i+1 while the host transfers + entropy-packs
     # frame i; each frame's IO is one packed upload + one packed fetch
     # (the tunnel charges ~38 ms latency per transfer)
-    ref_dev = tuple(jnp.asarray(np.asarray(p, np.uint8)) for p in rec)
+    ref_dev = kf_rec_dev          # device-resident, no re-upload
     ones = _ds16_quads(None, h // 32, w // 32)
     import os as _os
     import time as _time
@@ -2485,7 +2490,9 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
 
     with ThreadPoolExecutor(4) as ex:
         # host-side source packing runs ahead on worker threads while
-        # the main thread streams uploads + dispatches in order
+        # the main thread streams uploads + dispatches in order; the
+        # keyframe's host half packs concurrently on another worker
+        kf_fut = ex.submit(kf_finish)
         src_futs = [ex.submit(pack_src, f) for f in frames[1:]]
         outs = []
         pkt_futs = []
@@ -2499,6 +2506,9 @@ def encode_gop_tpu(frames, qindex: int = 100, speed: int = 8,
             pkt_futs.append(ex.submit(tail, i, o))
         if _timing:
             print(f"# gop dispatch {_time.time()-_t0:.3f}s")
+        kf_pkt, kf_rec = kf_fut.result()
+        pkts.append(kf_pkt)
+        recs.append(kf_rec)
         for o, pf in zip(outs, pkt_futs):
             pkts.append(pf.result())
             # recons stay device-resident (uint8); consumers that need

@@ -1281,7 +1281,7 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
                         render_size: tuple | None = None,
                         seq_extra: dict | None = None,
                         cdef_rdo: bool = True, lr: bool = False,
-                        aq: bool = False):
+                        aq: bool = False, deferred: bool = False):
     """TPU-batched KEY frame encode; dims must be multiples of 32.
 
     cdef: None disables CDEF at the sequence level; a 5-tuple enables
@@ -1461,179 +1461,196 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
         jax.block_until_ready(meta_d)
         print(f"# kf epilogue {_time.time()-_t0:.3f}s")
         _t0 = _time.time()
-    meta = np.asarray(meta_d)
-    B = bh * bw
-    cap = _kf_stream_cap(B)
-    o0 = (B + 1) * KF_META
-    body = meta[:o0].reshape(B + 1, KF_META)
-    body, mtail = body[:-1], body[-1]
-    lf = int(mtail[0])
-    sp = (body[:, 1] != 0).reshape(bh, bw)
-    my = body[:, 2:7].astype(np.int32).reshape(bh, bw, 5)
-    mu = body[:, 7:12].astype(np.int32).reshape(bh, bw, 5)
-    cfm = body[:, 12:14].astype(np.int32).reshape(bh, bw, 2)
-    ytx = body[:, 14:18].astype(np.int32).reshape(bh, bw, 4)
+    def _finish():
+        """Host half: fetch the meta buffer, unpack the
+        coefficient stream, entropy-pack the tile. Runs deferred
+        (on a worker thread, overlapped with P-frame device
+        compute) when deferred=True."""
+        nonlocal _t0
+        meta = np.asarray(meta_d)
+        B = bh * bw
+        cap = _kf_stream_cap(B)
+        o0 = (B + 1) * KF_META
+        body = meta[:o0].reshape(B + 1, KF_META)
+        body, mtail = body[:-1], body[-1]
+        lf = int(mtail[0])
+        sp = (body[:, 1] != 0).reshape(bh, bw)
+        my = body[:, 2:7].astype(np.int32).reshape(bh, bw, 5)
+        mu = body[:, 7:12].astype(np.int32).reshape(bh, bw, 5)
+        cfm = body[:, 12:14].astype(np.int32).reshape(bh, bw, 2)
+        ytx = body[:, 14:18].astype(np.int32).reshape(bh, bw, 4)
 
-    def unw(raw):
-        w = raw.reshape(-1, 2).astype(np.int32)
-        return w[:, 0] * 256 + (w[:, 1] & 0xFF)
+        def unw(raw):
+            w = raw.reshape(-1, 2).astype(np.int32)
+            return w[:, 0] * 256 + (w[:, 1] & 0xFF)
 
-    o1 = o0 + 2 * B
-    counts = unw(meta[o0:o1])
-    o2 = o1 + 2 * (cap + 1)
-    pos = unw(meta[o1:o2])
-    o3 = o2 + 2 * (cap + 1)
-    val = unw(meta[o2:o3]).astype(np.int16)
-    nr, nc = (bh + 1) // 2, (bw + 1) // 2
-    cdef_map = (meta[o3:].astype(np.uint8).reshape(nr, nc)
-                if use_cdef_rdo else None)
-    from rav1e_tpu.pipeline.tpu_inter import unpack_stream
-    lv_y, lv_u, lv_v, over = unpack_stream(counts, pos, val,
-                                           sp.reshape(B),
-                                           cap=cap)
-    didx = np.nonzero(over)[0]
-    if len(didx):
-        g = np.asarray(_gather_dense_kf(lvy_d, lvu_d, lvv_d,
-                                        jnp.asarray(didx)))
-        lv_y[didx] = g[:, :1024].reshape(-1, 32, 32)
-        lv_u[didx] = g[:, 1024:1280].reshape(-1, 16, 16)
-        lv_v[didx] = g[:, 1280:].reshape(-1, 16, 16)
-    ly = lv_y.reshape(bh, bw, 32, 32)
-    lu = lv_u.reshape(bh, bw, 16, 16)
-    lvv = lv_v.reshape(bh, bw, 16, 16)
-    if _timing:
-        print(f"# kf fetch+unpack {_time.time()-_t0:.3f}s")
-        _t0 = _time.time()
+        o1 = o0 + 2 * B
+        counts = unw(meta[o0:o1])
+        o2 = o1 + 2 * (cap + 1)
+        pos = unw(meta[o1:o2])
+        o3 = o2 + 2 * (cap + 1)
+        val = unw(meta[o2:o3]).astype(np.int16)
+        nr, nc = (bh + 1) // 2, (bw + 1) // 2
+        cdef_map = (meta[o3:].astype(np.uint8).reshape(nr, nc)
+                    if use_cdef_rdo else None)
+        from rav1e_tpu.pipeline.tpu_inter import unpack_stream
+        lv_y, lv_u, lv_v, over = unpack_stream(counts, pos, val,
+                                               sp.reshape(B),
+                                               cap=cap)
+        didx = np.nonzero(over)[0]
+        if len(didx):
+            g = np.asarray(_gather_dense_kf(lvy_d, lvu_d, lvv_d,
+                                            jnp.asarray(didx)))
+            lv_y[didx] = g[:, :1024].reshape(-1, 32, 32)
+            lv_u[didx] = g[:, 1024:1280].reshape(-1, 16, 16)
+            lv_v[didx] = g[:, 1280:].reshape(-1, 16, 16)
+        ly = lv_y.reshape(bh, bw, 32, 32)
+        lu = lv_u.reshape(bh, bw, 16, 16)
+        lvv = lv_v.reshape(bh, bw, 16, 16)
+        if _timing:
+            print(f"# kf fetch+unpack {_time.time()-_t0:.3f}s")
+            _t0 = _time.time()
 
-    # ---- pack (host, serial; C++ packer when available) -------------------
-    seq = Sequence(width=w, height=h, enable_cdef=cdef is not None)
-    for k, v_ in (seq_extra or {}).items():
-        setattr(seq, k, v_)
-    fp = FrameParams(frame_type=FrameType.KEY, base_q_idx=qindex,
-                     loop_filter_levels=(lf, lf, lf, lf),
-                     render_size=render_size)
-    from rav1e_tpu.ops.ref.quant import chroma_dq as _chroma_dq
-    fp.delta_q_u_dc = fp.delta_q_u_ac = _chroma_dq(qindex)
-    seg_alt_q = None
-    if seg_map is not None:
-        seg_alt_q = seg_alt_eff + [None] * 4
-        fp.seg_alt_q = seg_alt_q
-    cdef_bits = 0
-    if cdef_map is not None:
-        from rav1e_tpu.ops.tpu.cdef import compact_ladder
-        fp.cdef_damping = cdef[4]
-        (fp.cdef_strengths, cdef_bits,
-         cdef_map) = compact_ladder(cdef_map)
-    elif cdef is not None:
-        (fp.cdef_y_pri, fp.cdef_y_sec, fp.cdef_uv_pri,
-         fp.cdef_uv_sec, fp.cdef_damping) = cdef
-    ti = TileInfo(seq)
-    mi_rows, mi_cols = h >> 2, w >> 2
-    tile = None
-    if lr:
-        # LR unit params ride the tile at SB starts — only the python
-        # writer codes them, so skip the C++ packer for LR keyframes
-        seq.enable_restoration = True
-    try:
-        if lr or seg_map is not None:
-            raise ImportError("python writer required for LR/seg")
-        # one-call C++ intra packer (0.86 s -> ms at 1080p; the
-        # per-block python dict build below is the fallback)
-        from rav1e_tpu.entropy.native import NativeTileWriter
-        tw = NativeTileWriter(mi_rows, mi_cols, qindex)
-        tile = tw.write_intra_tile_fast(
-            sp.reshape(-1), my.reshape(-1, 5), mu.reshape(-1, 5),
-            cfm.reshape(-1, 2), ly.reshape(-1, 32, 32),
-            lu.reshape(-1, 16, 16), lvv.reshape(-1, 16, 16),
-            cdef_idx=cdef_map, cdef_bits=cdef_bits,
-            ytx=ytx.reshape(-1, 4))
-    except Exception:
+        # ---- pack (host, serial; C++ packer when available) -------------------
+        seq = Sequence(width=w, height=h, enable_cdef=cdef is not None)
+        for k, v_ in (seq_extra or {}).items():
+            setattr(seq, k, v_)
+        fp = FrameParams(frame_type=FrameType.KEY, base_q_idx=qindex,
+                         loop_filter_levels=(lf, lf, lf, lf),
+                         render_size=render_size)
+        from rav1e_tpu.ops.ref.quant import chroma_dq as _chroma_dq
+        fp.delta_q_u_dc = fp.delta_q_u_ac = _chroma_dq(qindex)
+        seg_alt_q = None
+        if seg_map is not None:
+            seg_alt_q = seg_alt_eff + [None] * 4
+            fp.seg_alt_q = seg_alt_q
+        cdef_bits = 0
+        if cdef_map is not None:
+            from rav1e_tpu.ops.tpu.cdef import compact_ladder
+            fp.cdef_damping = cdef[4]
+            (fp.cdef_strengths, cdef_bits,
+             cdef_map) = compact_ladder(cdef_map)
+        elif cdef is not None:
+            (fp.cdef_y_pri, fp.cdef_y_sec, fp.cdef_uv_pri,
+             fp.cdef_uv_sec, fp.cdef_damping) = cdef
+        ti = TileInfo(seq)
+        mi_rows, mi_cols = h >> 2, w >> 2
         tile = None
-    if tile is not None:
+        if lr:
+            # LR unit params ride the tile at SB starts — only the python
+            # writer codes them, so skip the C++ packer for LR keyframes
+            seq.enable_restoration = True
+        try:
+            if lr or seg_map is not None:
+                raise ImportError("python writer required for LR/seg")
+            # one-call C++ intra packer (0.86 s -> ms at 1080p; the
+            # per-block python dict build below is the fallback)
+            from rav1e_tpu.entropy.native import NativeTileWriter
+            tw = NativeTileWriter(mi_rows, mi_cols, qindex)
+            tile = tw.write_intra_tile_fast(
+                sp.reshape(-1), my.reshape(-1, 5), mu.reshape(-1, 5),
+                cfm.reshape(-1, 2), ly.reshape(-1, 32, 32),
+                lu.reshape(-1, 16, 16), lvv.reshape(-1, 16, 16),
+                cdef_idx=cdef_map, cdef_bits=cdef_bits,
+                ytx=ytx.reshape(-1, 4))
+        except Exception:
+            tile = None
+        if tile is not None:
+            pkt = keyframe_packet(seq, fp, ti, [tile])
+            if _timing:
+                print(f"# kf hostpack {_time.time()-_t0:.3f}s")
+            rp = np.asarray(rec_packed_d)
+            rec = [rp[:h].astype(np.int32),
+                   rp[h:, :w // 2].astype(np.int32),
+                   rp[h:, w // 2:].astype(np.int32)]
+            return pkt, rec
+        tw = TileWriter(mi_rows, mi_cols, qindex, seg_alt_q=seg_alt_q)
+        if cdef_bits:
+            tw.cdef_bits = cdef_bits
+            tw.cdef_idx_map = cdef_map
+        rec = None
+        if lr:
+            # fetch the post-deblock/CDEF recon now: LR searches on it and
+            # mutates it in place, and its unit params must be attached to
+            # the writer BEFORE write_tile (spec decode_lr interleaving)
+            from rav1e_tpu.pipeline.lr import apply_lr_frame
+            rp = np.asarray(rec_packed_d)
+            rec = [rp[:h].astype(np.int32),
+                   rp[h:, :w // 2].astype(np.int32),
+                   rp[h:, w // 2:].astype(np.int32)]
+            fp.lr_types = apply_lr_frame(rec, [np.asarray(y), np.asarray(u),
+                                               np.asarray(v)], tw, 8, 1, 1)
+        partitions: dict = {}
+        blocks: dict = {}
+        for bi in range(bh):
+            for bj in range(bw):
+                r, c = bi * 8, bj * 8
+                yl = ly[bi, bj]
+                ul = lu[bi, bj]
+                vl = lvv[bi, bj]
+                seg = int(seg_map[bi, bj]) if seg_map is not None else 0
+                if sp[bi, bj]:
+                    from rav1e_tpu.entropy.tile import INTRA_TX_SET2
+                    partitions[(r, c, int(BlockSize.B32X32))] = \
+                        PartitionType.SPLIT
+                    for q, (dr, dc) in enumerate(
+                            ((0, 0), (0, 4), (4, 0), (4, 4))):
+                        py, px = dr * 4, dc * 4       # luma pixel offsets
+                        cy, cx = dr * 2, dc * 2       # chroma pixel offsets
+                        syl = yl[py: py + 16, px: px + 16]
+                        sul = ul[cy: cy + 8, cx: cx + 8]
+                        svl = vl[cy: cy + 8, cx: cx + 8]
+                        d = BlockDecision(
+                            y_mode=PredictionMode(int(my[bi, bj, 1 + q])),
+                            uv_mode=PredictionMode(int(mu[bi, bj, 1 + q])),
+                            skip=False, seg_id=seg)
+                        if not syl.any() and not sul.any() and not svl.any():
+                            d.skip = True
+                        else:
+                            d.coeffs = {0: syl, 1: sul, 2: svl,
+                                        "y_tx_type": INTRA_TX_SET2[
+                                            int(ytx[bi, bj, q])]}
+                        blocks[(r + dr, c + dc)] = d
+                        partitions[(r + dr, c + dc,
+                                    int(BlockSize.B16X16))] = PartitionType.NONE
+                    continue
+                d = BlockDecision(y_mode=PredictionMode(int(my[bi, bj, 0])),
+                                  uv_mode=PredictionMode(int(mu[bi, bj, 0])),
+                                  skip=False, seg_id=seg)
+                if d.uv_mode == PredictionMode.UV_CFL_PRED:
+                    d.cfl_alpha_idx = (int(cfm[bi, bj, 0]),
+                                       int(cfm[bi, bj, 1]))
+                if not yl.any() and not ul.any() and not vl.any():
+                    d.skip = True
+                else:
+                    d.coeffs = {0: yl, 1: ul, 2: vl,
+                                "y_tx_type": TxType.DCT_DCT}
+                blocks[(r, c)] = d
+                partitions[(r, c, int(BlockSize.B32X32))] = PartitionType.NONE
+        for r in range(0, mi_rows, 16):
+            for c in range(0, mi_cols, 16):
+                partitions[(r, c, int(BlockSize.B64X64))] = PartitionType.SPLIT
+        tile = tw.write_tile(partitions, blocks)
         pkt = keyframe_packet(seq, fp, ti, [tile])
         if _timing:
             print(f"# kf hostpack {_time.time()-_t0:.3f}s")
-        rp = np.asarray(rec_packed_d)
-        rec = [rp[:h].astype(np.int32),
-               rp[h:, :w // 2].astype(np.int32),
-               rp[h:, w // 2:].astype(np.int32)]
+            _t0 = _time.time()
+        # final reconstruction (deblock+CDEF already applied on device,
+        # LR on host above when enabled): one packed uint8 fetch
+        if rec is None:
+            rp = np.asarray(rec_packed_d)
+            rec = [rp[:h].astype(np.int32),
+                   rp[h:, :w // 2].astype(np.int32),
+                   rp[h:, w // 2:].astype(np.int32)]
         return pkt, rec
-    tw = TileWriter(mi_rows, mi_cols, qindex, seg_alt_q=seg_alt_q)
-    if cdef_bits:
-        tw.cdef_bits = cdef_bits
-        tw.cdef_idx_map = cdef_map
-    rec = None
-    if lr:
-        # fetch the post-deblock/CDEF recon now: LR searches on it and
-        # mutates it in place, and its unit params must be attached to
-        # the writer BEFORE write_tile (spec decode_lr interleaving)
-        from rav1e_tpu.pipeline.lr import apply_lr_frame
-        rp = np.asarray(rec_packed_d)
-        rec = [rp[:h].astype(np.int32),
-               rp[h:, :w // 2].astype(np.int32),
-               rp[h:, w // 2:].astype(np.int32)]
-        fp.lr_types = apply_lr_frame(rec, [np.asarray(y), np.asarray(u),
-                                           np.asarray(v)], tw, 8, 1, 1)
-    partitions: dict = {}
-    blocks: dict = {}
-    for bi in range(bh):
-        for bj in range(bw):
-            r, c = bi * 8, bj * 8
-            yl = ly[bi, bj]
-            ul = lu[bi, bj]
-            vl = lvv[bi, bj]
-            seg = int(seg_map[bi, bj]) if seg_map is not None else 0
-            if sp[bi, bj]:
-                from rav1e_tpu.entropy.tile import INTRA_TX_SET2
-                partitions[(r, c, int(BlockSize.B32X32))] = \
-                    PartitionType.SPLIT
-                for q, (dr, dc) in enumerate(
-                        ((0, 0), (0, 4), (4, 0), (4, 4))):
-                    py, px = dr * 4, dc * 4       # luma pixel offsets
-                    cy, cx = dr * 2, dc * 2       # chroma pixel offsets
-                    syl = yl[py: py + 16, px: px + 16]
-                    sul = ul[cy: cy + 8, cx: cx + 8]
-                    svl = vl[cy: cy + 8, cx: cx + 8]
-                    d = BlockDecision(
-                        y_mode=PredictionMode(int(my[bi, bj, 1 + q])),
-                        uv_mode=PredictionMode(int(mu[bi, bj, 1 + q])),
-                        skip=False, seg_id=seg)
-                    if not syl.any() and not sul.any() and not svl.any():
-                        d.skip = True
-                    else:
-                        d.coeffs = {0: syl, 1: sul, 2: svl,
-                                    "y_tx_type": INTRA_TX_SET2[
-                                        int(ytx[bi, bj, q])]}
-                    blocks[(r + dr, c + dc)] = d
-                    partitions[(r + dr, c + dc,
-                                int(BlockSize.B16X16))] = PartitionType.NONE
-                continue
-            d = BlockDecision(y_mode=PredictionMode(int(my[bi, bj, 0])),
-                              uv_mode=PredictionMode(int(mu[bi, bj, 0])),
-                              skip=False, seg_id=seg)
-            if d.uv_mode == PredictionMode.UV_CFL_PRED:
-                d.cfl_alpha_idx = (int(cfm[bi, bj, 0]),
-                                   int(cfm[bi, bj, 1]))
-            if not yl.any() and not ul.any() and not vl.any():
-                d.skip = True
-            else:
-                d.coeffs = {0: yl, 1: ul, 2: vl,
-                            "y_tx_type": TxType.DCT_DCT}
-            blocks[(r, c)] = d
-            partitions[(r, c, int(BlockSize.B32X32))] = PartitionType.NONE
-    for r in range(0, mi_rows, 16):
-        for c in range(0, mi_cols, 16):
-            partitions[(r, c, int(BlockSize.B64X64))] = PartitionType.SPLIT
-    tile = tw.write_tile(partitions, blocks)
-    pkt = keyframe_packet(seq, fp, ti, [tile])
-    if _timing:
-        print(f"# kf hostpack {_time.time()-_t0:.3f}s")
-        _t0 = _time.time()
-    # final reconstruction (deblock+CDEF already applied on device,
-    # LR on host above when enabled): one packed uint8 fetch
-    if rec is None:
-        rp = np.asarray(rec_packed_d)
-        rec = [rp[:h].astype(np.int32),
-               rp[h:, :w // 2].astype(np.int32),
-               rp[h:, w // 2:].astype(np.int32)]
-    return pkt, rec
+
+    if deferred:
+        # GOP pipelining: hand back the DEVICE recon immediately
+        # so P frames dispatch against it while the host packs
+        # the keyframe (host LR would mutate the fetched recon,
+        # so deferred requires lr=False)
+        assert not lr, "deferred incompatible with lr"
+        rec_dev = (rec_packed_d[:h], rec_packed_d[h:, :w // 2],
+                   rec_packed_d[h:, w // 2:])
+        return _finish, rec_dev
+    return _finish()
