@@ -414,7 +414,8 @@ class Context:
         self._rc.update("INTER", q, len(adata) * 8)
         arec32 = [np.asarray(p).astype(np.int32) for p in arec]
         enc_b = encode_bframe_tpu if fast_ok else encode_bframe
-        bkw = (dict(b64_rdo=self.speed_settings.b64_merge, lr=lr)
+        bkw = (dict(b64_rdo=self.speed_settings.b64_merge, lr=lr,
+                    use_split=self.speed_settings.partition_split_rdo)
                if fast_ok else dict(lr=lr))
         hints = (base & 127, ahint)
 

@@ -152,6 +152,14 @@ def cdef_filter_frame(planes, skip_8x8: np.ndarray, y_pri: int,
     planes: [y, u, v] int32 (post-deblock recon). skip_8x8: bool
     [h/8, w/8], True where ALL coded blocks covering that luma 8x8 are
     skip (such blocks are not filtered)."""
+    # spec 7.15.3 CoeffShift: the 8-bit-scale header strengths scale
+    # by << shift and the damping by + shift above 8-bit
+    shift = bd - 8
+    y_pri <<= shift
+    y_sec <<= shift
+    uv_pri <<= shift
+    uv_sec <<= shift
+    damping += shift
     y = planes[0]
     h, w = y.shape
     pad = 3

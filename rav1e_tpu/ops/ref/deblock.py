@@ -31,6 +31,8 @@ def _filter_edge(p, q, limit, blimit, thresh, size, bd=8, row_mask=None):
     reverse order isn't used; layout: p[:, i] = p_i (p0 nearest edge),
     q[:, i] = q_i. Returns new (p, q) (modified up to taps)."""
     F = 1 << (bd - 8)
+    # spec 7.14.6.2: the level-derived thresholds scale with bit depth
+    limit, blimit, thresh = limit * F, blimit * F, thresh * F
     p = p.astype(np.int32)
     q = q.astype(np.int32)
     p0, p1 = p[:, 0], p[:, 1]

@@ -217,10 +217,14 @@ def _prep_plane(plane, dirs_pix, n, is_luma):
                 dtype=plane.dtype)
 
 
-def _filter_from_prep(pp, skip_pix, pri, sec, damping, var_pix):
+def _filter_from_prep(pp, skip_pix, pri, sec, damping, var_pix,
+                      coeff_shift: int = 0):
     """Apply one (pri, sec) strength pair from precomputed tap planes.
     Elementwise twin of ops.ref.cdef's filter tail — identical
-    arithmetic.
+    arithmetic. Strengths/damping arrive PRE-scaled for bd > 8
+    (strength << coeff_shift, damping + coeff_shift); the tap-parity
+    select uses the unscaled strength (spec Cdef_Pri_Taps index
+    (priStr >> CoeffShift) & 1).
     skip_pix / var_pix are per-pixel maps on this plane's grid."""
     x = pp["x"]
     if pp["is_luma"]:
@@ -233,7 +237,7 @@ def _filter_from_prep(pp, skip_pix, pri, sec, damping, var_pix):
     # taps by strength parity as a select, not a per-pixel gather (the
     # [2]-table gather cost ~155 ms/frame at 1080p under the 8-way
     # candidate vmap)
-    parity = pri_adj & 1
+    parity = (pri_adj >> coeff_shift) & 1
     tap_a = jnp.where(parity == 0, PRI_TAPS[0][0], PRI_TAPS[1][0])
     tap_b = jnp.where(parity == 0, PRI_TAPS[0][1], PRI_TAPS[1][1])
     pri_taps = [tap_a, tap_a, tap_b, tap_b]
@@ -274,7 +278,8 @@ def _dirs_var(y):
     return dirs.reshape(h // 8, w // 8), var.reshape(h // 8, w // 8)
 
 
-def cdef_search_persb_jax(planes, srcs, skip8, damping, lam=None):
+def cdef_search_persb_jax(planes, srcs, skip8, damping, lam=None,
+                          bd: int = 8):
     """Per-64x64-SB CDEF strength-index RDO over the 8-entry ladder
     (rav1e rdo_loop_decision's per-SB index into the frame's strength
     presets, cdef_bits = 3). Direction analysis and the per-direction
@@ -288,24 +293,33 @@ def cdef_search_persb_jax(planes, srcs, skip8, damping, lam=None):
     8-entry ladder costs ~96 header bits + 3 bits per SB, real rate
     on small frames and easy content (rav1e cdef_dist search over
     nb_strengths, src/cdef.rs::rdo_loop_decision).
-    Returns (idx_sb [ceil(H/64), ceil(W/64)] int32, planes)."""
+    Returns (idx_sb [ceil(H/64), ceil(W/64)] int32, planes).
+
+    bd > 8: spec 7.15.3 CoeffShift — directions/variance run on the
+    8-bit-shifted samples, the (8-bit-scale) header strengths scale
+    by << shift and the damping by + shift at filter time."""
+    shift = bd - 8
     y = planes[0]
     h, w = y.shape
-    dg, vg = _dirs_var(y)
+    dg, vg = _dirs_var(y >> shift if shift else y)
     pp_y = _prep_plane(y, _upsample(dg, 8), 8, True)
     pp_u = _prep_plane(planes[1], _upsample(dg, 4), 4, False)
     pp_v = _prep_plane(planes[2], _upsample(dg, 4), 4, False)
     var_y = _upsample(vg, 8)
     skip_y = _upsample(skip8, 8)
     skip_c = _upsample(skip8, 4)
+    damp = damping + shift
 
     def one(c):
-        return [_filter_from_prep(pp_y, skip_y, c[0], c[1], damping,
-                                  var_y),
-                _filter_from_prep(pp_u, skip_c, c[2], c[3], damping,
-                                  None),
-                _filter_from_prep(pp_v, skip_c, c[2], c[3], damping,
-                                  None)]
+        return [_filter_from_prep(pp_y, skip_y, c[0] << shift,
+                                  c[1] << shift, damp, var_y,
+                                  coeff_shift=shift),
+                _filter_from_prep(pp_u, skip_c, c[2] << shift,
+                                  c[3] << shift, damp, None,
+                                  coeff_shift=shift),
+                _filter_from_prep(pp_v, skip_c, c[2] << shift,
+                                  c[3] << shift, damp, None,
+                                  coeff_shift=shift)]
 
     cand = jnp.asarray(np.array(CDEF_LADDER, np.int32))
     outs = jax.vmap(one)(cand)          # [8, ...] per plane

@@ -25,6 +25,8 @@ def _filter_stack(p, q, limit, blimit, thresh, size, bd=8, mask=None):
     """jnp twin of ops.ref.deblock._filter_edge. p/q: [M, n] int32,
     p[:, 0] nearest the edge; limit/blimit/thresh traced int32."""
     F = 1 << (bd - 8)
+    # spec 7.14.6.2: the level-derived thresholds scale with bit depth
+    limit, blimit, thresh = limit * F, blimit * F, thresh * F
     p0, p1 = p[:, 0], p[:, 1]
     q0, q1 = q[:, 0], q[:, 1]
     fmask = ((jnp.abs(p1 - p0) <= limit) & (jnp.abs(q1 - q0) <= limit)

@@ -155,7 +155,7 @@ def build_rd_inter(qindex: int, bit_depth: int = 8,
 
 
 def _mc_batch(ref_pad, pos_r, pos_c, mv8, n, ss, interm=False,
-              four_tap=False):
+              four_tap=False, bd: int = 8):
     """Batched sub-pel prediction. ref_pad padded by PAD>>ss with edge
     replication; pos_r/pos_c [B] plane-scale block origins; mv8 [B,2]
     luma-scale 1/8-pel MVs; n = block size. Returns [B, n, n] int32.
@@ -190,13 +190,13 @@ def _mc_batch(ref_pad, pos_r, pos_c, mv8, n, ss, interm=False,
               for t in range(8))
     if interm:
         return _round2(out, 7)
-    return jnp.clip(_round2(out, 11), 0, 255)
+    return jnp.clip(_round2(out, 11), 0, (1 << bd) - 1)
 
 
-def _comp_avg(p0, p1):
+def _comp_avg(p0, p1, bd: int = 8):
     """COMPOUND_AVERAGE of two intermediate-precision predictions
     (ops/ref/mc.py mc_predict_avg twin): Round2(p0 + p1, 5), clipped."""
-    return jnp.clip(_round2(p0 + p1, 5), 0, 255)
+    return jnp.clip(_round2(p0 + p1, 5), 0, (1 << bd) - 1)
 
 
 def _gather_patch(ref_pad, pos_r, pos_c, mv8c, n, ss, M):
@@ -222,7 +222,7 @@ def _gather_patch(ref_pad, pos_r, pos_c, mv8c, n, ss, M):
 
 
 def _mc_patch(patch, ir0, ic0, pos_r, pos_c, mv8, n, ss, M,
-              interm=False):
+              interm=False, bd: int = 8):
     """Subpel prediction from pre-gathered patches (bit-exact twin of
     _mc_batch): the whole-pixel drift vs the patch center (≤ M) folds
     into an extended (8+2M)-tap filter with the 8 spec taps placed at
@@ -257,10 +257,11 @@ def _mc_patch(patch, ir0, ic0, pos_r, pos_c, mv8, n, ss, M,
               for t in range(T))
     if interm:
         return _round2(out, 7)
-    return jnp.clip(_round2(out, 11), 0, 255)
+    return jnp.clip(_round2(out, 11), 0, (1 << bd) - 1)
 
 
-def _mc_patch_multi(patch, ir0, ic0, pos_r, pos_c, mv8c, n, ss, M):
+def _mc_patch_multi(patch, ir0, ic0, pos_r, pos_c, mv8c, n, ss, M,
+                    bd: int = 8):
     """_mc_patch for C candidate MVs [C, B, 2] sharing one patch set:
     one dispatch evaluates all candidates (the horizontal taps read
     each patch row once per candidate but stay inside one fusion —
@@ -268,7 +269,7 @@ def _mc_patch_multi(patch, ir0, ic0, pos_r, pos_c, mv8c, n, ss, M):
     graph 13x per subpel descent). Returns [C, B, n, n] int32."""
     C = mv8c.shape[0]
     return _mc_patch(patch[None], ir0[None], ic0[None],
-                     pos_r[None], pos_c[None], mv8c, n, ss, M)
+                     pos_r[None], pos_c[None], mv8c, n, ss, M, bd=bd)
 
 
 _HAD8 = np.array([[1, 1, 1, 1, 1, 1, 1, 1],
@@ -306,7 +307,8 @@ def from_blocks(blks, ph, pw, n):
 
 
 def _search_one_ref(ryp, blks, by, bx, rd, B, use_satd=False,
-                    search: int = SEARCH, subpel: bool = True):
+                    search: int = SEARCH, subpel: bool = True,
+                    bd: int = 8):
     """Motion search vs ONE padded reference plane: full-pel SSD via
     grouped conv on the MXU, then quarter-pel fixed-trip descent from
     a single pre-gathered patch per block (rav1e src/me.rs
@@ -412,7 +414,8 @@ def _search_one_ref(ryp, blks, by, bx, rd, B, use_satd=False,
     patch32, pir0, pic0 = _gather_patch(ryp, by, bx, mv8, 32, 0, 1)
 
     def ssd8(mv8c):
-        pred = _mc_patch(patch32, pir0, pic0, by, bx, mv8c, 32, 0, 1)
+        pred = _mc_patch(patch32, pir0, pic0, by, bx, mv8c, 32, 0, 1,
+                         bd=bd)
         mvr = (rd["mv_bits"][jnp.abs(mv8c[:, 0])]
                + rd["mv_bits"][jnp.abs(mv8c[:, 1])])
         if use_satd:
@@ -426,7 +429,7 @@ def _search_one_ref(ryp, blks, by, bx, rd, B, use_satd=False,
         """[C, B, 2] candidates in ONE patch-shared dispatch."""
         C = mv8c.shape[0]
         pred = _mc_patch_multi(patch32, pir0, pic0, by, bx, mv8c,
-                               32, 0, 1)
+                               32, 0, 1, bd=bd)
         mvr = (rd["mv_bits"][jnp.abs(mv8c[..., 0])]
                + rd["mv_bits"][jnp.abs(mv8c[..., 1])])
         d = pred - blks[None]
@@ -457,6 +460,69 @@ def _search_one_ref(ryp, blks, by, bx, rd, B, use_satd=False,
     return mv8, patch32, pir0, pic0, ssd
 
 
+def _coarse_mv(y, ryp, B, search: int = SEARCH):
+    """Hierarchical long-range candidate (rav1e me.rs pyramid
+    predictors; SURVEY §2.1 ME row "hierarchical"): full-pel SSD at
+    4x downsampling over +-4*search px — motion past the fine window
+    (fast pans, jumping objects between pyramid anchors) lands within
+    one of these coarse minima. Returns [B, 2] full-res eighth-pel
+    MVs on the 4-px grid; the caller re-judges them at exact SSE.
+
+    Same matmul-diagonal formulation as the fine search, at 1/16 the
+    pixels: blocks are 8x8, windows (2S+8)^2 at ds4 scale."""
+    h, tw = y.shape
+    S = search                                     # ds4 radius
+
+    def ds4(p):
+        return p.reshape(p.shape[0] // 4, 4, p.shape[1] // 4, 4) \
+                .astype(jnp.float32).mean((1, 3))
+
+    yd = ds4(y)                                    # [h/4, tw/4]
+    # reference without PAD, downsampled, then re-padded by S
+    rf = jax.lax.slice(ryp, (PAD, PAD),
+                       (PAD + h, PAD + tw))
+    rd4 = jnp.pad(ds4(rf), S, mode="edge")
+    blks = to_blocks(yd, 8)                        # [B, 8, 8]
+    win_sz = 2 * S + 8
+    nby, nbx = h // 32, tw // 32
+    K = (win_sz + 7) // 8
+    need_r = 8 * (nby + K - 1)
+    need_c = 8 * (nbx + K - 1)
+    pr = max(0, need_r - rd4.shape[0])
+    pc = max(0, need_c - rd4.shape[1])
+    g = jnp.pad(rd4, ((0, pr), (0, pc)))[:need_r, :need_c] \
+        .reshape(nby + K - 1, 8, nbx + K - 1, 8).transpose(0, 2, 1, 3)
+    rows = [jnp.concatenate([g[i:nby + i, j:nbx + j]
+                             for j in range(K)], axis=-1)
+            for i in range(K)]
+    wins = (jnp.concatenate(rows, axis=-2)
+            .reshape(B, 8 * K, 8 * K)[:, :win_sz, :win_sz])
+    S1 = 2 * S + 1
+    w2 = jnp.stack([wins[:, :, dx: dx + 8] for dx in range(S1)], 2)
+    m = jnp.einsum("brc,bRdc->brRd", blks, w2,
+                   preferred_element_type=jnp.float32)
+    corr = m[:, 0, 0:S1, :]
+    for r in range(1, 8):
+        corr = corr + m[:, r, r: r + S1, :]
+    wsq = jax.lax.reduce_window(wins * wins, 0.0, jax.lax.add,
+                                (1, 8, 8), (1, 1, 1), "valid")
+    ssd = (wsq - 2.0 * corr
+           + jnp.sum(blks * blks, axis=(1, 2))[:, None, None])
+    flat = jnp.argmin(ssd.reshape(B, -1), axis=1)
+    mv = jnp.stack([flat // S1 - S, flat % S1 - S], 1)
+    mv_px = mv * 4                                 # ds4 px -> px
+    # clamp so the 8-tap MC window stays inside the PAD-px edge
+    # replication on BOTH planes (chroma pads PAD/2 at half scale —
+    # the binding constraint: 2*(PAD/2 - 8) luma px)
+    ii = jnp.arange(B, dtype=jnp.int32)
+    by = (ii // nbx) * 32
+    bx = (ii % nbx) * 32
+    m = min(PAD - 8, 2 * (PAD // 2 - 8))
+    tr = jnp.clip(by + mv_px[:, 0], -m, h - 32 + m)
+    tc = jnp.clip(bx + mv_px[:, 1], -m, tw - 32 + m)
+    return jnp.stack([tr - by, tc - bx], 1) * 8    # 1/8 pel
+
+
 def _grid_sse_fn(ssd, B, search: int = SEARCH):
     """Full-pel SSD-grid lookup of a (subpel) MV candidate: the
     search's [B, (2S+1)^2] SSD surface is already materialized, so a
@@ -473,7 +539,7 @@ def _grid_sse_fn(ssd, B, search: int = SEARCH):
 def _merge64_pass(y, u, v, ryp, rup, rvp, ryp2, rup2, rvp2, rd, lam,
                   code, nby, nbx, mv8, rec_y, rec_u, rec_v, lv_y, lv_u,
                   lv_v, skip, split, skip16_out, choice, mvb8,
-                  cost_fin):
+                  cost_fin, bd=8):
     """PARTITION_NONE at 64x64 (rav1e rdo_partition_decision's top
     level): one MV + TX_64X64 luma / TX_32X32 chroma per SB, RD-tested
     against the four 32-level results. Candidates: the TL child's MV
@@ -481,6 +547,9 @@ def _merge64_pass(y, u, v, ryp, rup, rvp, ryp2, rup2, rvp2, rd, lam,
     Saves the per-32 partition/skip/mode signaling floor on easy
     content. Returns the updated per-32 outputs + (b64_map, b64g,
     choice64 merged into `choice`)."""
+    mx64 = (1 << bd) - 1
+    from functools import partial as _prt64
+    _mc_batch_bd = _prt64(_mc_batch, bd=bd)
     from rav1e_tpu.pipeline.tpu_intra import block_bits
     B = nby * nbx
     nr64, nc64 = nby // 2, nbx // 2
@@ -518,11 +587,11 @@ def _merge64_pass(y, u, v, ryp, rup, rvp, ryp2, rup2, rvp2, rd, lam,
 
     cand_mv = [mv_tl, zero]
     cand_ref = [0, 0]
-    preds = [_mc_batch(ryp, by64, bx64, m, 64, 0) for m in cand_mv]
+    preds = [_mc_batch_bd(ryp, by64, bx64, m, 64, 0) for m in cand_mv]
     if ryp2 is not None:
         cand_mv += [mv_tl, zero]
         cand_ref += [1, 1]
-        preds += [_mc_batch(ryp2, by64, bx64, m, 64, 0)
+        preds += [_mc_batch_bd(ryp2, by64, bx64, m, 64, 0)
                   for m in (mv_tl, zero)]
     costs = jnp.stack([sse64(p) + lam * mvr64(m)
                        for p, m in zip(preds, cand_mv)], 0)
@@ -534,11 +603,11 @@ def _merge64_pass(y, u, v, ryp, rup, rvp, ryp2, rup2, rvp2, rd, lam,
         mv64 = jnp.where(k2 == i, cand_mv[i], mv64)
         pred_y64 = jnp.where(k[:, None, None] == i, preds[i], pred_y64)
     choice64 = (k >= 2).astype(jnp.int32)
-    pu_f = _mc_batch(rup, by64 // 2, bx64 // 2, mv64, 32, 1)
-    pv_f = _mc_batch(rvp, by64 // 2, bx64 // 2, mv64, 32, 1)
+    pu_f = _mc_batch_bd(rup, by64 // 2, bx64 // 2, mv64, 32, 1)
+    pv_f = _mc_batch_bd(rvp, by64 // 2, bx64 // 2, mv64, 32, 1)
     if ryp2 is not None:
-        pu_b = _mc_batch(rup2, by64 // 2, bx64 // 2, mv64, 32, 1)
-        pv_b = _mc_batch(rvp2, by64 // 2, bx64 // 2, mv64, 32, 1)
+        pu_b = _mc_batch_bd(rup2, by64 // 2, bx64 // 2, mv64, 32, 1)
+        pv_b = _mc_batch_bd(rvp2, by64 // 2, bx64 // 2, mv64, 32, 1)
         c3 = (choice64 == 1)[:, None, None]
         pred_u64 = jnp.where(c3, pu_b, pu_f)
         pred_v64 = jnp.where(c3, pv_b, pv_f)
@@ -547,9 +616,9 @@ def _merge64_pass(y, u, v, ryp, rup, rvp, ryp2, rup2, rvp2, rd, lam,
     lv_y64, r2_y64 = code(blks64 - pred_y64, TxSize.TX_64X64)
     lv_u32, r2_u32 = code(ub32 - pred_u64, TxSize.TX_32X32, chroma=True)
     lv_v32, r2_v32 = code(vb32 - pred_v64, TxSize.TX_32X32, chroma=True)
-    cd_y64 = jnp.clip(pred_y64 + r2_y64, 0, 255)
-    cd_u32 = jnp.clip(pred_u64 + r2_u32, 0, 255)
-    cd_v32 = jnp.clip(pred_v64 + r2_v32, 0, 255)
+    cd_y64 = jnp.clip(pred_y64 + r2_y64, 0, mx64)
+    cd_u32 = jnp.clip(pred_u64 + r2_u32, 0, mx64)
+    cd_v32 = jnp.clip(pred_v64 + r2_v32, 0, mx64)
     sse64_c = (sse64(cd_y64)
                + jnp.sum((cd_u32 - ub32).astype(jnp.float32) ** 2,
                          (1, 2))
@@ -625,7 +694,7 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
                  fwd2: bool = False, intra_rdo: bool = False,
                  b64_rdo: bool = False,
                  search: int = SEARCH, subpel: bool = True,
-                 use_split8: bool = False):
+                 use_split8: bool = False, bd: int = 8):
     """The whole batched P-frame encode for one (sub)frame region:
     grouped-conv full-pel search, subpel descent, 32-NONE vs 16-SPLIT
     RDO with the WriterCounter-twin rate model, skip RD, recon
@@ -640,6 +709,12 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
     variants)."""
     h, tw = y.shape[0], y.shape[1]
     B = nby * nbx
+    # bit-depth threading: one static bd drives every clip/MC range
+    # (10-bit shares InterRound 3/11 with 8-bit; SURVEY §7 M6)
+    mx = (1 << bd) - 1
+    from functools import partial as _prt
+    mcb = _prt(_mc_batch, bd=bd)
+    cavg = _prt(_comp_avg, bd=bd)
     blks = to_blocks(y, 32)                       # [B,32,32]
     # per-16 distortion scales (rav1e DistortionScale from lookahead
     # importance + activity masking, src/rdo.rs) weight every SSE term
@@ -648,7 +723,7 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         ds16 = jnp.ones((B, 4), jnp.float32)
     ds32 = jnp.mean(ds16, axis=1)                 # [B]
     mv8, patch32, pir0, pic0, ssd0 = _search_one_ref(
-        ryp, blks, by, bx, rd, B, use_satd, search, subpel)
+        ryp, blks, by, bx, rd, B, use_satd, search, subpel, bd=bd)
 
     ub = to_blocks(u.astype(jnp.int32), 16)
     vb = to_blocks(v.astype(jnp.int32), 16)
@@ -656,11 +731,11 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
 
     def exact_sse(ref_pad):
         def f(mv):
-            p = _mc_batch(ref_pad, by, bx, mv, 32, 0)
+            p = mcb(ref_pad, by, bx, mv, 32, 0)
             return jnp.sum((p - blks).astype(jnp.float32) ** 2, (1, 2))
         return f
 
-    def cand_pass(mv8, sse_fn):
+    def cand_pass(mv8, sse_fn, extra=None):
         """Left/above MV candidates with NEIGHBOR-RELATIVE rates: the
         real writer codes NEWMV residuals against the mv-stack
         predictor (~ the left/above MVs), so pricing |mv| from zero
@@ -704,21 +779,23 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         # are locally stable — each blob interior aliases NEAREST
         # while only boundaries pay, so neighbor candidates alone
         # collapse the field one ring per pass
-        cand_r = jnp.stack(
-            [r_own,
-             jnp.where(zero(mvl), rd["globalmv"], rd["nearest"]),
-             jnp.where(zero(mva), rd["globalmv"], rd["near"]),
-             jnp.broadcast_to(rd["globalmv"], r_own.shape),
-             rate_rel(mvmed, mvl)],
-            0)                                        # [5,B]
-        cc = (ds32[None] * jnp.stack([sse_fn(mv8), sse_fn(mvl),
-                                      sse_fn(mva), sse_fn(mv0),
-                                      sse_fn(mvmed)], 0)
+        rates = [r_own,
+                 jnp.where(zero(mvl), rd["globalmv"], rd["nearest"]),
+                 jnp.where(zero(mva), rd["globalmv"], rd["near"]),
+                 jnp.broadcast_to(rd["globalmv"], r_own.shape),
+                 rate_rel(mvmed, mvl)]
+        cands = [mv8, mvl, mva, mv0, mvmed]
+        if extra is not None:
+            # hierarchical coarse MV (long-range; _coarse_mv): priced
+            # as a plain NEWMV against the left predictor
+            cands.append(extra)
+            rates.append(rate_rel(extra, mvl))
+        cand_r = jnp.stack(rates, 0)                  # [C,B]
+        cc = (ds32[None] * jnp.stack([sse_fn(c) for c in cands], 0)
               + lam * cand_r)
         k = jnp.argmin(cc, 0)                         # own wins ties
-        cands = [mv8, mvl, mva, mv0, mvmed]
         out = mv8
-        for i in range(1, 5):
+        for i in range(1, len(cands)):
             out = jnp.where(k[:, None] == i, cands[i], out)
         return out, jnp.take_along_axis(cand_r, k[None], 0)[0]
 
@@ -739,10 +816,14 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         # exact-subpel re-judge (3 grid reads + 5 _mc_batch). -------
         for _ in range(8):
             mv8, _ = cand_pass(mv8, _grid_sse_fn(ssd0, B, search))
-        mv8, rate32 = cand_pass(mv8, exact_sse(ryp))
-        pred_y = _mc_batch(ryp, by, bx, mv8, 32, 0)
-        pred_u = _mc_batch(rup, by // 2, bx // 2, mv8, 16, 1)
-        pred_v = _mc_batch(rvp, by // 2, bx // 2, mv8, 16, 1)
+        # long-range rescue: 4x-downsampled coarse search covers
+        # +-4*search px (anchor-to-anchor motion of fast objects lands
+        # far outside the fine window; bench/bdrate object clip)
+        mv_coarse = _coarse_mv(y, ryp, B, search)
+        mv8, rate32 = cand_pass(mv8, exact_sse(ryp), extra=mv_coarse)
+        pred_y = mcb(ryp, by, bx, mv8, 32, 0)
+        pred_u = mcb(rup, by // 2, bx // 2, mv8, 16, 1)
+        pred_v = mcb(rvp, by // 2, bx // 2, mv8, 16, 1)
         choice = jnp.zeros((B,), jnp.int32)
         mvb8 = jnp.zeros_like(mv8)
     else:
@@ -752,7 +833,8 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         # fwd2: multi-ref P (LAST + GOLDEN, both forward) — two
         # single-ref candidates, no compound. ----------------------
         mvb8_, patchb, pbir, pbic, ssdb = _search_one_ref(
-            ryp2, blks, by, bx, rd, B, use_satd, search, subpel)
+            ryp2, blks, by, bx, rd, B, use_satd, search, subpel,
+            bd=bd)
         # per-ref MV-field coherence passes (see cand_pass): 3 free
         # full-pel-grid erosion rounds + one exact re-judge. Snapped
         # MVs may leave the M=1 descent patches, so predictions
@@ -760,10 +842,13 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         for _ in range(8):
             mv8, _ = cand_pass(mv8, _grid_sse_fn(ssd0, B, search))
             mvb8_, _ = cand_pass(mvb8_, _grid_sse_fn(ssdb, B, search))
-        mv8, rate_f = cand_pass(mv8, exact_sse(ryp))
-        mvb8_, rate_b = cand_pass(mvb8_, exact_sse(ryp2))
-        pf_y = _mc_batch(ryp, by, bx, mv8, 32, 0)
-        pb_y = _mc_batch(ryp2, by, bx, mvb8_, 32, 0)
+        mv_coarse = _coarse_mv(y, ryp, B, search)
+        mvb_coarse = _coarse_mv(y, ryp2, B, search)
+        mv8, rate_f = cand_pass(mv8, exact_sse(ryp), extra=mv_coarse)
+        mvb8_, rate_b = cand_pass(mvb8_, exact_sse(ryp2),
+                                  extra=mvb_coarse)
+        pf_y = mcb(ryp, by, bx, mv8, 32, 0)
+        pb_y = mcb(ryp2, by, bx, mvb8_, 32, 0)
 
         def sse_of(p):
             d = (p - blks).astype(jnp.float32)
@@ -776,9 +861,9 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
             choice = jnp.argmin(jnp.stack([cost_f, cost_b], 1), axis=1)
             pc_y = pf_y
         else:
-            if_y = _mc_batch(ryp, by, bx, mv8, 32, 0, interm=True)
-            ib_y = _mc_batch(ryp2, by, bx, mvb8_, 32, 0, interm=True)
-            pc_y = _comp_avg(if_y, ib_y)
+            if_y = mcb(ryp, by, bx, mv8, 32, 0, interm=True)
+            ib_y = mcb(ryp2, by, bx, mvb8_, 32, 0, interm=True)
+            pc_y = cavg(if_y, ib_y)
             # compound signaling overhead vs single (comp_mode +
             # second ref + drl): ~2 bits on top of both MV residuals
             # minority-ref surcharge: a BWD block among FWD neighbors
@@ -794,22 +879,22 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         ch3 = choice[:, None, None]
         pred_y = jnp.where(ch3 == 0, pf_y,
                            jnp.where(ch3 == 1, pb_y, pc_y))
-        pf_u = _mc_batch(rup, by // 2, bx // 2, mv8, 16, 1)
-        pf_v = _mc_batch(rvp, by // 2, bx // 2, mv8, 16, 1)
-        pb_u = _mc_batch(rup2, by // 2, bx // 2, mvb8_, 16, 1)
-        pb_v = _mc_batch(rvp2, by // 2, bx // 2, mvb8_, 16, 1)
+        pf_u = mcb(rup, by // 2, bx // 2, mv8, 16, 1)
+        pf_v = mcb(rvp, by // 2, bx // 2, mv8, 16, 1)
+        pb_u = mcb(rup2, by // 2, bx // 2, mvb8_, 16, 1)
+        pb_v = mcb(rvp2, by // 2, bx // 2, mvb8_, 16, 1)
         if fwd2:
             pc_u, pc_v = pf_u, pf_v
         else:
-            pc_u = _comp_avg(
-                _mc_batch(rup, by // 2, bx // 2, mv8, 16, 1,
+            pc_u = cavg(
+                mcb(rup, by // 2, bx // 2, mv8, 16, 1,
                           interm=True),
-                _mc_batch(rup2, by // 2, bx // 2, mvb8_, 16, 1,
+                mcb(rup2, by // 2, bx // 2, mvb8_, 16, 1,
                           interm=True))
-            pc_v = _comp_avg(
-                _mc_batch(rvp, by // 2, bx // 2, mv8, 16, 1,
+            pc_v = cavg(
+                mcb(rvp, by // 2, bx // 2, mv8, 16, 1,
                           interm=True),
-                _mc_batch(rvp2, by // 2, bx // 2, mvb8_, 16, 1,
+                mcb(rvp2, by // 2, bx // 2, mvb8_, 16, 1,
                           interm=True))
         pred_u = jnp.where(ch3 == 0, pf_u,
                            jnp.where(ch3 == 1, pb_u, pc_u))
@@ -840,7 +925,7 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         lv = jnp.sign(cf) * lv
         dqv = ((jnp.abs(lv) * q) & 0xFFFFFF) >> shift
         dq = jnp.sign(lv) * dqv
-        r2 = T.inverse_transform(dq, tx, TxType.DCT_DCT)
+        r2 = T.inverse_transform(dq, tx, TxType.DCT_DCT, bd=bd)
         return lv, r2
 
     lv_y, r2_y = code(blks - pred_y, TxSize.TX_32X32)
@@ -858,9 +943,9 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         zero = (mv[..., 0] == 0) & (mv[..., 1] == 0)
         return jnp.where(zero, rd["globalmv"], r + rd["newmv"])
 
-    cd_y = jnp.clip(pred_y + r2_y, 0, 255)
-    cd_u = jnp.clip(pred_u + r2_u, 0, 255)
-    cd_v = jnp.clip(pred_v + r2_v, 0, 255)
+    cd_y = jnp.clip(pred_y + r2_y, 0, mx)
+    cd_u = jnp.clip(pred_u + r2_u, 0, mx)
+    cd_v = jnp.clip(pred_v + r2_v, 0, mx)
     sse_c = (jnp.sum((cd_y - blks).astype(jnp.float32) ** 2, (1, 2))
              + jnp.sum((cd_u - ub).astype(jnp.float32) ** 2, (1, 2))
              + jnp.sum((cd_v - vb).astype(jnp.float32) ** 2, (1, 2)))
@@ -925,17 +1010,24 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
              mvb8) = _merge64_pass(
                 y, u, v, ryp, rup, rvp, ryp2, rup2, rvp2, rd, lam,
                 code, nby, nbx, mv8, rec_y, rec_u, rec_v, lv_y, lv_u,
-                lv_v, skip, split, skip16_out, choice, mvb8, cost32)
+                lv_v, skip, split, skip16_out, choice, mvb8, cost32,
+                bd=bd)
             sp3 = split[:, None, None]
             mv16_out = jnp.repeat(mv8[:, None, :], 4, axis=1)
         return _finish_outputs(
             y, u, v, h, tw, nby, nbx, B, rd, cdef_prm, mv8, skip,
             split, sp3, mv16_out, skip16_out, lv_y, lv_u, lv_v,
             lv_y16, lv_u8, lv_v8, rec_y, rec_u, rec_v,
-            deblock_fn, cdef_fn, choice, mvb8, b64_map=b64_map)
+            deblock_fn, cdef_fn, choice, mvb8, b64_map=b64_map,
+            bd=bd)
 
     ds16f = ds16.reshape(B * 4)
     mv_par = jnp.repeat(mv8, 4, axis=0)
+    # two-ref: only the cheap {parent, LAST-zero} split is coded —
+    # the refined per-16 descent is single-ref machinery (its patches
+    # come from the FWD ref, but a compound parent's children decode
+    # with both refs)
+    refine16 = refine16 and ryp2 is None
     if refine16:
         # two patch gathers (parent- and zero-centered), then the
         # whole per-16 refinement runs in-patch: drift <= 8+4+2+2 =
@@ -947,7 +1039,8 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
                                               16, 0, 2)
 
         def cost16_from(patch, ir0, ic0, mv):
-            pred = _mc_patch(patch, ir0, ic0, by16, bx16, mv, 16, 0, 2)
+            pred = _mc_patch(patch, ir0, ic0, by16, bx16, mv, 16,
+                             0, 2, bd=bd)
             d = (pred - blks16).astype(jnp.float32)
             return (ds16f * jnp.sum(d * d, axis=(1, 2))
                     + lam * (rd["mv_bits"][jnp.abs(mv[:, 0])]
@@ -981,17 +1074,17 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
             mv16 = jnp.where(better[:, None], cmv, mv16)
             best16 = jnp.where(better, cbest, best16)
 
-        pred_y16 = _mc_patch(patch16, pir16, pic16, by16, bx16, mv16,
-                             16, 0, 2)
-        pred_u8 = _mc_batch(rup, by16 // 2, bx16 // 2, mv16, 8, 1)
-        pred_v8 = _mc_batch(rvp, by16 // 2, bx16 // 2, mv16, 8, 1)
+        pred_y16 = _mc_patch(patch16, pir16, pic16, by16, bx16,
+                             mv16, 16, 0, 2, bd=bd)
+        pred_u8 = mcb(rup, by16 // 2, bx16 // 2, mv16, 8, 1)
+        pred_v8 = mcb(rvp, by16 // 2, bx16 // 2, mv16, 8, 1)
         if use_split8:
             # 16->8 children: 4x4 chroma predicts with the 4-tap bank
             # (spec w/h <= 4); same MV, so one 8x8-region pass equals
             # the four per-child passes
-            pred_u8_4t = _mc_batch(rup, by16 // 2, bx16 // 2, mv16,
+            pred_u8_4t = mcb(rup, by16 // 2, bx16 // 2, mv16,
                                    8, 1, four_tap=True)
-            pred_v8_4t = _mc_batch(rvp, by16 // 2, bx16 // 2, mv16,
+            pred_v8_4t = mcb(rvp, by16 // 2, bx16 // 2, mv16,
                                    8, 1, four_tap=True)
     else:
         # cheap split (faster presets): per-16 MV in {parent, 0} —
@@ -1026,6 +1119,15 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
 
         zbet = (cost16_pred(pz_y, jnp.zeros_like(mv_par))
                 < cost16_pred(pp_y, mv_par))
+        if ryp2 is not None:
+            # two-ref: a zero-MV child decodes as single-LAST
+            # GLOBALMV (the zero candidate predicts from the FWD
+            # ref); a non-fwd parent with zero MV would be
+            # indistinguishable in the packed stream, so force those
+            # quads to the zero child
+            amb = ((mv_par[:, 0] == 0) & (mv_par[:, 1] == 0)
+                   & (jnp.repeat(choice, 4, axis=0) != 0))
+            zbet = zbet | amb
         mv16 = jnp.where(zbet[:, None], 0, mv_par)
         z3 = zbet[:, None, None]
         pred_y16 = jnp.where(z3, pz_y, pp_y)
@@ -1036,18 +1138,18 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
             # 4): recompute the parent 32-block's chroma with the
             # 4-tap bank and quarter it; the zero-MV candidate is an
             # integer phase (impulse row), identical in both banks
-            pp_u4t = quads(_mc_batch(rup, by // 2, bx // 2, mv8,
+            pp_u4t = quads(mcb(rup, by // 2, bx // 2, mv8,
                                      16, 1, four_tap=True), 8)
-            pp_v4t = quads(_mc_batch(rvp, by // 2, bx // 2, mv8,
+            pp_v4t = quads(mcb(rvp, by // 2, bx // 2, mv8,
                                      16, 1, four_tap=True), 8)
             pred_u8_4t = jnp.where(z3, pz_u, pp_u4t)
             pred_v8_4t = jnp.where(z3, pz_v, pp_v4t)
     lv_y16, r2_y16 = code(blks16 - pred_y16, TxSize.TX_16X16)
     lv_u8, r2_u8 = code(ub8 - pred_u8, TxSize.TX_8X8, chroma=True)
     lv_v8, r2_v8 = code(vb8 - pred_v8, TxSize.TX_8X8, chroma=True)
-    cd_y16 = jnp.clip(pred_y16 + r2_y16, 0, 255)
-    cd_u8 = jnp.clip(pred_u8 + r2_u8, 0, 255)
-    cd_v8 = jnp.clip(pred_v8 + r2_v8, 0, 255)
+    cd_y16 = jnp.clip(pred_y16 + r2_y16, 0, mx)
+    cd_u8 = jnp.clip(pred_u8 + r2_u8, 0, mx)
+    cd_v8 = jnp.clip(pred_v8 + r2_v8, 0, mx)
     sse_c16 = (jnp.sum((cd_y16 - blks16).astype(jnp.float32) ** 2,
                        (1, 2))
                + jnp.sum((cd_u8 - ub8).astype(jnp.float32) ** 2,
@@ -1100,9 +1202,9 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         lv_y8, r2_y8 = code(blks8 - pred_y8, TxSize.TX_8X8)
         lv_u4, r2_u4 = code(ub4 - pred_u4, TxSize.TX_4X4, chroma=True)
         lv_v4, r2_v4 = code(vb4 - pred_v4, TxSize.TX_4X4, chroma=True)
-        cd_y8 = jnp.clip(pred_y8 + r2_y8, 0, 255)
-        cd_u4 = jnp.clip(pred_u4 + r2_u4, 0, 255)
-        cd_v4 = jnp.clip(pred_v4 + r2_v4, 0, 255)
+        cd_y8 = jnp.clip(pred_y8 + r2_y8, 0, mx)
+        cd_u4 = jnp.clip(pred_u4 + r2_u4, 0, mx)
+        cd_v4 = jnp.clip(pred_v4 + r2_v4, 0, mx)
         ds8 = jnp.repeat(ds16f, 4, axis=0)
         sse_c8 = (jnp.sum((cd_y8 - blks8).astype(jnp.float32) ** 2,
                           (1, 2))
@@ -1180,7 +1282,7 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
          skip, split, skip16_out, choice, mvb8) = _merge64_pass(
             y, u, v, ryp, rup, rvp, ryp2, rup2, rvp2, rd, lam, code,
             nby, nbx, mv8, rec_y, rec_u, rec_v, lv_y, lv_u, lv_v,
-            skip, split, skip16_out, choice, mvb8, cost_fin)
+            skip, split, skip16_out, choice, mvb8, cost_fin, bd=bd)
         sp3 = split[:, None, None]
 
     if intra_rdo:
@@ -1227,9 +1329,9 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         lvi_y, r2i_y = code(blks - pi_y, TxSize.TX_32X32)
         lvi_u, r2i_u = code(ub - pi_u, TxSize.TX_16X16, chroma=True)
         lvi_v, r2i_v = code(vb - pi_v, TxSize.TX_16X16, chroma=True)
-        cdi_y = jnp.clip(pi_y + r2i_y, 0, 255)
-        cdi_u = jnp.clip(pi_u + r2i_u, 0, 255)
-        cdi_v = jnp.clip(pi_v + r2i_v, 0, 255)
+        cdi_y = jnp.clip(pi_y + r2i_y, 0, mx)
+        cdi_u = jnp.clip(pi_u + r2i_u, 0, mx)
+        cdi_v = jnp.clip(pi_v + r2i_v, 0, mx)
         sse_ic = (jnp.sum((cdi_y - blks).astype(jnp.float32) ** 2,
                           (1, 2))
                   + jnp.sum((cdi_u - ub).astype(jnp.float32) ** 2,
@@ -1291,7 +1393,8 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         lv_v8, rec_y, rec_u, rec_v, deblock_fn, cdef_fn, choice, mvb8,
         b64_map=b64_map,
         split16=split16 if use_split8 else None,
-        skip8_out=skip8_out, lv_y8=lv_y8, lv_u4=lv_u4, lv_v4=lv_v4)
+        skip8_out=skip8_out, lv_y8=lv_y8, lv_u4=lv_u4, lv_v4=lv_v4,
+        bd=bd)
 
 
 def _finish_outputs(y, u, v, h, tw, nby, nbx, B, rd, cdef_prm, mv8,
@@ -1299,7 +1402,7 @@ def _finish_outputs(y, u, v, h, tw, nby, nbx, B, rd, cdef_prm, mv8,
                     lv_v, lv_y16, lv_u8, lv_v8, rec_y, rec_u, rec_v,
                     deblock_fn, cdef_fn, choice, mvb8, b64_map=None,
                     split16=None, skip8_out=None, lv_y8=None,
-                    lv_u4=None, lv_v4=None):
+                    lv_u4=None, lv_v4=None, bd: int = 8):
     """Common tail of p_frame_body: in-loop filters + compact level
     transfer + output tuple."""
     fry = from_blocks(rec_y, h, tw, 32)
@@ -1343,8 +1446,8 @@ def _finish_outputs(y, u, v, h, tw, nby, nbx, B, rd, cdef_prm, mv8,
     return (mv8, skip, sl,
             lv_y.astype(jnp.int16), lv_u.astype(jnp.int16),
             lv_v.astype(jnp.int16),
-            fry.astype(jnp.uint8), fru.astype(jnp.uint8),
-            frv.astype(jnp.uint8), lf_lvl, cdef_idx,
+            fry.astype(_pix_dtype(bd)), fru.astype(_pix_dtype(bd)),
+            frv.astype(_pix_dtype(bd)), lf_lvl, cdef_idx,
             split, mv16_out.astype(jnp.int32),
             skip16_out, choice.astype(jnp.int32),
             mvb8.astype(jnp.int32), b64_map, split16, skip8_out)
@@ -1658,10 +1761,16 @@ def unpack_stream(counts, pos, val, split, cap=None, split16=None):
             lv_v.reshape(B, 16, 16), over)
 
 
-def pack_src(planes) -> np.ndarray:
-    """Host-side: [y, u, v] 4:2:0 uint8 -> one [3h/2, w] uint8 array
-    (u|v side by side under y) for a single upload."""
-    y, u, v = (np.asarray(p, np.uint8) for p in planes)
+def _pix_dtype(bd: int):
+    return jnp.uint8 if bd == 8 else jnp.uint16
+
+
+def pack_src(planes, bd: int = 8) -> np.ndarray:
+    """Host-side: [y, u, v] 4:2:0 -> one [3h/2, w] array (u|v side
+    by side under y) for a single upload; uint8 at 8-bit, uint16
+    above."""
+    dt = np.uint8 if bd == 8 else np.uint16
+    y, u, v = (np.asarray(p, dt) for p in planes)
     return np.concatenate([y, np.concatenate([u, v], axis=1)], axis=0)
 
 
@@ -1679,7 +1788,7 @@ def _core(h: int, w: int, use_cdef: bool = False,
           refine16: bool = True, fwd2: bool = False,
           intra_rdo: bool = False, b64_rdo: bool = False,
           search: int = SEARCH, subpel: bool = True,
-          use_split8: bool = False):
+          use_split8: bool = False, bd: int = 8):
     """Single-chip batched P-frame step for an h x w frame. qindex
     enters as a traced argument (dcq/acq scalars) so rate control
     never triggers a recompile. Takes the packed source buffer and
@@ -1692,7 +1801,8 @@ def _core(h: int, w: int, use_cdef: bool = False,
     nby, nbx = h // 32, w // 32
     by = (np.repeat(np.arange(nby), nbx) * 32).astype(np.int32)
     bx = (np.tile(np.arange(nbx), nby) * 32).astype(np.int32)
-    assert not (two_ref and use_split)
+    # two_ref + use_split: the cheap {parent, LAST-zero} per-16 split
+    # (refine16 and 16->8 depth stay single-ref)
 
     def pad3(ry, ru, rv):
         return (jnp.pad(ry.astype(jnp.int32), PAD, mode="edge"),
@@ -1716,7 +1826,7 @@ def _core(h: int, w: int, use_cdef: bool = False,
             from rav1e_tpu.ops.tpu.deblock import deblock_search
             lf_lvl, planes = deblock_search(
                 planes, srcs32, base_lf, block_y=16, block_c=8,
-                split_map=split.reshape(nby, nbx),
+                bd=bd, split_map=split.reshape(nby, nbx),
                 merge_map=b64m if b64_rdo else None,
                 sub_map=(jnp.repeat(jnp.repeat(s16g, 2, 0), 2, 1)
                          if use_split8 else None))
@@ -1726,12 +1836,13 @@ def _core(h: int, w: int, use_cdef: bool = False,
             # skip gate exact at 8x8 units (per-8 inside split16)
             from rav1e_tpu.ops.tpu.cdef import cdef_search_persb_jax
             cdef_idx, planes = cdef_search_persb_jax(
-                planes, srcs32, skip8, cdef_prm[4], lam=lam)
+                planes, srcs32, skip8, cdef_prm[4], lam=lam, bd=bd)
         else:
             cdef_idx = jnp.zeros(((nby + 1) // 2, (nbx + 1) // 2),
                                  jnp.int32)
-        return (lf_lvl, cdef_idx, planes[0].astype(jnp.uint8),
-                planes[1].astype(jnp.uint8), planes[2].astype(jnp.uint8))
+        dt = _pix_dtype(bd)
+        return (lf_lvl, cdef_idx, planes[0].astype(dt),
+                planes[1].astype(dt), planes[2].astype(dt))
 
     @jax.jit
     def pack(o, lf_lvl, cdef_idx):
@@ -1749,9 +1860,9 @@ def _core(h: int, w: int, use_cdef: bool = False,
             return p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq,
                                 cdef_prm, rd, jnp.asarray(by),
                                 jnp.asarray(bx), nby, nbx, None,
-                                None, False, ryp2, rup2, rvp2,
+                                None, use_split, ryp2, rup2, rvp2,
                                 ds16=ds, use_satd=use_satd, fwd2=fwd2,
-                                search=search, subpel=subpel)
+                                search=search, subpel=subpel, bd=bd)
 
         def step(src, ry, ru, rv, ry2, ru2, rv2, dcq, acq, cdef_prm,
                  rd, ds):
@@ -1777,7 +1888,8 @@ def _core(h: int, w: int, use_cdef: bool = False,
                                 use_satd=use_satd, refine16=refine16,
                                 intra_rdo=intra_rdo, b64_rdo=b64_rdo,
                                 search=search, subpel=subpel,
-                                use_split8=use_split8 and use_split)
+                                use_split8=use_split8 and use_split,
+                                bd=bd)
 
         def step(src, ry, ru, rv, dcq, acq, cdef_prm, rd, ds):
             o = core(src, ry, ru, rv, dcq, acq, cdef_prm, rd, ds)
@@ -1867,7 +1979,8 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
                  render_size=None, lf_level=0, split=None, mv16=None,
                  skip16=None, refresh_flags=0x01, ref_slot=0,
                  show_frame=True, choice=None, b64_map=None,
-                 lr_ctx=None, split16=None, skip8=None):
+                 lr_ctx=None, split16=None, skip8=None,
+                 bit_depth: int = 8):
     """Entropy-pack one P frame from batched pipeline outputs.
 
     lr_ctx: optional (recon_planes, source_planes) — search + apply
@@ -1893,6 +2006,7 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
     if cdef is not None and isinstance(cdef[1], np.ndarray):
         cdef, cdef_map = cdef
     seq = Sequence(width=w, height=h, enable_cdef=cdef is not None,
+                   bit_depth=bit_depth,
                    film_grain_params_present=film_grain is not None)
     lf = int(lf_level)
     fp = FrameParams(frame_type=FrameType.INTER, base_q_idx=qindex,
@@ -2088,7 +2202,7 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
                       refine16: bool = True, intra_rdo: bool = False,
                       b64_rdo: bool = False, lr: bool = False,
                       search: int = SEARCH, subpel: bool = True,
-                      use_split8: bool = False):
+                      use_split8: bool = False, bit_depth: int = 8):
     """TPU-batched P frame. Same bitstream contract as encode_pframe.
 
     ref_dev: optional device-resident reference planes (from a prior
@@ -2108,17 +2222,20 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
                                            intra_rdo=intra_rdo,
                                            b64_rdo=b64_rdo,
                                            search=search, subpel=subpel,
-                                           use_split8=use_split8)
+                                           use_split8=use_split8,
+                                           bd=bit_depth)
+    np_pix = np.uint8 if bit_depth == 8 else np.uint16
     if ref_dev is None:
-        ref_dev = tuple(jnp.asarray(np.asarray(p, np.uint8))
+        ref_dev = tuple(jnp.asarray(np.asarray(p, np_pix))
                         for p in ref_planes)
     cdef_prm = jnp.asarray(
         list(cdef) if cdef is not None else [0, 0, 0, 0, 3], jnp.int32)
     if src_dev is None:
-        src_dev = jnp.asarray(pack_src(planes))
+        src_dev = jnp.asarray(pack_src(planes, bd=bit_depth))
     outs = step(src_dev, *ref_dev,
-                jnp.int32(dc_q_lut(qindex)), jnp.int32(ac_q_lut(qindex)),
-                cdef_prm, build_rd_inter(qindex),
+                jnp.int32(dc_q_lut(qindex, 0, bit_depth)),
+                jnp.int32(ac_q_lut(qindex, 0, bit_depth)),
+                cdef_prm, build_rd_inter(qindex, bit_depth),
                 _ds16_quads(dscale, nby, nbx))
     rec_dev = outs[4:7]
     (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16, lf_lvl,
@@ -2138,7 +2255,8 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
                        lr_ctx=(rec, [np.asarray(y), np.asarray(u),
                                      np.asarray(v)]) if lr else None,
                        split16=split16 if use_split8 else None,
-                       skip8=skip8 if use_split8 else None)
+                       skip8=skip8 if use_split8 else None,
+                       bit_depth=bit_depth)
     if return_device:
         # LR mutates the host recon after the device copy was taken:
         # the device-resident planes would be a stale (pre-LR) ref
@@ -2161,6 +2279,7 @@ def _pack_pframe_mref(h, w, qindex, order_hint, mv8, choice, skip,
     if cdef is not None and isinstance(cdef[1], np.ndarray):
         cdef, cdef_map = cdef
     seq = Sequence(width=w, height=h, enable_cdef=cdef is not None,
+                   bit_depth=bit_depth,
                    film_grain_params_present=film_grain is not None)
     lf = int(lf_level)
     fp = FrameParams(frame_type=FrameType.INTER, base_q_idx=qindex,
@@ -2254,7 +2373,8 @@ def _pack_bframe(h, w, qindex, order_hint, mv8, mvb8, choice, skip,
                  lv_y, lv_u, lv_v, cdef=None, film_grain=None,
                  render_size=None, lf_level=0, slot_fwd=0, slot_bwd=1,
                  ref_hints=None, refresh_flags=0, show_frame=True,
-                 b64_map=None, lr_ctx=None):
+                 b64_map=None, lr_ctx=None, bit_depth: int = 8,
+                 split=None, mv16=None, skip16=None):
     """Entropy-pack one B frame from batched two-ref pipeline outputs.
 
     choice[b] in {0: single-LAST(fwd), 1: single-ALTREF(bwd),
@@ -2266,6 +2386,7 @@ def _pack_bframe(h, w, qindex, order_hint, mv8, mvb8, choice, skip,
     if cdef is not None and isinstance(cdef[1], np.ndarray):
         cdef, cdef_map = cdef
     seq = Sequence(width=w, height=h, enable_cdef=cdef is not None,
+                   bit_depth=bit_depth,
                    film_grain_params_present=film_grain is not None)
     lf = int(lf_level)
     fp = FrameParams(frame_type=FrameType.INTER, base_q_idx=qindex,
@@ -2325,6 +2446,52 @@ def _pack_bframe(h, w, qindex, order_hint, mv8, mvb8, choice, skip,
             blocks[(r, c)] = d
             continue
         partitions[(r, c, int(BlockSize.B64X64))] = PartitionType.SPLIT
+        if split is not None and split[b]:
+            # cheap per-16 split: each child is either the parent's
+            # (ref-choice, MV/MV-pair) or a single-LAST GLOBALMV-zero
+            # block (mv16 == 0 selects the latter; device forces the
+            # zero child when a non-fwd parent has zero MV)
+            partitions[(r, c, int(BlockSize.B32X32))] = \
+                PartitionType.SPLIT
+            chp = int(choice[b])
+            for q, (dr, dc) in enumerate(
+                    ((0, 0), (0, 4), (4, 0), (4, 4))):
+                py, px = dr * 4, dc * 4
+                cy, cx = dr * 2, dc * 2
+                partitions[(r + dr, c + dc, int(BlockSize.B16X16))] = \
+                    PartitionType.NONE
+                cmv = (int(mv16[b, q, 0]), int(mv16[b, q, 1]))
+                if cmv == (0, 0):
+                    d = BlockDecision(y_mode=PredictionMode.GLOBALMV,
+                                      uv_mode=PredictionMode.DC_PRED,
+                                      skip=bool(skip16[b, q]),
+                                      mv=(0, 0), ref=1)
+                elif chp == 2:
+                    mv2 = (int(mvb8[b, 0]), int(mvb8[b, 1]))
+                    mode = (PredictionMode.GLOBAL_GLOBALMV
+                            if cmv == (0, 0) and mv2 == (0, 0)
+                            else PredictionMode.NEW_NEWMV)
+                    d = BlockDecision(y_mode=mode,
+                                      uv_mode=PredictionMode.DC_PRED,
+                                      skip=bool(skip16[b, q]),
+                                      mv=cmv, ref=1)
+                    d.ref2 = 7
+                    d.mv2 = mv2
+                else:
+                    mode = (PredictionMode.GLOBALMV if cmv == (0, 0)
+                            else PredictionMode.NEWMV)
+                    d = BlockDecision(y_mode=mode,
+                                      uv_mode=PredictionMode.DC_PRED,
+                                      skip=bool(skip16[b, q]),
+                                      mv=cmv,
+                                      ref=1 if chp == 0 else 7)
+                if not d.skip:
+                    d.coeffs = {
+                        0: lv_y[b][py: py + 16, px: px + 16],
+                        1: lv_u[b][cy: cy + 8, cx: cx + 8],
+                        2: lv_v[b][cy: cy + 8, cx: cx + 8]}
+                blocks[(r + dr, c + dc)] = d
+            continue
         partitions[(r, c, int(BlockSize.B32X32))] = PartitionType.NONE
         ch = int(choice[b])
         mv = (int(mv8[b, 0]), int(mv8[b, 1]))
@@ -2368,7 +2535,8 @@ def encode_bframe_tpu(planes, ref_fwd, ref_bwd, qindex: int = 100,
                       dscale=None, src_dev=None,
                       refresh_flags: int = 0, show_frame: bool = True,
                       b64_rdo: bool = False, lr: bool = False,
-                      search: int = SEARCH, subpel: bool = True):
+                      search: int = SEARCH, subpel: bool = True,
+                      bit_depth: int = 8, use_split: bool = False):
     """TPU-batched B frame: both references searched on-device, each
     block picks single-fwd / single-bwd / COMPOUND_AVERAGE by RD.
     Same bitstream contract as pipeline/inter.py::encode_bframe.
@@ -2379,26 +2547,29 @@ def encode_bframe_tpu(planes, ref_fwd, ref_bwd, qindex: int = 100,
     h, w = y.shape[0], y.shape[1]
     assert h % 32 == 0 and w % 32 == 0
     step, (nby, nbx), gather_dense = _core(h, w, cdef is not None,
-                                           use_split=False,
+                                           use_split=use_split,
                                            two_ref=True,
                                            b64_rdo=b64_rdo,
-                                           search=search, subpel=subpel)
+                                           search=search, subpel=subpel,
+                                           bd=bit_depth)
+    np_pix = np.uint8 if bit_depth == 8 else np.uint16
     if ref_dev_fwd is None:
-        ref_dev_fwd = tuple(jnp.asarray(np.asarray(p, np.uint8))
+        ref_dev_fwd = tuple(jnp.asarray(np.asarray(p, np_pix))
                             for p in ref_fwd)
     if ref_dev_bwd is None:
-        ref_dev_bwd = tuple(jnp.asarray(np.asarray(p, np.uint8))
+        ref_dev_bwd = tuple(jnp.asarray(np.asarray(p, np_pix))
                             for p in ref_bwd)
     cdef_prm = jnp.asarray(
         list(cdef) if cdef is not None else [0, 0, 0, 0, 3], jnp.int32)
     if src_dev is None:
-        src_dev = jnp.asarray(pack_src(planes))
+        src_dev = jnp.asarray(pack_src(planes, bd=bit_depth))
     outs = step(src_dev, *ref_dev_fwd,
-                *ref_dev_bwd, jnp.int32(dc_q_lut(qindex)),
-                jnp.int32(ac_q_lut(qindex)), cdef_prm,
-                build_rd_inter(qindex),
+                *ref_dev_bwd,
+                jnp.int32(dc_q_lut(qindex, 0, bit_depth)),
+                jnp.int32(ac_q_lut(qindex, 0, bit_depth)), cdef_prm,
+                build_rd_inter(qindex, bit_depth),
                 _ds16_quads(dscale, nby, nbx))
-    (mv8, skip, lv_y, lv_u, lv_v, _, _, _, lf_lvl,
+    (mv8, skip, lv_y, lv_u, lv_v, split, mv16, skip16, lf_lvl,
      cdef_map, choice, mvb8, b64m, _s16, _sk8) = _fetch_packed(
         outs, gather_dense, nby, nbx)
     rec = [np.asarray(o).astype(np.int32) for o in outs[4:7]]
@@ -2410,7 +2581,10 @@ def encode_bframe_tpu(planes, ref_fwd, ref_bwd, qindex: int = 100,
                        ref_hints, refresh_flags, show_frame,
                        b64_map=b64m if b64_rdo else None,
                        lr_ctx=(rec, [np.asarray(y), np.asarray(u),
-                                     np.asarray(v)]) if lr else None)
+                                     np.asarray(v)]) if lr else None,
+                       bit_depth=bit_depth,
+                       split=split if use_split else None,
+                       mv16=mv16, skip16=skip16)
     return pkt, rec
 
 

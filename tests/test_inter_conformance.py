@@ -567,3 +567,61 @@ def test_split8_partition_conformance():
         for j in range(3):
             assert np.array_equal(d[i].planes[j], recs[i][j]), (i, j)
             assert np.array_equal(a[i][j], recs[i][j]), (i, j)
+
+
+def test_bframe_split_conformance():
+    """Two-ref (B) frames with the cheap 32->16 split: children are
+    the parent's ref/MV or single-LAST GLOBALMV-zero. Busy content
+    with an occluding mover forces splits at object boundaries; both
+    oracles must match the recon bit-exactly."""
+    from scipy.ndimage import gaussian_filter
+
+    from rav1e_tpu.pipeline import tpu_inter as TI
+    from rav1e_tpu.pipeline.tpu_intra import encode_keyframe_tpu
+
+    rng = np.random.default_rng(31)
+    h, w = 96, 128
+    base = gaussian_filter(rng.normal(0, 60, (h, w)), 1.1)
+    obj = gaussian_filter(rng.normal(0, 80, (24, 24)), 1.5)
+
+    def fr(t):
+        y = (128 + base).copy()
+        oy, ox = 16 + 6 * t, 20 + 11 * t
+        y[oy:oy + 24, ox:ox + 24] = 128 + obj
+        return [y.clip(0, 255).astype(np.uint8),
+                np.full((h // 2, w // 2), 120, np.uint8),
+                np.full((h // 2, w // 2), 133, np.uint8)]
+
+    q = 100
+    pk, rk = encode_keyframe_tpu(fr(0), qindex=q, speed=7,
+                                 cdef=(2, 1, 1, 0, 4))
+    # anchor (shown, refreshes slot 1) then a B frame between KF and
+    # anchor (decode_all returns shown frames in coding order)
+    pa, ra = TI.encode_pframe_tpu(fr(2), rk, qindex=q, order_hint=2,
+                                  cdef=(2, 1, 1, 0, 4),
+                                  refresh_flags=0x02)
+    seen = []
+    orig = TI._pack_bframe
+
+    def spy(*a, **k):
+        s = k.get("split")
+        seen.append(0 if s is None else int(np.sum(s)))
+        return orig(*a, **k)
+
+    TI._pack_bframe = spy
+    try:
+        pb, rb = TI.encode_bframe_tpu(
+            fr(1), rk, ra, qindex=q, order_hint=1,
+            cdef=(2, 1, 1, 0, 4), slot_fwd=0, slot_bwd=1,
+            ref_hints=(0, 2), use_split=True)
+    finally:
+        TI._pack_bframe = orig
+    assert sum(seen) > 0, f"no B-frame splits chosen ({seen})"
+    pkts = [pk, pa, pb]
+    recs = [rk, ra, rb]
+    d = dav1d.decode_all(pkts)
+    a = aom.decode_all(pkts)
+    for i in range(3):
+        for j in range(3):
+            assert np.array_equal(d[i].planes[j], recs[i][j]), (i, j)
+            assert np.array_equal(a[i][j], recs[i][j]), (i, j)
