@@ -337,7 +337,10 @@ class Context:
         aq = str(cfg.extra.get("aq", "")).lower() in ("1", "true",
                                                       "on", "yes")
         tiled = self._tile_cols_log2 or self._tile_rows_log2
-        fast_ok = (cfg.bit_depth == 8 and cfg.chroma_sampling == "420"
+        # TPU inter pipelines carry 8- AND 10-bit 4:2:0 (int32 lanes;
+        # SURVEY §7 M6); 12-bit and 422/444 take the reference paths
+        fast_ok = (cfg.bit_depth in (8, 10)
+                   and cfg.chroma_sampling == "420"
                    and not tiled and not aq)
         lr = getattr(self, "_lr_seq", False)
         base = self._order_hint
@@ -370,6 +373,7 @@ class Context:
                     search=self.speed_settings.search_px,
                     subpel=self.speed_settings.subpel,
                     use_split8=self.speed_settings.partition_split8,
+                    bit_depth=cfg.bit_depth,
                     dscale=ds[0], src_dev=sd)
             else:
                 data, rec = encode_pframe(
@@ -401,6 +405,7 @@ class Context:
                 search=self.speed_settings.search_px,
                 subpel=self.speed_settings.subpel,
                 use_split8=self.speed_settings.partition_split8,
+                bit_depth=cfg.bit_depth,
                 dscale=ds[-1], src_dev=asd)
         else:
             adata, arec = encode_pframe(
@@ -415,7 +420,8 @@ class Context:
         arec32 = [np.asarray(p).astype(np.int32) for p in arec]
         enc_b = encode_bframe_tpu if fast_ok else encode_bframe
         bkw = (dict(b64_rdo=self.speed_settings.b64_merge, lr=lr,
-                    use_split=self.speed_settings.partition_split_rdo)
+                    use_split=self.speed_settings.partition_split_rdo,
+                    bit_depth=cfg.bit_depth)
                if fast_ok else dict(lr=lr))
         hints = (base & 127, ahint)
 
@@ -549,14 +555,17 @@ class Context:
         aq = str(cfg.extra.get("aq", "")).lower() in ("1", "true",
                                                       "on", "yes")
         tiled = self._tile_cols_log2 or self._tile_rows_log2
-        # the TPU-batched paths carry the 8-bit 4:2:0 single-tile
-        # toolset; anything else goes through the reference pipelines
-        fast_ok = (cfg.bit_depth == 8 and cfg.chroma_sampling == "420"
+        # TPU inter paths: 8/10-bit 4:2:0 single-tile; the TPU
+        # keyframe is 8-bit only (10-bit KFs take the reference
+        # intra pipeline), 12-bit and 422/444 fully reference
+        fast_ok = (cfg.bit_depth in (8, 10)
+                   and cfg.chroma_sampling == "420"
                    and not tiled)
+        fast_kf = fast_ok and cfg.bit_depth == 8
         if is_key:
             lr = self.speed_settings.lr and not tiled
             rectp = self.speed_settings.rect_parts
-            if fast_ok and grain is None and not rectp:
+            if fast_kf and grain is None and not rectp:
                 from rav1e_tpu.pipeline.tpu_intra import encode_keyframe_tpu
                 data, rec = encode_keyframe_tpu(
                     planes, qindex=q, cdef=cdef, speed=cfg.speed,
@@ -658,6 +667,7 @@ class Context:
                     b64_rdo=self.speed_settings.b64_merge,
                     lr=getattr(self, "_lr_seq", False),
                     use_split8=self.speed_settings.partition_split8,
+                    bit_depth=cfg.bit_depth,
                     dscale=dscale, src_dev=src_dev)
             else:
                 from rav1e_tpu.pipeline.inter import encode_pframe

@@ -69,3 +69,34 @@ def test_tpu_pframe_10bit_no_filters():
     for j in range(3):
         assert np.array_equal(np.asarray(d[1].planes[j], np.int32),
                               rp[j]), j
+
+
+def test_context_10bit_gop():
+    """Context-level 10-bit 4:2:0: reference keyframe + TPU-batched
+    anchor/B frames (reordered default), decoded cleanly on both
+    oracles with the right display count."""
+    from rav1e_tpu.api import Config
+
+    frames = _frames10(6, seed=33)
+    cfg = Config(width=96, height=64, speed=6, quantizer=130,
+                 bit_depth=10)
+    ctx = cfg.new_context()
+    for f in frames:
+        ctx.send_frame(f)
+    ctx.flush()
+    pkts = []
+    while True:
+        _, p = ctx.receive_packet()
+        if p is None:
+            break
+        pkts.append(p.data if hasattr(p, "data") else p)
+    d = dav1d.decode_all(pkts)
+    a = aom.decode_all(pkts)
+    assert len(d) == len(frames) and len(a) == len(frames)
+    for i in range(len(frames)):
+        for j in range(3):
+            assert np.array_equal(np.asarray(d[i].planes[j], np.int32),
+                                  np.asarray(a[i][j], np.int32)), (i, j)
+    # 10-bit payload sanity: decoded values exceed 8-bit range
+    assert max(int(np.asarray(d[i].planes[0]).max())
+               for i in range(len(d))) > 255
