@@ -371,3 +371,109 @@ def cdef_search_persb_jax(planes, srcs, skip8, damping, lam=None,
 
     return idx, [assemble(outs[0], 32), assemble(outs[1], 16),
                  assemble(outs[2], 16)]
+
+
+def cdef_search_persb_tiled(planes, srcs, skip8, damping, axis_name,
+                            T: int, tile_idx, lam=None, bd: int = 8):
+    """cdef_search_persb_jax inside a shard_map tile column.
+
+    CDEF crosses tile boundaries (spec 7.15: it runs on the
+    deblocked frame, not per tile), so each shard extends its column
+    slice with an 8-px pixel halo from its neighbors via ONE ppermute
+    per side; frame-edge columns read the LARGE sentinel (same as the
+    unsharded search's frame border). The nb_strengths subset RD sums
+    its per-subset totals with a psum so every shard signals the
+    identical ladder; per-SB indices stay local. On T=1 the halos are
+    both sentinels — byte-identical to the unsharded search."""
+    E = 8                        # luma halo (8x8-dir aligned)
+    shift = bd - 8
+    perm_r = [(i, i + 1) for i in range(T - 1)]
+    perm_l = [(i + 1, i) for i in range(T - 1)]
+
+    def halo_ext(x, e, fill):
+        left = jax.lax.ppermute(x[:, -e:], axis_name, perm_r)
+        right = jax.lax.ppermute(x[:, :e], axis_name, perm_l)
+        left = jnp.where(tile_idx == 0, fill, left)
+        right = jnp.where(tile_idx == T - 1, fill, right)
+        return jnp.concatenate([left, x, right], axis=1)
+
+    ye = halo_ext(planes[0].astype(jnp.int32), E, LARGE)
+    ue = halo_ext(planes[1].astype(jnp.int32), E // 2, LARGE)
+    ve = halo_ext(planes[2].astype(jnp.int32), E // 2, LARGE)
+    # halo skip state is irrelevant (outputs crop to the center)
+    sk = jnp.pad(skip8, ((0, 0), (E // 8, E // 8)))
+    h, w = planes[0].shape
+    # the dir search must not see the sentinel as pixel data: clamp
+    # the halo into pixel range for the direction pass only
+    y_dir = jnp.clip(ye, 0, (1 << bd) - 1)
+    dg, vg = _dirs_var(y_dir >> shift if shift else y_dir)
+    pp_y = _prep_plane(ye, _upsample(dg, 8), 8, True)
+    pp_u = _prep_plane(ue, _upsample(dg, 4), 4, False)
+    pp_v = _prep_plane(ve, _upsample(dg, 4), 4, False)
+    var_y = _upsample(vg, 8)
+    skip_y = _upsample(sk, 8)
+    skip_c = _upsample(sk, 4)
+    damp = damping + shift
+
+    def one(c):
+        return [_filter_from_prep(pp_y, skip_y, c[0] << shift,
+                                  c[1] << shift, damp, var_y,
+                                  coeff_shift=shift),
+                _filter_from_prep(pp_u, skip_c, c[2] << shift,
+                                  c[3] << shift, damp, None,
+                                  coeff_shift=shift),
+                _filter_from_prep(pp_v, skip_c, c[2] << shift,
+                                  c[3] << shift, damp, None,
+                                  coeff_shift=shift)]
+
+    cand = jnp.asarray(np.array(CDEF_LADDER, np.int32))
+    outs = jax.vmap(one)(cand)
+    # crop to the tile's own columns
+    outs = [outs[0][:, :, E:-E], outs[1][:, :, E // 2:-E // 2],
+            outs[2][:, :, E // 2:-E // 2]]
+    nby, nbx = h // 32, w // 32
+    nr, nc = (nby + 1) // 2, (nbx + 1) // 2
+    K = len(CDEF_LADDER)
+
+    def blk_sse(out, src, b):
+        d = (out - src[None]).astype(jnp.float32) ** 2
+        return d.reshape(K, nby, b, nbx, b).sum((2, 4))
+
+    sse32 = (blk_sse(outs[0], srcs[0], 32)
+             + blk_sse(outs[1], srcs[1], 16)
+             + blk_sse(outs[2], srcs[2], 16))
+    ssep = jnp.pad(sse32, ((0, 0), (0, nr * 2 - nby),
+                           (0, nc * 2 - nbx)))
+    sse_sb = ssep.reshape(K, nr, 2, nc, 2).sum((2, 4))
+    if lam is not None:
+        from itertools import combinations
+        masks, bits = [], []
+        n_sb_frame = nr * nc * T
+        for n in (1, 2, 4, 8):
+            for sub in combinations(range(K), n):
+                m = np.zeros(K, bool)
+                m[list(sub)] = True
+                masks.append(m)
+                bits.append(12.0 * n + float(n_sb_frame)
+                            * (0 if n == 1 else np.log2(n)))
+        masks = jnp.asarray(np.array(masks))
+        bits = jnp.asarray(np.array(bits, np.float32))
+        flat = sse_sb.reshape(K, nr * nc)
+        msse = jnp.where(masks[:, :, None], flat[None], jnp.inf)
+        # frame-global subset totals: psum the per-shard sums so every
+        # tile picks the same allowed set
+        tot = jax.lax.psum(msse.min(1).sum(1), axis_name) + lam * bits
+        best = jnp.argmin(tot)
+        allowed = masks[best]
+        sse_sb = jnp.where(allowed[:, None, None], sse_sb, jnp.inf)
+    idx = jnp.argmin(sse_sb, axis=0)
+    idx32 = jnp.repeat(jnp.repeat(idx, 2, 0), 2, 1)[:nby, :nbx]
+
+    def assemble(out, b):
+        blk = out.reshape(K, nby, b, nbx, b)
+        sel = jnp.take_along_axis(
+            blk, idx32[None, :, None, :, None], axis=0)[0]
+        return sel.reshape(nby * b, nbx * b)
+
+    return idx, [assemble(outs[0], 32), assemble(outs[1], 16),
+                 assemble(outs[2], 16)]

@@ -34,7 +34,8 @@ def test_tiled_pframe_conformance(n_dev):
                 np.full((h // 2, w // 2), 135, np.uint8)]
 
     f0, f1 = fr(0), fr(2)
-    pk, rk = encode_keyframe_tpu(f0, qindex=100, speed=7)
+    pk, rk = encode_keyframe_tpu(f0, qindex=100, speed=7,
+                                 cdef=(2, 1, 1, 0, 4))
     mesh = Mesh(np.array(jax.devices()[:n_dev]), ("tile",))
     pp, rp = encode_pframe_tiled(f1, rk, 100, mesh)
     d = dav1d.decode_all([pk, pp])
