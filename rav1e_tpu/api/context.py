@@ -639,7 +639,8 @@ class Context:
             # only slot 0, so slot 1 still holds the keyframe). Static
             # areas skip against the clean keyframe instead of
             # accumulating re-encode loss along the LAST chain.
-            use_mref = (fast_ok and not aq and ss.multiref
+            use_mref = (fast_ok and cfg.bit_depth == 8
+                        and not aq and ss.multiref
                         and getattr(self, "_golden_rec", None) is not None
                         and self._order_hint >= 2
                         and grain is None

@@ -97,9 +97,12 @@ _LO_OFF_WIDE = np.array([  # w == 2*h
 
 
 def _lo_offsets(w: int, h: int) -> np.ndarray:
-    if h == 2 * w:
+    # the tall/wide tables apply to ANY non-square aspect (1:2 and
+    # 1:4 alike) — dav1d selects the offset table by wide/tall class,
+    # not exact ratio (8x32 via the square table desynced the oracle)
+    if h > w:
         return _LO_OFF_TALL
-    if w == 2 * h:
+    if w > h:
         return _LO_OFF_WIDE
     return _LO_OFF_SQ
 

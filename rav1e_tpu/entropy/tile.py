@@ -103,10 +103,14 @@ def chroma_tx_size(bsize: BlockSize, ss_x: int = 1,
                    ss_y: int = 1) -> TxSize:
     cw = min(max(bsize.width >> ss_x, 4), 32)
     ch = min(max(bsize.height >> ss_y, 4), 32)
-    # clamp to at most 2:1 aspect
-    while cw > 2 * ch:
+    # AV1 TX sizes reach 1:4 aspect (TX_4X16/TX_8X32/...), and the
+    # spec's get_max_uv_txsize is Max_Tx_Size_Rect of the chroma-plane
+    # bsize — e.g. a 4:2:2 B16X32 has an 8x32 chroma block coded with
+    # one TX_8X32 (a 2:1 clamp here desynced dav1d on 422 rect
+    # partitions)
+    while cw > 4 * ch:
         cw >>= 1
-    while ch > 2 * cw:
+    while ch > 4 * cw:
         ch >>= 1
     return _TX_BY_DIMS[(cw, ch)]
 

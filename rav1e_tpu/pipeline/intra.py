@@ -342,6 +342,13 @@ def _encode_keyframe_tile(planes, qindex: int, block: BlockSize,
                                   (r + 4, c, BlockSize.B16X16),
                                   (r + 4, c + 4, BlockSize.B16X16)],
         }
+        if ss_x == 1 and ss_y == 0:
+            # 4:2:2: B16X32 subsamples to an 8x32 chroma block, which
+            # the spec's Subsampled_Size table marks BLOCK_INVALID —
+            # both dav1d and libaom reject such streams. rav1e gates
+            # partition candidates the same way (partition.rs
+            # subsampled_size() -> None drops the shape from RDO).
+            del cands[PartitionType.VERT]
         best = None
         for part, blks in cands.items():
             saved = _snapshot(r, c)

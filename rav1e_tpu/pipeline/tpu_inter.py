@@ -2269,7 +2269,7 @@ def _pack_pframe_mref(h, w, qindex, order_hint, mv8, choice, skip,
                       lv_y, lv_u, lv_v, cdef=None, lf_level=0,
                       film_grain=None, render_size=None,
                       slot_last=0, slot_golden=1, golden_hint=0,
-                      refresh_flags=0x01):
+                      refresh_flags=0x01, bit_depth: int = 8):
     """Entropy-pack a multi-ref P frame: choice[b] 0 = LAST,
     1 = GOLDEN (both forward, single prediction — spec
     read_ref_frames single path p1/p3/p4/p5). rav1e's multi-ref

