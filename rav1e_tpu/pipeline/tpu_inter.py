@@ -308,13 +308,20 @@ def from_blocks(blks, ph, pw, n):
 
 def _search_one_ref(ryp, blks, by, bx, rd, B, use_satd=False,
                     search: int = SEARCH, subpel: bool = True,
-                    bd: int = 8):
+                    bd: int = 8, ds2: bool = True):
     """Motion search vs ONE padded reference plane: full-pel SSD via
-    grouped conv on the MXU, then quarter-pel fixed-trip descent from
-    a single pre-gathered patch per block (rav1e src/me.rs
-    estimate_motion, batched). Returns (mv8 [B,2] eighth-pel,
-    patch32, pir0, pic0) with the patch centered on the full-pel MV
-    so the final prediction also evaluates in-patch.
+    batched matmul on the MXU, then quarter-pel fixed-trip descent
+    from a single pre-gathered patch per block (rav1e src/me.rs
+    estimate_motion, batched). Returns (mv8 [B,2] eighth-pel, patch,
+    pir0, pic0, grid_fn) where grid_fn(mv [B,2]) estimates full-frame
+    SSE of an arbitrary in-window MV from the search's SSD surface.
+
+    ds2=True runs the full-pel stage at HALF resolution (rav1e me.rs
+    hierarchical pyramid levels): same +-search px coverage at 1/8 the
+    SSD-surface traffic (the full-res surface materialized ~550 MB of
+    f32 intermediates per frame = 24 ms of the 84 ms decision core);
+    the descent then opens with a full-pel step (M=2 patches) and the
+    caller's exact-SSE re-judge keeps the final costs honest.
 
     search: full-pel radius (SpeedSettings.search_px, <= PAD);
     subpel=False skips the descent (SpeedSettings.subpel off,
@@ -325,96 +332,144 @@ def _search_one_ref(ryp, blks, by, bx, rd, B, use_satd=False,
     # search after the PAD shift), so ALL [B, W, W] windows assemble
     # from a KxK arrangement of a static 32-tiling — no per-block
     # dynamic slices (those lowered to ~2000 DMA descriptors/frame).
-    win_sz = 2 * search + 32
-    sq_sums = jax.lax.reduce_window(
-        (ryp * ryp).astype(jnp.float32), 0.0, jax.lax.add,
-        (32, 32), (1, 1), "valid")                # sliding 32x32 sums
     nby_l = ryp.shape[0] // 32 - 2                # h // 32
     nbx_l = ryp.shape[1] // 32 - 2
-    off = PAD - search                            # window origin shift
-    K = (win_sz + 31) // 32                       # tiles per window side
+    use_ds2 = (ds2 and B == nby_l * nbx_l
+               and search % 2 == 0 and search >= 4)
 
-    def tile_windows(plane, want):
-        """[B, want, want] windows at origin 32*(i,j)+off of `plane`
-        (padded coords), want <= 32*K, via static tiling."""
-        need_r = off + 32 * (nby_l + K - 1)
-        need_c = off + 32 * (nbx_l + K - 1)
+    def assemble_windows(plane, want, tile, offp, kk):
+        """[B, want, want] windows at origin tile*(i,j)+offp of
+        `plane` (padded coords), want <= tile*kk, via static tiling —
+        no per-block dynamic slices (those lowered to ~2000 DMA
+        descriptors/frame)."""
+        need_r = offp + tile * (nby_l + kk - 1)
+        need_c = offp + tile * (nbx_l + kk - 1)
         pr = max(0, need_r - plane.shape[0])
         pc = max(0, need_c - plane.shape[1])
         if pr or pc:
             plane = jnp.pad(plane, ((0, pr), (0, pc)))
-        g = (plane[off:need_r, off:need_c]
-             .reshape(nby_l + K - 1, 32, nbx_l + K - 1, 32)
-             .transpose(0, 2, 1, 3))       # [nby+K-1, nbx+K-1, 32, 32]
+        g = (plane[offp:need_r, offp:need_c]
+             .reshape(nby_l + kk - 1, tile, nbx_l + kk - 1, tile)
+             .transpose(0, 2, 1, 3))
         rows = [jnp.concatenate([g[i:nby_l + i, j:nbx_l + j]
-                                 for j in range(K)], axis=-1)
-                for i in range(K)]
+                                 for j in range(kk)], axis=-1)
+                for i in range(kk)]
         wins = jnp.concatenate(rows, axis=-2)
-        return wins.reshape(-1, 32 * K, 32 * K)[:, :want, :want]
+        return wins.reshape(-1, tile * kk, tile * kk)[:, :want, :want]
 
-    if B == nby_l * nbx_l:
-        # single-chip path: blocks cover the padded plane's grid
-        wins = tile_windows(ryp, win_sz).astype(jnp.float32)
-        wsq = tile_windows(sq_sums, 2 * search + 1)   # [B,2S+1,2S+1]
-    else:
-        # tile-sharded path: refs are replicated full-frame while the
-        # block set is this tile's column slice at traced offsets —
-        # per-block dynamic slices are the general form
-        def win_one(r0, c0):
-            return jax.lax.dynamic_slice(
-                ryp, (r0 + off, c0 + off), (win_sz, win_sz))
-
-        wins = jax.vmap(win_one)(by, bx).astype(jnp.float32)
-
-        def sums_one(r0, c0):
-            return jax.lax.dynamic_slice(
-                sq_sums, (r0 + off, c0 + off),
-                (2 * search + 1, 2 * search + 1))
-
-        wsq = jax.vmap(sums_one)(by, bx)
-    # u8-valued pixels are exact in bfloat16, and the MXU accumulates
-    # in f32. The grouped-conv form (feature_group_count=B, channel
-    # dim 1 per group) cannot tile onto the MXU — profiled 37.7 ms at
-    # 1080p (0.06% MFU). Restructured as one batched matmul with a
-    # diagonal reduction:
+    # The SSD surface is computed as one batched matmul with a
+    # diagonal reduction (the grouped-conv form cannot tile onto the
+    # MXU — profiled 37.7 ms at 1080p, 0.06% MFU):
     #   M[b, r, R, dx] = sum_c blk[b, r, c] * win[b, R, dx + c]
     #   corr[b, dy, dx] = sum_r M[b, r, r + dy, dx]
-    # The contraction runs over the 32 block columns (dot_general,
-    # batch b), and the row-offset coupling becomes 32 static slice
-    # adds — all dense MXU/VPU work, no grouped conv.
-    S1 = 2 * search + 1
-    w_bf = wins.astype(jnp.bfloat16)
-    b_bf = blks.astype(jnp.bfloat16)
-    # im2col along x only: [B, win_sz, S1, 32]
-    w2 = jnp.stack([w_bf[:, :, dx: dx + 32] for dx in range(S1)], 2)
-    m = jnp.einsum("brc,bRdc->brRd", b_bf, w2,
-                   preferred_element_type=jnp.float32)
-    corr = m[:, 0, 0:S1, :]
-    for r in range(1, 32):
-        corr = corr + m[:, r, r: r + S1, :]       # [B,S1,S1]
-    ssd = wsq - 2.0 * corr + jnp.sum(
-        (blks * blks).astype(jnp.float32), axis=(1, 2))[:, None, None]
-    # real MV + mode-signaling rate (entropy/cost.py LUTs):
-    # every non-zero candidate codes NEWMV + the MV residual;
-    # (0,0) codes GLOBALMV
-    fp_idx = np.abs(np.arange(-search, search + 1)) * 8
-    mvb = rd["mv_bits"][jnp.asarray(fp_idx)]
-    mv_rate_grid = (mvb[:, None] + mvb[None, :] + rd["newmv"]
-                    ).at[search, search].set(rd["globalmv"])[None]
-    cost = ssd + rd["lam"] * mv_rate_grid
-    flat = jnp.argmin(cost.reshape(B, -1), axis=1)
-    mv_fp = jnp.stack([flat // (2 * search + 1) - search,
-                       flat % (2 * search + 1) - search], 1)
+    # The contraction runs over the block columns (dot_general, batch
+    # b), and the row-offset coupling becomes static slice adds.
+    def ssd_surface(wins, wsq, bcomp, n, S):
+        S1 = 2 * S + 1
+        w_bf = wins.astype(jnp.bfloat16)
+        b_bf = bcomp.astype(jnp.bfloat16)
+        w2 = jnp.stack([w_bf[:, :, dx: dx + n] for dx in range(S1)], 2)
+        m = jnp.einsum("brc,bRdc->brRd", b_bf, w2,
+                       preferred_element_type=jnp.float32)
+        corr = m[:, 0, 0:S1, :]
+        for r in range(1, n):
+            corr = corr + m[:, r, r: r + S1, :]   # [B,S1,S1]
+        return wsq - 2.0 * corr + jnp.sum(
+            (bcomp * bcomp).astype(jnp.float32), (1, 2))[:, None, None]
+
+    def rate_grid(S, px_step):
+        # real MV + mode-signaling rate (entropy/cost.py LUTs): every
+        # non-zero candidate codes NEWMV + the MV residual; (0,0)
+        # codes GLOBALMV
+        fp_idx = np.abs(np.arange(-S, S + 1)) * 8 * px_step
+        mvb = rd["mv_bits"][jnp.asarray(fp_idx)]
+        return (mvb[:, None] + mvb[None, :] + rd["newmv"]
+                ).at[S, S].set(rd["globalmv"])[None]
+
+    if use_ds2:
+        # ---- half-res full-pel stage (hierarchical level 1) ------
+        S2 = search // 2
+        r2 = (ryp.astype(jnp.float32)
+              .reshape(ryp.shape[0] // 2, 2, ryp.shape[1] // 2, 2)
+              .mean((1, 3)))
+        blks2 = blks.astype(jnp.float32).reshape(B, 16, 2, 16, 2) \
+            .mean((2, 4))
+        off2 = PAD // 2 - S2
+        win2 = 2 * S2 + 16
+        K2 = (win2 + 15) // 16
+        sq2 = jax.lax.reduce_window(r2 * r2, 0.0, jax.lax.add,
+                                    (16, 16), (1, 1), "valid")
+        wins = assemble_windows(r2, win2, 16, off2, K2)
+        wsq = assemble_windows(sq2, 2 * S2 + 1, 16, off2, K2)
+        # x4: each ds2 cell stands for 4 source pixels of SSE
+        ssd = ssd_surface(wins, wsq, blks2, 16, S2) * 4.0
+        cost = ssd + rd["lam"] * rate_grid(S2, 2)
+        flat = jnp.argmin(cost.reshape(B, -1), axis=1)
+        mv_fp = jnp.stack([flat // (2 * S2 + 1) - S2,
+                           flat % (2 * S2 + 1) - S2], 1) * 2
+        grid_S, grid_step = S2, 2
+        # full-pel opening step: the ds2 winner is within +-1 px of
+        # the full-res optimum; drift 8+4+2+2 = 2 px -> M = 2
+        desc_steps = (8, 4, 2, 2) if subpel else (8,)
+        M = 2
+    else:
+        win_sz = 2 * search + 32
+        sq_sums = jax.lax.reduce_window(
+            (ryp * ryp).astype(jnp.float32), 0.0, jax.lax.add,
+            (32, 32), (1, 1), "valid")            # sliding 32x32 sums
+        off = PAD - search                        # window origin shift
+        K = (win_sz + 31) // 32                   # tiles per window side
+        if B == nby_l * nbx_l:
+            # single-chip path: blocks cover the padded plane's grid
+            wins = assemble_windows(ryp.astype(jnp.float32), win_sz,
+                                    32, off, K)
+            wsq = assemble_windows(sq_sums, 2 * search + 1, 32, off, K)
+        else:
+            # tile-sharded path: refs are replicated full-frame while
+            # the block set is this tile's column slice at traced
+            # offsets — per-block dynamic slices are the general form
+            def win_one(r0, c0):
+                return jax.lax.dynamic_slice(
+                    ryp, (r0 + off, c0 + off), (win_sz, win_sz))
+
+            wins = jax.vmap(win_one)(by, bx).astype(jnp.float32)
+
+            def sums_one(r0, c0):
+                return jax.lax.dynamic_slice(
+                    sq_sums, (r0 + off, c0 + off),
+                    (2 * search + 1, 2 * search + 1))
+
+            wsq = jax.vmap(sums_one)(by, bx)
+        ssd = ssd_surface(wins, wsq, blks, 32, search)
+        cost = ssd + rd["lam"] * rate_grid(search, 1)
+        flat = jnp.argmin(cost.reshape(B, -1), axis=1)
+        mv_fp = jnp.stack([flat // (2 * search + 1) - search,
+                           flat % (2 * search + 1) - search], 1)
+        grid_S, grid_step = search, 1
+        desc_steps = (4, 2, 2) if subpel else ()
+        M = 1
+
+    def grid_fn(mv):
+        """Estimate SSE of an arbitrary (subpel) MV from the SSD
+        surface: one take_along_axis (the erosion passes' metric)."""
+        fp_r = (mv[:, 0] + 4) >> 3
+        fp_c = (mv[:, 1] + 4) >> 3
+        cy = jnp.clip(jnp.round(fp_r / grid_step).astype(jnp.int32),
+                      -grid_S, grid_S)
+        cx = jnp.clip(jnp.round(fp_c / grid_step).astype(jnp.int32),
+                      -grid_S, grid_S)
+        flat_i = (cy + grid_S) * (2 * grid_S + 1) + (cx + grid_S)
+        return jnp.take_along_axis(
+            ssd.reshape(B, -1), flat_i[:, None], 1)[:, 0]
 
     # ---- quarter-pel refinement (fixed-trip descent) ------------
-    # one patch gather per block; descent drift <= 4+2+2 = 8 eighth-pel
-    # = 1 px, so every candidate (and the final prediction) evaluates
-    # in-patch (M=1)
+    # one patch gather per block; every candidate (and the final
+    # prediction) evaluates in-patch (drift <= M px)
     mv8 = mv_fp * 8
-    patch32, pir0, pic0 = _gather_patch(ryp, by, bx, mv8, 32, 0, 1)
+    patch32, pir0, pic0 = _gather_patch(ryp, by, bx, mv8, 32, 0, M)
 
     def ssd8(mv8c):
-        pred = _mc_patch(patch32, pir0, pic0, by, bx, mv8c, 32, 0, 1,
+        pred = _mc_patch(patch32, pir0, pic0, by, bx, mv8c, 32, 0, M,
                          bd=bd)
         mvr = (rd["mv_bits"][jnp.abs(mv8c[:, 0])]
                + rd["mv_bits"][jnp.abs(mv8c[:, 1])])
@@ -429,7 +484,7 @@ def _search_one_ref(ryp, blks, by, bx, rd, B, use_satd=False,
         """[C, B, 2] candidates in ONE patch-shared dispatch."""
         C = mv8c.shape[0]
         pred = _mc_patch_multi(patch32, pir0, pic0, by, bx, mv8c,
-                               32, 0, 1, bd=bd)
+                               32, 0, M, bd=bd)
         mvr = (rd["mv_bits"][jnp.abs(mv8c[..., 0])]
                + rd["mv_bits"][jnp.abs(mv8c[..., 1])])
         d = pred - blks[None]
@@ -440,7 +495,7 @@ def _search_one_ref(ryp, blks, by, bx, rd, B, use_satd=False,
         return jnp.sum(df * df, axis=(2, 3)) + rd["lam"] * mvr
 
     best = ssd8(mv8)
-    for step_sz in ((4, 2, 2) if subpel else ()):
+    for step_sz in desc_steps:
         cands = jnp.stack([
             mv8 + jnp.array([-step_sz, 0]),
             mv8 + jnp.array([step_sz, 0]),
@@ -457,7 +512,7 @@ def _search_one_ref(ryp, blks, by, bx, rd, B, use_satd=False,
     # zero-MV blocks stay GLOBALMV-zero
     is_zero = jnp.all(mv_fp == 0, axis=1)
     mv8 = jnp.where(is_zero[:, None], 0, mv8)
-    return mv8, patch32, pir0, pic0, ssd
+    return mv8, patch32, pir0, pic0, grid_fn
 
 
 def _coarse_mv(y, ryp, B, search: int = SEARCH):
@@ -521,19 +576,6 @@ def _coarse_mv(y, ryp, B, search: int = SEARCH):
     tr = jnp.clip(by + mv_px[:, 0], -m, h - 32 + m)
     tc = jnp.clip(bx + mv_px[:, 1], -m, tw - 32 + m)
     return jnp.stack([tr - by, tc - bx], 1) * 8    # 1/8 pel
-
-
-def _grid_sse_fn(ssd, B, search: int = SEARCH):
-    """Full-pel SSD-grid lookup of a (subpel) MV candidate: the
-    search's [B, (2S+1)^2] SSD surface is already materialized, so a
-    coherence pass over it costs one take_along_axis."""
-    def f(mv):
-        fy = jnp.clip((mv[:, 0] + 4) >> 3, -search, search)
-        fx = jnp.clip((mv[:, 1] + 4) >> 3, -search, search)
-        flat = (fy + search) * (2 * search + 1) + (fx + search)
-        return jnp.take_along_axis(
-            ssd.reshape(B, -1), flat[:, None], 1)[:, 0]
-    return f
 
 
 def _merge64_pass(y, u, v, ryp, rup, rvp, ryp2, rup2, rvp2, rd, lam,
@@ -722,7 +764,7 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
     if ds16 is None:
         ds16 = jnp.ones((B, 4), jnp.float32)
     ds32 = jnp.mean(ds16, axis=1)                 # [B]
-    mv8, patch32, pir0, pic0, ssd0 = _search_one_ref(
+    mv8, patch32, pir0, pic0, gridf0 = _search_one_ref(
         ryp, blks, by, bx, rd, B, use_satd, search, subpel, bd=bd)
 
     ub = to_blocks(u.astype(jnp.int32), 16)
@@ -735,7 +777,7 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
             return jnp.sum((p - blks).astype(jnp.float32) ** 2, (1, 2))
         return f
 
-    def cand_pass(mv8, sse_fn, extra=None):
+    def cand_pass(mv8, sse_fn, extra=None, grid_fn=None):
         """Left/above MV candidates with NEIGHBOR-RELATIVE rates: the
         real writer codes NEWMV residuals against the mv-stack
         predictor (~ the left/above MVs), so pricing |mv| from zero
@@ -743,7 +785,13 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         fragmented — every blob boundary then pays NEWMV+residual
         instead of the ~2-bit NEAREST alias (measured ~50 B/frame of
         pure signaling on a clean pan). rav1e rdo_mode_decision's
-        NEARESTMV/NEARMV trials from the mv stack, batched."""
+        NEARESTMV/NEARMV trials from the mv stack, batched.
+
+        grid_fn (optional): cheap SSD-surface metric used to
+        PRESELECT one best alternative among {left, above, zero,
+        median} per block, so the expensive sse_fn runs only on
+        {own, best-alt, extra} — 3 MC passes instead of 6 (the exact
+        re-judge was ~20 ms of the decision core at 1080p)."""
         mvg = mv8.reshape(nby, nbx, 2)
         mvl = jnp.concatenate([mvg[:, :1], mvg[:, :-1]],
                               1).reshape(B, 2)
@@ -785,6 +833,20 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
                  jnp.broadcast_to(rd["globalmv"], r_own.shape),
                  rate_rel(mvmed, mvl)]
         cands = [mv8, mvl, mva, mv0, mvmed]
+        if grid_fn is not None:
+            # preselect the best alternative on the free SSD surface
+            alt_r = jnp.stack(rates[1:], 0)           # [4,B]
+            alt_c = (ds32[None]
+                     * jnp.stack([grid_fn(c) for c in cands[1:]], 0)
+                     + lam * alt_r)
+            ka = jnp.argmin(alt_c, 0)                 # [B]
+            alt_mv = cands[1]
+            for i in range(1, 4):
+                alt_mv = jnp.where(ka[:, None] == i, cands[1 + i],
+                                   alt_mv)
+            cands = [mv8, alt_mv]
+            rates = [rates[0],
+                     jnp.take_along_axis(alt_r, ka[None], 0)[0]]
         if extra is not None:
             # hierarchical coarse MV (long-range; _coarse_mv): priced
             # as a plain NEWMV against the left predictor
@@ -815,12 +877,13 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         # one ring, so iterate the free full-pel-grid pass before one
         # exact-subpel re-judge (3 grid reads + 5 _mc_batch). -------
         for _ in range(8):
-            mv8, _ = cand_pass(mv8, _grid_sse_fn(ssd0, B, search))
+            mv8, _ = cand_pass(mv8, gridf0)
         # long-range rescue: 4x-downsampled coarse search covers
         # +-4*search px (anchor-to-anchor motion of fast objects lands
         # far outside the fine window; bench/bdrate object clip)
         mv_coarse = _coarse_mv(y, ryp, B, search)
-        mv8, rate32 = cand_pass(mv8, exact_sse(ryp), extra=mv_coarse)
+        mv8, rate32 = cand_pass(mv8, exact_sse(ryp),
+                                extra=mv_coarse, grid_fn=gridf0)
         pred_y = mcb(ryp, by, bx, mv8, 32, 0)
         pred_u = mcb(rup, by // 2, bx // 2, mv8, 16, 1)
         pred_v = mcb(rvp, by // 2, bx // 2, mv8, 16, 1)
@@ -832,7 +895,7 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         # restructured as three fixed candidates per block).
         # fwd2: multi-ref P (LAST + GOLDEN, both forward) — two
         # single-ref candidates, no compound. ----------------------
-        mvb8_, patchb, pbir, pbic, ssdb = _search_one_ref(
+        mvb8_, patchb, pbir, pbic, gridfb = _search_one_ref(
             ryp2, blks, by, bx, rd, B, use_satd, search, subpel,
             bd=bd)
         # per-ref MV-field coherence passes (see cand_pass): 3 free
@@ -840,13 +903,14 @@ def p_frame_body(y, u, v, ryp, rup, rvp, dcq, acq, cdef_prm, rd,
         # MVs may leave the M=1 descent patches, so predictions
         # rebuild via _mc_batch rather than _mc_patch
         for _ in range(8):
-            mv8, _ = cand_pass(mv8, _grid_sse_fn(ssd0, B, search))
-            mvb8_, _ = cand_pass(mvb8_, _grid_sse_fn(ssdb, B, search))
+            mv8, _ = cand_pass(mv8, gridf0)
+            mvb8_, _ = cand_pass(mvb8_, gridfb)
         mv_coarse = _coarse_mv(y, ryp, B, search)
         mvb_coarse = _coarse_mv(y, ryp2, B, search)
-        mv8, rate_f = cand_pass(mv8, exact_sse(ryp), extra=mv_coarse)
+        mv8, rate_f = cand_pass(mv8, exact_sse(ryp),
+                                extra=mv_coarse, grid_fn=gridf0)
         mvb8_, rate_b = cand_pass(mvb8_, exact_sse(ryp2),
-                                  extra=mvb_coarse)
+                                  extra=mvb_coarse, grid_fn=gridfb)
         pf_y = mcb(ryp, by, bx, mv8, 32, 0)
         pb_y = mcb(ryp2, by, bx, mvb8_, 32, 0)
 
