@@ -58,17 +58,26 @@ def main():
     # deblock level search, per-SB CDEF strength RDO (VERDICT r1
     # flagged the old bench's light config)
     cdef = (0, 0, 0, 0, 3)
-    # warmup/compile on a 2-frame prefix (persistent cache hides this
-    # across runs; excluded from timing)
+    # warmup: one FULL 16-frame pass so every shape the timed passes
+    # hit is compiled (the old 2-frame prefix left later shapes cold
+    # and the single timed pass swung ~2.5x with host state — VERDICT
+    # r4 Weak #2: perf claims must be driver-reproducible)
     t0 = time.time()
-    encode_gop_tpu(frames[:2], qindex=100, speed=6, cdef=cdef)
+    encode_gop_tpu(frames, qindex=100, speed=6, cdef=cdef)
     warm = time.time() - t0
     print(f"# warmup {warm:.1f}s", file=sys.stderr)
 
-    t0 = time.time()
-    pkts, recs = encode_gop_tpu(frames, qindex=100, speed=6, cdef=cdef)
-    dt = time.time() - t0
+    # median of 3 timed GOP passes
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        pkts, recs = encode_gop_tpu(frames, qindex=100, speed=6,
+                                    cdef=cdef)
+        times.append(time.time() - t0)
+    dt = sorted(times)[1]
     fps = len(frames) / dt
+    print(f"# passes: {' '.join(f'{len(frames)/t:.2f}' for t in times)}"
+          f" fps, median reported", file=sys.stderr)
     total_bytes = sum(len(p) for p in pkts)
 
     # conformance check (not timed): decoder output == encoder recon

@@ -310,35 +310,86 @@ def cdef_search_persb_jax(planes, srcs, skip8, damping, lam=None,
     skip_c = _upsample(skip8, 4)
     damp = damping + shift
 
-    def one(c):
-        return [_filter_from_prep(pp_y, skip_y, c[0] << shift,
-                                  c[1] << shift, damp, var_y,
-                                  coeff_shift=shift),
-                _filter_from_prep(pp_u, skip_c, c[2] << shift,
-                                  c[3] << shift, damp, None,
-                                  coeff_shift=shift),
-                _filter_from_prep(pp_v, skip_c, c[2] << shift,
-                                  c[3] << shift, damp, None,
-                                  coeff_shift=shift)]
-
     cand = jnp.asarray(np.array(CDEF_LADDER, np.int32))
-    outs = jax.vmap(one)(cand)          # [8, ...] per plane
     nby, nbx = h // 32, w // 32
     nr, nc = (nby + 1) // 2, (nbx + 1) // 2
     K = len(CDEF_LADDER)
+    # 64-aligned frames rank the ladder on a 2-of-4 checkerboard of
+    # each SB's 32-blocks (TL + BR) and apply only the winner — 8
+    # full-frame filter passes become 8 half passes + 1 apply (the
+    # 8-way full evaluation was ~23 ms of the 1080p P step). The
+    # filter tail is purely elementwise over the prep planes, so the
+    # sampled views are free reshapes.
+    sampled = (h % 64 == 0 and w % 64 == 0
+               and planes[1].shape[0] * 2 == h)
 
-    def blk_sse(out, src, b):
-        d = (out - src[None]).astype(jnp.float32) ** 2
-        return d.reshape(K, nby, b, nbx, b).sum((2, 4))
+    def diag(a, b):
+        v = a.reshape(nr, 2, b, nc, 2, b)
+        return jnp.stack([v[:, 0, :, :, 0, :], v[:, 1, :, :, 1, :]], 0)
 
-    sse32 = (blk_sse(outs[0], srcs[0], 32)
-             + blk_sse(outs[1], srcs[1], 16)
-             + blk_sse(outs[2], srcs[2], 16))      # [8, nby, nbx]
-    # aggregate 32-blocks 2x2 into 64-SBs (frame need not be
-    # 64-aligned: edge SBs just cover fewer 32-blocks)
-    ssep = jnp.pad(sse32, ((0, 0), (0, nr * 2 - nby),
-                           (0, nc * 2 - nbx)))
-    sse_sb = ssep.reshape(K, nr, 2, nc, 2).sum((2, 4))
+    if sampled:
+        pp_ys = {**pp_y, "x": diag(pp_y["x"], 32),
+                 "p_pri": [diag(p, 32) for p in pp_y["p_pri"]],
+                 "p_sec": [diag(p, 32) for p in pp_y["p_sec"]]}
+        pp_us = {**pp_u, "x": diag(pp_u["x"], 16),
+                 "p_pri": [diag(p, 16) for p in pp_u["p_pri"]],
+                 "p_sec": [diag(p, 16) for p in pp_u["p_sec"]]}
+        pp_vs = {**pp_v, "x": diag(pp_v["x"], 16),
+                 "p_pri": [diag(p, 16) for p in pp_v["p_pri"]],
+                 "p_sec": [diag(p, 16) for p in pp_v["p_sec"]]}
+        skip_ys, skip_cs = diag(skip_y, 32), diag(skip_c, 16)
+        var_ys = diag(var_y, 32)
+        src_ys, src_us, src_vs = (diag(srcs[0], 32), diag(srcs[1], 16),
+                                  diag(srcs[2], 16))
+
+        def one_s(c):
+            return [_filter_from_prep(pp_ys, skip_ys, c[0] << shift,
+                                      c[1] << shift, damp, var_ys,
+                                      coeff_shift=shift),
+                    _filter_from_prep(pp_us, skip_cs, c[2] << shift,
+                                      c[3] << shift, damp, None,
+                                      coeff_shift=shift),
+                    _filter_from_prep(pp_vs, skip_cs, c[2] << shift,
+                                      c[3] << shift, damp, None,
+                                      coeff_shift=shift)]
+
+        outs_s = jax.vmap(one_s)(cand)   # [K, 2, nr, b, nc, b] each
+
+        def samp_sse(out, src):
+            d = (out - src[None]).astype(jnp.float32) ** 2
+            return d.sum((1, 3, 5))      # [K, nr, nc]
+
+        # x2: half the pixels stand for the SB (keeps the λ scale of
+        # the nb_strengths subset RD comparable to the full search)
+        sse_sb = 2.0 * (samp_sse(outs_s[0], src_ys)
+                        + samp_sse(outs_s[1], src_us)
+                        + samp_sse(outs_s[2], src_vs))
+    else:
+        def one(c):
+            return [_filter_from_prep(pp_y, skip_y, c[0] << shift,
+                                      c[1] << shift, damp, var_y,
+                                      coeff_shift=shift),
+                    _filter_from_prep(pp_u, skip_c, c[2] << shift,
+                                      c[3] << shift, damp, None,
+                                      coeff_shift=shift),
+                    _filter_from_prep(pp_v, skip_c, c[2] << shift,
+                                      c[3] << shift, damp, None,
+                                      coeff_shift=shift)]
+
+        outs = jax.vmap(one)(cand)          # [8, ...] per plane
+
+        def blk_sse(out, src, b):
+            d = (out - src[None]).astype(jnp.float32) ** 2
+            return d.reshape(K, nby, b, nbx, b).sum((2, 4))
+
+        sse32 = (blk_sse(outs[0], srcs[0], 32)
+                 + blk_sse(outs[1], srcs[1], 16)
+                 + blk_sse(outs[2], srcs[2], 16))      # [8, nby, nbx]
+        # aggregate 32-blocks 2x2 into 64-SBs (frame need not be
+        # 64-aligned: edge SBs just cover fewer 32-blocks)
+        ssep = jnp.pad(sse32, ((0, 0), (0, nr * 2 - nby),
+                               (0, nc * 2 - nbx)))
+        sse_sb = ssep.reshape(K, nr, 2, nc, 2).sum((2, 4))
     if lam is not None:
         # nb_strengths RD: enumerate every 1/2/4/8-entry subset of the
         # ladder as a static mask matrix; each SB takes the min inside
@@ -361,6 +412,21 @@ def cdef_search_persb_jax(planes, srcs, skip8, damping, lam=None,
         allowed = masks[best]                           # [K]
         sse_sb = jnp.where(allowed[:, None, None], sse_sb, jnp.inf)
     idx = jnp.argmin(sse_sb, axis=0)               # [nr, nc]
+    if sampled:
+        # single full-frame apply with per-pixel strengths from the
+        # winning ladder entries (pri_adj/parity/constrain all take
+        # per-pixel arrays)
+        py = _upsample(cand[:, 0][idx], 64)[:h, :w] << shift
+        sy = _upsample(cand[:, 1][idx], 64)[:h, :w] << shift
+        pc_ = _upsample(cand[:, 2][idx], 32)[:h // 2, :w // 2] << shift
+        sc_ = _upsample(cand[:, 3][idx], 32)[:h // 2, :w // 2] << shift
+        return idx, [
+            _filter_from_prep(pp_y, skip_y, py, sy, damp, var_y,
+                              coeff_shift=shift),
+            _filter_from_prep(pp_u, skip_c, pc_, sc_, damp, None,
+                              coeff_shift=shift),
+            _filter_from_prep(pp_v, skip_c, pc_, sc_, damp, None,
+                              coeff_shift=shift)]
     idx32 = jnp.repeat(jnp.repeat(idx, 2, 0), 2, 1)[:nby, :nbx]
 
     def assemble(out, b):
