@@ -431,63 +431,51 @@ class Context:
                 return {}
             return dict(dscale=ds[k], src_dev=frames[k][2])
 
-        if len(frames) == 4:
-            # depth-2 pyramid (rav1e InterConfig group_input_len=4,
-            # src/api/internal.rs): code t3 (anchor, above), then
-            # t1 (B0, refs base+t3, refreshes slot 3, non-shown),
-            # then t0 (B1, refs base+t1), SEF(t1), t2 (B1, refs
-            # t1+t3), SEF(t3). Per-level q via the B0/B1 subtypes.
-            (fn0, pl0, _), (fn1, pl1, _), (fn2, pl2, _) = frames[:3]
-            b0slot = 3
-            q0 = self._rc.select_qi("B0")
-            h1 = (base + 2) & 127
-            b0data, b0rec = enc_b(
-                pl1, self._ref_rec, arec32, qindex=q0,
-                order_hint=h1, cdef=cdef, film_grain=grain,
-                slot_fwd=self._cur_slot, slot_bwd=slot_new,
-                ref_hints=hints, render_size=self._render,
-                refresh_flags=1 << b0slot, show_frame=False,
-                **dkw(1), **bkw)
-            self._out.append(Packet(data=b0data, input_frameno=fn1,
-                                    frame_type="INTER", qp=q0))
-            self._rc.update("B0", q0, len(b0data) * 8)
-            b0rec32 = [np.asarray(p).astype(np.int32) for p in b0rec]
-            q1 = self._rc.select_qi("B1")
-            bdata, _ = enc_b(
-                pl0, self._ref_rec, b0rec32, qindex=q1,
-                order_hint=(base + 1) & 127, cdef=cdef,
-                film_grain=grain, slot_fwd=self._cur_slot,
-                slot_bwd=b0slot, ref_hints=(base & 127, h1),
-                render_size=self._render, **dkw(0), **bkw)
-            self._out.append(Packet(data=bdata, input_frameno=fn0,
-                                    frame_type="INTER", qp=q1))
-            self._rc.update("B1", q1, len(bdata) * 8)
-            self._out.append(Packet(data=show_existing_packet(b0slot),
-                                    input_frameno=fn1,
-                                    frame_type="SHOW_EXISTING", qp=q0))
-            q2 = self._rc.select_qi("B1")
-            bdata, _ = enc_b(
-                pl2, b0rec32, arec32, qindex=q2,
-                order_hint=(base + 3) & 127, cdef=cdef,
-                film_grain=grain, slot_fwd=b0slot,
-                slot_bwd=slot_new, ref_hints=(h1, ahint),
-                render_size=self._render, **dkw(2), **bkw)
-            self._out.append(Packet(data=bdata, input_frameno=fn2,
-                                    frame_type="INTER", qp=q2))
-            self._rc.update("B1", q2, len(bdata) * 8)
-        else:
-            for i, (fn, pl, _sd) in enumerate(frames[:-1], start=1):
-                qb = self._rc.select_qi("B0")
-                bdata, _ = enc_b(
-                    pl, self._ref_rec, arec32, qindex=qb,
-                    order_hint=(base + i) & 127, cdef=cdef,
-                    film_grain=grain,
-                    slot_fwd=self._cur_slot, slot_bwd=slot_new,
-                    ref_hints=hints, render_size=self._render,
-                    **dkw(i - 1), **bkw)
-                self._out.append(Packet(data=bdata, input_frameno=fn,
-                                        frame_type="INTER", qp=qb))
-                self._rc.update("B0", qb, len(bdata) * 8)
+        # Binary pyramid over the inner frames for ANY group length
+        # (rav1e InterConfig pyramid, src/api/internal.rs: depth-2 for
+        # group_input_len=4; tail groups at flush/scene-cut keep the
+        # same recursive shape instead of a flat B chain).  A span
+        # (lo, hi) with recon refs at both ends codes its middle frame
+        # as a B — non-shown + slot-refreshing when it has children
+        # (subtype B0 at depth 0, B1 deeper) — then recurses left,
+        # emits SEF(mid), recurses right.  Slots 3..6 serve pyramid
+        # depths 0..3 (one live per depth on the recursion path).
+        def code_span(i0, i1, lo_ctx, hi_ctx, depth):
+            """Code inner frames[i0:i1] in display order.  lo_ctx /
+            hi_ctx = (rec32, slot, order_hint) of the bounding refs."""
+            if i0 >= i1:
+                return
+            m = (i0 + i1) // 2
+            fn_m, pl_m, _sd = frames[m]
+            hint_m = (base + m + 1) & 127
+            leaf = (i1 - i0) == 1
+            subtype = "B0" if depth == 0 else "B1"
+            qm = self._rc.select_qi(subtype)
+            bslot = min(3 + depth, 6)
+            bdata, brec = enc_b(
+                pl_m, lo_ctx[0], hi_ctx[0], qindex=qm,
+                order_hint=hint_m, cdef=cdef, film_grain=grain,
+                slot_fwd=lo_ctx[1], slot_bwd=hi_ctx[1],
+                ref_hints=(lo_ctx[2], hi_ctx[2]),
+                render_size=self._render,
+                refresh_flags=0 if leaf else 1 << bslot,
+                show_frame=leaf, **dkw(m), **bkw)
+            self._out.append(Packet(data=bdata, input_frameno=fn_m,
+                                    frame_type="INTER", qp=qm))
+            self._rc.update(subtype, qm, len(bdata) * 8)
+            if leaf:
+                return
+            brec32 = [np.asarray(p).astype(np.int32) for p in brec]
+            mid_ctx = (brec32, bslot, hint_m)
+            code_span(i0, m, lo_ctx, mid_ctx, depth + 1)
+            self._out.append(Packet(data=show_existing_packet(bslot),
+                                    input_frameno=fn_m,
+                                    frame_type="SHOW_EXISTING", qp=qm))
+            code_span(m + 1, i1, mid_ctx, hi_ctx, depth + 1)
+
+        code_span(0, len(frames) - 1,
+                  (self._ref_rec, self._cur_slot, base & 127),
+                  (arec32, slot_new, ahint), 0)
         self._out.append(Packet(data=show_existing_packet(slot_new),
                                 input_frameno=afn,
                                 frame_type="SHOW_EXISTING", qp=q))

@@ -121,6 +121,40 @@ def test_context_bframe_reordering():
         assert err < 10, (i, err)
 
 
+def test_tail_group_pyramid():
+    """A flush-time tail group (len 3 here) gets the same recursive
+    pyramid shape as a full group, not a flat B chain: mid coded as a
+    non-shown B0, the frame before it as a B1 referencing KEY+B0
+    (rav1e InterConfig pyramid for partial groups)."""
+    rng = np.random.default_rng(7)
+    W, H, N = 128, 96, 4  # KEY + 3-frame tail group
+    base = rng.integers(60, 200, (H, W)).astype(np.uint8)
+    frames = []
+    for t in range(N):
+        y = np.roll(base, t * 3, axis=1)
+        frames.append([y, np.full((H // 2, W // 2), 120, np.uint8),
+                       np.full((H // 2, W // 2), 135, np.uint8)])
+    ctx = Config(width=W, height=H, quantizer=120,
+                 low_latency=False).new_context()
+    pkts = _run(ctx, frames)
+    order = [(p.frame_type, p.input_frameno) for p in pkts]
+    assert order[0] == ("KEY", 0)
+    assert order[1] == ("INTER", 3)          # anchor coded first
+    assert order[2] == ("INTER", 2)          # B0 mid, non-shown
+    assert order[3] == ("INTER", 1)          # B1 leaf (KEY..B0)
+    assert order[4] == ("SHOW_EXISTING", 2)
+    assert order[5] == ("SHOW_EXISTING", 3)
+    d = dav1d.decode_all([p.data for p in pkts])
+    a = aom.decode_all([p.data for p in pkts])
+    assert len(d) == N and len(a) == N
+    for i in range(N):
+        for j in range(3):
+            assert np.array_equal(d[i].planes[j], a[i][j]), (i, j)
+        err = np.abs(d[i].planes[0].astype(int)
+                     - frames[i][0].astype(int)).mean()
+        assert err < 10, (i, err)
+
+
 def test_arbitrary_dimensions():
     """Any input size encodes: the Context pads to the 32-aligned coded
     size (edge replication) and signals the display crop via
