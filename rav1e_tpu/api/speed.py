@@ -20,6 +20,7 @@ class SpeedSettings:
     angle_deltas: bool = True
     partition_split_rdo: bool = True
     partition_split8: bool = False  # 16->8 PARTITION_SPLIT RDO (inter)
+    kf_split8: bool = False        # 16->8 PARTITION_SPLIT RDO (keyframes)
     rect_parts: bool = False       # HORZ/VERT partition RDO (keyframes)
     cfl: bool = True
     tx_search: bool = True         # intra TX-type RDO (rav1e rdo_tx_decision)
@@ -47,6 +48,7 @@ class SpeedSettings:
             partition_split_rdo=s <= 7,
             # rav1e partition_range reaches 8x8 from speed <= 6
             partition_split8=s <= 6,
+            kf_split8=s <= 6,
             # rav1e non_square_partition: low speeds only
             rect_parts=s <= 3,
             cfl=s <= 6,

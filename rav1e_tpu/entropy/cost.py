@@ -237,6 +237,7 @@ def mode_cost_tables():
     cfl_alpha = np.stack([symbol_bits(t["cfl_alpha"][i]) for i in range(6)])
     skip = np.stack([symbol_bits(t["skip"][i]) for i in range(3)])
     part_mid = _avg_bits(t["partition_mid"].reshape(-1, 10))  # [10]
+    part_8 = _avg_bits(t["partition_8"].reshape(-1, t["partition_8"].shape[-1]))
     return {"kf_y_mode": kf_y.astype(np.float32),
             "y_mode": y.astype(np.float32),
             "uv_mode": uv.astype(np.float32),
@@ -245,7 +246,8 @@ def mode_cost_tables():
             "cfl_sign": cfl_sign.astype(np.float32),
             "cfl_alpha": cfl_alpha.astype(np.float32),
             "skip": skip.astype(np.float32),
-            "partition_mid": part_mid.astype(np.float32)}
+            "partition_mid": part_mid.astype(np.float32),
+            "partition_8": part_8.astype(np.float32)}
 
 
 @lru_cache(maxsize=1)

@@ -93,7 +93,9 @@ def _load():
         C.POINTER(C.c_uint8), C.POINTER(C.c_int8),
         C.POINTER(C.c_int16), C.POINTER(C.c_int16),
         C.POINTER(C.c_int16), C.POINTER(C.c_uint8), C.c_int,
-        C.POINTER(C.c_uint8), C.POINTER(C.c_uint8), C.c_long]
+        C.POINTER(C.c_uint8), C.POINTER(C.c_uint8),
+        C.POINTER(C.c_uint8), C.POINTER(C.c_uint8),
+        C.POINTER(C.c_uint8), C.c_long]
     lib.packer_done.restype = C.c_long
     lib.packer_done.argtypes = [C.c_void_p, C.POINTER(C.c_uint8), C.c_long]
     lib.packer_free.argtypes = [C.c_void_p]
@@ -352,17 +354,22 @@ class NativeTileWriter(TileWriter):
                               lv_u: np.ndarray, lv_v: np.ndarray,
                               cdef_idx: np.ndarray | None = None,
                               cdef_bits: int = 0,
-                              ytx: np.ndarray | None = None) -> bytes:
+                              ytx: np.ndarray | None = None,
+                              split16: np.ndarray | None = None,
+                              ym8: np.ndarray | None = None,
+                              uvm8: np.ndarray | None = None) -> bytes:
         """One-call C++ pack of a KEY-frame tile from the batched TPU
-        keyframe pipeline outputs (32-blocks or 4x16 splits, kf modes,
-        CfL alphas, quadrant-packed levels). Byte-identical to
-        write_tile over the equivalent partitions/blocks dicts."""
+        keyframe pipeline outputs (32-blocks, 4x16 splits or 16->8
+        sub-splits, kf modes, CfL alphas, quadrant-packed levels).
+        Byte-identical to write_tile over the equivalent
+        partitions/blocks dicts."""
         fam = self._fam
         order = ["partition_mid", "skip", "kf_y_mode", "angle_delta",
                  "uv_mode_cfl", "cfl_sign", "cfl_alpha",
                  "intra_ext_tx2", "eob_pt_1024", "eob_pt_256",
                  "eob_pt_64", "eob_hi_bit", "txb_skip",
-                 "coeff_base_eob", "coeff_base", "coeff_br", "dc_sign"]
+                 "coeff_base_eob", "coeff_base", "coeff_br", "dc_sign",
+                 "partition_8", "eob_pt_16"]
         fam_ids = np.asarray([fam[n].fam for n in order], np.int32)
         split = np.ascontiguousarray(split, np.uint8).reshape(-1)
         ymodes = np.ascontiguousarray(ymodes, np.uint8).reshape(-1)
@@ -378,6 +385,15 @@ class NativeTileWriter(TileWriter):
         ytx_arr = np.ascontiguousarray(
             ytx if ytx is not None
             else np.ones((split.size, 4)), np.uint8).reshape(-1)
+        s16_arr = np.ascontiguousarray(
+            split16 if split16 is not None
+            else np.zeros((split.size, 4)), np.uint8).reshape(-1)
+        ym8_arr = np.ascontiguousarray(
+            ym8 if ym8 is not None
+            else np.zeros((split.size, 16)), np.uint8).reshape(-1)
+        uvm8_arr = np.ascontiguousarray(
+            uvm8 if uvm8 is not None
+            else np.zeros((split.size, 16)), np.uint8).reshape(-1)
         cap = 1 << 24
         buf = (C.c_uint8 * cap)()
         n = self._lib.packer_intra_tile(
@@ -393,6 +409,9 @@ class NativeTileWriter(TileWriter):
             cdef_map.ctypes.data_as(C.POINTER(C.c_uint8)),
             int(cdef_bits),
             ytx_arr.ctypes.data_as(C.POINTER(C.c_uint8)),
+            s16_arr.ctypes.data_as(C.POINTER(C.c_uint8)),
+            ym8_arr.ctypes.data_as(C.POINTER(C.c_uint8)),
+            uvm8_arr.ctypes.data_as(C.POINTER(C.c_uint8)),
             buf, cap)
         assert n > 0
         out = bytes(buf[:n])

@@ -1431,6 +1431,7 @@ struct IntraTileFams {
       cfl_alpha, intra_ext_tx2;
   int eob_pt_1024, eob_pt_256, eob_pt_64, eob_hi_bit, txb_skip,
       coeff_base_eob, coeff_base, coeff_br, dc_sign;
+  int part_8, eob_pt_16;
 };
 
 long packer_intra_tile(void* h, int mi_rows, int mi_cols,
@@ -1439,7 +1440,8 @@ long packer_intra_tile(void* h, int mi_rows, int mi_cols,
                        const int8_t* cfl, const int16_t* lv_y,
                        const int16_t* lv_u, const int16_t* lv_v,
                        const uint8_t* cdef_idx, int cdef_bits,
-                       const uint8_t* ytx,
+                       const uint8_t* ytx, const uint8_t* split16,
+                       const uint8_t* ym8, const uint8_t* uvm8,
                        uint8_t* out, long cap) {
   Packer* p = (Packer*)h;
   IntraTileFams F;
@@ -1451,6 +1453,7 @@ long packer_intra_tile(void* h, int mi_rows, int mi_cols,
     F.eob_pt_1024 = *f++; F.eob_pt_256 = *f++; F.eob_pt_64 = *f++;
     F.eob_hi_bit = *f++; F.txb_skip = *f++; F.coeff_base_eob = *f++;
     F.coeff_base = *f++; F.coeff_br = *f++; F.dc_sign = *f++;
+    F.part_8 = *f++; F.eob_pt_16 = *f++;
   }
   int nbx = mi_cols / 8;
   int M = mi_rows * mi_cols;
@@ -1591,7 +1594,7 @@ long packer_intra_tile(void* h, int mi_rows, int mi_cols,
            r / 2, F.eob_pt_256, -1, 0, 0);
         tu(2, lvv2, lvs, 16, 2, acoef_v.data(), lcoef_v.data(), c / 2,
            r / 2, F.eob_pt_256, -1, 0, 0);
-      } else {
+      } else if (bw4 == 4) {
         // TX_16X16 luma intra: set 2 symbol, rec sqr*13+mode
         tu(0, ly, lys, 16, 2, acoef_y.data(), lcoef_y.data(), c, r,
            F.eob_pt_256, F.intra_ext_tx2, 2 * 13 + ym, tt16);
@@ -1599,6 +1602,14 @@ long packer_intra_tile(void* h, int mi_rows, int mi_cols,
            r / 2, F.eob_pt_64, -1, 0, 0);
         tu(2, lvv2, lvs, 8, 1, acoef_v.data(), lcoef_v.data(), c / 2,
            r / 2, F.eob_pt_64, -1, 0, 0);
+      } else {
+        // B8X8: TX_8X8 luma (set 2 symbol, sqr idx 1) + TX_4X4 chroma
+        tu(0, ly, lys, 8, 1, acoef_y.data(), lcoef_y.data(), c, r,
+           F.eob_pt_64, F.intra_ext_tx2, 1 * 13 + ym, tt16);
+        tu(1, lu, lus, 4, 0, acoef_u.data(), lcoef_u.data(), c / 2,
+           r / 2, F.eob_pt_16, -1, 0, 0);
+        tu(2, lvv2, lvs, 4, 0, acoef_v.data(), lcoef_v.data(), c / 2,
+           r / 2, F.eob_pt_16, -1, 0, 0);
       }
     } else {
       for (int i = 0; i < bw4; i++) {
@@ -1641,9 +1652,27 @@ long packer_intra_tile(void* h, int mi_rows, int mi_cols,
           for (int q = 0; q < 4; q++) {
             int qr = rr + (q >> 1) * 4, qc = cc + (q & 1) * 4;
             int ctx16 = part_ctx(qr, qc, 1);
-            p->symbol_fam(F.part_mid, 0 * 4 + ctx16, 0 /* NONE */);
             int py = (q >> 1) * 16, px = (q & 1) * 16;
             int cy = (q >> 1) * 8, cx = (q & 1) * 8;
+            if (split16 && split16[g * 4 + q]) {
+              // 16 -> 8 SPLIT: four B8X8 children (TX_8X8 + TX_4X4)
+              p->symbol_fam(F.part_mid, 0 * 4 + ctx16, 3 /* SPLIT */);
+              for (int s = 0; s < 4; s++) {
+                int sr = qr + (s >> 1) * 2, sc = qc + (s & 1) * 2;
+                int ctx8 = part_ctx(sr, sc, 0);
+                p->symbol_fam(F.part_8, ctx8, 0 /* NONE */);
+                int sy = py + (s >> 1) * 8, sx = px + (s & 1) * 8;
+                int scy = cy + (s >> 1) * 4, scx = cx + (s & 1) * 4;
+                write_blockI(sr, sc, 2, ym8[g * 16 + q * 4 + s],
+                             uvm8[g * 16 + q * 4 + s], 0, 0,
+                             lv_y + g * 1024 + sy * 32 + sx, 32,
+                             lv_u + g * 256 + scy * 16 + scx, 16,
+                             lv_v + g * 256 + scy * 16 + scx, 16, 1);
+                update_part(sr, sc, 1, 2, 2);
+              }
+              continue;
+            }
+            p->symbol_fam(F.part_mid, 0 * 4 + ctx16, 0 /* NONE */);
             write_blockI(qr, qc, 4, ymodes[g * 5 + 1 + q],
                          uvmodes[g * 5 + 1 + q], 0, 0,
                          lv_y + g * 1024 + py * 32 + px, 32,

@@ -178,7 +178,7 @@ def block_bits(lv, L) -> jnp.ndarray:
 
 def build_rd(qindex: int, modes_y, modes_uv, bit_depth: int = 8,
              modes_quad=None, use_cfl: bool = False,
-             tx_search: bool = False) -> dict:
+             tx_search: bool = False, split8: bool = False) -> dict:
     """All traced RD inputs for wavefront_frame: quantizers, λ, rate
     LUTs, per-candidate mode-signaling bits, partition bits.
 
@@ -240,6 +240,17 @@ def build_rd(qindex: int, modes_y, modes_uv, bit_depth: int = 8,
             pm[int(PartitionType.SPLIT)] - pm[int(PartitionType.NONE)]
             + 4.0 * pm[int(PartitionType.NONE)]),
     }
+    if split8:
+        # 16 -> 8 partition depth (rav1e s6 floor): TX_8X8 luma +
+        # TX_4X4 chroma coefficient LUTs and the 16-level partition
+        # delta (SPLIT@16 instead of NONE@16, plus 4x NONE@8 from the
+        # partition_8 cdf)
+        p8 = mc["partition_8"]
+        out2["y8"] = rate_luts(qindex, TxSize.TX_8X8, 0)
+        out2["c4"] = rate_luts(qc, TxSize.TX_4X4, 1)
+        out2["split16_bits"] = jnp.float32(
+            pm[int(PartitionType.SPLIT)] - pm[int(PartitionType.NONE)]
+            + 4.0 * p8[int(PartitionType.NONE)])
     out2.update(out)
     return out2
 
@@ -406,6 +417,83 @@ def _quad_plane(edge_above, edge_left, edge_tl, has_a0, has_l0, srcb,
         total = total + cbest
     return (cur_rec, cur_lv, jnp.stack(sub_modes, axis=-1),
             jnp.stack(sub_txs, axis=-1), total)
+
+
+def _sub_edge(cur, ea, el, etl, has_a, has_l, r0, c0, half, n):
+    """Edges for the sub-block at (r0, c0) of size `half` inside a
+    block whose in-progress recon is `cur` [n, B, B]; ea/el/etl are
+    the outer block's edges (valid per has_a/has_l)."""
+    if r0 > 0:
+        sa = cur[:, r0 - 1, c0: c0 + half]
+        ha = jnp.ones((n,), bool)
+    else:
+        sa = ea[:, c0: c0 + half]
+        ha = has_a
+    if c0 > 0:
+        sl = cur[:, r0: r0 + half, c0 - 1]
+        hl = jnp.ones((n,), bool)
+    else:
+        sl = el[:, r0: r0 + half]
+        hl = has_l
+    if r0 > 0 and c0 > 0:
+        stl = cur[:, r0 - 1, c0 - 1]
+    elif r0 > 0:
+        stl = jnp.where(has_l, el[:, r0 - 1], 0)
+    elif c0 > 0:
+        stl = jnp.where(has_a, ea[:, c0 - 1], 0)
+    else:
+        stl = etl
+    return sa, sl, stl, ha, hl
+
+
+def _cquad(edges_u, edges_v, has_a, has_l, src_u, src_v, tx, dqs,
+           modes_uv, mode_tab_uv, lam, L, uvbits, cts, approx):
+    """Joint-uv 4-way split of a chroma region of size 2*tx.height:
+    four sub-blocks RDO'd sequentially (TL, TR, BL, BR), one shared
+    uv mode per sub-block (u and v coded with the same mode, as the
+    32-level chroma quads).  Returns (rec_u, rec_v, lv_u, lv_v,
+    modes [n, 4], total cost [n])."""
+    ea_u, el_u, etl_u = edges_u
+    ea_v, el_v, etl_v = edges_v
+    half = tx.height
+    n = src_u.shape[0]
+    sel = jnp.arange(n)
+    B = 2 * half
+    cu = jnp.zeros((n, B, B), jnp.int32)
+    cv = jnp.zeros((n, B, B), jnp.int32)
+    cul = jnp.zeros((n, B, B), jnp.int32)
+    cvl = jnp.zeros((n, B, B), jnp.int32)
+    ms = []
+    tot = jnp.zeros((n,), jnp.float32)
+    for (r0, c0) in ((0, 0), (0, half), (half, 0), (half, half)):
+        sau, slu, stu, hau, hlu = _sub_edge(cu, ea_u, el_u, etl_u,
+                                            has_a, has_l, r0, c0,
+                                            half, n)
+        sav, slv, stv, _, _ = _sub_edge(cv, ea_v, el_v, etl_v,
+                                        has_a, has_l, r0, c0, half, n)
+        pu = predict_modes(modes_uv, sau, slu, stu, hau, hlu,
+                           half, half)
+        pv = predict_modes(modes_uv, sav, slv, stv, hau, hlu,
+                           half, half)
+        ru_, lu2, su_ = _cand_eval(pu, src_u[:, r0: r0 + half,
+                                             c0: c0 + half],
+                                   tx, dqs, cts, approx=approx)
+        rv_, lv2, sv_ = _cand_eval(pv, src_v[:, r0: r0 + half,
+                                             c0: c0 + half],
+                                   tx, dqs, cts, approx=approx)
+        cst = (su_ + sv_ + lam * (block_bits(lu2, L)
+                                  + block_bits(lv2, L)
+                                  + uvbits[:, None]))
+        bq = jnp.argmin(cst, axis=0)
+        cu = cu.at[:, r0: r0 + half, c0: c0 + half].set(ru_[bq, sel])
+        cv = cv.at[:, r0: r0 + half, c0: c0 + half].set(rv_[bq, sel])
+        cul = cul.at[:, r0: r0 + half, c0: c0 + half].set(
+            lu2[bq, sel])
+        cvl = cvl.at[:, r0: r0 + half, c0: c0 + half].set(
+            lv2[bq, sel])
+        ms.append(mode_tab_uv[bq])
+        tot = tot + cst[bq, sel]
+    return cu, cv, cul, cvl, jnp.stack(ms, axis=-1), tot
 
 
 @partial(jax.jit, static_argnames=("modes_y", "modes_uv", "modes_quad",
@@ -621,63 +709,88 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
             cfl_sel = (jnp.where(take, au, 0), jnp.where(take, av, 0))
 
         if split_rdo:
-            # ---- luma 16-quad (optionally with tx-type search) ----
-            yq_rec, yq_lv, yq_modes, yq_txs, yq_cost = _quad_plane(
-                a_y, l_y, tl_y, has_a, has_l, srcb_y, TxSize.TX_16X16,
-                (qdc_b, qac_b), modes_quad, lam,
-                [TxType.DCT_DCT] * len(modes_quad), rd["y16"],
-                rd["yqbits"], approx=approx,
-                txbits=rd.get("ytxb"))
-            # ---- chroma 8-quad: joint u+v per sub-block with shared
-            # mode pick ----
+            # ---- merged luma+chroma per-quad loop: each 16 region
+            # picks 16-whole vs (when rd carries y8/c4 LUTs) four 8x8
+            # children, jointly over luma+chroma (rav1e
+            # encode_partition_bottomup one level deeper — 8x8 is the
+            # s6 partition floor, src/rdo.rs) ----
+            split8 = "y8" in rd
             cts8 = [chroma_tx_type(m, TxSize.TX_8X8, True)
                     for m in modes_uv]
-
-            def chroma_quad(rec, src):
-                a, l_, tl = gather_edges(rec, ii, jj, CB, CB)
-                return a, l_, tl, blk(src)
-
-            au, lu_, tlu, srcu = chroma_quad(ru, su)
-            av, lv_, tlv, srcv = chroma_quad(rv, sv)
-            half = CB // 2
+            cts4 = ([chroma_tx_type(m, TxSize.TX_4X4, True)
+                     for m in modes_uv] if split8 else None)
+            au, lu_, tlu = gather_edges(ru, ii, jj, CB, CB)
+            av, lv_, tlv = gather_edges(rv, ii, jj, CB, CB)
+            srcu, srcv = blk(su), blk(sv)
+            K = len(modes_quad)
+            mode_tab_q = jnp.asarray(
+                np.array([int(m) for m in modes_quad], np.int32))
+            txbits = rd.get("ytxb")
+            cur = jnp.zeros((n, LB, LB), jnp.int32)
+            clv = jnp.zeros((n, LB, LB), jnp.int32)
             cur_u = jnp.zeros((n, CB, CB), jnp.int32)
             cur_v = jnp.zeros((n, CB, CB), jnp.int32)
             cu_lv = jnp.zeros((n, CB, CB), jnp.int32)
             cv_lv = jnp.zeros((n, CB, CB), jnp.int32)
-            cq_modes = []
-            cq_cost = jnp.zeros((n,), jnp.float32)
-            for (r0, c0) in ((0, 0), (0, half), (half, 0), (half, half)):
-                def sub_edges(cur, ea, el, etl):
-                    if r0 > 0:
-                        sa = cur[:, r0 - 1, c0: c0 + half]
-                        ha = jnp.ones((n,), bool)
-                    else:
-                        sa = ea[:, c0: c0 + half]
-                        ha = has_a
-                    if c0 > 0:
-                        sl = cur[:, r0: r0 + half, c0 - 1]
-                        hl = jnp.ones((n,), bool)
-                    else:
-                        sl = el[:, r0: r0 + half]
-                        hl = has_l
-                    if r0 > 0 and c0 > 0:
-                        st_ = cur[:, r0 - 1, c0 - 1]
-                    elif r0 > 0:
-                        st_ = jnp.where(has_l, el[:, r0 - 1], 0)
-                    elif c0 > 0:
-                        st_ = jnp.where(has_a, ea[:, c0 - 1], 0)
-                    else:
-                        st_ = etl
-                    return sa, sl, st_, ha, hl
-
-                sau, slu, stu, hau, hlu = sub_edges(cur_u, au, lu_, tlu)
-                sav, slv, stv, hav, hlv = sub_edges(cur_v, av, lv_, tlv)
+            yq_modes, yq_txs_l, cq_modes = [], [], []
+            s16_l, ym8_l, uvm8_l = [], [], []
+            tot_cost = jnp.zeros((n,), jnp.float32)
+            half = CB
+            h8 = CB // 2
+            for qi, (r0, c0) in enumerate(
+                    ((0, 0), (0, half), (half, 0), (half, half))):
+                # --- luma 16-whole (optionally with tx-type search) -
+                sa, sl, stl, ha, hl = _sub_edge(
+                    cur, a_y, l_y, tl_y, has_a, has_l, r0, c0, half, n)
+                preds = predict_modes(modes_quad, sa, sl, stl, ha, hl,
+                                      half, half)
+                sub_src = srcb_y[:, r0: r0 + half, c0: c0 + half]
+                if txbits is None:
+                    recb, lvk, sse = _cand_eval(
+                        preds, sub_src, TxSize.TX_16X16,
+                        (qdc_b, qac_b), [TxType.DCT_DCT] * K,
+                        approx=approx)
+                    cost = sse + lam * (block_bits(lvk, rd["y16"])
+                                        + rd["yqbits"][:, None])
+                    b16 = jnp.argmin(cost, axis=0)
+                    rec16, lv16 = recb[b16, sel], lvk[b16, sel]
+                    tx16 = jnp.ones((n,), jnp.int32)
+                    cost16 = cost[b16, sel]
+                else:
+                    recs, lvs, costs = [], [], []
+                    for ti, tt in enumerate(QUAD_TXS):
+                        recb, lvk, sse = _cand_eval(
+                            preds, sub_src, TxSize.TX_16X16,
+                            (qdc_b, qac_b), [tt] * K, approx=approx)
+                        costs.append(
+                            sse + lam * (block_bits(lvk, rd["y16"])
+                                         + rd["yqbits"][:, None]
+                                         + txbits[ti][:, None]))
+                        recs.append(recb)
+                        lvs.append(lvk)
+                    cost = jnp.concatenate(costs, 0)
+                    recb = jnp.concatenate(recs, 0)
+                    lvk = jnp.concatenate(lvs, 0)
+                    b16 = jnp.argmin(cost, axis=0)
+                    rec16, lv16 = recb[b16, sel], lvk[b16, sel]
+                    tx16 = b16 // K + 1           # set-2 symbols 1..4
+                    cost16 = cost[b16, sel]
+                    b16 = b16 % K
+                m16 = mode_tab_q[b16]
+                # --- chroma 8-whole (joint uv) ---
+                cr0, cc0 = r0 // 2, c0 // 2
+                sau, slu, stu, hau, hlu = _sub_edge(
+                    cur_u, au, lu_, tlu, has_a, has_l, cr0, cc0,
+                    h8, n)
+                sav, slv, stv, _, _ = _sub_edge(
+                    cur_v, av, lv_, tlv, has_a, has_l, cr0, cc0,
+                    h8, n)
                 pu = predict_modes(modes_uv, sau, slu, stu, hau, hlu,
-                                   half, half)
-                pv = predict_modes(modes_uv, sav, slv, stv, hav, hlv,
-                                   half, half)
-                ssub_u = srcu[:, r0: r0 + half, c0: c0 + half]
-                ssub_v = srcv[:, r0: r0 + half, c0: c0 + half]
+                                   h8, h8)
+                pv = predict_modes(modes_uv, sav, slv, stv, hau, hlu,
+                                   h8, h8)
+                ssub_u = srcu[:, cr0: cr0 + h8, cc0: cc0 + h8]
+                ssub_v = srcv[:, cr0: cr0 + h8, cc0: cc0 + h8]
                 ru8, lu8, su8 = _cand_eval(pu, ssub_u, TxSize.TX_8X8,
                                            (qdc_cb, qac_cb), cts8,
                                            approx=approx)
@@ -689,19 +802,63 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
                                 + block_bits(lv8, rd["c8"])
                                 + rd["uvbits"][:, None]))
                 bq = jnp.argmin(cst, axis=0)
-                cur_u = cur_u.at[:, r0: r0 + half, c0: c0 + half].set(
-                    ru8[bq, sel])
-                cur_v = cur_v.at[:, r0: r0 + half, c0: c0 + half].set(
-                    rv8[bq, sel])
-                cu_lv = cu_lv.at[:, r0: r0 + half, c0: c0 + half].set(
-                    lu8[bq, sel])
-                cv_lv = cv_lv.at[:, r0: r0 + half, c0: c0 + half].set(
-                    lv8[bq, sel])
-                cq_modes.append(mode_tab_uv[bq])
-                cq_cost = cq_cost + cst[bq, sel]
+                c8u, c8v = ru8[bq, sel], rv8[bq, sel]
+                c8ul, c8vl = lu8[bq, sel], lv8[bq, sel]
+                cm8 = mode_tab_uv[bq]
+                cost_c8 = cst[bq, sel]
+                if split8:
+                    # --- four 8x8 luma children + 4x4 chroma quad ---
+                    y8_rec, y8_lv, y8_modes, _, y8_cost = _quad_plane(
+                        sa, sl, stl, ha, hl, sub_src, TxSize.TX_8X8,
+                        (qdc_b, qac_b), modes_quad, lam,
+                        [TxType.DCT_DCT] * K, rd["y8"], rd["yqbits"],
+                        approx=approx)
+                    (u4, v4, u4l, v4l, c4m, c4_cost) = _cquad(
+                        (sau, slu, stu), (sav, slv, stv), hau, hlu,
+                        ssub_u, ssub_v, TxSize.TX_4X4,
+                        (qdc_cb, qac_cb), modes_uv, mode_tab_uv, lam,
+                        rd["c4"], rd["uvbits"], cts4, approx)
+                    cost_split16 = (y8_cost + c4_cost
+                                    + lam * rd["split16_bits"])
+                    cost_whole = cost16 + cost_c8
+                    s16 = cost_split16 < cost_whole
+                    s3q = s16[:, None, None]
+                    rec_q = jnp.where(s3q, y8_rec, rec16)
+                    lv_q = jnp.where(s3q, y8_lv, lv16)
+                    uq = jnp.where(s3q, u4, c8u)
+                    vq = jnp.where(s3q, v4, c8v)
+                    uql = jnp.where(s3q, u4l, c8ul)
+                    vql = jnp.where(s3q, v4l, c8vl)
+                    tot_cost = tot_cost + jnp.where(
+                        s16, cost_split16, cost_whole)
+                    s16_l.append(s16)
+                    ym8_l.append(y8_modes)
+                    uvm8_l.append(c4m)
+                else:
+                    rec_q, lv_q = rec16, lv16
+                    uq, vq, uql, vql = c8u, c8v, c8ul, c8vl
+                    tot_cost = tot_cost + cost16 + cost_c8
+                cur = cur.at[:, r0: r0 + half, c0: c0 + half].set(
+                    rec_q)
+                clv = clv.at[:, r0: r0 + half, c0: c0 + half].set(
+                    lv_q)
+                cur_u = cur_u.at[:, cr0: cr0 + h8,
+                                 cc0: cc0 + h8].set(uq)
+                cur_v = cur_v.at[:, cr0: cr0 + h8,
+                                 cc0: cc0 + h8].set(vq)
+                cu_lv = cu_lv.at[:, cr0: cr0 + h8,
+                                 cc0: cc0 + h8].set(uql)
+                cv_lv = cv_lv.at[:, cr0: cr0 + h8,
+                                 cc0: cc0 + h8].set(vql)
+                yq_modes.append(m16)
+                yq_txs_l.append(tx16)
+                cq_modes.append(cm8)
+            yq_rec, yq_lv = cur, clv
+            yq_txs = jnp.stack(yq_txs_l, axis=-1)
+            yq_modes = jnp.stack(yq_modes, axis=-1)
             cq_modes = jnp.stack(cq_modes, axis=-1)
 
-            split_cost = yq_cost + cq_cost + lam * rd["split_bits"]
+            split_cost = tot_cost + lam * rd["split_bits"]
             none_cost = y32_cost + c16[5]
             split = split_cost < none_cost
             s3 = split[:, None, None]
@@ -717,6 +874,16 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
             uv_modes = jnp.concatenate(
                 [c16[4][:, None], cq_modes], axis=-1)
             y_txs = jnp.where(split[:, None], yq_txs, 1)
+            if s16_l:
+                # split16 only lives under a split-32 parent
+                s16_arr = (jnp.stack(s16_l, axis=-1)
+                           & split[:, None])
+                ym8_arr = jnp.stack(ym8_l, axis=1)     # [n, 4, 4]
+                uvm8_arr = jnp.stack(uvm8_l, axis=1)
+            else:
+                s16_arr = jnp.zeros((n, 4), bool)
+                ym8_arr = jnp.zeros((n, 4, 4), jnp.int32)
+                uvm8_arr = jnp.zeros((n, 4, 4), jnp.int32)
         else:
             split = jnp.zeros((n,), bool)
             y_rec, y_lv = y32_rec, y32_lv
@@ -727,6 +894,9 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
             uv_modes = jnp.concatenate(
                 [c16[4][:, None]] + [c16[4][:, None]] * 4, axis=-1)
             y_txs = jnp.ones((n, 4), jnp.int32)
+            s16_arr = jnp.zeros((n, 4), bool)
+            ym8_arr = jnp.zeros((n, 4, 4), jnp.int32)
+            uvm8_arr = jnp.zeros((n, 4, 4), jnp.int32)
 
         cfl_arr = jnp.where(split[:, None],
                             0, jnp.stack(list(cfl_sel), axis=-1))
@@ -736,7 +906,8 @@ def wavefront_frame(state, srcs, ii_tab, jj_tab, mask_tab, rd,
 
             return (g(y_rec), g(u_rec), g(v_rec), g(y_lv), g(u_lv),
                     g(v_lv), g(y_modes), g(uv_modes), g(split),
-                    g(cfl_arr), g(y_txs))
+                    g(cfl_arr), g(y_txs), g(s16_arr), g(ym8_arr),
+                    g(uvm8_arr))
         ry = ry.at[ii, jj].set(jnp.where(m3, y_rec, ry[ii, jj]))
         ru = ru.at[ii, jj].set(jnp.where(m3, u_rec, ru[ii, jj]))
         rv = rv.at[ii, jj].set(jnp.where(m3, v_rec, rv[ii, jj]))
@@ -827,11 +998,12 @@ def _tts_select(modes, tx):
 
 @partial(jax.jit, static_argnames=("modes_y", "modes_uv", "modes_quad",
                                    "split_rdo", "use_cfl", "ext",
-                                   "tx_search"))
+                                   "tx_search", "split8"))
 def recon_wavefront(sy_sk, su_sk, sv_sk, ym_sk, uvm_sk, sp_sk, cf_sk,
                     has_l_tab, tr_tab, rd, modes_y, modes_uv,
                     modes_quad, split_rdo, use_cfl, ext,
-                    ytx_sk=None, tx_search=False):
+                    ytx_sk=None, tx_search=False, s16_sk=None,
+                    ym8_sk=None, uvm8_sk=None, split8=False):
     """Decoder-order reconstruction with FIXED per-block decisions.
 
     All arrays are diagonal-skewed: index [d, s] holds block
@@ -852,6 +1024,9 @@ def recon_wavefront(sy_sk, su_sk, sv_sk, ym_sk, uvm_sk, sp_sk, cf_sk,
     tts8, tid8_np = _tts_select(modes_uv, TxSize.TX_8X8)
     tid16 = jnp.asarray(tid16_np)
     tid8 = jnp.asarray(tid8_np)
+    if split8:
+        tts4, tid4_np = _tts_select(modes_uv, TxSize.TX_4X4)
+        tid4 = jnp.asarray(tid4_np)
     o_a, o_l, o_tl = (2, 1, 3) if ext else (1, 1, 2)
     slot_has_a = jnp.arange(S) > 0
 
@@ -942,10 +1117,14 @@ def recon_wavefront(sy_sk, su_sk, sv_sk, ym_sk, uvm_sk, sp_sk, cf_sk,
                                qac_d)
 
         if split_rdo:
-            # ---- luma 16-quads, one mode each ----
+            # ---- luma 16-quads, one mode each (split8: each quad may
+            # instead recon as four 8x8 children, s16_sk flags) ----
             cur = jnp.zeros((S, LB, LB), jnp.int32)
             clv = jnp.zeros((S, LB, LB), jnp.int32)
             half = CB
+            s16_d = rows(s16_sk, d) if split8 else None
+            ym8_d = rows(ym8_sk, d) if split8 else None
+            uvm8_d = rows(uvm8_sk, d) if split8 else None
             for qi, (r0, c0) in enumerate(
                     ((0, 0), (0, half), (half, 0), (half, half))):
                 if r0 > 0:
@@ -979,6 +1158,28 @@ def recon_wavefront(sy_sk, su_sk, sv_sk, ym_sk, uvm_sk, sp_sk, cf_sk,
                 else:
                     rq, lq = code_one(psel, sub_src,
                                       TxSize.TX_16X16, qdc_d, qac_d)
+                if split8:
+                    # 8x8 children with fixed modes (DCT_DCT), edges
+                    # from the in-progress 8-recon + the quad edges
+                    cur8 = jnp.zeros((S, half, half), jnp.int32)
+                    clv8 = jnp.zeros((S, half, half), jnp.int32)
+                    for si, (sr, sc) in enumerate(
+                            ((0, 0), (0, 8), (8, 0), (8, 8))):
+                        sa8, sl8, stl8, ha8, hl8 = _sub_edge(
+                            cur8, sa, sl, stl, ha, hl, sr, sc, 8, S)
+                        p8 = predict_modes(modes_quad, sa8, sl8, stl8,
+                                           ha8, hl8, 8, 8)
+                        ps8 = sel_modes(p8, lutq[ym8_d[:, qi, si]])
+                        r8, l8 = code_one(
+                            ps8, sub_src[:, sr: sr + 8, sc: sc + 8],
+                            TxSize.TX_8X8, qdc_d, qac_d)
+                        cur8 = cur8.at[:, sr: sr + 8,
+                                       sc: sc + 8].set(r8)
+                        clv8 = clv8.at[:, sr: sr + 8,
+                                       sc: sc + 8].set(l8)
+                    s16q = s16_d[:, qi][:, None, None]
+                    rq = jnp.where(s16q, cur8, rq)
+                    lq = jnp.where(s16q, clv8, lq)
                 cur = cur.at[:, r0: r0 + half, c0: c0 + half].set(rq)
                 clv = clv.at[:, r0: r0 + half, c0: c0 + half].set(lq)
             s3 = sp_d[:, None, None]
@@ -1075,6 +1276,33 @@ def recon_wavefront(sy_sk, su_sk, sv_sk, ym_sk, uvm_sk, sp_sk, cf_sk,
                     rq, lq = code_sel(
                         psel, src[:, r0: r0 + h8, c0: c0 + h8],
                         TxSize.TX_8X8, qdc_cd, qac_cd, tts8, tq)
+                    if split8:
+                        # 4x4 children with the shared per-child uv
+                        # mode (uvm8) when the luma quad split to 8x8
+                        cur4 = jnp.zeros((S, h8, h8), jnp.int32)
+                        clv4 = jnp.zeros((S, h8, h8), jnp.int32)
+                        for si, (sr, sc) in enumerate(
+                                ((0, 0), (0, 4), (4, 0), (4, 4))):
+                            sa4, sl4, stl4, ha4, hl4 = _sub_edge(
+                                cur4, sa, sl, stl, ha, hl, sr, sc,
+                                4, S)
+                            p4 = predict_modes(modes_uv, sa4, sl4,
+                                               stl4, ha4, hl4, 4, 4)
+                            m4 = uvm8_d[:, qi, si]
+                            ps4 = sel_modes(p4, lutuv[m4])
+                            r4, l4 = code_sel(
+                                ps4,
+                                src[:, r0 + sr: r0 + sr + 4,
+                                    c0 + sc: c0 + sc + 4],
+                                TxSize.TX_4X4, qdc_cd, qac_cd,
+                                tts4, tid4[m4])
+                            cur4 = cur4.at[:, sr: sr + 4,
+                                           sc: sc + 4].set(r4)
+                            clv4 = clv4.at[:, sr: sr + 4,
+                                           sc: sc + 4].set(l4)
+                        s16q = s16_d[:, qi][:, None, None]
+                        rq = jnp.where(s16q, cur4, rq)
+                        lq = jnp.where(s16q, clv4, lq)
                     cur_2 = cur_.at[:, r0: r0 + h8,
                                     c0: c0 + h8].set(rq)
                     clv_2 = clv_.at[:, r0: r0 + h8,
@@ -1105,7 +1333,7 @@ def recon_wavefront(sy_sk, su_sk, sv_sk, ym_sk, uvm_sk, sp_sk, cf_sk,
     return (st[0][3:], st[1][3:], st[2][3:], st[3], st[4], st[5])
 
 
-KF_META = 20         # per-block meta row: flags + modes + cfl + ytx
+KF_META = 54   # per-block meta row: flags + modes + cfl + ytx + 8x8
 
 
 def _kf_stream_cap(B: int) -> int:
@@ -1135,11 +1363,29 @@ def _kf_skip_flags(state):
     return skip_q, skip_q.all(axis=1), sp.reshape(B)
 
 
+def _kf_sub_levels(state):
+    """Per-8x8-child level views: (ly8 [B,4,4,8,8], lu4 [B,4,4,4,4],
+    lv4 [B,4,4,4,4]) in (quad, sub-quad) order — the storage is
+    spatial, these are reshapes."""
+    ly, lu, lvv, sp = state[3], state[4], state[5], state[8]
+    bh, bw = sp.shape
+    B = bh * bw
+
+    def subq(x, n):
+        q = _kf_quads(x, 2 * n)                   # [B, 4, 2n, 2n]
+        return _kf_quads(q.reshape(-1, 2 * n, 2 * n),
+                         n).reshape(B, 4, 4, n, n)
+
+    return (subq(ly.reshape(B, LB, LB), LB // 4),
+            subq(lu.reshape(B, CB, CB), CB // 4),
+            subq(lvv.reshape(B, CB, CB), CB // 4))
+
+
 @partial(jax.jit,
          static_argnames=("split_rdo", "use_cdef", "use_deblock",
-                          "cdef_rdo"))
+                          "cdef_rdo", "split8"))
 def _kf_filters(state, srcs, base_lf, cdef_prm, lam, split_rdo,
-                use_cdef, use_deblock, cdef_rdo=False):
+                use_cdef, use_deblock, cdef_rdo=False, split8=False):
     """Keyframe in-loop filter dispatch (separate from the meta pack:
     fused, the filter searches degraded XLA's schedule of the big
     program). Returns (lf_lvl, cdef_idx, rec_packed uint8)."""
@@ -1149,6 +1395,20 @@ def _kf_filters(state, srcs, base_lf, cdef_prm, lam, split_rdo,
     skip_q, skip_b, split = _kf_skip_flags(state)
     planes = [_from_blocks_j(ry), _from_blocks_j(ru),
               _from_blocks_j(rv)]
+    if split8:
+        # per-16-cell 8x8-TX flag grid for the spec MIN-adjacent-TX
+        # filter-length derivation (deblock sub_map) + child skips
+        s16 = state[11] & sp[:, :, None]
+        sub16 = (s16.reshape(bh, bw, 2, 2).transpose(0, 2, 1, 3)
+                 .reshape(bh * 2, bw * 2))
+        sub_map = jnp.repeat(jnp.repeat(sub16, 2, 0), 2, 1)
+        ly8, lu4, lv4 = _kf_sub_levels(state)
+        nz8 = ((ly8 != 0).any(axis=(3, 4))
+               | (lu4 != 0).any(axis=(3, 4))
+               | (lv4 != 0).any(axis=(3, 4)))        # [B, 4, 4]
+        skip_c = ~nz8
+    else:
+        sub_map = None
     lf_lvl = jnp.int32(0)
     if use_deblock:
         from rav1e_tpu.ops.tpu.deblock import deblock_search
@@ -1156,7 +1416,7 @@ def _kf_filters(state, srcs, base_lf, cdef_prm, lam, split_rdo,
         src_planes = [_from_blocks_j(s) for s in srcs]
         lf_lvl, planes = deblock_search(
             planes, src_planes, base_lf, blk_y, blk_c, 8,
-            sp if split_rdo else None)
+            sp if split_rdo else None, sub_map=sub_map)
     nr, nc = (bh + 1) // 2, (bw + 1) // 2
     cdef_idx = jnp.zeros((nr, nc), jnp.int32)
     if use_cdef:
@@ -1165,6 +1425,19 @@ def _kf_filters(state, srcs, base_lf, cdef_prm, lam, split_rdo,
                                                              2, 2)
         skip8 = (sk.transpose(0, 2, 1, 3).reshape(bh * 2, bw * 2)
                  .repeat(2, 0).repeat(2, 1))
+        if split8:
+            # split16 quads: the CDEF skip test is per coded 8x8
+            # child, not per 16 quad (and NONE-32 blocks still use
+            # the whole-block skip)
+            B = bh * bw
+            qeff = jnp.where(split[:, None], skip_q,
+                             skip_b[:, None].repeat(4, 1))
+            eff = jnp.where(
+                (state[11] & sp.reshape(bh, bw, 1)).reshape(B, 4, 1),
+                skip_c, qeff[:, :, None])
+            skip8 = (eff.reshape(bh, bw, 2, 2, 2, 2)
+                     .transpose(0, 2, 4, 1, 3, 5)
+                     .reshape(bh * 4, bw * 4))
         if cdef_rdo:
             # per-64x64-SB strength-index RDO over the 8-entry ladder
             # (rav1e rdo_loop_decision, cdef_bits=3) vs the SOURCE
@@ -1188,8 +1461,8 @@ def _kf_filters(state, srcs, base_lf, cdef_prm, lam, split_rdo,
     return lf_lvl, cdef_idx, rec_packed
 
 
-@jax.jit
-def _kf_meta(state, lf_lvl, cdef_idx):
+@partial(jax.jit, static_argnames=("split8",))
+def _kf_meta(state, lf_lvl, cdef_idx, split8=False):
     """Keyframe compact meta packing so the host does ONE small fetch
     instead of pulling the full int32 state (~25 MB at 1080p over the
     tunneled chip link).
@@ -1197,8 +1470,10 @@ def _kf_meta(state, lf_lvl, cdef_idx):
     Returns (meta flat int8 = [B+1 hdr rows | counts | nonzero
     pos/val stream | per-SB cdef idx], lv_y/lv_u/lv_v int16 device
     arrays for the overflow gather). Hdr row: flags (skip, split) |
-    my[5] | mu[5] | cf[2] | ytx[4]; tail row: [lf_lvl]."""
-    ry, ru, rv, ly, lu, lvv, my, mu, sp, cf, ytx = state
+    my[5] | mu[5] | cf[2] | ytx[4] | s16[4] | ym8[16] | uvm8[16];
+    tail row: [lf_lvl]."""
+    (ry, ru, rv, ly, lu, lvv, my, mu, sp, cf, ytx, s16, ym8,
+     uvm8) = state
     bh, bw = sp.shape
     B = bh * bw
     skip_q, skip_b, split = _kf_skip_flags(state)
@@ -1209,16 +1484,27 @@ def _kf_meta(state, lf_lvl, cdef_idx):
     # module scope — importing inside this traced function would
     # create tpu_inter's module-level device constants under the
     # tracer and leak)
-    sl = scanline(ly_f, lu_f, lv_f, _kf_quads(ly_f, LB // 2),
-                  _kf_quads(lu_f, CB // 2), _kf_quads(lv_f, CB // 2),
-                  split, B)
+    if split8:
+        ly8, lu4, lv4 = _kf_sub_levels(state)
+        sl = scanline(ly_f, lu_f, lv_f, _kf_quads(ly_f, LB // 2),
+                      _kf_quads(lu_f, CB // 2),
+                      _kf_quads(lv_f, CB // 2), split, B,
+                      lv_y8=ly8, lv_u4=lu4, lv_v4=lv4,
+                      split16=s16.reshape(B, 4))
+    else:
+        sl = scanline(ly_f, lu_f, lv_f, _kf_quads(ly_f, LB // 2),
+                      _kf_quads(lu_f, CB // 2),
+                      _kf_quads(lv_f, CB // 2), split, B)
     counts, pos, val = nnz_stream(sl, _kf_stream_cap(B))
     flags = jnp.stack([skip_b, split], axis=1).astype(jnp.int8)
     row = jnp.concatenate(
         [flags, my.reshape(B, 5).astype(jnp.int8),
          mu.reshape(B, 5).astype(jnp.int8),
          cf.reshape(B, 2).astype(jnp.int8),
-         ytx.reshape(B, 4).astype(jnp.int8)], axis=1)
+         ytx.reshape(B, 4).astype(jnp.int8),
+         s16.reshape(B, 4).astype(jnp.int8),
+         ym8.reshape(B, 16).astype(jnp.int8),
+         uvm8.reshape(B, 16).astype(jnp.int8)], axis=1)
     row = jnp.pad(row, ((0, 0), (0, KF_META - row.shape[1])))
     tail = jnp.zeros((1, KF_META), jnp.int8)
     tail = tail.at[0, 0].set(lf_lvl.astype(jnp.int8))
@@ -1237,13 +1523,14 @@ def _kf_meta(state, lf_lvl, cdef_idx):
 
 
 def _finalize_kf(state, srcs, base_lf, cdef_prm, lam, split_rdo,
-                 use_cdef, use_deblock, cdef_rdo=False):
+                 use_cdef, use_deblock, cdef_rdo=False, split8=False):
     """Device-side keyframe epilogue as two chained dispatches:
     in-loop filter searches, then compact meta packing."""
     lf_lvl, cdef_idx, rec_packed = _kf_filters(
         state, srcs, base_lf, cdef_prm, lam, split_rdo, use_cdef,
-        use_deblock, cdef_rdo=cdef_rdo)
-    meta, lvy, lvu, lvv = _kf_meta(state, lf_lvl, cdef_idx)
+        use_deblock, cdef_rdo=cdef_rdo, split8=split8)
+    meta, lvy, lvu, lvv = _kf_meta(state, lf_lvl, cdef_idx,
+                                   split8=split8)
     return meta, rec_packed, lvy, lvu, lvv
 
 
@@ -1317,8 +1604,9 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     ext = any(m in (P.D45_PRED, P.D67_PRED, P.D203_PRED)
               for m in modes_y)
     tx_search = ss.tx_search and split_rdo
+    split8 = ss.kf_split8 and split_rdo
     rd = build_rd(qindex, modes_y, modes_uv, modes_quad=modes_quad,
-                  use_cfl=ss.cfl, tx_search=tx_search)
+                  use_cfl=ss.cfl, tx_search=tx_search, split8=split8)
     seg_map = None
     if aq:
         # variance AQ (numpy-path parity, pipeline/intra.py): per-32
@@ -1423,20 +1711,27 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     def phase2(dec):
         my_d, mu_d, sp_d, cf_d, ytx_d = (dec[6], dec[7], dec[8],
                                          dec[9], dec[10])
+        s16_d, ym8_d, uvm8_d = dec[11], dec[12], dec[13]
         out = recon_wavefront(
             skew(sy), skew(su), skew(sv), skew(my_d), skew(mu_d),
             skew(sp_d), skew(cf_d), jnp.asarray(has_l_sk), tr_sk, rd,
             modes_y, modes_uv, modes_quad, split_rdo, ss.cfl, ext,
             ytx_sk=skew(ytx_d) if tx_search else None,
-            tx_search=tx_search)
-        return (my_d, mu_d, sp_d, cf_d, ytx_d), out
+            tx_search=tx_search,
+            s16_sk=skew(s16_d) if split8 else None,
+            ym8_sk=skew(ym8_d) if split8 else None,
+            uvm8_sk=skew(uvm8_d) if split8 else None,
+            split8=split8)
+        return (my_d, mu_d, sp_d, cf_d, ytx_d, s16_d, ym8_d,
+                uvm8_d), out
 
     dec = phase1((sy, su, sv))
     if _timing:
         jax.block_until_ready(dec[6])
         print(f"# kf phase1 {_time.time()-_t0:.3f}s")
         _t0 = _time.time()
-    (my_d, mu_d, sp_d, cf_d, ytx_d), rw = phase2(dec)
+    (my_d, mu_d, sp_d, cf_d, ytx_d, s16_d, ym8_d,
+     uvm8_d), rw = phase2(dec)
     ry_sk, ru_sk, rv_sk, ly_sk, lu_sk, lvv_sk = rw
     if _timing:
         jax.block_until_ready(ry_sk)
@@ -1445,7 +1740,7 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
 
     state = (unskew(ry_sk), unskew(ru_sk), unskew(rv_sk),
              unskew(ly_sk), unskew(lu_sk), unskew(lvv_sk),
-             my_d, mu_d, sp_d, cf_d, ytx_d)
+             my_d, mu_d, sp_d, cf_d, ytx_d, s16_d, ym8_d, uvm8_d)
 
     # ---- device epilogue: filters + compact meta, ONE fetch ---------------
     from rav1e_tpu.ops.ref.deblock import level_from_qindex
@@ -1456,7 +1751,8 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     meta_d, rec_packed_d, lvy_d, lvu_d, lvv_d = _finalize_kf(
         state, (sy, su, sv), jnp.int32(level_from_qindex(qindex)),
         cdef_prm, jnp.float32(rd_lambda(qindex, 8)), split_rdo,
-        cdef is not None, deblock, cdef_rdo=use_cdef_rdo)
+        cdef is not None, deblock, cdef_rdo=use_cdef_rdo,
+        split8=split8)
     if _timing:
         jax.block_until_ready(meta_d)
         print(f"# kf epilogue {_time.time()-_t0:.3f}s")
@@ -1479,6 +1775,10 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
         mu = body[:, 7:12].astype(np.int32).reshape(bh, bw, 5)
         cfm = body[:, 12:14].astype(np.int32).reshape(bh, bw, 2)
         ytx = body[:, 14:18].astype(np.int32).reshape(bh, bw, 4)
+        s16 = (body[:, 18:22] != 0)                       # [B, 4]
+        ym8 = body[:, 22:38].astype(np.int32).reshape(B, 4, 4)
+        uvm8 = body[:, 38:54].astype(np.int32).reshape(B, 4, 4)
+        any8 = split8 and bool(s16.any())
 
         def unw(raw):
             w = raw.reshape(-1, 2).astype(np.int32)
@@ -1494,9 +1794,9 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
         cdef_map = (meta[o3:].astype(np.uint8).reshape(nr, nc)
                     if use_cdef_rdo else None)
         from rav1e_tpu.pipeline.tpu_inter import unpack_stream
-        lv_y, lv_u, lv_v, over = unpack_stream(counts, pos, val,
-                                               sp.reshape(B),
-                                               cap=cap)
+        lv_y, lv_u, lv_v, over = unpack_stream(
+            counts, pos, val, sp.reshape(B), cap=cap,
+            split16=s16 if any8 else None)
         didx = np.nonzero(over)[0]
         if len(didx):
             g = np.asarray(_gather_dense_kf(lvy_d, lvu_d, lvv_d,
@@ -1552,7 +1852,10 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
                 cfm.reshape(-1, 2), ly.reshape(-1, 32, 32),
                 lu.reshape(-1, 16, 16), lvv.reshape(-1, 16, 16),
                 cdef_idx=cdef_map, cdef_bits=cdef_bits,
-                ytx=ytx.reshape(-1, 4))
+                ytx=ytx.reshape(-1, 4),
+                split16=s16 if any8 else None,
+                ym8=ym8 if any8 else None,
+                uvm8=uvm8 if any8 else None)
         except Exception:
             tile = None
         if tile is not None:
@@ -1593,10 +1896,42 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
                     from rav1e_tpu.entropy.tile import INTRA_TX_SET2
                     partitions[(r, c, int(BlockSize.B32X32))] = \
                         PartitionType.SPLIT
+                    b_flat = bi * bw + bj
                     for q, (dr, dc) in enumerate(
                             ((0, 0), (0, 4), (4, 0), (4, 4))):
                         py, px = dr * 4, dc * 4       # luma pixel offsets
                         cy, cx = dr * 2, dc * 2       # chroma pixel offsets
+                        if any8 and s16[b_flat, q]:
+                            # 16 -> 8 split: four B8X8 children, TX_8X8
+                            # luma + TX_4X4 chroma, DCT_DCT
+                            partitions[(r + dr, c + dc,
+                                        int(BlockSize.B16X16))] = \
+                                PartitionType.SPLIT
+                            for si, (sr, sc) in enumerate(
+                                    ((0, 0), (0, 2), (2, 0), (2, 2))):
+                                sy8, sx8 = py + sr * 4, px + sc * 4
+                                sc4y, sc4x = cy + sr * 2, cx + sc * 2
+                                syl = yl[sy8: sy8 + 8, sx8: sx8 + 8]
+                                sul = ul[sc4y: sc4y + 4, sc4x: sc4x + 4]
+                                svl = vl[sc4y: sc4y + 4, sc4x: sc4x + 4]
+                                d = BlockDecision(
+                                    y_mode=PredictionMode(
+                                        int(ym8[b_flat, q, si])),
+                                    uv_mode=PredictionMode(
+                                        int(uvm8[b_flat, q, si])),
+                                    skip=False, seg_id=seg)
+                                if (not syl.any() and not sul.any()
+                                        and not svl.any()):
+                                    d.skip = True
+                                else:
+                                    d.coeffs = {0: syl, 1: sul, 2: svl,
+                                                "y_tx_type":
+                                                    TxType.DCT_DCT}
+                                blocks[(r + dr + sr, c + dc + sc)] = d
+                                partitions[(r + dr + sr, c + dc + sc,
+                                            int(BlockSize.B8X8))] = \
+                                    PartitionType.NONE
+                            continue
                         syl = yl[py: py + 16, px: px + 16]
                         sul = ul[cy: cy + 8, cx: cx + 8]
                         svl = vl[cy: cy + 8, cx: cx + 8]
