@@ -26,11 +26,25 @@ class EncoderStatus(enum.Enum):
 
 
 @dataclass
+class EncoderStats:
+    """Per-packet encoder stats (rav1e Packet::enc_stats analog,
+    SURVEY §5.5): reconstruction distortion + stream accounting.
+    Filled when Config.extra['enc_stats'] is truthy."""
+
+    psnr_y: float
+    psnr_u: float
+    psnr_v: float
+    size_bytes: int
+    qp: int
+
+
+@dataclass
 class Packet:
     data: bytes
     input_frameno: int
     frame_type: str
     qp: int
+    enc_stats: "EncoderStats | None" = None
 
 
 @dataclass
@@ -201,6 +215,8 @@ class Context:
         # lookahead importance propagation + activity masking feeding
         # per-block DistortionScale weights into the TPU P-frame RDO
         # (rav1e src/api/lookahead.rs + src/activity.rs; SURVEY §3.5).
+        self._want_stats = str(cfg.extra.get("enc_stats", "")
+                               ).lower() in ("1", "true", "on", "yes")
         # On by default for the thorough presets on the fast path;
         # rdo_lookahead_frames=0 disables, any value forces on.
         la_raw = cfg.extra.get("rdo_lookahead_frames", None)
@@ -382,7 +398,8 @@ class Context:
                     film_grain=grain, lr=lr,
                     refresh_flags=1 << slot_new, ref_slot=self._cur_slot,
                     render_size=self._render)
-            self._finish(data, fn, "INTER", q, rec, slot_new, base + 1)
+            self._finish(data, fn, "INTER", q, rec, slot_new,
+                         base + 1, src=pl)
             return
         afn, apl, asd = frames[-1]
         q = self._rc.select_qi("INTER")
@@ -415,7 +432,9 @@ class Context:
                 ref_slot=self._cur_slot, show_frame=False,
                 render_size=self._render)
         self._out.append(Packet(data=adata, input_frameno=afn,
-                                frame_type="INTER", qp=q))
+                                frame_type="INTER", qp=q,
+                                enc_stats=self._mk_stats(apl, arec,
+                                                         adata, q)))
         self._rc.update("INTER", q, len(adata) * 8)
         arec32 = [np.asarray(p).astype(np.int32) for p in arec]
         enc_b = encode_bframe_tpu if fast_ok else encode_bframe
@@ -461,7 +480,9 @@ class Context:
                 refresh_flags=0 if leaf else 1 << bslot,
                 show_frame=leaf, **dkw(m), **bkw)
             self._out.append(Packet(data=bdata, input_frameno=fn_m,
-                                    frame_type="INTER", qp=qm))
+                                    frame_type="INTER", qp=qm,
+                                    enc_stats=self._mk_stats(
+                                        pl_m, brec, bdata, qm)))
             self._rc.update(subtype, qm, len(bdata) * 8)
             if leaf:
                 return
@@ -483,13 +504,31 @@ class Context:
         self._cur_slot = slot_new
         self._order_hint = base + len(frames)
 
-    def _finish(self, data, frameno, ftype, q, rec, slot, order):
+    def _finish(self, data, frameno, ftype, q, rec, slot, order,
+                src=None):
         self._out.append(Packet(data=data, input_frameno=frameno,
-                                frame_type=ftype, qp=q))
+                                frame_type=ftype, qp=q,
+                                enc_stats=self._mk_stats(src, rec,
+                                                         data, q)))
         self._rc.update(ftype, q, len(data) * 8)
         self._ref_rec = [np.asarray(p).astype(np.int32) for p in rec]
         self._cur_slot = slot
         self._order_hint = order
+
+    def _mk_stats(self, src, rec, data, q):
+        """EncoderStats for one coded frame (opt-in via
+        Config.extra['enc_stats']; rav1e Packet::enc_stats analog)."""
+        if not self._want_stats or src is None or rec is None:
+            return None
+        mx = float((1 << self.cfg.bit_depth) - 1)
+        ps = []
+        for p, r in zip(src, rec):
+            p = np.asarray(p, np.float64)
+            r = np.asarray(r, np.float64)[: p.shape[0], : p.shape[1]]
+            mse = np.mean((p - r) ** 2)
+            ps.append(float(10 * np.log10(mx * mx / mse))
+                      if mse > 0 else 99.0)
+        return EncoderStats(ps[0], ps[1], ps[2], len(data), q)
 
     def _loop_params(self, is_key: bool, q: int):
         """(cdef, film_grain) under the per-GOP seq-level consistency
@@ -621,7 +660,9 @@ class Context:
                                  for p in rec]
                 self._rc.update(ftype, q, len(data) * 8)
                 return Packet(data=data, input_frameno=frameno,
-                              frame_type=ftype, qp=q)
+                              frame_type=ftype, qp=q,
+                              enc_stats=self._mk_stats(planes, rec,
+                                                       data, q))
             # multi-ref P (rav1e multiref): LAST = previous recon,
             # GOLDEN = the GOP keyframe (KEY refreshes every slot, P
             # only slot 0, so slot 1 still holds the keyframe). Static
@@ -675,7 +716,8 @@ class Context:
             self._slot_hints[0] = self._order_hint & 127
         self._rc.update(ftype, q, len(data) * 8)
         return Packet(data=data, input_frameno=frameno, frame_type=ftype,
-                      qp=q)
+                      qp=q, enc_stats=self._mk_stats(planes, rec,
+                                                     data, q))
 
     def flush(self):
         self.send_frame(None)

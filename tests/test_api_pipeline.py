@@ -121,6 +121,33 @@ def test_context_bframe_reordering():
         assert err < 10, (i, err)
 
 
+def test_enc_stats():
+    """Config.extra['enc_stats'] fills Packet.enc_stats with per-frame
+    PSNR + size (rav1e Packet::enc_stats analog, SURVEY 5.5)."""
+    rng = np.random.default_rng(1)
+    W, H, N = 128, 96, 5
+    base = rng.integers(60, 200, (H, W)).astype(np.uint8)
+    frames = [[np.roll(base, t * 3, axis=1),
+               np.full((H // 2, W // 2), 120, np.uint8),
+               np.full((H // 2, W // 2), 135, np.uint8)]
+              for t in range(N)]
+    ctx = Config.parse({"width": W, "height": H, "quantizer": 110,
+                        "low_latency": True,
+                        "enc_stats": "1"}).new_context()
+    pkts = _run(ctx, frames)
+    coded = [p for p in pkts if p.frame_type in ("KEY", "INTER")]
+    assert len(coded) == N
+    for p in coded:
+        st = p.enc_stats
+        assert st is not None and st.size_bytes == len(p.data)
+        assert 20.0 < st.psnr_y <= 99.0
+    # off by default
+    ctx2 = Config(width=W, height=H, quantizer=110,
+                  low_latency=True).new_context()
+    pkts2 = _run(ctx2, frames[:2])
+    assert all(p.enc_stats is None for p in pkts2)
+
+
 def test_tail_group_pyramid():
     """A flush-time tail group (len 3 here) gets the same recursive
     pyramid shape as a full group, not a flat B chain: mid coded as a
