@@ -354,10 +354,15 @@ class Context:
                                                       "on", "yes")
         tiled = self._tile_cols_log2 or self._tile_rows_log2
         # TPU inter pipelines carry 8- AND 10-bit 4:2:0 (int32 lanes;
-        # SURVEY §7 M6); 12-bit and 422/444 take the reference paths
+        # SURVEY §7 M6); 12-bit and 422/444 take the reference paths.
+        # tiles>1 stays on the TPU path: frame-global decisions,
+        # per-tile entropy packing (C++ packer per tile)
         fast_ok = (cfg.bit_depth in (8, 10)
                    and cfg.chroma_sampling == "420"
-                   and not tiled and not aq)
+                   and (not tiled or self._tiles_native_ok())
+                   and not aq)
+        tgrid = ((self._tile_cols_log2, self._tile_rows_log2)
+                 if tiled and fast_ok else None)
         lr = getattr(self, "_lr_seq", False)
         base = self._order_hint
         # per-frame lookahead importance (input-order window) before
@@ -384,13 +389,14 @@ class Context:
                     ref_slot=self._cur_slot,
                     use_satd=self.speed_settings.satd_subpel,
                     refine16=self.speed_settings.mv_refine_16,
-                    intra_rdo=self.speed_settings.intra_in_inter,
+                    intra_rdo=(self.speed_settings.intra_in_inter
+                               and tgrid is None),
                     b64_rdo=self.speed_settings.b64_merge, lr=lr,
                     search=self.speed_settings.search_px,
                     subpel=self.speed_settings.subpel,
                     use_split8=self.speed_settings.partition_split8,
                     bit_depth=cfg.bit_depth,
-                    dscale=ds[0], src_dev=sd)
+                    dscale=ds[0], src_dev=sd, tile_grid=tgrid)
             else:
                 data, rec = encode_pframe(
                     pl, self._ref_rec, qindex=q,
@@ -415,7 +421,8 @@ class Context:
                 use_split=self.speed_settings.partition_split_rdo,
                 use_satd=self.speed_settings.satd_subpel,
                 refine16=self.speed_settings.mv_refine_16,
-                intra_rdo=self.speed_settings.intra_in_inter,
+                intra_rdo=(self.speed_settings.intra_in_inter
+                           and tgrid is None),
                 b64_rdo=self.speed_settings.b64_merge, lr=lr,
                 refresh_flags=1 << slot_new, ref_slot=self._cur_slot,
                 show_frame=False,
@@ -423,7 +430,7 @@ class Context:
                 subpel=self.speed_settings.subpel,
                 use_split8=self.speed_settings.partition_split8,
                 bit_depth=cfg.bit_depth,
-                dscale=ds[-1], src_dev=asd)
+                dscale=ds[-1], src_dev=asd, tile_grid=tgrid)
         else:
             adata, arec = encode_pframe(
                 apl, self._ref_rec, qindex=q, order_hint=ahint,
@@ -440,7 +447,7 @@ class Context:
         enc_b = encode_bframe_tpu if fast_ok else encode_bframe
         bkw = (dict(b64_rdo=self.speed_settings.b64_merge, lr=lr,
                     use_split=self.speed_settings.partition_split_rdo,
-                    bit_depth=cfg.bit_depth)
+                    bit_depth=cfg.bit_depth, tile_grid=tgrid)
                if fast_ok else dict(lr=lr))
         hints = (base & 127, ahint)
 
@@ -515,6 +522,20 @@ class Context:
         self._cur_slot = slot
         self._order_hint = order
 
+    def _tiles_native_ok(self) -> bool:
+        """tiles>1 on the TPU path requires the C++ packer (per-tile
+        one-call packing); cached probe."""
+        ok = getattr(self, "_tiles_native", None)
+        if ok is None:
+            try:
+                from rav1e_tpu.entropy.native import NativeTileWriter
+                NativeTileWriter  # noqa: B018
+                ok = True
+            except Exception:
+                ok = False
+            self._tiles_native = ok
+        return ok
+
     def _mk_stats(self, src, rec, data, q):
         """EncoderStats for one coded frame (opt-in via
         Config.extra['enc_stats']; rav1e Packet::enc_stats analog)."""
@@ -582,12 +603,18 @@ class Context:
         aq = str(cfg.extra.get("aq", "")).lower() in ("1", "true",
                                                       "on", "yes")
         tiled = self._tile_cols_log2 or self._tile_rows_log2
-        # TPU inter paths: 8/10-bit 4:2:0 single-tile; the TPU
+        # TPU inter paths: 8/10-bit 4:2:0; tiles>1 packs per tile
+        # from frame-global decisions (C++ packer required). The TPU
         # keyframe is 8-bit only (10-bit KFs take the reference
-        # intra pipeline), 12-bit and 422/444 fully reference
+        # intra pipeline), 12-bit and 422/444 fully reference.
+        # Keyframes of tiled sessions code as a single tile (legal:
+        # tile_info is per-frame, spec 5.9.15) so the wavefront
+        # pipeline stays whole-frame.
         fast_ok = (cfg.bit_depth in (8, 10)
                    and cfg.chroma_sampling == "420"
-                   and not tiled)
+                   and (not tiled or self._tiles_native_ok()))
+        tgrid = ((self._tile_cols_log2, self._tile_rows_log2)
+                 if tiled and fast_ok else None)
         fast_kf = fast_ok and cfg.bit_depth == 8
         if is_key:
             lr = self.speed_settings.lr and not tiled
@@ -669,6 +696,7 @@ class Context:
             # areas skip against the clean keyframe instead of
             # accumulating re-encode loss along the LAST chain.
             use_mref = (fast_ok and cfg.bit_depth == 8
+                        and tgrid is None
                         and not aq and ss.multiref
                         and getattr(self, "_golden_rec", None) is not None
                         and self._order_hint >= 2
@@ -693,12 +721,13 @@ class Context:
                     use_split=self.speed_settings.partition_split_rdo,
                     use_satd=self.speed_settings.satd_subpel,
                     refine16=self.speed_settings.mv_refine_16,
-                    intra_rdo=self.speed_settings.intra_in_inter,
+                    intra_rdo=(self.speed_settings.intra_in_inter
+                               and tgrid is None),
                     b64_rdo=self.speed_settings.b64_merge,
                     lr=getattr(self, "_lr_seq", False),
                     use_split8=self.speed_settings.partition_split8,
                     bit_depth=cfg.bit_depth,
-                    dscale=dscale, src_dev=src_dev)
+                    dscale=dscale, src_dev=src_dev, tile_grid=tgrid)
             else:
                 from rav1e_tpu.pipeline.inter import encode_pframe
                 data, rec = encode_pframe(

@@ -2044,7 +2044,7 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
                  skip16=None, refresh_flags=0x01, ref_slot=0,
                  show_frame=True, choice=None, b64_map=None,
                  lr_ctx=None, split16=None, skip8=None,
-                 bit_depth: int = 8):
+                 bit_depth: int = 8, tile_grid: tuple | None = None):
     """Entropy-pack one P frame from batched pipeline outputs.
 
     lr_ctx: optional (recon_planes, source_planes) — search + apply
@@ -2105,6 +2105,58 @@ def _pack_pframe(h, w, qindex, order_hint, mv8, skip, lv_y, lv_u, lv_v,
         mvq8 = np.repeat(np.asarray(mv16)[:, :, None, :], 4, axis=2)
     if lr_ctx is not None:
         use_native = False
+    if tile_grid is not None:
+        # multi-tile frame: whole-frame decisions, per-tile entropy
+        # states (AV1 tiles are independent by spec; the TPU pipeline
+        # searched the whole frame — inter prediction and the in-loop
+        # filters legally cross tile boundaries).  C++ packer per
+        # tile, packed concurrently (it releases the GIL).
+        from concurrent.futures import ThreadPoolExecutor
+
+        from rav1e_tpu.entropy.native import NativeTileWriter
+        ti = TileInfo(seq, tile_grid[0], tile_grid[1])
+        B = mv8.shape[0]
+        nbx = w // 32
+        if split is None:
+            split = np.zeros(B, bool)
+            mv16 = np.repeat(mv8[:, None, :], 4, axis=1)
+            skip16 = np.repeat(
+                np.asarray(skip).reshape(B, 1), 4, axis=1)
+
+        def pack_tile(tc):
+            tr, tcol = tc
+            rs, re = ti.row_starts[tr], ti.row_starts[tr + 1]
+            cs, ce = ti.col_starts[tcol], ti.col_starts[tcol + 1]
+            brow = np.arange(rs * 2, min(re * 2, h // 32))
+            bcol = np.arange(cs * 2, min(ce * 2, w // 32))
+            bidx = (brow[:, None] * nbx + bcol[None, :]).reshape(-1)
+            tw_t = NativeTileWriter(
+                min(re * 16, mi_rows) - rs * 16,
+                min(ce * 16, mi_cols) - cs * 16,
+                qindex, inter_frame=True)
+            cmap_t = (cdef_map[rs:re, cs:ce]
+                      if cdef_map is not None else None)
+            b64_t = (b64_map[rs:re, cs:ce]
+                     if b64_map is not None else None)
+            return tw_t.write_inter_tile_fast2(
+                split[bidx], mv8[bidx], skip[bidx], mv16[bidx],
+                skip16[bidx], lv_y[bidx], lv_u[bidx], lv_v[bidx],
+                cdef_idx=cmap_t, cdef_bits=cdef_bits,
+                intra32=intra_map[bidx] if intra_map is not None
+                else None,
+                b64=b64_t,
+                split16=split16[bidx] if split16 is not None else None,
+                mvq8=mvq8[bidx] if mvq8 is not None else None,
+                skip8=skip8[bidx] if skip8 is not None else None)
+
+        coords = [(tr, tcol) for tr in range(ti.n_rows)
+                  for tcol in range(ti.n_cols)]
+        with ThreadPoolExecutor(min(len(coords), 8)) as ex:
+            tiles = list(ex.map(pack_tile, coords))
+        return interframe_packet(seq, fp, ti, tiles, order_hint,
+                                 refresh_flags=refresh_flags,
+                                 ref_idx=[ref_slot] * 7,
+                                 show_frame=show_frame)
     if use_native:
         try:
             from rav1e_tpu.entropy.native import NativeTileWriter
@@ -2266,7 +2318,8 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
                       refine16: bool = True, intra_rdo: bool = False,
                       b64_rdo: bool = False, lr: bool = False,
                       search: int = SEARCH, subpel: bool = True,
-                      use_split8: bool = False, bit_depth: int = 8):
+                      use_split8: bool = False, bit_depth: int = 8,
+                      tile_grid: tuple | None = None):
     """TPU-batched P frame. Same bitstream contract as encode_pframe.
 
     ref_dev: optional device-resident reference planes (from a prior
@@ -2320,7 +2373,7 @@ def encode_pframe_tpu(planes, ref_planes, qindex: int = 100,
                                      np.asarray(v)]) if lr else None,
                        split16=split16 if use_split8 else None,
                        skip8=skip8 if use_split8 else None,
-                       bit_depth=bit_depth)
+                       bit_depth=bit_depth, tile_grid=tile_grid)
     if return_device:
         # LR mutates the host recon after the device copy was taken:
         # the device-resident planes would be a stale (pre-LR) ref
@@ -2438,7 +2491,8 @@ def _pack_bframe(h, w, qindex, order_hint, mv8, mvb8, choice, skip,
                  render_size=None, lf_level=0, slot_fwd=0, slot_bwd=1,
                  ref_hints=None, refresh_flags=0, show_frame=True,
                  b64_map=None, lr_ctx=None, bit_depth: int = 8,
-                 split=None, mv16=None, skip16=None):
+                 split=None, mv16=None, skip16=None,
+                 tile_grid: tuple | None = None):
     """Entropy-pack one B frame from batched two-ref pipeline outputs.
 
     choice[b] in {0: single-LAST(fwd), 1: single-ALTREF(bwd),
@@ -2579,12 +2633,40 @@ def _pack_bframe(h, w, qindex, order_hint, mv8, mvb8, choice, skip,
         if not d.skip:
             d.coeffs = {0: lv_y[b], 1: lv_u[b], 2: lv_v[b]}
         blocks[(r, c)] = d
-    tile = tw.write_tile(partitions, blocks)
+    if tile_grid is not None:
+        # per-tile writers with tile-local coords (entropy state is
+        # tile-independent per spec; the decisions are frame-global)
+        ti = TileInfo(seq, tile_grid[0], tile_grid[1])
+        tiles = []
+        for t_r in range(ti.n_rows):
+            for t_c in range(ti.n_cols):
+                r0 = min(ti.row_starts[t_r] * 16, mi_rows)
+                r1 = min(ti.row_starts[t_r + 1] * 16, mi_rows)
+                c0 = min(ti.col_starts[t_c] * 16, mi_cols)
+                c1 = min(ti.col_starts[t_c + 1] * 16, mi_cols)
+                tw_t = TileWriter(r1 - r0, c1 - c0, qindex,
+                                  inter_frame=True,
+                                  ref_sign_bias={1: False, 7: True},
+                                  reference_select=True)
+                if cdef_map is not None and _cbits:
+                    tw_t.cdef_bits = _cbits
+                    tw_t.cdef_idx_map = cdef_map[
+                        ti.row_starts[t_r]:ti.row_starts[t_r + 1],
+                        ti.col_starts[t_c]:ti.col_starts[t_c + 1]]
+                tparts = {(r - r0, c - c0, bs): p
+                          for (r, c, bs), p in partitions.items()
+                          if r0 <= r < r1 and c0 <= c < c1}
+                tblocks = {(r - r0, c - c0): d
+                           for (r, c), d in blocks.items()
+                           if r0 <= r < r1 and c0 <= c < c1}
+                tiles.append(tw_t.write_tile(tparts, tblocks))
+    else:
+        tiles = [tw.write_tile(partitions, blocks)]
     fp.reference_select = True
     ref_idx = [slot_fwd] * 6 + [slot_bwd]
     fh, bh2 = ref_hints or (0, order_hint + 1)
     fp.ref_order_hints = [fh] * 6 + [bh2]
-    return interframe_packet(seq, fp, ti, [tile], order_hint,
+    return interframe_packet(seq, fp, ti, tiles, order_hint,
                              refresh_flags=refresh_flags,
                              ref_idx=ref_idx, show_frame=show_frame)
 
@@ -2600,7 +2682,8 @@ def encode_bframe_tpu(planes, ref_fwd, ref_bwd, qindex: int = 100,
                       refresh_flags: int = 0, show_frame: bool = True,
                       b64_rdo: bool = False, lr: bool = False,
                       search: int = SEARCH, subpel: bool = True,
-                      bit_depth: int = 8, use_split: bool = False):
+                      bit_depth: int = 8, use_split: bool = False,
+                      tile_grid: tuple | None = None):
     """TPU-batched B frame: both references searched on-device, each
     block picks single-fwd / single-bwd / COMPOUND_AVERAGE by RD.
     Same bitstream contract as pipeline/inter.py::encode_bframe.
@@ -2648,7 +2731,7 @@ def encode_bframe_tpu(planes, ref_fwd, ref_bwd, qindex: int = 100,
                                      np.asarray(v)]) if lr else None,
                        bit_depth=bit_depth,
                        split=split if use_split else None,
-                       mv16=mv16, skip16=skip16)
+                       mv16=mv16, skip16=skip16, tile_grid=tile_grid)
     return pkt, rec
 
 

@@ -1548,6 +1548,21 @@ def _gather_dense_kf(lv_y, lv_u, lv_v, idx):
          jnp.take(lv_v, idx, 0).reshape(idx.shape[0], -1)], axis=1)
 
 
+def _detail_band8(y: np.ndarray) -> float:
+    """Mean luma energy in the 8..16px spatial band: per-16x16-block
+    variance minus per-8x8-block variance (what an 8x8 predictor can
+    model that a 16x16 one cannot).  Host-side, ~10 ms at 1080p."""
+    y = np.asarray(y, np.float32)
+    h, w = y.shape
+    h8, w8 = h // 8 * 8, w // 8 * 8
+    v8 = (y[:h8, :w8].reshape(h8 // 8, 8, w8 // 8, 8)
+          .var(axis=(1, 3)).mean())
+    h16, w16 = h // 16 * 16, w // 16 * 16
+    v16 = (y[:h16, :w16].reshape(h16 // 16, 16, w16 // 16, 16)
+           .var(axis=(1, 3)).mean())
+    return float(v16 - v8)
+
+
 def _to_blocks(p: np.ndarray, b: int) -> np.ndarray:
     h, w = p.shape
     return (p.reshape(h // b, b, w // b, b).transpose(0, 2, 1, 3)
@@ -1604,7 +1619,13 @@ def encode_keyframe_tpu(planes: list[np.ndarray], qindex: int = 100,
     ext = any(m in (P.D45_PRED, P.D67_PRED, P.D203_PRED)
               for m in modes_y)
     tx_search = ss.tx_search and split_rdo
-    split8 = ss.kf_split8 and split_rdo
+    # content-adaptive 8x8-partition gate: the 16->8 RDO only pays
+    # where the source carries energy in the 8..16px band (the scale
+    # an 8x8 predictor models better than a 16x16 one).  Smooth or
+    # coarse-textured frames skip the extra candidate set entirely —
+    # same speed-feature style as rav1e's block-importance gating.
+    split8 = (ss.kf_split8 and split_rdo
+              and _detail_band8(y) > 256.0)
     rd = build_rd(qindex, modes_y, modes_uv, modes_quad=modes_quad,
                   use_cfl=ss.cfl, tx_search=tx_search, split8=split8)
     seg_map = None
