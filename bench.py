@@ -67,9 +67,15 @@ def main():
     warm = time.time() - t0
     print(f"# warmup {warm:.1f}s", file=sys.stderr)
 
-    # median of 3 timed GOP passes
+    # median of 3 timed GOP passes; drop the previous pass's device
+    # buffers BEFORE timing the next (live recons from pass i-1
+    # fragment the HBM allocator and slowed pass i by ~30%)
+    import gc
     times = []
+    pkts = recs = None
     for _ in range(3):
+        pkts = recs = None
+        gc.collect()
         t0 = time.time()
         pkts, recs = encode_gop_tpu(frames, qindex=100, speed=6,
                                     cdef=cdef)

@@ -120,10 +120,9 @@ class Context:
                         else None)
         self._ss_x, self._ss_y = {"420": (1, 1), "422": (1, 0),
                                   "444": (0, 0)}[cfg.chroma_sampling]
-        # inter pipelines are 4:2:0-only so far; 4:2:2/4:4:4 encode
-        # all-intra (every frame KEY) until the inter chroma generality
-        # milestone lands
-        self._intra_only = cfg.chroma_sampling != "420"
+        # 4:2:2/4:4:4 inter runs on the reference (numpy) pipelines;
+        # _intra_only remains as an explicit all-intra switch
+        self._intra_only = False
         # tiles: power-of-two uniform grid, cols favored (rav1e
         # TilingInfo::from_target_tiles)
         from rav1e_tpu.entropy.obu import Sequence, TileInfo
@@ -411,6 +410,8 @@ class Context:
                     order_hint=(base + 1) & 127, cdef=cdef,
                     film_grain=grain, lr=lr,
                     refresh_flags=1 << slot_new, ref_slot=self._cur_slot,
+                    bit_depth=cfg.bit_depth,
+                    chroma_sampling=cfg.chroma_sampling,
                     render_size=self._render)
             self._finish(data, fn, "INTER", q, rec, slot_new,
                          base + 1, src=pl)
@@ -445,6 +446,8 @@ class Context:
                 cdef=cdef, film_grain=grain, lr=lr,
                 refresh_flags=1 << slot_new,
                 ref_slot=self._cur_slot, show_frame=False,
+                bit_depth=cfg.bit_depth,
+                chroma_sampling=cfg.chroma_sampling,
                 render_size=self._render)
         self._out.append(Packet(data=adata, input_frameno=afn,
                                 frame_type="INTER", qp=q,
@@ -456,7 +459,9 @@ class Context:
         bkw = (dict(b64_rdo=self.speed_settings.b64_merge, lr=lr,
                     use_split=self.speed_settings.partition_split_rdo,
                     bit_depth=cfg.bit_depth, tile_grid=tgrid)
-               if fast_ok else dict(lr=lr))
+               if fast_ok else dict(
+                   lr=lr, bit_depth=cfg.bit_depth,
+                   chroma_sampling=cfg.chroma_sampling))
         hints = (base & 127, ahint)
 
         def dkw(k):
@@ -696,6 +701,7 @@ class Context:
                     planes, self._ref_rec, qindex=q,
                     order_hint=oh, cdef=cdef,
                     film_grain=grain, aq=aq, bit_depth=cfg.bit_depth,
+                    chroma_sampling=cfg.chroma_sampling,
                     tile_cols_log2=self._tile_cols_log2,
                     tile_rows_log2=self._tile_rows_log2,
                     lr=getattr(self, "_lr_seq", False),
@@ -764,6 +770,7 @@ class Context:
                     tile_cols_log2=self._tile_cols_log2,
                     tile_rows_log2=self._tile_rows_log2,
                     lr=getattr(self, "_lr_seq", False),
+                    chroma_sampling=cfg.chroma_sampling,
                     render_size=self._render)
         self._ref_rec = [np.asarray(p).astype(np.int32) for p in rec]
         if is_key:

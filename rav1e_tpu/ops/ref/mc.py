@@ -142,15 +142,19 @@ def _round2(x, n):
 
 def mc_predict(ref: np.ndarray, y0: int, x0: int, h: int, w: int,
                mv: tuple, ss: int = 0,
-               filt: str = "REGULAR", bd: int = 8) -> np.ndarray:
+               filt: str = "REGULAR", bd: int = 8,
+               ss_y: int | None = None) -> np.ndarray:
     """Predict an h x w block of a plane from `ref` at plane position
     (y0, x0) displaced by luma-scale 1/8-pel `mv` (row, col).
 
-    8/10-bit share InterRound0/1 = 3/11; 12-bit would use 5/9."""
+    ss subsamples both axes (4:2:0); pass ss_y separately for 4:2:2
+    (ss=1, ss_y=0).  8/10-bit share InterRound0/1 = 3/11; 12-bit
+    would use 5/9."""
+    ssy = ss if ss_y is None else ss_y
     r0, r1 = (5, 9) if bd == 12 else (INTER_ROUND0, INTER_ROUND1)
     rh, rw = ref.shape
     # 1/16-pel plane-scale positions
-    py = (y0 << 4) + (int(mv[0]) << (1 - ss))
+    py = (y0 << 4) + (int(mv[0]) << (1 - ssy))
     px = (x0 << 4) + (int(mv[1]) << (1 - ss))
     iy, fy = py >> 4, py & 15
     ix, fx = px >> 4, px & 15
@@ -174,13 +178,15 @@ def mc_predict(ref: np.ndarray, y0: int, x0: int, h: int, w: int,
 
 
 def _mc_intermediate(ref: np.ndarray, y0: int, x0: int, h: int, w: int,
-                     mv: tuple, ss: int, filt: str, bd: int) -> np.ndarray:
+                     mv: tuple, ss: int, filt: str, bd: int,
+                     ss_y: int | None = None) -> np.ndarray:
     """One reference's prediction at compound intermediate precision
     (spec 7.11.3.1 isCompound: InterRound1 = 7, minus 2 at 12-bit), NOT
     clipped to pixel range."""
+    ssy = ss if ss_y is None else ss_y
     r0, r1 = (5, 5) if bd == 12 else (INTER_ROUND0, 7)
     rh, rw = ref.shape
-    py = (y0 << 4) + (int(mv[0]) << (1 - ss))
+    py = (y0 << 4) + (int(mv[0]) << (1 - ssy))
     px = (x0 << 4) + (int(mv[1]) << (1 - ss))
     iy, fy = py >> 4, py & 15
     ix, fx = px >> 4, px & 15
@@ -201,12 +207,15 @@ def _mc_intermediate(ref: np.ndarray, y0: int, x0: int, h: int, w: int,
 
 def mc_predict_avg(ref0: np.ndarray, ref1: np.ndarray, y0: int, x0: int,
                    h: int, w: int, mv0: tuple, mv1: tuple, ss: int = 0,
-                   filt: str = "REGULAR", bd: int = 8) -> np.ndarray:
+                   filt: str = "REGULAR", bd: int = 8,
+                   ss_y: int | None = None) -> np.ndarray:
     """COMPOUND_AVERAGE inter prediction: both references filtered at
     intermediate precision (scale 2^(bd+4)), then
     Round2(p0 + p1, InterPostRound + 1) with InterPostRound = 4
     (spec 7.11.3.1 compound path)."""
-    p0 = _mc_intermediate(ref0, y0, x0, h, w, mv0, ss, filt, bd)
-    p1 = _mc_intermediate(ref1, y0, x0, h, w, mv1, ss, filt, bd)
+    p0 = _mc_intermediate(ref0, y0, x0, h, w, mv0, ss, filt, bd,
+                          ss_y=ss_y)
+    p1 = _mc_intermediate(ref1, y0, x0, h, w, mv1, ss, filt, bd,
+                          ss_y=ss_y)
     out = _round2(p0 + p1, 5)
     return np.clip(out, 0, (1 << bd) - 1).astype(np.int32)

@@ -86,7 +86,8 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
                   aq: bool = False, render_size: tuple | None = None,
                   lr: bool = False, switch_frame: bool = False,
                   error_resilient: bool = False,
-                  slot_order_hints: list | None = None):
+                  slot_order_hints: list | None = None,
+                  chroma_sampling: str = "420"):
     """Encode one P frame against ref_planes. Returns (packet, recon).
 
     Per 32x32 block: full-pel SAD search (+- search_px) with quarter-pel
@@ -104,9 +105,16 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
     h, w = y.shape
     assert h % 32 == 0 and w % 32 == 0
     int_mv = switch_frame
+    ss_x, ss_y = {"420": (1, 1), "422": (1, 0), "444": (0, 0)}[
+        chroma_sampling]
+    profile = 0
+    if chroma_sampling == "444":
+        profile = 1
+    if chroma_sampling == "422" or bit_depth == 12:
+        profile = 2
     seq = Sequence(width=w, height=h, enable_cdef=cdef is not None,
-                   bit_depth=bit_depth,
-                   profile=2 if bit_depth == 12 else 0,
+                   bit_depth=bit_depth, profile=profile,
+                   subsampling_x=ss_x, subsampling_y=ss_y,
                    film_grain_params_present=film_grain is not None)
     fp = FrameParams(
         frame_type=FrameType.SWITCH if switch_frame else FrameType.INTER,
@@ -131,9 +139,10 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
     ti = TileInfo(seq, tile_cols_log2, tile_rows_log2)
     mi_rows, mi_cols = h >> 2, w >> 2
     cls = TileWriter
-    if use_native and not lr and not int_mv:
-        # the native packer has no LR-unit or integer-MV syntax;
-        # those frames take the python writer
+    if (use_native and not lr and not int_mv
+            and chroma_sampling == "420"):
+        # the native packer has no LR-unit, integer-MV or non-420
+        # syntax; those frames take the python writer
         try:
             from rav1e_tpu.entropy.native import NativeTileWriter
             cls = NativeTileWriter
@@ -162,24 +171,25 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
                 q_eff = max(1, min(255, qindex + seg_alt_q[seg]))
             lvls = []
             preds = []
+            uvtx = chroma_tx_size(BlockSize.B32X32, ss_x, ss_y)
             for pi, (src, ref, tx) in enumerate([
                     (y, ry, TxSize.TX_32X32),
-                    (u, ru, TxSize.TX_16X16),
-                    (v, rv, TxSize.TX_16X16)]):
-                ss = 0 if pi == 0 else 1
-                px, py = bx >> ss, by >> ss
-                n = 32 >> ss
-                pred = mc_predict(ref, py, px, n, n, mv, ss=ss,
-                                  bd=bit_depth)
+                    (u, ru, uvtx), (v, rv, uvtx)]):
+                sx = 0 if pi == 0 else ss_x
+                sy = 0 if pi == 0 else ss_y
+                px, py = bx >> sx, by >> sy
+                nw, nh = 32 >> sx, 32 >> sy
+                pred = mc_predict(ref, py, px, nh, nw, mv, ss=sx,
+                                  ss_y=sy, bd=bit_depth)
                 preds.append(pred)
-                resid = src[py: py + n, px: px + n] - pred
+                resid = src[py: py + nh, px: px + nw] - pred
                 cf = forward_transform(resid, tx, TxType.DCT_DCT)
                 lv = quantize(cf, q_eff, tx, bd=bit_depth)
                 dq = dequantize(lv, q_eff, tx, bd=bit_depth)
                 r2 = inverse_transform(dq, tx, TxType.DCT_DCT,
                                        bd=bit_depth)
                 out = rec[pi]
-                out[py: py + n, px: px + n] = np.clip(
+                out[py: py + nh, px: px + nw] = np.clip(
                     pred + r2, 0, (1 << bit_depth) - 1)
                 lvls.append(lv)
             d = BlockDecision(y_mode=mode,
@@ -189,10 +199,11 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
                 d.skip = True
                 # skip: recon = prediction exactly
                 for pi in range(3):
-                    ss = 0 if pi == 0 else 1
-                    px, py = bx >> ss, by >> ss
-                    n = 32 >> ss
-                    rec[pi][py: py + n, px: px + n] = preds[pi]
+                    sx = 0 if pi == 0 else ss_x
+                    sy = 0 if pi == 0 else ss_y
+                    px, py = bx >> sx, by >> sy
+                    rec[pi][py: py + (32 >> sy),
+                            px: px + (32 >> sx)] = preds[pi]
             else:
                 d.coeffs = {0: lvls[0], 1: lvls[1], 2: lvls[2]}
             blocks[(r, c)] = d
@@ -209,7 +220,8 @@ def encode_pframe(planes, ref_planes, qindex: int = 100,
             c0 = min(ti.col_starts[t_c] * 16, mi_cols)
             c1 = min(ti.col_starts[t_c + 1] * 16, mi_cols)
             tw = cls(r1 - r0, c1 - c0, qindex, inter_frame=True,
-                     seg_alt_q=seg_alt_q, force_integer_mv=int_mv)
+                     seg_alt_q=seg_alt_q, force_integer_mv=int_mv,
+                     ss_x=ss_x, ss_y=ss_y)
             tparts = {(r - r0, c - c0, bs): p
                       for (r, c, bs), p in partitions.items()
                       if r0 <= r < r1 and c0 <= c < c1}
@@ -264,7 +276,7 @@ def encode_bframe(planes, ref_fwd, ref_bwd, qindex: int = 100,
                   ref_hints: tuple | None = None,
                   render_size: tuple | None = None,
                   refresh_flags: int = 0, show_frame: bool = True,
-                  lr: bool = False):
+                  lr: bool = False, chroma_sampling: str = "420"):
     """Encode one B frame: per block, single-ref prediction from either
     LAST (the forward recon, slot 0) or ALTREF (the backward recon,
     slot 1) - whichever wins the block SAD. No compound yet.
@@ -279,7 +291,16 @@ def encode_bframe(planes, ref_fwd, ref_bwd, qindex: int = 100,
     ref_slot = [0, 1]
     h, w = y.shape
     assert h % 32 == 0 and w % 32 == 0
+    ss_x, ss_y = {"420": (1, 1), "422": (1, 0), "444": (0, 0)}[
+        chroma_sampling]
+    profile = 0
+    if chroma_sampling == "444":
+        profile = 1
+    if chroma_sampling == "422" or bit_depth == 12:
+        profile = 2
     seq = Sequence(width=w, height=h, bit_depth=bit_depth,
+                   profile=profile,
+                   subsampling_x=ss_x, subsampling_y=ss_y,
                    enable_cdef=cdef is not None,
                    film_grain_params_present=film_grain is not None)
     fp = FrameParams(frame_type=FrameType.INTER, base_q_idx=qindex,
@@ -291,8 +312,9 @@ def encode_bframe(planes, ref_fwd, ref_bwd, qindex: int = 100,
     ti = TileInfo(seq)
     mi_rows, mi_cols = h >> 2, w >> 2
     cls = TileWriter
-    if use_native and not lr:
-        # the native packer has no LR-unit syntax; LR frames take the
+    if use_native and not lr and chroma_sampling == "420":
+        # the native packer has no LR-unit or non-420 syntax; those
+        # frames take the
         # python writer
         try:
             from rav1e_tpu.entropy.native import NativeTileWriter
@@ -340,27 +362,29 @@ def encode_bframe(planes, ref_fwd, ref_bwd, qindex: int = 100,
                         else PredictionMode.NEWMV)
             lvls = []
             preds = []
-            for pi, tx in enumerate([TxSize.TX_32X32, TxSize.TX_16X16,
-                                     TxSize.TX_16X16]):
-                ss = 0 if pi == 0 else 1
-                px, py = bx >> ss, by >> ss
-                n = 32 >> ss
+            uvtx = chroma_tx_size(BlockSize.B32X32, ss_x, ss_y)
+            for pi, tx in enumerate([TxSize.TX_32X32, uvtx, uvtx]):
+                sx = 0 if pi == 0 else ss_x
+                sy = 0 if pi == 0 else ss_y
+                px, py = bx >> sx, by >> sy
+                nw, nh = 32 >> sx, 32 >> sy
                 src = (y, u, v)[pi]
                 if is_comp:
                     pred = mc_predict_avg(
-                        refs[0][pi], refs[1][pi], py, px, n, n,
-                        cand_mv[0], cand_mv[1], ss=ss, bd=bit_depth)
+                        refs[0][pi], refs[1][pi], py, px, nh, nw,
+                        cand_mv[0], cand_mv[1], ss=sx, ss_y=sy,
+                        bd=bit_depth)
                 else:
-                    pred = mc_predict(refs[k][pi], py, px, n, n, mv,
-                                      ss=ss, bd=bit_depth)
+                    pred = mc_predict(refs[k][pi], py, px, nh, nw, mv,
+                                      ss=sx, ss_y=sy, bd=bit_depth)
                 preds.append(pred)
-                resid = src[py: py + n, px: px + n] - pred
+                resid = src[py: py + nh, px: px + nw] - pred
                 cf = forward_transform(resid, tx, TxType.DCT_DCT)
                 lv = quantize(cf, qindex, tx, bd=bit_depth)
                 dq = dequantize(lv, qindex, tx, bd=bit_depth)
                 r2 = inverse_transform(dq, tx, TxType.DCT_DCT,
                                        bd=bit_depth)
-                rec[pi][py: py + n, px: px + n] = np.clip(
+                rec[pi][py: py + nh, px: px + nw] = np.clip(
                     pred + r2, 0, (1 << bit_depth) - 1)
                 lvls.append(lv)
             d = BlockDecision(y_mode=mode,
@@ -374,15 +398,17 @@ def encode_bframe(planes, ref_fwd, ref_bwd, qindex: int = 100,
             if not any(lv.any() for lv in lvls):
                 d.skip = True
                 for pi in range(3):
-                    ss = 0 if pi == 0 else 1
-                    px, py = bx >> ss, by >> ss
-                    n = 32 >> ss
-                    rec[pi][py: py + n, px: px + n] = preds[pi]
+                    sx = 0 if pi == 0 else ss_x
+                    sy = 0 if pi == 0 else ss_y
+                    px, py = bx >> sx, by >> sy
+                    rec[pi][py: py + (32 >> sy),
+                            px: px + (32 >> sx)] = preds[pi]
             else:
                 d.coeffs = {0: lvls[0], 1: lvls[1], 2: lvls[2]}
             blocks[(r, c)] = d
     tw = cls(mi_rows, mi_cols, qindex, inter_frame=True,
-             ref_sign_bias={1: False, 7: True}, reference_select=True)
+             ref_sign_bias={1: False, 7: True}, reference_select=True,
+             ss_x=ss_x, ss_y=ss_y)
     if cdef is not None:
         from rav1e_tpu.ops.ref.cdef import cdef_filter_frame
         skip8 = np.zeros((h // 8, w // 8), bool)
