@@ -334,7 +334,11 @@ def _search_one_ref(ryp, blks, by, bx, rd, B, use_satd=False,
     # dynamic slices (those lowered to ~2000 DMA descriptors/frame).
     nby_l = ryp.shape[0] // 32 - 2                # h // 32
     nbx_l = ryp.shape[1] // 32 - 2
-    use_ds2 = (ds2 and B == nby_l * nbx_l
+    # ds2 pays only where the full-res SSD surface is HBM-bound
+    # (~550 MB of f32 intermediates at 1080p); small frames take the
+    # exact surface — the half-res SSE pricing is aliasing-biased and
+    # cost ~8% bytes on low-rate pans (bdrate_r5 diagnosis)
+    use_ds2 = (ds2 and B == nby_l * nbx_l and B >= 510
                and search % 2 == 0 and search >= 4)
 
     def assemble_windows(plane, want, tile, offp, kk):
