@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from rav1e_tpu.entropy.ec import (
     EC_MIN_PROB,
@@ -71,21 +72,46 @@ class RecordingEncoder:
             self.encode_bool((value >> i) & 1, 1 << 14)
 
 
-def _pack_kernel(ir_ref, chunks_ref, state_ref):
-    """Serial od_ec recurrence over the whole IR (scalar loop).
+LANES = 1024      # one int32 VMEM tile: chunk stores stay aligned
+CHUNK = 512       # symbols per grid step (the [4, CHUNK] IR block
+                  # rides in SMEM, where scalar dynamic loads are
+                  # legal; TPU grid steps run sequentially, so the
+                  # coder state carries across steps in SMEM scratch)
 
-    ir_ref: [n, 4] int32 (fl, fh, cu, cv).
-    chunks_ref: [cap] int32 8-bit chunks (values may carry a 9th bit).
-    state_ref: [4] int32 (low, nbits, flushed_bytes*8, n_chunks)."""
-    n = ir_ref.shape[0]
-    chunks_ref[...] = jnp.zeros_like(chunks_ref)
+
+def _pack_kernel(ir_ref, chunks_ref, state_ref, st_ref, buf_ref):
+    """One grid step: code CHUNK symbols of the IR (scalar loop).
+
+    ir_ref: [4, CHUNK] int32 SMEM block (fl, fh, cu, cv rows).
+    chunks_ref: [rows*8, 128] int32 VMEM output (whole array every
+    step) — 8-bit chunks, may carry the 9th carry bit.  Chunks
+    accumulate in the [8, 128] VMEM scratch tile buf_ref and flush
+    1024 at a time as 8 aligned sublane rows (Mosaic cannot prove
+    alignment for arbitrary dynamic element stores, and 1-D VMEM
+    scratch trips its layout checks).
+    state_ref: [8] int32 SMEM output (low, nbits, flushed, k).
+    st_ref: [8] int32 SMEM scratch — coder state across grid steps.
+    buf_ref: [8, 128] int32 VMEM scratch."""
+    g = pl.program_id(0)
+    # buf is [8, 128] (one int32 VMEM tile); lin = linear chunk slot
+    lin = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 128
+           + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1))
+
+    @pl.when(g == 0)
+    def _init():
+        st_ref[0] = 0            # low
+        st_ref[1] = PROB_TOP     # rng
+        st_ref[2] = 15           # nbits
+        st_ref[3] = 0            # flushed
+        st_ref[4] = 0            # k
+        buf_ref[...] = jnp.zeros((8, 128), jnp.int32)
 
     def body(i, st):
-        low, rng, nbits, flushed, k = st
-        fl = ir_ref[i, 0]
-        fh = ir_ref[i, 1]
-        cu = ir_ref[i, 2]
-        cv = ir_ref[i, 3]
+        low, rng, nbits, flushed, k, buf = st
+        fl = ir_ref[0, i]
+        fh = ir_ref[1, i]
+        cu = ir_ref[2, i]
+        cv = ir_ref[3, i]
         scaled_fl = (((rng >> 8) * (fl >> EC_PROB_SHIFT))
                      >> (7 - EC_PROB_SHIFT)) + cu
         u = jnp.where(fl < PROB_TOP, scaled_fl, rng)
@@ -119,23 +145,44 @@ def _pack_kernel(ir_ref, chunks_ref, state_ref):
             do = window + d >= 24
             keep = jnp.where(do, window - 8, 0)
             chunk = low >> keep
-            chunks_ref[pl.dslice(k, 1)] = chunk[None]
+            buf = jnp.where(do & (lin == (k % LANES)), chunk, buf)
             low = jnp.where(do, low & ((1 << keep) - 1), low)
             flushed = jnp.where(do, flushed + 8, flushed)
-            k = jnp.where(do, k + 1, k)
+            k2 = k + do.astype(jnp.int32)
+
+            @pl.when(do & (k2 % LANES == 0))
+            def _flush_row():
+                chunks_ref[pl.dslice((k2 // LANES - 1) * 8, 8), :] = \
+                    buf
+
+            k = k2
         low = low << d
         rng = rng << d
         nbits = nbits + d
-        return (low, rng, nbits, flushed, k)
+        return (low, rng, nbits, flushed, k, buf)
 
-    low, rng, nbits, flushed, k = jax.lax.fori_loop(
-        0, n, body,
-        (jnp.int32(0), jnp.int32(PROB_TOP), jnp.int32(15),
-         jnp.int32(0), jnp.int32(0)))
-    state_ref[0] = low
-    state_ref[1] = nbits
-    state_ref[2] = flushed
-    state_ref[3] = k
+    low, rng, nbits, flushed, k, buf = jax.lax.fori_loop(
+        0, CHUNK, body,
+        (st_ref[0], st_ref[1], st_ref[2], st_ref[3], st_ref[4],
+         buf_ref[...]))
+    st_ref[0] = low
+    st_ref[1] = rng
+    st_ref[2] = nbits
+    st_ref[3] = flushed
+    st_ref[4] = k
+    buf_ref[...] = buf
+
+    @pl.when(g == pl.num_programs(0) - 1)
+    def _finalize():
+        # flush the partial last row + publish the final state
+        @pl.when(k % LANES != 0)
+        def _tail_row():
+            chunks_ref[pl.dslice((k // LANES) * 8, 8), :] = buf
+
+        state_ref[0] = low
+        state_ref[1] = nbits
+        state_ref[2] = flushed
+        state_ref[3] = k
 
 
 def pack_ir(ir: np.ndarray, interpret: bool | None = None):
@@ -144,16 +191,29 @@ def pack_ir(ir: np.ndarray, interpret: bool | None = None):
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     n = int(ir.shape[0])
-    cap = 2 * n + 64                 # <= 2 chunks per symbol
+    rows = (2 * n + 64 + LANES - 1) // LANES   # <= 2 chunks/symbol
+    # pad with neutral symbols (fl=TOP, fh=0, cu=cv=0): u = rng,
+    # v = 0 -> low and rng unchanged, d = 0 — a coder no-op
+    n_pad = (n + CHUNK - 1) // CHUNK * CHUNK
+    irt = np.zeros((4, n_pad), np.int32)
+    irt[0, n:] = PROB_TOP
+    irt[:, :n] = np.asarray(ir, np.int32).T
     fn = pl.pallas_call(
         _pack_kernel,
-        out_shape=(jax.ShapeDtypeStruct((cap,), jnp.int32),
-                   jax.ShapeDtypeStruct((4,), jnp.int32)),
+        grid=(n_pad // CHUNK,),
+        in_specs=[pl.BlockSpec((4, CHUNK), lambda g: (0, g),
+                               memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec((rows * 8, 128), lambda g: (0, 0)),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((rows * 8, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((8,), jnp.int32)),
+        scratch_shapes=[pltpu.SMEM((8,), jnp.int32),
+                        pltpu.VMEM((8, 128), jnp.int32)],
         interpret=interpret,
     )
-    chunks, state = fn(jnp.asarray(ir, jnp.int32))
-    chunks = np.asarray(chunks)
-    low, nbits, flushed, k = (int(x) for x in np.asarray(state))
+    chunks, state = fn(jnp.asarray(irt))
+    chunks = np.asarray(chunks).reshape(-1)
+    low, nbits, flushed, k = (int(x) for x in np.asarray(state)[:4])
     return chunks[:k], low, nbits, flushed
 
 
