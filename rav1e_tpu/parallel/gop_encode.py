@@ -101,6 +101,14 @@ class GopScheduler:
                 results[gi] = out
 
         n = len(self.devices)
+        if len(mine) > 1:
+            # warm the compile caches on the main thread first: all
+            # GOPs share shapes, and concurrent first-compiles from
+            # worker threads have crashed XLA:CPU (observed segfault
+            # in backend_compile under the mock-distributed tests)
+            first = mine[0]
+            run(first, self.devices[0])
+            mine = [gi for gi in mine if gi != first]
         with ThreadPoolExecutor(max_workers=n) as ex:
             futs = [ex.submit(run, gi, self.devices[k % n])
                     for k, gi in enumerate(mine)]
