@@ -38,6 +38,10 @@ from dataclasses import dataclass
 
 import numpy as np
 
+# serializes first-compile of the GOP step across scheduler threads
+# (concurrent XLA:CPU compiles segfault intermittently)
+_COMPILE_LOCK = threading.Lock()
+
 
 def split_gops(frames, key_interval: int, detector=None):
     """Split frames into GOPs: fixed keyframe cadence plus optional
@@ -101,13 +105,15 @@ class GopScheduler:
                 results[gi] = out
 
         n = len(self.devices)
-        if len(mine) > 1:
-            # warm the compile caches on the main thread first: all
-            # GOPs share shapes, and concurrent first-compiles from
-            # worker threads have crashed XLA:CPU (observed segfault
-            # in backend_compile under the mock-distributed tests)
+        if len(mine) > 0:
+            # warm the compile caches under a process-wide lock: all
+            # GOPs share shapes, and concurrent first-compiles (from
+            # worker threads here, or from the per-rank threads of the
+            # mock-distributed scheduler) have segfaulted XLA:CPU in
+            # backend_compile/pjit_lowering
             first = mine[0]
-            run(first, self.devices[0])
+            with _COMPILE_LOCK:
+                run(first, self.devices[0])
             mine = [gi for gi in mine if gi != first]
         with ThreadPoolExecutor(max_workers=n) as ex:
             futs = [ex.submit(run, gi, self.devices[k % n])
